@@ -1,0 +1,73 @@
+"""Benchmark runner: executes the declared headline queries on
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) with
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": "..."}
+
+Timings are end-to-end per query (plan + execute + collect-to-count),
+after a JVM/session warmup query, so they measure steady-state engine
+throughput rather than session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from openaq_data_pipeline_engineering_spark.engine import get_spark  # noqa: E402
+from openaq_data_pipeline_engineering_spark.plans.registry import get_queries  # noqa: E402
+
+# Headline set: every declared query (correctness surface == bench surface).
+SKIP: set[str] = set()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="openaq-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = get_queries()
+
+    # Warmup: JVM JIT + parquet footer caches, not counted.
+    queries["flagship_daily_topk"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in sorted(queries.items()):
+        if name in SKIP:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {n} rows in {dt:.3f}s", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_suite_wall_clock",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""SparkSession factory and Engine facade.
+
+The reference composes two black-box engines (Spark-on-Glue + Athena,
+reference utils/athena_utils.py:38-175) with polling orchestration.  Here
+a single SparkSession is both the transform engine and the SQL surface:
+``Engine.sql()`` replaces the whole Athena submit/poll/fetch scaffold
+(reference utils/athena_utils.py:68-145) with a synchronous Catalyst query.
+
+Scale posture (100 TB / 1000-executor design, tested on local[32]):
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting.
+- Session timezone pinned UTC: partition columns derived from timestamps
+  must not shift with cluster-local timezones (reference
+  glue_jobs/process_openaq_raw.py:117-127 silently depends on this).
+- Arrow enabled for the few Pandas-UDF paths (vectors/multimodal).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Runtime-settable SQL confs applied to ANY session we are handed (the
+# correctness driver passes its own SparkSession; these must not require
+# session restart).
+_RUNTIME_CONFS: dict[str, str] = {
+    # The driver testdata's events.ts is Parquet TIMESTAMP(NANOS) which the
+    # vectorized reader rejects; read as long and convert (sources/star.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Timestamp determinism: all wall-clock derivations (year/month/day
+    # partition columns) are UTC, matching the DuckDB oracle's naive ts.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for pandas_udf / mapInPandas / toPandas exchange.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+# Builder-time confs for sessions we create ourselves.
+_BUILD_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Partitioned-table writes are idempotent per-partition, not blind
+    # append (reference process_openaq_raw.py:253-255 appends and relies on
+    # never re-running; dynamic overwrite makes re-runs safe).
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.sql.parquet.compression.codec": "snappy",
+    # 128 MiB scan splits — the reference's own file-size target
+    # (doc/GLUE_JOBS_GUIDE.md:399-407).
+    "spark.sql.files.maxPartitionBytes": "134217728",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable confs to an externally created session."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # A conf may be unsupported on some Spark build; every consumer
+            # of it has a fallback path.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "openaq-spark-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession with the engine's standard config.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster leave it unset and let spark-submit decide.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master:
+        builder = builder.master(master)
+    for k, v in _BUILD_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    spark = builder.getOrCreate()
+    return apply_runtime_confs(spark)
+
+
+class Engine:
+    """Facade owning a SparkSession: register tables, run SQL, compose ops.
+
+    Replaces the reference's catalog+query stack (Glue crawler registration,
+    utils/glue_utils.py:24-55, + Athena polling executor,
+    utils/athena_utils.py:38-175) with the Spark catalog and synchronous
+    ``spark.sql``.
+    """
+
+    def __init__(self, spark: SparkSession | None = None) -> None:
+        self.spark = apply_runtime_confs(spark) if spark else get_spark()
+
+    # -- catalog ----------------------------------------------------------
+    def register(self, name: str, df: DataFrame) -> None:
+        """Register a DataFrame as a temp view (crawler-equivalent)."""
+        df.createOrReplaceTempView(name)
+
+    def register_parquet_dir(self, sf_dir: str, tables: list[str]) -> None:
+        from openaq_data_pipeline_engineering_spark.sources.star import load_table
+
+        for t in tables:
+            self.register(t, load_table(self.spark, sf_dir, t))
+
+    # -- query surface -----------------------------------------------------
+    def sql(self, query: str) -> DataFrame:
+        """Athena-equivalent SQL entry point — synchronous, typed results."""
+        return self.spark.sql(query)
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(name)

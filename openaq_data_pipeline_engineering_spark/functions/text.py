@@ -1,0 +1,144 @@
+"""Text-analysis column expressions for the LLM-data-pipeline extensions.
+
+Design constraint: every expression here is *oracle-mirrorable* — built
+only from IEEE-exact arithmetic (+,-,*,/), replace/length string ops, and
+md5 — primitives whose results are bit-identical between Spark (JVM) and
+DuckDB (C++). No transcendentals (exp/log/pow) whose last-ULP behavior
+differs between libm implementations, no engine-specific hash functions
+(Spark's murmur3 `hash()` ≠ DuckDB's hash()).
+
+All are pure Column expressions → whole-stage codegen, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def occurrence_count(text: Column | str, needle: str) -> Column:
+    """# of occurrences of ``needle`` via the replace-length trick.
+
+    ``(len(s) - len(replace(s, needle, ''))) / len(needle)`` — exact
+    integer arithmetic, identical in any SQL engine.
+    """
+    t = _col(text)
+    return (
+        (F.length(t) - F.length(F.replace(t, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("bigint")
+
+
+def whitespace_token_count(text: Column | str) -> Column:
+    """Approximate word count = single-space count + 1 (0 for empty)."""
+    t = _col(text)
+    return F.when(F.length(t) == 0, F.lit(0).cast("bigint")).otherwise(
+        occurrence_count(t, " ") + F.lit(1)
+    )
+
+
+def bpe_token_estimate(text: Column | str, chars_per_token: float = 4.0) -> Column:
+    """ceil(chars / 4): the standard BPE-ish token-count estimate."""
+    return F.ceil(F.length(_col(text)) / F.lit(chars_per_token)).cast("bigint")
+
+
+def punct_ratio(text: Column | str, puncts: str = ".,!?;:") -> Column:
+    """Fraction of characters that are punctuation (rational arithmetic)."""
+    t = _col(text)
+    total = None
+    for ch in puncts:
+        c = occurrence_count(t, ch)
+        total = c if total is None else total + c
+    return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.length(t).cast("double")
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Length/punctuation quality heuristic in [0, 1).
+
+    ``(w / (w + 50)) * (1 - punct_ratio)`` — longer docs score higher,
+    punctuation-noise docs score lower. Rational arithmetic only.
+    """
+    w = whitespace_token_count(text).cast("double")
+    return (w / (w + F.lit(50.0))) * (F.lit(1.0) - punct_ratio(text))
+
+
+# Language-ID marker words: language -> space-delimited stopword markers.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "es": [" el ", " la ", " los "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " la ", " et "],
+}
+LANG_ORDER = ["en", "es", "de", "fr"]
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language marker-occurrence scores (n-gram stopword heuristic)."""
+    t = _col(text)
+    out: dict[str, Column] = {}
+    for lang, markers in LANG_MARKERS.items():
+        s = None
+        for m in markers:
+            c = occurrence_count(t, m)
+            s = c if s is None else s + c
+        out[lang] = s
+    return out
+
+
+def lang_predict(text: Column | str) -> Column:
+    """Argmax language with deterministic tie-break (LANG_ORDER priority)."""
+    scores = lang_scores(text)
+    chain = None
+    for i, lang in enumerate(LANG_ORDER):
+        conds = [
+            scores[lang] >= scores[other] for other in LANG_ORDER[i + 1 :]
+        ]
+        cond = F.lit(True)
+        for c in conds:
+            cond = cond & c
+        chain = F.when(cond, lang) if chain is None else chain.when(cond, lang)
+    return F.coalesce(chain, F.lit(LANG_ORDER[-1]))
+
+
+def normalized_fingerprint(text: Column | str) -> Column:
+    """md5 of lowercase text with non-alphanumerics collapsed — the
+    document fingerprint for exact near-normalization dedup."""
+    t = _col(text)
+    norm = F.regexp_replace(F.lower(t), r"[^a-z0-9 ]", "")
+    norm = F.regexp_replace(norm, r" +", " ")
+    return F.md5(norm)
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Array of word k-grams (shingles) from whitespace tokens.
+
+    Guarded so docs with < k tokens yield an empty array (Spark's
+    ``sequence(1, 0)`` would otherwise produce a DESCENDING sequence).
+    """
+    t = _col(text)
+    toks = F.split(t, " ")
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    parts = lambda i: [F.element_at(toks, i + j) for j in range(k)]  # noqa: E731
+    return F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+
+
+def minhash_agg_exprs(shingle_col: str, num_hashes: int = 8) -> list[Column]:
+    """MinHash aggregate expressions over an exploded shingle column.
+
+    Hash family = md5(shingle || '#i') — a string-min over salted md5 is a
+    uniform random-permutation proxy that is IDENTICAL in Spark and DuckDB
+    (unlike either engine's native hash()).
+    """
+    return [
+        F.min(F.md5(F.concat(F.col(shingle_col), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]

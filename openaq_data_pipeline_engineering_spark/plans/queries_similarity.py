@@ -1,0 +1,201 @@
+"""Declared queries: embedding similarity search extensions over the
+`embeddings` table (64-dim float vectors).
+
+Brute-force cosine top-k is the exactness baseline; the LSH-bucketed
+variants are the 100 TB scale path (bounded candidate sets instead of an
+O(N²) cross join). Both use double-promoted sequential folds so DuckDB's
+list_dot_product oracle matches bit-for-bit (see functions/vectors.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_engineering_spark.functions.vectors import cosine, dot, lsh_bucket, norm
+from openaq_data_pipeline_engineering_spark.plans.registry import query
+from openaq_data_pipeline_engineering_spark.sources.star import load_table
+
+_COS_SQL = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+
+# --------------------------------------------------------------------------
+# Brute-force cosine top-k against one query vector
+# --------------------------------------------------------------------------
+@query(
+    "ann_cosine_topk",
+    "similarity: brute-force cosine top-20 vs query vector (vec_id=0), broadcast",
+    oracle=f"""
+    SELECT b.vec_id, round({_COS_SQL}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0
+    ORDER BY cosine DESC, b.vec_id
+    LIMIT 20
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))  # 1-row broadcast: no shuffle of the big side
+        .select("vec_id", F.round(cosine("embedding", "qvec"), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# k-NN join: top-3 neighbors for each of a bounded query set
+# --------------------------------------------------------------------------
+@query(
+    "knn_join_top3",
+    "similarity: per-query top-3 cosine neighbors (broadcast query set + rank window)",
+    oracle=f"""
+    SELECT * FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round({_COS_SQL}, 6) AS cosine,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_COS_SQL} DESC, b.vec_id
+               ) AS rn
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id < 10 AND b.vec_id <> a.vec_id
+    ) WHERE rn <= 3
+    """,
+)
+def knn_join_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cos = cosine("embedding", "qvec")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), "neighbor_id")
+    return (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "query_id", "neighbor_id",
+            F.round(F.col("cos_raw"), 6).alias("cosine"), "rn",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding statistics (norms per label)
+# --------------------------------------------------------------------------
+@query(
+    "embedding_norm_stats",
+    "similarity support: L2 norms + per-label aggregates via higher-order folds",
+    oracle="""
+    SELECT label,
+           count(*) AS n,
+           round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm,
+           round(min(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS min_norm,
+           round(max(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS max_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = norm("embedding")
+    return (
+        emb.select("label", n.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH bucketing: the scale path for similarity join
+# --------------------------------------------------------------------------
+def _bucket_sql(alias: str) -> str:
+    bits = [
+        f"CASE WHEN {alias}.embedding[{i + 1}]::DOUBLE >= {alias}.embedding[{i + 33}]::DOUBLE "
+        f"THEN '1' ELSE '0' END"
+        for i in range(8)
+    ]
+    return " || ".join(bits)
+
+
+@query(
+    "ann_lsh_buckets",
+    "similarity scale path: deterministic sign-projection LSH bucket histogram",
+    oracle=f"""
+    SELECT {_bucket_sql('embeddings')} AS bucket, count(*) AS n
+    FROM embeddings
+    GROUP BY 1
+    """,
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(lsh_bucket("embedding", 8, 32).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "ann_lsh_bucketed_top1",
+    "similarity scale path: nearest neighbor WITHIN LSH bucket (bounded candidates)",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding, {_bucket_sql('embeddings')} AS bucket
+        FROM embeddings
+    )
+    SELECT * FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round({_COS_SQL}, 6) AS cosine,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_COS_SQL} DESC, b.vec_id
+               ) AS rn
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 50
+    ) WHERE rn = 1
+    """,
+)
+def ann_lsh_bucketed_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id", "embedding", lsh_bucket("embedding", 8, 32).alias("bucket")
+    )
+    a = bucketed.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cos = cosine("embedding", "qvec")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), "neighbor_id")
+    return (
+        bucketed.join(
+            F.broadcast(a),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_raw")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id", "neighbor_id",
+            F.round(F.col("cos_raw"), 6).alias("cosine"), "rn",
+        )
+    )

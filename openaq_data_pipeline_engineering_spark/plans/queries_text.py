@@ -1,0 +1,305 @@
+"""Declared queries: text analysis + document deduplication extensions
+(the LLM-training-data operators, BASELINE.json north_star) over the
+`documents` table.
+
+Every oracle is generated from the same constants as the Spark
+expressions (functions/text.py), so both sides stay in lock-step. Only
+IEEE-exact arithmetic + replace/length/md5 are used — see functions/text.py
+header for why.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_engineering_spark.functions.text import (
+    LANG_MARKERS,
+    LANG_ORDER,
+    bpe_token_estimate,
+    lang_predict,
+    lang_scores,
+    minhash_agg_exprs,
+    normalized_fingerprint,
+    punct_ratio,
+    quality_score,
+    whitespace_token_count,
+    word_shingles,
+)
+from openaq_data_pipeline_engineering_spark.operators.dedup import exact_dedup
+from openaq_data_pipeline_engineering_spark.plans.registry import query
+from openaq_data_pipeline_engineering_spark.sources.star import load_table
+
+
+# ---- SQL mirrors of functions/text.py (generated from the same constants)
+def _occ_sql(texpr: str, needle: str) -> str:
+    n = needle.replace("'", "''")
+    return (
+        f"CAST((length({texpr}) - length(replace({texpr}, '{n}', ''))) "
+        f"/ {len(needle)} AS BIGINT)"
+    )
+
+
+def _wc_sql(texpr: str) -> str:
+    return (
+        f"CASE WHEN length({texpr}) = 0 THEN 0 "
+        f"ELSE {_occ_sql(texpr, ' ')} + 1 END"
+    )
+
+
+def _punct_ratio_sql(texpr: str, puncts: str = ".,!?;:") -> str:
+    total = " + ".join(_occ_sql(texpr, ch) for ch in puncts)
+    return (
+        f"CASE WHEN length({texpr}) = 0 THEN 0.0 "
+        f"ELSE CAST({total} AS DOUBLE) / CAST(length({texpr}) AS DOUBLE) END"
+    )
+
+
+def _lang_score_sql(texpr: str, lang: str) -> str:
+    return " + ".join(_occ_sql(texpr, m) for m in LANG_MARKERS[lang])
+
+
+# --------------------------------------------------------------------------
+# Exact dedup (hash-groupBy): survivor = min id per content hash
+# --------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    "exact dedup: md5-content-hash groupBy, min-id survivor, dup counts",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, count(*) AS dup_count
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, content_col="text", id_col="doc_id")
+
+
+@query(
+    "dedup_exact_normalized",
+    "exact dedup after whitespace/case normalization",
+    oracle="""
+    SELECT min(doc_id) AS doc_id,
+           md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS content_hash,
+           count(*) AS dup_count
+    FROM documents
+    GROUP BY 2
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, content_col="text", id_col="doc_id", normalize=True)
+
+
+# --------------------------------------------------------------------------
+# Token counting: whitespace + BPE-ish estimate
+# --------------------------------------------------------------------------
+@query(
+    "token_counts",
+    "token counting: whitespace tokens + ceil(chars/4) BPE estimate",
+    oracle=f"""
+    SELECT doc_id,
+           {_wc_sql('text')} AS ws_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        whitespace_token_count("text").alias("ws_tokens"),
+        bpe_token_estimate("text").alias("bpe_est"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring: length/punctuation heuristics
+# --------------------------------------------------------------------------
+@query(
+    "text_quality",
+    "quality scoring: word count, punct ratio, composite score; low-quality filter",
+    oracle=f"""
+    SELECT doc_id,
+           {_wc_sql('text')} AS word_count,
+           {_punct_ratio_sql('text')} AS punct_ratio,
+           (CAST({_wc_sql('text')} AS DOUBLE)
+            / (CAST({_wc_sql('text')} AS DOUBLE) + 50.0))
+           * (1.0 - {_punct_ratio_sql('text')}) AS quality
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-row IEEE arithmetic is bit-identical across engines: emit raw.
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        whitespace_token_count("text").alias("word_count"),
+        punct_ratio("text").alias("punct_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language-ID heuristic (marker stopword n-grams, deterministic argmax)
+# --------------------------------------------------------------------------
+def _lang_oracle() -> str:
+    scores = {L: f"s_{L}" for L in LANG_ORDER}
+    score_defs = ",\n           ".join(
+        f"{_lang_score_sql('text', L)} AS s_{L}" for L in LANG_ORDER
+    )
+    chain = []
+    for i, L in enumerate(LANG_ORDER):
+        others = LANG_ORDER[i + 1 :]
+        if others:
+            cond = " AND ".join(f"{scores[L]} >= {scores[o]}" for o in others)
+            chain.append(f"WHEN {cond} THEN '{L}'")
+        else:
+            chain.append(f"ELSE '{L}'")
+    case = "CASE " + " ".join(chain) + " END"
+    return f"""
+    WITH s AS (
+        SELECT doc_id, lang AS label,
+           {score_defs}
+        FROM documents
+    )
+    SELECT doc_id, label, s_en, s_es, s_de, s_fr, {case} AS predicted
+    FROM s
+    """
+
+
+@query(
+    "lang_id_heuristic",
+    "language-ID: marker-stopword scores + deterministic argmax",
+    oracle=_lang_oracle(),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scores = lang_scores("text")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("label"),
+        *[scores[L].alias(f"s_{L}") for L in LANG_ORDER],
+        lang_predict("text").alias("predicted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting (normalized md5)
+# --------------------------------------------------------------------------
+@query(
+    "doc_fingerprint",
+    "document fingerprint: md5 over case/punct-normalized text",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                              ' +', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", normalized_fingerprint("text").alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# N-gram (distinct-word) Jaccard near-dup pairs on a bounded sample
+# --------------------------------------------------------------------------
+@query(
+    "ngram_jaccard_pairs",
+    "near-dup: pairwise distinct-word Jaccard ≥ 0.5 over a bounded doc sample",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id < 40
+    ), sz AS (
+        SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding near-dup candidates
+# --------------------------------------------------------------------------
+_NUM_HASHES = 8
+_BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]  # 4 bands × 2 rows
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n               ".join(
+        f"min(md5(sh || '#{i}')) AS h{i}" for i in range(_NUM_HASHES)
+    )
+    bands = ", ".join(f"md5(h{a} || h{b})" for a, b in _BANDS)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       for i in range(1, len(t) - 1)]) AS sh
+        FROM toks WHERE len(t) >= 3
+    ), mh AS (
+        SELECT doc_id, {mins}
+        FROM sh GROUP BY doc_id
+    ), bands AS (
+        SELECT doc_id, unnest([{bands}]) AS band FROM mh
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    """
+
+
+@query(
+    "minhash_lsh_candidates",
+    "near-dup: MinHash(8, salted-md5) → 4×2 LSH bands → bucket-join candidate pairs",
+    oracle=_minhash_oracle(),
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles("text", k=3)).alias("sh")
+    )
+    mh = sh.groupBy("doc_id").agg(*minhash_agg_exprs("sh", _NUM_HASHES))
+    band_exprs = [F.md5(F.concat(F.col(f"h{a}"), F.col(f"h{b}"))) for a, b in _BANDS]
+    bands = mh.select("doc_id", F.explode(F.array(*band_exprs)).alias("band"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )

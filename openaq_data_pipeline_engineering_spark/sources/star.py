@@ -1,0 +1,75 @@
+"""Loaders for the driver-provided star-schema parquet tables.
+
+These are plain Parquet scans (reference S3 operator,
+tests/test_glue_transformation.py:151) with two engine-level fixups:
+
+1. ``events.ts`` is stored as Parquet ``TIMESTAMP(NANOS)`` which Spark's
+   vectorized reader rejects.  We read it via
+   ``spark.sql.legacy.parquet.nanosAsLong`` and convert with *integer*
+   nanos→micros division (a double division would lose precision above
+   2^53 ns ≈ 1970+104 days).
+2. Session timezone is pinned UTC before any read so timestamp-derived
+   columns are deterministic across environments.
+
+At 100 TB these remain straight columnar scans: predicate pushdown and
+column pruning reach the Parquet reader (verify via
+``df.explain()`` → PushedFilters / ReadSchema), and nothing here forces a
+driver-side collect.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
+
+STAR_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Columns that must be TimestampType after load (parquet may carry NTZ or
+# nanos depending on writer).
+_TS_COLUMNS = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one star-schema table with normalized timestamp types."""
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in _TS_COLUMNS.get(name, []):
+        dtype = dict(df.dtypes).get(c)
+        if dtype == "bigint":
+            # nanosAsLong path: integer nanos → micros (floor division keeps
+            # exactly DuckDB's ns→us truncation semantics).
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+        elif dtype and dtype.startswith("timestamp"):
+            # Collapse TIMESTAMP_NTZ / TIMESTAMP to session-UTC TimestampType.
+            df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
+    return df
+
+
+def load_star(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> dict[str, DataFrame]:
+    """Load all (or selected) star tables and register them as temp views."""
+    out: dict[str, DataFrame] = {}
+    for t in tables or STAR_TABLES:
+        df = load_table(spark, sf_dir, t)
+        df.createOrReplaceTempView(t)
+        out[t] = df
+    return out

@@ -1,0 +1,81 @@
+"""End-to-end mart pipeline tests: the reference Glue job's semantics
+(SURVEY §3.2) including the partitioned-write round trip
+(tests/test_glue_complete.py:326-406 equivalents)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_engineering_spark.plans.mart import MartConfig, build_mart, write_mart
+
+
+def measurements(spark):
+    rows = [
+        ("loc1", "2025-12-20T10:00:00+07:00", "pm25", 25.5, "Hanoi", "VN", 21.0, 105.8),
+        ("loc1", "2025-12-20T10:00:00+07:00", "pm25", 25.5, "Hanoi", "VN", 21.0, 105.8),  # dup
+        ("loc1", "2025-12-20T10:00:00+07:00", "pm10", 50.0, "Hanoi", "VN", 21.0, 105.8),
+        ("loc1", "2025-12-20T11:00:00+07:00", "pm25", 30.0, "Hanoi", "VN", 21.0, 105.8),
+        ("loc2", "2025-12-20T10:00:00+07:00", "pm25", 10.0, None, None, None, None),
+        ("loc3", "bad-datetime", "pm25", 5.0, "Hue", "VN", 16.4, 107.5),
+    ]
+    return spark.createDataFrame(
+        rows,
+        ["location_id", "datetime", "parameter", "value", "city", "country", "latitude", "longitude"],
+    )
+
+
+def test_mart_end_to_end(spark):
+    cfg = MartConfig(tiebreaker=["value"])
+    mart = build_mart(measurements(spark), cfg)
+
+    # uniqueness of (location_id, datetime) — reference invariant
+    assert (
+        mart.groupBy("location_id", "datetime").count().filter("count > 1").count() == 0
+    )
+    # invalid datetime dropped with its location
+    assert mart.filter("location_id = 'loc3'").count() == 0
+    # wide schema frozen: all declared pollutants present
+    for p in cfg.parameters:
+        assert p in mart.columns
+    # pivot landed values on the right row
+    row = mart.filter(
+        (F.col("location_id") == "loc1") & (F.col("month") == "12") & (F.col("day") == "20")
+    ).orderBy("datetime").first()
+    assert row.pm25 == 25.5 and row.pm10 == 50.0
+    # null metadata filled with defaults (reference P6)
+    loc2 = mart.filter("location_id = 'loc2'").first()
+    assert loc2.city_name == "Unknown"
+    assert loc2.country_code == "VN"
+    assert loc2.latitude == 0.0
+    # UTC partition columns (+07:00 → 03:00 UTC same day)
+    assert (loc2.year, loc2.month, loc2.day) == ("2025", "12", "20")
+
+
+def test_write_mart_partitioned_roundtrip(spark, tmp_path):
+    cfg = MartConfig(tiebreaker=["value"])
+    mart = build_mart(measurements(spark), cfg)
+    out = str(tmp_path / "mart")
+    write_mart(mart, out)
+
+    # Hive layout exists
+    assert any(d.startswith("year=") for d in os.listdir(out))
+    back = spark.read.parquet(out)
+    assert back.count() == mart.count()
+    # partition cols preserved through read (as partition values)
+    assert {"year", "month", "day"} <= set(back.columns)
+
+    # idempotent re-run: dynamic partition overwrite, not blind append
+    write_mart(mart, out)
+    assert spark.read.parquet(out).count() == mart.count()
+
+
+def test_mart_aqi_extension(spark):
+    from openaq_data_pipeline_engineering_spark.operators.aqi import compute_aqi
+
+    cfg = MartConfig(tiebreaker=["value"])
+    mart = compute_aqi(build_mart(measurements(spark), cfg))
+    row = mart.filter("location_id = 'loc2'").first()
+    assert row.aqi is not None
+    assert row.dominant_pollutant == "pm25"
