@@ -32,6 +32,10 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow for pandas_udf / mapInPandas / toPandas exchange.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Right-size shuffles for local-mode runs (the 200 default wastes
+    # task-launch overhead at test scale; AQE coalesces further). On a
+    # real cluster this is overridden by the session/bench config.
+    "spark.sql.shuffle.partitions": "32",
 }
 
 # Builder-time confs for sessions we create ourselves.
@@ -86,7 +90,11 @@ def get_spark(
             "spark.sql.shuffle.partitions", str(shuffle_partitions)
         )
     spark = builder.getOrCreate()
-    return apply_runtime_confs(spark)
+    apply_runtime_confs(spark)
+    if shuffle_partitions is not None:
+        # explicit caller choice wins over the runtime default
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return spark
 
 
 class Engine:

@@ -1,0 +1,86 @@
+"""Multimodal column plumbing (BASELINE.json north_star extension).
+
+Images/audio/video ride as opaque ``binary`` columns with typed metadata
+alongside. The Spark-side machinery here is REAL and tested — schema,
+Arrow batch shape, ``mapInPandas`` signature, partition behavior; only
+the media decode itself is stubbed (the decode libs aren't in this
+container) behind ``decode_fn``, with a deterministic arithmetic fake as
+the default so results are oracle-checkable.
+
+Scale notes: mapInPandas streams Arrow batches (no per-row Python
+overhead); binary payloads never hit the driver; metadata-only queries
+prune the binary column at the Parquet scan (column pruning), so "list
+all 640px images" never reads the bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODE_META_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, width int, height int, format string"
+)
+
+
+def fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for an image decoder.
+
+    Derives pseudo-metadata from the byte length only — stable across
+    runs/engines, so the declared query can be SQL-oracle-checked. A real
+    deployment swaps this for PIL/ffmpeg and keeps every other line.
+    """
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "width": n % 640 + 1,
+        "height": (n * 7) % 480 + 1,
+        "format": ["png", "jpeg", "webp"][n % 3],
+    }
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Treat a text column as an opaque binary payload (test stand-in for
+    real media bytes)."""
+    return df.withColumn("payload", F.col(text_col).cast("binary"))
+
+
+def decode_metadata(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decode_fn: Callable[[bytes], dict] = fake_decode,
+) -> DataFrame:
+    """Extract per-item metadata from binary payloads via mapInPandas.
+
+    Arrow-batched: ``decode_fn`` runs once per payload inside a pandas
+    batch loop, never row-at-a-time through Py4J.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_fn(p) for p in pdf[payload_col]]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": [m["n_bytes"] for m in metas],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "format": [m["format"] for m in metas],
+                }
+            )
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(_decode, DECODE_META_SCHEMA)
+
+
+def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling stub: the real implementation would mapInPandas
+    over (payload) → exploded frame rows. Raises until a decoder exists."""
+    raise NotImplementedError(
+        "frame sampling requires a media decoder not present in this "
+        "container; the decode_metadata plumbing shows the intended shape"
+    )

@@ -1,0 +1,246 @@
+"""Declared queries: multimodal plumbing, SimHash, embedding near-dup,
+nested-record flattening, and incremental (streaming) ingest.
+
+Completes the LLM-data-pipeline operator checklist: exact dedup +
+MinHash-LSH + n-gram Jaccard live in queries_text.py; SimHash and
+embedding-cosine near-dup are here.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_engineering_spark.functions.vectors import cosine, lsh_bucket
+from openaq_data_pipeline_engineering_spark.operators.multimodal import (
+    decode_metadata,
+    with_binary_payload,
+)
+from openaq_data_pipeline_engineering_spark.plans.registry import query
+from openaq_data_pipeline_engineering_spark.sources.star import load_table
+
+
+# --------------------------------------------------------------------------
+# Multimodal: binary payload → mapInPandas metadata decode (stubbed decoder,
+# REAL Spark plumbing; deterministic fake → SQL-oracle-checkable)
+# --------------------------------------------------------------------------
+@query(
+    "multimodal_decode_meta",
+    "multimodal: binary column → Arrow-batched mapInPandas metadata extraction",
+    oracle="""
+    SELECT doc_id,
+           strlen(text) AS n_bytes,
+           CAST(strlen(text) % 640 + 1 AS INTEGER) AS width,
+           CAST((strlen(text) * 7) % 480 + 1 AS INTEGER) AS height,
+           CASE strlen(text) % 3
+             WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp'
+           END AS format
+    FROM documents
+    """,
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_metadata(with_binary_payload(docs, "text"))
+
+
+# --------------------------------------------------------------------------
+# SimHash document fingerprint (16-bit, token-weighted)
+# --------------------------------------------------------------------------
+_HI_NIBBLES = "('8','9','a','b','c','d','e','f')"
+
+
+def _simhash_oracle() -> str:
+    bits = ",\n               ".join(
+        f"sum(CASE WHEN substr(md5(w), {j}, 1) IN {_HI_NIBBLES} "
+        f"THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(1, 17)
+    )
+    concat = ", ".join(
+        f"CASE WHEN b{j} >= 0 THEN '1' ELSE '0' END" for j in range(1, 17)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), bits AS (
+        SELECT doc_id,
+               {bits}
+        FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, concat({concat}) AS simhash FROM bits
+    """
+
+
+@query(
+    "simhash_fingerprint",
+    "near-dup: 16-bit token-weighted SimHash fingerprint (md5 nibble bits)",
+    oracle=_simhash_oracle(),
+)
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).select("doc_id", F.md5("w").alias("hw"))
+    hi = list("89abcdef")
+    bit_aggs = [
+        F.sum(
+            F.when(F.substring("hw", j, 1).isin(hi), 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(1, 17)
+    ]
+    bits = tok.groupBy("doc_id").agg(*bit_aggs)
+    concat = F.concat(
+        *[F.when(F.col(f"b{j}") >= 0, "1").otherwise("0") for j in range(1, 17)]
+    )
+    return bits.select("doc_id", concat.alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs, LSH-bucket prefiltered (scale path)
+# --------------------------------------------------------------------------
+def _bucket_sql(alias: str) -> str:
+    bits = [
+        f"CASE WHEN {alias}.embedding[{i + 1}]::DOUBLE >= {alias}.embedding[{i + 33}]::DOUBLE "
+        f"THEN '1' ELSE '0' END"
+        for i in range(8)
+    ]
+    return " || ".join(bits)
+
+
+_COS_SQL = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+
+@query(
+    "embedding_neardup_pairs",
+    "near-dup: cosine ≥ 0.9 pairs within deterministic LSH buckets",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding, {_bucket_sql('embeddings')} AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_COS_SQL}, 6) AS cosine
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.9
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id", "embedding", lsh_bucket("embedding", 8, 32).alias("bucket")
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    cos = cosine("embedding", "emb_b")
+    return (
+        bucketed.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_id") < F.col("vec_b")),
+        )
+        .filter(cos >= 0.9)
+        .select(
+            F.col("vec_id").alias("vec_a"),
+            "vec_b",
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Nested-record flatten (F7 dot-path projection, reference extract_api.py:240-254)
+# --------------------------------------------------------------------------
+@query(
+    "nested_flatten",
+    "F7: build nested struct records, flatten via dot-path projection",
+    oracle="""
+    WITH nested AS (
+        SELECT struct_pack(
+                   id := c_custkey,
+                   name := c_name,
+                   geo := struct_pack(nationkey := c_nationkey,
+                                      balance := c_acctbal)
+               ) AS rec
+        FROM customer
+    )
+    SELECT rec.id AS id, rec.name AS name,
+           rec.geo.nationkey AS nationkey, rec.geo.balance AS balance
+    FROM nested
+    """,
+)
+def nested_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nested = cust.select(
+        F.struct(
+            F.col("c_custkey").alias("id"),
+            F.col("c_name").alias("name"),
+            F.struct(
+                F.col("c_nationkey").alias("nationkey"),
+                F.col("c_acctbal").alias("balance"),
+            ).alias("geo"),
+        ).alias("rec")
+    )
+    return nested.select(
+        F.col("rec.id").alias("id"),
+        F.col("rec.name").alias("name"),
+        F.col("rec.geo.nationkey").alias("nationkey"),
+        F.col("rec.geo.balance").alias("balance"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental ingest (Structured Streaming, availableNow) — non-SQL-
+# expressible: no oracle; driver records a rows-only check.
+# --------------------------------------------------------------------------
+@query(
+    "streaming_incremental_ingest",
+    "streaming: file-source readStream + watermarked dedup + availableNow catch-up",
+    oracle=None,
+)
+def streaming_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
+    from openaq_data_pipeline_engineering_spark.streaming.ingest import incremental_ingest
+
+    apply_runtime_confs(spark)
+    # events.ts is TIMESTAMP(NANOS) → read as long (nanosAsLong), convert.
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+    def to_event_time(stream: DataFrame) -> DataFrame:
+        return stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+    checkpoint = tempfile.mkdtemp(prefix="openaq_stream_ckpt_")
+    deduped, starter = incremental_ingest(
+        spark,
+        source_dir=sf_dir,
+        checkpoint_dir=checkpoint,
+        schema=schema,
+        keys=["user_id", "ts"],
+        ts_col="ts",
+        transform=to_event_time,
+        source_format="parquet",
+        watermark="2 hours",
+        path_glob="events.parquet",
+    )
+    starter.run_available_now_to_memory("stream_ingest_result")
+    return spark.sql(
+        "SELECT event_type, count(*) AS n FROM stream_ingest_result GROUP BY event_type"
+    )

@@ -1,0 +1,100 @@
+"""Incremental ingest via Structured Streaming (SURVEY §2.9 / Slice 4).
+
+The reference is batch-only; its streaming-adjacent semantics are hourly
+raw drops re-delivered by overlapping 24h-lookback pulls, deduped in
+batch and blind-appended (s3_uploader.py:126-131,
+process_openaq_raw.py:253-255; "real-time" is an explicit future item,
+doc/architecture.md:689). The Spark-native replacement:
+
+- file-source ``readStream`` over the raw-zone directory, checkpointed —
+  each file processed exactly once across runs (replaces the Airflow
+  schedule + job-bookmark future item);
+- ``withWatermark`` + ``dropDuplicatesWithinWatermark`` for re-delivered
+  measurements (replaces the full-history window dedup, which at 100 TB
+  would shuffle the world);
+- ``Trigger.AvailableNow`` for catch-up batch runs on the same query.
+
+At scale: state size is bounded by (keys within watermark), not total
+history; file-source maxFilesPerTrigger throttles catch-up; the sink is
+the same idempotent partitioned writer the batch path uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+
+def stream_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked streaming dedup: one row per ``keys`` among rows whose
+    event time is within ``watermark`` of the stream's max seen time."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def incremental_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    keys: list[str],
+    ts_col: str,
+    transform=None,
+    source_format: str = "json",
+    watermark: str = "2 hours",
+    path_glob: str | None = None,
+) -> tuple[DataFrame, "StreamingQueryStarter"]:
+    """Build the incremental pipeline; returns (deduped stream, starter).
+
+    The starter runs the stream with ``Trigger.AvailableNow`` into an
+    in-memory table or a parquet sink and blocks until complete — the
+    batch-catchup execution mode that replaces the reference's daily DAG.
+    ``source_dir`` must be a directory; use ``path_glob`` to select files.
+    """
+    reader = (
+        spark.readStream.format(source_format)
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1000)
+    )
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    stream = reader.load(source_dir)
+    if transform is not None:
+        stream = transform(stream)
+    deduped = stream_dedup(stream, keys=keys, ts_col=ts_col, watermark=watermark)
+    return deduped, StreamingQueryStarter(deduped, checkpoint_dir)
+
+
+class StreamingQueryStarter:
+    def __init__(self, df: DataFrame, checkpoint_dir: str) -> None:
+        self.df = df
+        self.checkpoint_dir = checkpoint_dir
+
+    def run_available_now_to_memory(self, table_name: str) -> StreamingQuery:
+        q = (
+            self.df.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("append")
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    def run_available_now_to_parquet(self, path: str) -> StreamingQuery:
+        q = (
+            self.df.writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
