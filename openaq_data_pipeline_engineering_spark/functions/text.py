@@ -134,11 +134,35 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
 def minhash_agg_exprs(shingle_col: str, num_hashes: int = 8) -> list[Column]:
     """MinHash aggregate expressions over an exploded shingle column.
 
-    Hash family = md5(shingle || '#i') — a string-min over salted md5 is a
-    uniform random-permutation proxy that is IDENTICAL in Spark and DuckDB
-    (unlike either engine's native hash()).
+    Hash family: the 32 hex chars of md5 are split into 8-char (32-bit)
+    pieces, each piece an independent uniform hash; salting with '#k'
+    yields further families. One md5 evaluation serves 4 hash functions —
+    4× cheaper than md5-per-function, which dominates the map side of
+    this operator. String-min over fixed-width lowercase hex == numeric
+    min, and md5 is IDENTICAL in Spark and DuckDB (their native hash()
+    functions are not).
     """
-    return [
-        F.min(F.md5(F.concat(F.col(shingle_col), F.lit(f"#{i}")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    out: list[Column] = []
+    for i in range(num_hashes):
+        salt, piece = divmod(i, 4)
+        h = (
+            F.md5(F.col(shingle_col))
+            if salt == 0
+            else F.md5(F.concat(F.col(shingle_col), F.lit("#" * salt)))
+        )
+        out.append(F.min(F.substring(h, 1 + 8 * piece, 8)).alias(f"h{i}"))
+    return out
+
+
+def minhash_sql_exprs(shingle_expr: str, num_hashes: int = 8) -> list[str]:
+    """DuckDB mirror of :func:`minhash_agg_exprs` (same piece layout)."""
+    out = []
+    for i in range(num_hashes):
+        salt, piece = divmod(i, 4)
+        h = (
+            f"md5({shingle_expr})"
+            if salt == 0
+            else f"md5({shingle_expr} || '{'#' * salt}')"
+        )
+        out.append(f"min(substr({h}, {1 + 8 * piece}, 8)) AS h{i}")
+    return out

@@ -19,7 +19,7 @@ from openaq_data_pipeline_engineering_spark.operators.multimodal import (
     with_binary_payload,
 )
 from openaq_data_pipeline_engineering_spark.plans.registry import query
-from openaq_data_pipeline_engineering_spark.sources.star import load_table
+from openaq_data_pipeline_engineering_spark.sources.star import fan_out, load_table
 
 
 # --------------------------------------------------------------------------
@@ -41,7 +41,7 @@ from openaq_data_pipeline_engineering_spark.sources.star import load_table
     """,
 )
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return decode_metadata(with_binary_payload(docs, "text"))
 
 
@@ -78,7 +78,7 @@ def _simhash_oracle() -> str:
     oracle=_simhash_oracle(),
 )
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).select("doc_id", F.md5("w").alias("hw"))
@@ -131,7 +131,7 @@ _COS_SQL = (
     """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     bucketed = emb.select(
         "vec_id", "embedding", lsh_bucket("embedding", 8, 32).alias("bucket")
     )

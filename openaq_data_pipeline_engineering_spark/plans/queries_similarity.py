@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from openaq_data_pipeline_engineering_spark.functions.vectors import cosine, dot, lsh_bucket, norm
 from openaq_data_pipeline_engineering_spark.plans.registry import query
-from openaq_data_pipeline_engineering_spark.sources.star import load_table
+from openaq_data_pipeline_engineering_spark.sources.star import fan_out, load_table
 
 _COS_SQL = (
     "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
@@ -37,7 +37,7 @@ _COS_SQL = (
     """,
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     return (
         emb.filter(F.col("vec_id") != 0)
@@ -68,7 +68,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def knn_join_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -107,7 +107,7 @@ def knn_join_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     n = norm("embedding")
     return (
         emb.select("label", n.alias("nrm"))
@@ -173,7 +173,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_lsh_bucketed_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     bucketed = emb.select(
         "vec_id", "embedding", lsh_bucket("embedding", 8, 32).alias("bucket")
     )

@@ -28,7 +28,7 @@ from openaq_data_pipeline_engineering_spark.functions.text import (
 )
 from openaq_data_pipeline_engineering_spark.operators.dedup import exact_dedup
 from openaq_data_pipeline_engineering_spark.plans.registry import query
-from openaq_data_pipeline_engineering_spark.sources.star import load_table
+from openaq_data_pipeline_engineering_spark.sources.star import fan_out, load_table
 
 
 # ---- SQL mirrors of functions/text.py (generated from the same constants)
@@ -72,7 +72,7 @@ def _lang_score_sql(texpr: str, lang: str) -> str:
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return exact_dedup(docs, content_col="text", id_col="doc_id")
 
 
@@ -88,7 +88,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return exact_dedup(docs, content_col="text", id_col="doc_id", normalize=True)
 
 
@@ -134,7 +134,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-row IEEE arithmetic is bit-identical across engines: emit raw.
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         whitespace_token_count("text").alias("word_count"),
@@ -177,7 +177,7 @@ def _lang_oracle() -> str:
     oracle=_lang_oracle(),
 )
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     scores = lang_scores("text")
     return docs.select(
         "doc_id",
@@ -201,7 +201,7 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", normalized_fingerprint("text").alias("fingerprint"))
 
 
@@ -261,9 +261,9 @@ _BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]  # 4 bands × 2 rows
 
 
 def _minhash_oracle() -> str:
-    mins = ",\n               ".join(
-        f"min(md5(sh || '#{i}')) AS h{i}" for i in range(_NUM_HASHES)
-    )
+    from openaq_data_pipeline_engineering_spark.functions.text import minhash_sql_exprs
+
+    mins = ",\n               ".join(minhash_sql_exprs("sh", _NUM_HASHES))
     bands = ", ".join(f"md5(h{a} || h{b})" for a, b in _BANDS)
     return f"""
     WITH toks AS (
@@ -290,7 +290,7 @@ def _minhash_oracle() -> str:
     oracle=_minhash_oracle(),
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id", F.explode(word_shingles("text", k=3)).alias("sh")
     )

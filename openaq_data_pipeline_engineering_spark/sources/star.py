@@ -65,6 +65,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Spread a small-file scan across the cluster before CPU-heavy
+    per-row work (explode/hash/vector math).
+
+    A tiny parquet file arrives as ONE input split, so everything up to
+    the first shuffle runs on one core. At 100 TB the input is thousands
+    of splits and this repartition is unnecessary; locally it recreates
+    that scan parallelism for a few ms of shuffle on small data.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def load_star(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> dict[str, DataFrame]:
     """Load all (or selected) star tables and register them as temp views."""
     out: dict[str, DataFrame] = {}
