@@ -77,10 +77,64 @@ def decode_metadata(
     return df.select(id_col, payload_col).mapInPandas(_decode, DECODE_META_SCHEMA)
 
 
+FEATURE_DIM = 8
+FEATURES_SCHEMA = "doc_id bigint, " + ", ".join(
+    f"f{i} double" for i in range(FEATURE_DIM)
+)
+
+
+def md5_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a learned feature extractor.
+
+    Feature i = the i-th 16-bit slice of md5(payload), scaled to [0, 1].
+    Stable across runs and engines (DuckDB mirrors it with
+    ``CAST('0x'||substr(md5(text),4i+1,4) AS INT)/65535.0``), so the
+    Pandas-UDF extraction path itself is oracle-checkable. A real
+    deployment swaps in a vision/audio model over the same plumbing.
+    """
+    import hashlib
+
+    h = hashlib.md5(payload).hexdigest()
+    return [int(h[4 * i : 4 * i + 4], 16) / 65535.0 for i in range(FEATURE_DIM)]
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    feature_fn: Callable[[bytes], list[float]] = md5_features,
+) -> DataFrame:
+    """Per-item feature extraction from binary payloads via mapInPandas.
+
+    Emits a flat (doc_id, f0..f7) frame — flat doubles join/aggregate
+    cheaply downstream and avoid array-of-float comparison pitfalls.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [feature_fn(p) for p in pdf[payload_col]]
+            out = pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64")}
+                | {f"f{i}": [f[i] for f in feats] for i in range(FEATURE_DIM)}
+            )
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(_extract, FEATURES_SCHEMA)
+
+
 def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling stub: the real implementation would mapInPandas
     over (payload) → exploded frame rows. Raises until a decoder exists."""
     raise NotImplementedError(
         "frame sampling requires a media decoder not present in this "
         "container; the decode_metadata plumbing shows the intended shape"
+    )
+
+
+def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Image-resize stub: real implementation is mapInPandas payload →
+    resized payload (same schema). Raises until a decoder exists."""
+    raise NotImplementedError(
+        "resize requires an image decoder not present in this container; "
+        "decode_metadata/extract_features show the intended batch shape"
     )

@@ -1,0 +1,282 @@
+"""Advanced analytics queries beyond the reference's surface: as-of
+join, sessionization, rollup/cube reports, AQI statistics (the
+reference's planned A12), IVF-style ANN, and Pandas-UDF feature
+extraction — each with a DuckDB oracle mirror.
+
+These are the engine-capability extensions SURVEY §7.1 declares for the
+100 TB training-pipeline north star; the reference itself has none of
+them (its only join is a small-dim equi-join, SURVEY §2.3; its only
+window is row_number, §2.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_engineering_spark.functions.vectors import cosine
+from openaq_data_pipeline_engineering_spark.operators.asof import asof_join
+from openaq_data_pipeline_engineering_spark.operators.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    with_binary_payload,
+)
+from openaq_data_pipeline_engineering_spark.operators.sessionize import session_stats
+from openaq_data_pipeline_engineering_spark.plans.registry import query
+from openaq_data_pipeline_engineering_spark.sources.star import fan_out, load_table
+
+
+# --------------------------------------------------------------------------
+# As-of (point-in-time) join: for each 'error' event, the user's most
+# recent prior-or-simultaneous 'click' value. Union + carry-forward
+# window — one shuffle, no pair explosion (operators/asof.py).
+# --------------------------------------------------------------------------
+@query(
+    "asof_join_lastclick",
+    "as-of join: latest click value at-or-before each error event, per user",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'click'
+    ), e AS (
+        SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'error'
+    )
+    SELECT e.user_id, e.ts, e.event_id, e.value,
+           (SELECT c.value FROM c
+            WHERE c.user_id = e.user_id AND c.ts <= e.ts
+            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS value_asof
+    FROM e
+    """,
+)
+def asof_join_lastclick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(
+        probes=errors,
+        quotes=clicks,
+        on=["user_id"],
+        ts_col="ts",
+        value_cols=["value"],
+        tiebreaker="event_id",
+    )
+
+
+# --------------------------------------------------------------------------
+# Gap-based sessionization (30-minute inactivity gap)
+# --------------------------------------------------------------------------
+@query(
+    "sessionization",
+    "gap-based sessions: per-user 30min-gap session index + per-session stats",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               CAST(sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id, session_idx,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_s
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return session_stats(
+        ev, key="user_id", ts_col="ts", gap_seconds=1800, order_tiebreaker="event_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# ROLLUP report (hierarchical totals) — grouping-set aggregation the
+# reference lacks; Spark executes as a single Expand + hash agg.
+# --------------------------------------------------------------------------
+@query(
+    "rollup_report",
+    "GROUP BY ROLLUP(event_type, user bucket): subtotals + grand total, grouping id",
+    oracle="""
+    SELECT event_type,
+           user_id % 10 AS user_bucket,
+           CAST(grouping(event_type, user_id % 10) AS BIGINT) AS gid,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY ROLLUP(event_type, user_id % 10)
+    """,
+)
+def rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "user_bucket", F.pmod("user_id", F.lit(10))
+    )
+    return ev.rollup("event_type", "user_bucket").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "cube_report",
+    "GROUP BY CUBE(event_type, lang-of-user bucket): all grouping-set combos",
+    oracle="""
+    SELECT event_type,
+           user_id % 5 AS user_bucket,
+           CAST(grouping(event_type, user_id % 5) AS BIGINT) AS gid,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY CUBE(event_type, user_id % 5)
+    """,
+)
+def cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "user_bucket", F.pmod("user_id", F.lit(5))
+    )
+    return ev.cube("event_type", "user_bucket").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# AQI stats (reference A12, AQI plan:132-137): per-level count/min/max.
+# avg deliberately omitted: cross-row float accumulation order differs
+# between engines (registry float policy); min/max/count are exact.
+# --------------------------------------------------------------------------
+def _aqi_stats_oracle() -> str:
+    from openaq_data_pipeline_engineering_spark.plans.queries_core import _AQI_ORACLE
+
+    return f"""
+    WITH aqi AS ({_AQI_ORACLE})
+    SELECT aqi_level, count(*) AS n, count(aqi) AS n_aqi,
+           min(aqi) AS min_aqi, max(aqi) AS max_aqi
+    FROM aqi GROUP BY aqi_level
+    """
+
+
+@query(
+    "aqi_stats",
+    "A12: AQI distribution stats per level (count / non-null count / min / max)",
+    oracle=_aqi_stats_oracle(),
+)
+def aqi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.plans.queries_core import aqi_piecewise
+
+    aqi = aqi_piecewise(spark, sf_dir)
+    return aqi.groupBy("aqi_level").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("aqi").alias("n_aqi"),
+        F.min("aqi").alias("min_aqi"),
+        F.max("aqi").alias("max_aqi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-style ANN: coarse-quantize vectors to fixed centroid cells, then
+# search only the probe's cell. The scale path for similarity search —
+# per-cell candidate sets replace the O(N²) brute-force scan; centroids
+# are broadcast (tiny dim), cell assignment is one map-side pass.
+# --------------------------------------------------------------------------
+_N_CENT = 8
+_PROBE_ID = 8
+
+
+def _cos_sql(a_vec: str, b_vec: str) -> str:
+    return (
+        f"list_dot_product({a_vec}::DOUBLE[], {b_vec}::DOUBLE[]) / "
+        f"(sqrt(list_dot_product({a_vec}::DOUBLE[], {a_vec}::DOUBLE[])) * "
+        f"sqrt(list_dot_product({b_vec}::DOUBLE[], {b_vec}::DOUBLE[])))"
+    )
+
+
+@query(
+    "ivf_ann_topk",
+    "ANN scale path: IVF coarse quantization (8 fixed centroids) + in-cell top-10",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_N_CENT}
+    ), vecs AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {_N_CENT}
+    ), scored AS (
+        SELECT v.vec_id, v.embedding, c.cid,
+               round({_cos_sql('v.embedding', 'c.cvec')}, 6) AS ccos
+        FROM vecs v CROSS JOIN cent c
+    ), assigned AS (
+        SELECT vec_id, embedding, cid AS cell FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY ccos DESC, cid
+            ) AS rn FROM scored
+        ) WHERE rn = 1
+    ), q AS (
+        SELECT cell AS qcell, embedding AS qvec FROM assigned WHERE vec_id = {_PROBE_ID}
+    )
+    SELECT a.vec_id, round({_cos_sql('a.embedding', 'q.qvec')}, 6) AS cosine
+    FROM assigned a, q
+    WHERE a.cell = q.qcell AND a.vec_id <> {_PROBE_ID}
+    ORDER BY cosine DESC, a.vec_id LIMIT 10
+    """,
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    cent = emb.filter(F.col("vec_id") < _N_CENT).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    vecs = emb.filter(F.col("vec_id") >= _N_CENT).select("vec_id", "embedding")
+    scored = vecs.join(F.broadcast(cent)).withColumn(
+        "ccos", F.round(cosine("embedding", "cvec"), 6)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cid")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("cell"))
+    )
+    q = assigned.filter(F.col("vec_id") == _PROBE_ID).select(
+        F.col("cell").alias("qcell"), F.col("embedding").alias("qvec")
+    )
+    return (
+        assigned.filter(F.col("vec_id") != _PROBE_ID)
+        .join(F.broadcast(q), F.col("cell") == F.col("qcell"))
+        .select("vec_id", F.round(cosine("embedding", "qvec"), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal feature extraction through the Arrow/Pandas-UDF path, with
+# an exact oracle (md5-derived pseudo-features, operators/multimodal.py)
+# --------------------------------------------------------------------------
+@query(
+    "multimodal_features",
+    "mapInPandas feature extraction: md5-derived 8-dim features per payload",
+    oracle="""
+    SELECT doc_id, """
+    + ", ".join(
+        f"CAST(concat('0x', substr(md5(text), {4 * i + 1}, 4)) AS INTEGER)"
+        f" / 65535.0 AS f{i}"
+        for i in range(FEATURE_DIM)
+    )
+    + """
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return extract_features(with_binary_payload(docs, "text"))

@@ -58,6 +58,7 @@ def _load_all() -> None:
     from openaq_data_pipeline_engineering_spark.plans import queries_text  # noqa: F401
     from openaq_data_pipeline_engineering_spark.plans import queries_similarity  # noqa: F401
     from openaq_data_pipeline_engineering_spark.plans import queries_ext  # noqa: F401
+    from openaq_data_pipeline_engineering_spark.plans import queries_advanced  # noqa: F401
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,153 @@
+"""Unit tests: as-of join, sessionization, rollup, feature extraction."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_engineering_spark.operators.asof import asof_join
+from openaq_data_pipeline_engineering_spark.operators.multimodal import (
+    extract_features,
+    md5_features,
+    resize_stub,
+    with_binary_payload,
+)
+from openaq_data_pipeline_engineering_spark.operators.sessionize import (
+    session_stats,
+    sessionize,
+)
+
+
+def _ts(h, m=0, s=0):
+    return dt.datetime(2026, 1, 1, h, m, s)
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        quotes = spark.createDataFrame(
+            [
+                (1, _ts(9), 100.0, 1),
+                (1, _ts(11), 110.0, 2),
+                (1, _ts(11), 111.0, 3),  # same-ts tie: max tiebreaker wins
+                (2, _ts(10), 200.0, 4),
+            ],
+            "user_id int, ts timestamp, value double, event_id int",
+        )
+        probes = spark.createDataFrame(
+            [
+                (1, _ts(10), 90, 0.5),   # between quotes -> 100.0
+                (1, _ts(11), 91, 0.6),   # exactly at quote ts -> 111.0 (<=, max id)
+                (1, _ts(8), 92, 0.7),    # before any quote -> null
+                (2, _ts(12), 93, 0.8),   # other key -> 200.0
+                (3, _ts(12), 94, 0.9),   # key with no quotes -> null
+            ],
+            "user_id int, ts timestamp, event_id int, value double",
+        )
+        return probes, quotes
+
+    def test_semantics(self, spark):
+        probes, quotes = self._frames(spark)
+        out = asof_join(
+            probes, quotes, on=["user_id"], ts_col="ts",
+            value_cols=["value"], tiebreaker="event_id",
+        )
+        got = {r["event_id"]: r["value_asof"] for r in out.collect()}
+        assert got == {90: 100.0, 91: 111.0, 92: None, 93: 200.0, 94: None}
+
+    def test_probe_columns_preserved(self, spark):
+        probes, quotes = self._frames(spark)
+        out = asof_join(
+            probes, quotes, on=["user_id"], ts_col="ts",
+            value_cols=["value"], tiebreaker="event_id",
+        )
+        assert set(out.columns) == {"user_id", "ts", "event_id", "value", "value_asof"}
+        assert out.count() == probes.count()
+        # probe's own 'value' column survives untouched
+        vals = {r["event_id"]: r["value"] for r in out.collect()}
+        assert vals[90] == 0.5
+
+
+class TestSessionize:
+    def _events(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, _ts(9, 0), 1),
+                (1, _ts(9, 10), 2),    # 10 min gap: same session
+                (1, _ts(10, 0), 3),    # 50 min gap: new session
+                (1, _ts(10, 20), 4),
+                (2, _ts(9, 0), 5),     # separate key
+            ],
+            "user_id int, ts timestamp, event_id int",
+        )
+
+    def test_session_index(self, spark):
+        out = sessionize(
+            self._events(spark), "user_id", "ts",
+            gap_seconds=1800, order_tiebreaker="event_id",
+        )
+        got = {r["event_id"]: r["session_idx"] for r in out.collect()}
+        assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+    def test_session_stats(self, spark):
+        out = session_stats(
+            self._events(spark), "user_id", "ts",
+            gap_seconds=1800, order_tiebreaker="event_id",
+        )
+        rows = {(r["user_id"], r["session_idx"]): r for r in out.collect()}
+        assert rows[(1, 1)]["n_events"] == 2
+        assert rows[(1, 1)]["duration_s"] == 600.0
+        assert rows[(1, 2)]["n_events"] == 2
+        assert rows[(2, 1)]["n_events"] == 1
+        assert rows[(2, 1)]["duration_s"] == 0.0
+
+    def test_exact_gap_boundary_same_session(self, spark):
+        # gap == gap_seconds is NOT a new session (strict >)
+        ev = spark.createDataFrame(
+            [(1, _ts(9, 0), 1), (1, _ts(9, 30), 2)],
+            "user_id int, ts timestamp, event_id int",
+        )
+        out = sessionize(ev, "user_id", "ts", gap_seconds=1800,
+                         order_tiebreaker="event_id")
+        assert {r["session_idx"] for r in out.collect()} == {1}
+
+
+class TestFeatureExtraction:
+    def test_md5_features_deterministic_and_bounded(self):
+        f = md5_features(b"hello world")
+        assert f == md5_features(b"hello world")
+        assert len(f) == 8
+        assert all(0.0 <= x <= 1.0 for x in f)
+
+    def test_extract_features_matches_local(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+        )
+        out = extract_features(with_binary_payload(df, "text")).collect()
+        by_id = {r["doc_id"]: r for r in out}
+        expect = md5_features(b"alpha")
+        got = [by_id[1][f"f{i}"] for i in range(8)]
+        assert got == expect
+
+    def test_resize_stub_raises(self, spark):
+        df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+        with pytest.raises(NotImplementedError):
+            resize_stub(df, 64, 64)
+
+
+class TestRollupPlan:
+    def test_rollup_single_shuffle(self, spark):
+        # ROLLUP must compile to one Expand + hash agg, not N queries.
+        df = spark.createDataFrame(
+            [("a", 1, 1.0), ("b", 2, 2.0)], "k string, b int, v double"
+        )
+        plan = (
+            df.rollup("k", "b")
+            .agg(F.sum("v"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Expand" in plan
+        assert plan.count("Exchange") <= 2
