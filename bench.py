@@ -38,8 +38,13 @@ def main() -> None:
 
     queries = get_queries()
 
-    # Warmup: JVM JIT + parquet footer caches, not counted.
+    # Warmup: JVM JIT + parquet footer caches + one Arrow batch through
+    # every Python worker (mapInPandas spawns a worker per core on first
+    # use; that one-time spawn is session setup, not query throughput).
     queries["flagship_daily_topk"](spark, sf_dir).count()
+    spark.range(0, int(cpus) * 4, 1, int(cpus)).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     total = 0.0

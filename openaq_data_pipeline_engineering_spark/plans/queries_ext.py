@@ -209,7 +209,10 @@ def streaming_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
-    from openaq_data_pipeline_engineering_spark.streaming.ingest import incremental_ingest
+    from openaq_data_pipeline_engineering_spark.streaming.ingest import (
+        StreamingQueryStarter,
+        incremental_ingest,
+    )
 
     apply_runtime_confs(spark)
     # events.ts is TIMESTAMP(NANOS) → read as long (nanosAsLong), convert.
@@ -240,7 +243,11 @@ def streaming_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="2 hours",
         path_glob="events.parquet",
     )
-    starter.run_available_now_to_memory("stream_ingest_result")
-    return spark.sql(
-        "SELECT event_type, count(*) AS n FROM stream_ingest_result GROUP BY event_type"
+    # Aggregate IN-STREAM (dedup → stateful agg, two chained stateful
+    # operators): the memory sink then holds 5 aggregate rows instead of
+    # the full deduped firehose on the driver.
+    counts = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    StreamingQueryStarter(counts, checkpoint).run_available_now_to_memory(
+        "stream_ingest_result", output_mode="complete"
     )
+    return spark.sql("SELECT event_type, n FROM stream_ingest_result")

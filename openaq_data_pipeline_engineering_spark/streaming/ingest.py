@@ -75,11 +75,17 @@ class StreamingQueryStarter:
         self.df = df
         self.checkpoint_dir = checkpoint_dir
 
-    def run_available_now_to_memory(self, table_name: str) -> StreamingQuery:
+    def run_available_now_to_memory(
+        self, table_name: str, output_mode: str = "append"
+    ) -> StreamingQuery:
+        """Memory sink — scale caveat: append mode materializes every
+        output row on the driver, so it is only for small results or
+        tests; pre-aggregate in-stream (``output_mode='complete'``) so
+        the driver holds the aggregate, not the firehose."""
         q = (
             self.df.writeStream.format("memory")
             .queryName(table_name)
-            .outputMode("append")
+            .outputMode(output_mode)
             .option("checkpointLocation", self.checkpoint_dir)
             .trigger(availableNow=True)
             .start()
