@@ -79,3 +79,61 @@ def test_mart_aqi_extension(spark):
     row = mart.filter("location_id = 'loc2'").first()
     assert row.aqi is not None
     assert row.dominant_pollutant == "pm25"
+
+
+def test_catalog_registration_and_partition_pruning(spark, tmp_path):
+    from openaq_data_pipeline_engineering_spark.sources.catalog import (
+        drop_table,
+        recover_partitions,
+        register_partitioned_table,
+    )
+
+    cfg = MartConfig(tiebreaker=["value"])
+    mart = build_mart(measurements(spark), cfg)
+    out = str(tmp_path / "mart_tbl")
+    write_mart(mart, out)
+
+    register_partitioned_table(
+        spark, "aq_mart_test", out, ["year", "month", "day"], sample=mart
+    )
+    try:
+        tbl = spark.table("aq_mart_test")
+        assert tbl.count() == mart.count()
+        # catalog table prunes on partition predicates: the scan's
+        # partition filters must include the predicate (no full scan)
+        plan = (
+            spark.sql(
+                "SELECT * FROM aq_mart_test WHERE year='2025' AND month='12'"
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters" in plan and "month" in plan.split("PartitionFilters")[1][:200]
+
+        # new partition arrives on disk -> recover makes it queryable
+        extra = mart.withColumn("year", F.lit("2031"))
+        write_mart(extra, out, mode="append")
+        recover_partitions(spark, "aq_mart_test")
+        assert spark.table("aq_mart_test").filter("year='2031'").count() == mart.count()
+    finally:
+        drop_table(spark, "aq_mart_test")
+
+
+def test_idempotent_partition_overwrite_touches_only_written_partitions(
+    spark, tmp_path
+):
+    cfg = MartConfig(tiebreaker=["value"])
+    mart = build_mart(measurements(spark), cfg)
+    out = str(tmp_path / "mart_idem")
+    write_mart(mart, out)
+    before_other = spark.read.parquet(out).filter("location_id = 'loc1'").count()
+
+    # rewrite ONE day's data with changed values (a re-run of that day)
+    day_slice = mart.withColumn("pm25", F.col("pm25") + 1000.0)
+    write_mart(day_slice, out)  # same partitions -> replaced, not doubled
+
+    back = spark.read.parquet(out)
+    assert back.count() == mart.count()  # no duplication from the re-run
+    assert back.filter("location_id = 'loc1'").count() == before_other
+    assert back.filter("pm25 > 999").count() > 0  # new values won
