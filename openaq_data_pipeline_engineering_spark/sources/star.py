@@ -70,11 +70,15 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     per-row work (explode/hash/vector math).
 
     A tiny parquet file arrives as ONE input split, so everything up to
-    the first shuffle runs on one core. At 100 TB the input is thousands
-    of splits and this repartition is unnecessary; locally it recreates
-    that scan parallelism for a few ms of shuffle on small data.
+    the first shuffle runs on one core; this repartition recreates scan
+    parallelism for a few ms of shuffle on small data. Guarded: when the
+    scan already yields >= the target splits (any real-scale input —
+    at 100 TB it's thousands), this is the identity and NO shuffle is
+    added to the plan.
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n)
 
 

@@ -1,0 +1,110 @@
+"""applyInPandasWithState: state must accumulate across micro-batches
+and survive a query restart on the same checkpoint."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import types as T
+
+from openaq_data_pipeline_engineering_spark.streaming.stateful import running_stats
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.DoubleType()),
+    ]
+)
+
+
+def _write_batch(src_dir: str, name: str, rows: list[dict]) -> None:
+    with open(os.path.join(src_dir, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _run_available_now(spark, src_dir: str, ckpt: str, out_dir: str) -> list:
+    """Run one availableNow pass; collect emitted rows via foreachBatch
+    (the memory sink does not support checkpoint recovery)."""
+    stream = spark.readStream.format("json").schema(SCHEMA).load(src_dir)
+    out = running_stats(stream, "k", "v")
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).collect()
+
+
+def test_state_accumulates_across_restarts(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    _write_batch(src, "b1.json", [{"k": "a", "v": 1.0}, {"k": "a", "v": 3.0},
+                                  {"k": "b", "v": 10.0}])
+    rows1 = _run_available_now(spark, src, ckpt, str(tmp_path / "out1"))
+    got = {r["key"]: r for r in rows1}
+    assert got["a"]["n"] == 2 and got["a"]["sum"] == 4.0
+    assert got["a"]["min"] == 1.0 and got["a"]["max"] == 3.0
+    assert got["b"]["n"] == 1
+
+    # second file + RESTARTED query on the same checkpoint: state carries
+    # over (exactly-once file source) and only new data is processed
+    _write_batch(src, "b2.json", [{"k": "a", "v": 5.0}])
+    rows2 = _run_available_now(spark, src, ckpt, str(tmp_path / "out2"))
+    got2 = {r["key"]: r for r in rows2}
+    assert got2["a"]["n"] == 3 and got2["a"]["sum"] == 9.0
+    assert got2["a"]["max"] == 5.0
+    # key b untouched in batch 2 -> not re-emitted in update mode
+    assert "b" not in got2
+
+
+def test_stateful_sessionizer_emits_closed_sessions(spark, tmp_path):
+    from openaq_data_pipeline_engineering_spark.streaming.stateful import (
+        sessionizer_stateful,
+    )
+
+    src = str(tmp_path / "src2")
+    ckpt = str(tmp_path / "ckpt2")
+    out_dir = str(tmp_path / "out_sess")
+    os.makedirs(src)
+    # two bursts 2h apart -> first session closes in-batch, second stays open
+    _write_batch(src, "b1.json", [
+        {"k": "u1", "v": 0.0, "ts": "2026-01-01T09:00:00"},
+        {"k": "u1", "v": 0.0, "ts": "2026-01-01T09:10:00"},
+        {"k": "u1", "v": 0.0, "ts": "2026-01-01T11:30:00"},
+    ])
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = spark.readStream.format("json").schema(schema).load(src)
+    out = sessionizer_stateful(stream, "k", "ts", gap_seconds=1800)
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 1  # only the CLOSED session is emitted
+    assert rows[0]["n_events"] == 2
+    assert rows[0]["end_us"] - rows[0]["start_us"] == 600 * 1_000_000
