@@ -280,3 +280,72 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return extract_features(with_binary_payload(docs, "text"))
+
+
+# --------------------------------------------------------------------------
+# Skew-mitigation: salted two-phase aggregation. The oracle is the PLAIN
+# aggregate — proving the salted plan computes identical results.
+# --------------------------------------------------------------------------
+@query(
+    "salted_skew_agg",
+    "skew: salted two-phase aggregation over a 5-value hot key == naive groupBy",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+           min(value) AS min_value, max(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n": ("value", "count"),
+            "sum_value": ("value", "sum"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type", "n", F.round("sum_value", 2).alias("sum_value"),
+        "min_value", "max_value",
+    )
+
+
+# --------------------------------------------------------------------------
+# Range join: events classified into value bands. Small band table ->
+# broadcast; the binned variant is the large-x-large scale path
+# (operators/rangejoin.py), proven equal by test.
+# --------------------------------------------------------------------------
+_BANDS_ROWS = [(0.0, 10.0, "low"), (10.0, 25.0, "mid"), (25.0, 50.0, "high"),
+               (50.0, 1e9, "extreme")]
+
+
+@query(
+    "range_join_bands",
+    "range join: per-band event counts via broadcast interval join [lo, hi)",
+    oracle="""
+    WITH bands(lo, hi, band) AS (
+        VALUES (0.0, 10.0, 'low'), (10.0, 25.0, 'mid'),
+               (25.0, 50.0, 'high'), (50.0, 1000000000.0, 'extreme')
+    )
+    SELECT b.band, count(*) AS n, round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+)
+def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.operators.rangejoin import (
+        broadcast_range_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(_BANDS_ROWS, "lo double, hi double, band string")
+    joined = broadcast_range_join(ev, bands, value_col="value")
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )

@@ -1,0 +1,159 @@
+"""Scale-technique operators: salted agg, binned range join, sketches,
+bucketed co-located joins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_engineering_spark.operators.rangejoin import (
+    binned_range_join,
+    broadcast_range_join,
+)
+from openaq_data_pipeline_engineering_spark.operators.skew import salted_agg
+from openaq_data_pipeline_engineering_spark.operators.sketch import (
+    approx_distinct_profile,
+    approx_quantiles,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _events(spark):
+    from openaq_data_pipeline_engineering_spark.sources.star import load_table
+
+    return load_table(spark, SF_DIR, "events")
+
+
+class TestSaltedAgg:
+    def test_equals_plain_groupby(self, spark):
+        ev = _events(spark)
+        plain = {
+            r["event_type"]: r
+            for r in ev.groupBy("event_type")
+            .agg(
+                F.count("value").alias("n"),
+                F.sum("value").alias("s"),
+                F.min("value").alias("mn"),
+                F.max("value").alias("mx"),
+            )
+            .collect()
+        }
+        salted = {
+            r["event_type"]: r
+            for r in salted_agg(
+                ev,
+                keys=["event_type"],
+                aggs={
+                    "n": ("value", "count"),
+                    "s": ("value", "sum"),
+                    "mn": ("value", "min"),
+                    "mx": ("value", "max"),
+                },
+                n_salts=7,
+            ).collect()
+        }
+        assert plain.keys() == salted.keys()
+        for k in plain:
+            assert plain[k]["n"] == salted[k]["n"]
+            assert abs(plain[k]["s"] - salted[k]["s"]) < 1e-6
+            assert plain[k]["mn"] == salted[k]["mn"]
+            assert plain[k]["mx"] == salted[k]["mx"]
+
+    def test_rejects_non_algebraic(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError):
+            salted_agg(_events(spark), ["event_type"], {"a": ("value", "avg")})
+
+
+class TestRangeJoin:
+    BANDS = [(0.0, 10.0, "low"), (10.0, 30.0, "mid"), (30.0, 1e6, "high")]
+
+    def test_binned_equals_broadcast(self, spark):
+        ev = _events(spark).select("event_id", "value")
+        bands = spark.createDataFrame(self.BANDS, "lo double, hi double, band string")
+        bc = broadcast_range_join(ev, bands, "value")
+        binned = binned_range_join(ev, bands, "value", bin_width=7.0)
+        a = {(r["event_id"], r["band"]) for r in bc.collect()}
+        b = {(r["event_id"], r["band"]) for r in binned.collect()}
+        assert a == b and len(a) > 0
+
+    def test_hi_exclusive_boundary(self, spark):
+        probes = spark.createDataFrame(
+            [(1, 10.0), (2, 9.999)], "event_id int, value double"
+        )
+        bands = spark.createDataFrame(
+            [(0.0, 10.0, "low"), (10.0, 20.0, "mid")],
+            "lo double, hi double, band string",
+        )
+        for join_fn in (
+            lambda: broadcast_range_join(probes, bands, "value"),
+            lambda: binned_range_join(probes, bands, "value", bin_width=5.0),
+        ):
+            got = {r["event_id"]: r["band"] for r in join_fn().collect()}
+            assert got == {1: "mid", 2: "low"}
+
+    def test_binned_join_is_hash_not_nested_loop(self, spark):
+        ev = _events(spark).select("event_id", "value")
+        bands = spark.createDataFrame(self.BANDS, "lo double, hi double, band string")
+        plan = (
+            binned_range_join(ev, bands, "value", bin_width=7.0)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "HashJoin" in plan  # equi-join on bin, not BroadcastNestedLoop
+
+
+class TestSketches:
+    def test_approx_distinct_within_rsd(self, spark):
+        ev = _events(spark)
+        exact = ev.select(
+            F.countDistinct("user_id").alias("u"),
+            F.countDistinct("event_type").alias("t"),
+        ).first()
+        approx = approx_distinct_profile(ev, ["user_id", "event_type"]).first()
+        assert abs(approx["user_id_distinct"] - exact["u"]) <= max(2, 0.1 * exact["u"])
+        assert approx["event_type_distinct"] == exact["t"]  # tiny domain: exact
+
+    def test_approx_quantiles_ordered_and_bounded(self, spark):
+        ev = _events(spark)
+        row = approx_quantiles(ev, "value").first()
+        vals = [row["p25"], row["p50"], row["p75"], row["p95"], row["p99"]]
+        assert vals == sorted(vals)
+        lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+        assert lo <= vals[0] and vals[-1] <= hi
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_shuffle(self, spark, tmp_path):
+        """Pre-bucketing both sides on the join key removes the exchange:
+        the 100 TB co-located-join strategy, verified on the plan."""
+        from openaq_data_pipeline_engineering_spark.sources.star import load_table
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            orders = load_table(spark, SF_DIR, "orders")
+            lineitem = load_table(spark, SF_DIR, "lineitem")
+            for name, df, key in [
+                ("t_orders_b", orders, "o_orderkey"),
+                ("t_lineitem_b", lineitem, "l_orderkey"),
+            ]:
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+                (
+                    df.write.mode("overwrite")
+                    .bucketBy(8, key)
+                    .sortBy(key)
+                    .saveAsTable(name)
+                )
+            joined = spark.table("t_orders_b").join(
+                spark.table("t_lineitem_b"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan
+            assert joined.count() > 0
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.sql("DROP TABLE IF EXISTS t_orders_b")
+            spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
