@@ -349,3 +349,101 @@ def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("band").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-way join benchmarks (TPC-H Q3/Q5 shapes): exercise Catalyst join
+# ordering + broadcast selection across 3- and 6-table joins. Money sums
+# use the decimal-exact pattern (sum in DECIMAL, cast to DOUBLE) so the
+# result is accumulation-order-independent and engine-identical.
+# --------------------------------------------------------------------------
+_REV = (
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)"
+)
+
+
+def _revenue_col() -> F.Column:
+    return F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    ).cast("double")
+
+
+@query(
+    "shipping_priority_q3",
+    "TPC-H Q3 shape: customer⋈orders⋈lineitem, revenue top-10 per order",
+    oracle=f"""
+    SELECT l_orderkey, {_REV} AS revenue, o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+    """,
+)
+def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_revenue_col().alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "local_supplier_volume_q5",
+    "TPC-H Q5 shape: 6-table join, revenue by nation within region+year",
+    oracle=f"""
+    SELECT n_name, {_REV} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        # supplier scales with SF -> no broadcast hint; AQE picks the
+        # strategy at runtime (nation/region are fixed-size: hint away)
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(_revenue_col().alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
