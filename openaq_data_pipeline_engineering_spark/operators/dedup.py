@@ -35,7 +35,8 @@ def dedup_first(
     """
     if not tiebreaker:
         raise ValueError("dedup_first requires a deterministic tiebreaker")
-    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in tiebreaker])
+    order = [F.col(c).asc() if isinstance(c, str) else c for c in tiebreaker]
+    w = Window.partitionBy(*keys).orderBy(*order)
     out = df.withColumn("row_num", F.row_number().over(w)).filter(F.col("row_num") == 1)
     return out if keep_rank_col else out.drop("row_num")
 
