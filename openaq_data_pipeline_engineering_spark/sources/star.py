@@ -49,8 +49,23 @@ _TS_COLUMNS = {
 }
 
 
+# Analyzed-DataFrame cache: repeated load_table calls (every declared
+# query loads its tables) otherwise re-list files and re-analyze the
+# read per call. Keyed by session id so a new session never sees stale
+# frames; holds logical plans only (no data pinned).
+_LOAD_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# fan_out memo: the getNumPartitions probe triggers physical planning.
+# Values pin (input, output) so the id() key can never be reused by a
+# garbage-collected frame.
+_FANOUT_CACHE: dict[tuple[int, int], tuple[DataFrame, DataFrame]] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table with normalized timestamp types."""
+    key = (id(spark), sf_dir, name)
+    cached = _LOAD_CACHE.get(key)
+    if cached is not None:
+        return cached
     apply_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _TS_COLUMNS.get(name, []):
@@ -62,6 +77,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif dtype and dtype.startswith("timestamp"):
             # Collapse TIMESTAMP_NTZ / TIMESTAMP to session-UTC TimestampType.
             df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
+    _LOAD_CACHE[key] = df
     return df
 
 
@@ -77,9 +93,13 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     added to the plan.
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
-        return df
-    return df.repartition(n)
+    key = (id(df), n)
+    cached = _FANOUT_CACHE.get(key)
+    if cached is not None:
+        return cached[1]
+    out = df if df.rdd.getNumPartitions() >= n else df.repartition(n)
+    _FANOUT_CACHE[key] = (df, out)
+    return out
 
 
 def load_star(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> dict[str, DataFrame]:
