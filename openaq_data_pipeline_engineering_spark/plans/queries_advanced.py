@@ -447,3 +447,113 @@ def local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(_revenue_col().alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Semi-structured JSON column handling (F8-adjacent): typed extraction
+# from a JSON string column, then relational ops over the extracted
+# value. At scale prefer from_json with an explicit schema once at the
+# ingest edge (single parse), which this compiles to.
+# --------------------------------------------------------------------------
+@query(
+    "json_props_extract",
+    "JSON column: typed path extraction + aggregation over extracted values",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+               AS sum_k,
+           min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18 shape: group-HAVING over a join, then top-k — the "large
+# order" pattern (join + agg + having + ordered limit in one plan).
+# --------------------------------------------------------------------------
+@query(
+    "large_orders_q18",
+    "TPC-H Q18 shape: orders whose total lineitem quantity exceeds a threshold",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_orderdate, o_totalprice
+    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 120
+    ORDER BY total_qty DESC, o_orderkey LIMIT 20
+    """,
+)
+def large_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    total = F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(total.cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 120)
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q17 shape: correlated scalar subquery (per-part average),
+# decorrelated Spark-side into an aggregate + equi-join — the rewrite
+# Catalyst itself applies to correlated scalar subqueries.
+# --------------------------------------------------------------------------
+@query(
+    "small_quantity_revenue_q17",
+    "TPC-H Q17 shape: revenue of lineitems below 50% of their part's avg quantity",
+    oracle="""
+    WITH part_avg AS (
+        SELECT l_partkey AS pk,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+               AS avg_yearly,
+           count(*) AS n
+    FROM lineitem JOIN part_avg ON l_partkey = pk
+    WHERE l_quantity < 0.5 * avg_qty
+    """,
+)
+def small_quantity_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(part_avg, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
