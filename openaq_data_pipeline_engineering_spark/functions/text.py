@@ -166,3 +166,48 @@ def minhash_sql_exprs(shingle_expr: str, num_hashes: int = 8) -> list[str]:
         )
         out.append(f"min(substr({h}, {1 + 8 * piece}, 8)) AS h{i}")
     return out
+
+
+# BPE-ish tokenizer: word runs OR single non-word-non-space chars — the
+# shape of byte-pair pretokenization. Pattern restricted to a class with
+# identical semantics in Java regex (Spark) and DuckDB's RE2.
+BPE_TOKEN_PATTERN = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
+
+_ROLL_MOD = 2_147_483_647  # 2^31-1: h*31+v stays < 2^36, no ANSI overflow
+
+
+def regex_token_count(text: Column | str) -> Column:
+    """# of BPE-ish pretokens (regex word-or-symbol runs)."""
+    return F.size(
+        F.regexp_extract_all(_col(text), F.lit(BPE_TOKEN_PATTERN), F.lit(0))
+    ).cast("bigint")
+
+
+def rolling_hash(text: Column | str) -> Column:
+    """Order-sensitive polynomial rolling hash over whitespace tokens:
+    ``h = (h*31 + md5_28bit(tok)) mod (2^31-1)``, seed 0.
+
+    Unlike the order-insensitive md5-of-normalized-text fingerprint,
+    transposed words change this hash. Pure fold — mirrored in DuckDB as
+    ``list_reduce(list_prepend(0, hashes), ...)``.
+    """
+    toks = F.split(_col(text), " ")
+    hashes = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("bigint"),
+    )
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("bigint"),
+        lambda h, v: F.pmod(h * F.lit(31) + v, F.lit(_ROLL_MOD)),
+    )
+
+
+def rolling_hash_sql(texpr: str) -> str:
+    """DuckDB mirror of :func:`rolling_hash` (same fold, same constants)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({texpr}, ' '), "
+        f"t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT))), "
+        f"(h, v) -> (h * 31 + v) % {_ROLL_MOD})"
+    )

@@ -14,6 +14,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from openaq_data_pipeline_engineering_spark.functions.text import (
+    BPE_TOKEN_PATTERN,
+    regex_token_count,
+    rolling_hash,
+    rolling_hash_sql,
     LANG_MARKERS,
     LANG_ORDER,
     bpe_token_estimate,
@@ -303,3 +307,30 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+@query(
+    "token_counts_regex",
+    "text: BPE-ish regex pretoken counts (word runs + single symbols)",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS n_pretokens
+    FROM documents
+    """,
+)
+def token_counts_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", regex_token_count("text").alias("n_pretokens"))
+
+
+@query(
+    "doc_rolling_hash",
+    "text: order-sensitive polynomial rolling-hash fingerprint over tokens",
+    oracle=f"""
+    SELECT doc_id, {rolling_hash_sql('text')} AS rhash
+    FROM documents
+    """,
+)
+def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", rolling_hash("text").alias("rhash"))

@@ -94,3 +94,27 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
     assert (1, 2) in pairs or (2, 4) in pairs  # near-dup shares most shingles
     assert all(3 not in p for p in pairs)      # unrelated doc never pairs
     assert all(5 not in p for p in pairs)
+
+
+def test_rolling_hash_order_sensitive(spark):
+    from openaq_data_pipeline_engineering_spark.functions.text import rolling_hash
+
+    df = spark.createDataFrame(
+        [(1, "the quick fox"), (2, "fox quick the"), (3, "the quick fox")],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["h"] for r in
+           df.select("doc_id", rolling_hash("text").alias("h")).collect()}
+    assert got[1] == got[3]          # identical text -> identical hash
+    assert got[1] != got[2]          # transposed words -> different hash
+
+
+def test_regex_token_count_symbols(spark):
+    from openaq_data_pipeline_engineering_spark.functions.text import regex_token_count
+
+    df = spark.createDataFrame([(1, "Hello, world! x2"), (2, "")],
+                               "doc_id int, text string")
+    got = {r["doc_id"]: r["n"] for r in
+           df.select("doc_id", regex_token_count("text").alias("n")).collect()}
+    assert got[1] == 5  # Hello , world ! x2
+    assert got[2] == 0
