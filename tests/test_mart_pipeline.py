@@ -137,3 +137,25 @@ def test_idempotent_partition_overwrite_touches_only_written_partitions(
     assert back.count() == mart.count()  # no duplication from the re-run
     assert back.filter("location_id = 'loc1'").count() == before_other
     assert back.filter("pm25 > 999").count() > 0  # new values won
+
+
+def test_write_mart_clusters_rows_within_files(spark, tmp_path):
+    """sortWithinPartitions must produce monotone (location_id, datetime)
+    inside each parquet file so row-group stats can prune lookups."""
+    import glob
+
+    cfg = MartConfig(tiebreaker=["value"])
+    mart = build_mart(measurements(spark), cfg)
+    out = str(tmp_path / "mart_sorted")
+    write_mart(mart, out)
+    files = glob.glob(os.path.join(out, "year=*", "month=*", "day=*", "*.parquet"))
+    assert files
+    checked = 0
+    for fp in files:
+        rows = [
+            (r["location_id"], r["datetime"])
+            for r in spark.read.parquet(fp).collect()
+        ]
+        assert rows == sorted(rows)
+        checked += len(rows)
+    assert checked == mart.count()
