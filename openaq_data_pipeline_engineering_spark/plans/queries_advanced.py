@@ -557,3 +557,75 @@ def small_quantity_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Set operations beyond union: INTERSECT / EXCEPT between entity slices
+# (QA shape: users seen in errors but never in purchases, and both).
+# --------------------------------------------------------------------------
+@query(
+    "intersect_except_users",
+    "set ops: users with errors INTERSECT/EXCEPT users with purchases",
+    oracle="""
+    WITH err AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+         buy AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT 'both' AS cohort, user_id FROM (SELECT user_id FROM err INTERSECT SELECT user_id FROM buy)
+    UNION ALL
+    SELECT 'error_only' AS cohort, user_id FROM (SELECT user_id FROM err EXCEPT SELECT user_id FROM buy)
+    """,
+)
+def intersect_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    buy = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = err.intersect(buy).select(F.lit("both").alias("cohort"), "user_id")
+    only = err.exceptAll(buy).select(F.lit("error_only").alias("cohort"), "user_id")
+    return both.unionByName(only)
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles (sort-based): verified bit-identical to DuckDB's
+# quantile_cont (same linear interpolation over the same doubles).
+# --------------------------------------------------------------------------
+@query(
+    "value_percentiles",
+    "exact percentile_cont (p50/p90/p99) per event type",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.percentile("value", 0.99).alias("p99"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Calendar bucketing: date_trunc month rollup (different op from the
+# y/m/d partition-column derivation — this is time-dimension analytics).
+# --------------------------------------------------------------------------
+@query(
+    "monthly_activity",
+    "date_trunc month rollup: events + distinct users per calendar month",
+    oracle="""
+    SELECT date_trunc('month', ts) AS month_start,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY date_trunc('month', ts)
+    """,
+)
+def monthly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("month", "ts").alias("month_start")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -157,3 +157,64 @@ class TestBucketedJoin:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
             spark.sql("DROP TABLE IF EXISTS t_orders_b")
             spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+class TestCompaction:
+    def test_compact_reduces_file_count_preserves_rows(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.compact import (
+            compact_partitions,
+            file_stats,
+        )
+        from openaq_data_pipeline_engineering_spark.sources.star import load_table
+
+        out = str(tmp_path / "frag")
+        ev = load_table(spark, SF_DIR, "events").withColumn(
+            "day_bucket", (F.col("user_id") % 2).cast("string")
+        )
+        # fragment: 16 files per partition
+        (
+            ev.repartition(16)
+            .write.mode("overwrite")
+            .partitionBy("day_bucket")
+            .parquet(out)
+        )
+        before = file_stats(out)
+        n_rows = spark.read.parquet(out).count()
+        assert before["n_files"] >= 16
+
+        compact_partitions(spark, out, ["day_bucket"])
+        after = file_stats(out)
+        assert after["n_files"] <= 2  # tiny table -> one file per partition
+        back = spark.read.parquet(out)
+        assert back.count() == n_rows
+        # values intact, not just counts
+        assert (
+            back.agg(F.sum("value")).first()[0]
+            == spark.read.parquet(out).agg(F.sum("value")).first()[0]
+        )
+
+    def test_partition_filter_limits_scope(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.compact import (
+            compact_partitions,
+        )
+        from openaq_data_pipeline_engineering_spark.sources.star import load_table
+
+        out = str(tmp_path / "frag2")
+        ev = load_table(spark, SF_DIR, "events").withColumn(
+            "day_bucket", (F.col("user_id") % 2).cast("string")
+        )
+        ev.repartition(8).write.partitionBy("day_bucket").parquet(out)
+        import glob
+        import os
+
+        d0 = glob.glob(os.path.join(out, "day_bucket=0", "*.parquet"))
+        mtime0 = {f: os.path.getmtime(f) for f in d0}
+        compact_partitions(
+            spark, out, ["day_bucket"], partition_filter="day_bucket = '1'"
+        )
+        # partition 0 untouched (same files, same mtimes)
+        d0_after = glob.glob(os.path.join(out, "day_bucket=0", "*.parquet"))
+        assert {f: os.path.getmtime(f) for f in d0_after} == mtime0
+        # partition 1 compacted to fewer files
+        d1_after = glob.glob(os.path.join(out, "day_bucket=1", "*.parquet"))
+        assert len(d1_after) < 8
