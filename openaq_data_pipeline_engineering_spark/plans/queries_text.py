@@ -334,3 +334,99 @@ def token_counts_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", rolling_hash("text").alias("rhash"))
+
+
+# --------------------------------------------------------------------------
+# FLAGSHIP COMPOSITION: training-corpus curation end-to-end — language
+# gate → quality gate → exact-dedup survivors → near-dup candidate
+# removal → per-source corpus stats. One declared query proving the
+# text ops compose; every stage reuses the operator/oracle fragments
+# defined above, so both engines run the identical pipeline.
+# --------------------------------------------------------------------------
+def _quality_sql(texpr: str) -> str:
+    wc = f"CAST({_wc_sql(texpr)} AS DOUBLE)"
+    return f"({wc} / ({wc} + 50.0)) * (1.0 - {_punct_ratio_sql(texpr)})"
+
+
+def _curation_oracle() -> str:
+    from openaq_data_pipeline_engineering_spark.functions.text import minhash_sql_exprs
+
+    mins = ",\n               ".join(minhash_sql_exprs("sh", _NUM_HASHES))
+    bands = ", ".join(f"md5(h{a} || h{b})" for a, b in _BANDS)
+    scores = {L: _lang_score_sql("text", L) for L in LANG_ORDER}
+    chain = []
+    for i, L in enumerate(LANG_ORDER):
+        others = LANG_ORDER[i + 1 :]
+        if others:
+            cond = " AND ".join(f"({scores[L]}) >= ({scores[o]})" for o in others)
+            chain.append(f"WHEN {cond} THEN '{L}'")
+        else:
+            chain.append(f"ELSE '{L}'")
+    lang_case = "CASE " + " ".join(chain) + " END"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       for i in range(1, len(t) - 1)]) AS sh
+        FROM toks WHERE len(t) >= 3
+    ), mh AS (
+        SELECT doc_id, {mins}
+        FROM sh GROUP BY doc_id
+    ), bandtab AS (
+        SELECT doc_id, unnest([{bands}]) AS band FROM mh
+    ), near_b AS (
+        SELECT DISTINCT b.doc_id AS doc_b
+        FROM bandtab a JOIN bandtab b ON a.band = b.band AND a.doc_id < b.doc_id
+    ), keepers AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ), gated AS (
+        SELECT doc_id, source, {_wc_sql('text')} AS wc
+        FROM documents
+        WHERE {lang_case} = 'en' AND {_quality_sql('text')} > 0.4
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(wc) AS BIGINT) AS total_words
+    FROM gated
+    WHERE doc_id IN (SELECT doc_id FROM keepers)
+      AND doc_id NOT IN (SELECT doc_b FROM near_b)
+    GROUP BY source
+    """
+
+
+@query(
+    "corpus_curation",
+    "flagship composition: lang gate → quality gate → exact dedup → near-dup removal → stats",
+    oracle=_curation_oracle(),
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+
+    gated = docs.filter(lang_predict("text") == "en").filter(
+        quality_score("text") > 0.4
+    )
+
+    keepers = exact_dedup(docs, content_col="text", id_col="doc_id").select("doc_id")
+
+    sh = docs.select("doc_id", F.explode(word_shingles("text", k=3)).alias("sh"))
+    mh = sh.groupBy("doc_id").agg(*minhash_agg_exprs("sh", _NUM_HASHES))
+    band_exprs = [F.md5(F.concat(F.col(f"h{a}"), F.col(f"h{b}"))) for a, b in _BANDS]
+    bandtab = mh.select("doc_id", F.explode(F.array(*band_exprs)).alias("band"))
+    a, b = bandtab.alias("a"), bandtab.alias("b")
+    near_b = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    curated = (
+        gated.join(keepers, "doc_id", "left_semi")
+        .join(near_b, gated["doc_id"] == near_b["doc_b"], "left_anti")
+    )
+    return curated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(whitespace_token_count("text")).alias("total_words"),
+    )
