@@ -81,6 +81,13 @@ def get_spark(
         master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
     if master:
         builder = builder.master(master)
+    # Local mode: the driver JVM IS the executor. The 1g default heap
+    # OOMs wide windows/aggs long before the machine does; size it to
+    # the workload (only effective for the process's first JVM — an
+    # externally owned session keeps its own setting).
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    )
     for k, v in _BUILD_CONFS.items():
         builder = builder.config(k, v)
     for k, v in _RUNTIME_CONFS.items():
