@@ -202,3 +202,20 @@ class TestAqi:
         df = spark.createDataFrame([(1, 10.0, 200.0)], ["id", "pm25", "pm10"])
         row = compute_aqi(df).first()
         assert row.dominant_pollutant == "pm10"
+
+
+class TestObserve:
+    def test_observe_counts_single_pass(self, spark):
+        from openaq_data_pipeline_engineering_spark.operators.validate import (
+            observe_counts,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("b", None), (None, 3.0)], "k string, v double"
+        )
+        observed, obs = observe_counts(df, "m1", null_check_cols=["k", "v"])
+        assert observed.count() == 3  # the ONE action; metrics ride along
+        got = obs.get
+        assert got["row_count"] == 3
+        assert got["k_nulls"] == 1
+        assert got["v_nulls"] == 1
