@@ -104,3 +104,38 @@ class StreamingQueryStarter:
         )
         q.awaitTermination()
         return q
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the late-data-correct
+    rollup for event streams.
+
+    Late events inside the watermark update their (closed-in-flight)
+    window; events later than the watermark are dropped, which bounds
+    state to (windows within watermark) × (group values) regardless of
+    stream length. Output in append mode emits each window once, when
+    the watermark passes its end.
+    """
+    from pyspark.sql import functions as F
+
+    keys = [F.window(ts_col, window_duration).alias("win")] + [
+        F.col(c) for c in (group_cols or [])
+    ]
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *(group_cols or []),
+            "n",
+            "sum_value",
+        )
+    )

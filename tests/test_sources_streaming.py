@@ -164,3 +164,66 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     total = spark.read.parquet(out).count()
     assert total == 2  # stateful dedup across micro-batches via checkpoint
     assert len([f for f in os.listdir(ckpt) if f]) > 0
+
+
+def test_streaming_windowed_agg_with_late_data(spark, tmp_path):
+    """Tumbling-window agg with watermark: a late-but-within-watermark
+    event lands in its original window; an event older than the
+    watermark is dropped entirely."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from openaq_data_pipeline_engineering_spark.streaming.ingest import windowed_counts
+
+    src = str(tmp_path / "wsrc")
+    ckpt = str(tmp_path / "wckpt")
+    out_dir = str(tmp_path / "wout")
+    _os.makedirs(src)
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("value", T.DoubleType())]
+    )
+
+    def write_file(name, rows):
+        with open(_os.path.join(src, name), "w") as f:
+            for ts, v in rows:
+                f.write(_json.dumps({"ts": ts, "value": v}) + "\n")
+
+    def run_batch():
+        stream = spark.readStream.format("json").schema(schema).load(src)
+        agg = windowed_counts(stream, "ts", "1 hour", watermark="1 hour")
+
+        def sink(bdf, bid):
+            bdf.write.mode("append").parquet(out_dir)
+
+        (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    # batch 1: events at 09:10 and 10:10 -> watermark reaches 09:10
+    write_file("b1.json", [("2026-01-01T09:10:00", 1.0), ("2026-01-01T10:10:00", 2.0)])
+    run_batch()
+    # batch 2: late event 09:40 (within watermark: counted in 09:00 win),
+    # ancient event 07:00 (older than watermark: dropped),
+    # and 12:10 (advances watermark past 10:00 and 11:00 windows)
+    write_file("b2.json", [
+        ("2026-01-01T09:40:00", 10.0),
+        ("2026-01-01T07:00:00", 99.0),
+        ("2026-01-01T12:10:00", 3.0),
+    ])
+    run_batch()
+
+    rows = {
+        r["window_start"].hour: r
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # 09:00 window: original 09:10 event + late 09:40 event, no 07:00
+    assert rows[9]["n"] == 2 and rows[9]["sum_value"] == 11.0
+    assert rows[10]["n"] == 1
+    assert 7 not in rows  # older-than-watermark event dropped
