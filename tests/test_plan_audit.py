@@ -1,0 +1,76 @@
+"""Plan regression gate: every declared query's physical plan is swept
+for scale antipatterns. Catches a future edit that silently turns a
+hash join into a cartesian product or drops a Python expression into
+the row-at-a-time evaluator."""
+
+from __future__ import annotations
+
+import pytest
+
+from openaq_data_pipeline_engineering_spark.plans.registry import get_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Queries whose plans legitimately contain a BroadcastNestedLoopJoin —
+# every one broadcasts a structurally tiny side (an NLJ over a handful
+# of in-memory rows is cheaper than any shuffle alternative):
+#   range_join_bands   4 interval rows
+#   activity_filter    1-row aggregate (scalar-subquery cutoff)
+#   ann_cosine_topk    1 query vector
+#   knn_join_top3      10 query vectors
+#   ivf_ann_topk       8 centroids
+NLJ_ALLOWED = {
+    "range_join_bands",
+    "activity_filter",
+    "ann_cosine_topk",
+    "knn_join_top3",
+    "ivf_ann_topk",
+}
+
+# Streaming plans can't be built with a batch explain.
+SKIP = {"streaming_incremental_ingest"}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name, fn in get_queries().items():
+        if name in SKIP:
+            continue
+        out[name] = (
+            fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        )
+    return out
+
+
+def test_no_cartesian_products(plans):
+    bad = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not bad, f"cartesian product in: {bad}"
+
+
+def test_no_row_at_a_time_python(plans):
+    # BatchEvalPython = pickled row-at-a-time Python UDF; the only
+    # sanctioned Python path is Arrow-batched (MapInPandas/ArrowEval).
+    bad = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert not bad, f"row-at-a-time Python UDF in: {bad}"
+
+
+def test_nested_loop_joins_only_where_intended(plans):
+    bad = [
+        n
+        for n, p in plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in NLJ_ALLOWED
+    ]
+    assert not bad, f"unexpected nested-loop join in: {bad}"
+
+
+def test_scans_prune_columns(plans):
+    # Wide-table queries must not scan every column: spot-check that the
+    # lineitem queries read a subset of the 11 columns.
+    import re
+
+    for name in ("flagship_daily_topk", "topk_order_limit"):
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plans[name])
+        assert m, f"{name}: no ReadSchema found"
+        ncols = len([c for c in m.group(1).split(",") if c])
+        assert ncols <= 6, f"{name}: scan reads {ncols} columns"
