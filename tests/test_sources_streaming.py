@@ -227,3 +227,101 @@ def test_streaming_windowed_agg_with_late_data(spark, tmp_path):
     assert rows[9]["n"] == 2 and rows[9]["sum_value"] == 11.0
     assert rows[10]["n"] == 1
     assert 7 not in rows  # older-than-watermark event dropped
+
+
+def test_streaming_session_window_builtin(spark, tmp_path):
+    """Built-in session_window agg (the declarative twin of
+    streaming/stateful.sessionizer_stateful): gap-merged sessions close
+    when the watermark passes start+gap."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    src = str(tmp_path / "ssrc")
+    ckpt = str(tmp_path / "sckpt")
+    out_dir = str(tmp_path / "sout")
+    _os.makedirs(src)
+    rows = [
+        ("u1", "2026-01-01T09:00:00"), ("u1", "2026-01-01T09:10:00"),
+        ("u1", "2026-01-01T11:00:00"),  # > 30min gap: second session
+        ("u2", "2026-01-01T09:05:00"),
+        ("u1", "2026-01-01T23:00:00"),  # advances watermark far ahead
+    ]
+    with open(_os.path.join(src, "b.json"), "w") as f:
+        for k, ts in rows:
+            f.write(_json.dumps({"k": k, "ts": ts}) + "\n")
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("ts", T.TimestampType())]
+    )
+    stream = spark.readStream.format("json").schema(schema).load(src)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("session_window.start").alias("start"),
+            F.col("k"), F.col("n"),
+        )
+    )
+
+    def sink(bdf, bid):
+        bdf.write.mode("append").parquet(out_dir)
+
+    (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {(r["k"], r["start"].hour): r["n"]
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got[("u1", 9)] == 2   # 09:00+09:10 merged into one session
+    assert got[("u1", 11)] == 1
+    assert got[("u2", 9)] == 1
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: a streaming fact enriched against a static
+    dimension — the streaming twin of the mart's broadcast enrich."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    src = str(tmp_path / "esrc")
+    ckpt = str(tmp_path / "eckpt")
+    out_dir = str(tmp_path / "eout")
+    _os.makedirs(src)
+    with open(_os.path.join(src, "b.json"), "w") as f:
+        for loc, v in [("loc1", 1.0), ("loc2", 2.0), ("locX", 3.0)]:
+            f.write(_json.dumps({"location_id": loc, "value": v}) + "\n")
+    dim = spark.createDataFrame(
+        [("loc1", "Hanoi"), ("loc2", "Hue")], "location_id string, city string"
+    )
+    schema = T.StructType(
+        [T.StructField("location_id", T.StringType()),
+         T.StructField("value", T.DoubleType())]
+    )
+    stream = spark.readStream.format("json").schema(schema).load(src)
+    enriched = stream.join(F.broadcast(dim), "location_id", "left").withColumn(
+        "city", F.coalesce("city", F.lit("Unknown"))
+    )
+
+    def sink(bdf, bid):
+        bdf.write.mode("append").parquet(out_dir)
+
+    (
+        enriched.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {r["location_id"]: r["city"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {"loc1": "Hanoi", "loc2": "Hue", "locX": "Unknown"}
