@@ -629,3 +629,46 @@ def monthly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14 shape (promo revenue share): conditional aggregate over a
+# fact⋈dim join — covers the `part` dimension. Numerator and denominator
+# emitted separately (their ratio divides two cross-engine-identical
+# decimal-exact sums; emitting the division is equally safe but keeping
+# both aids debugging).
+# --------------------------------------------------------------------------
+@query(
+    "promo_revenue_q14",
+    "TPC-H Q14 shape: promo-part revenue share within a shipdate month",
+    oracle=f"""
+    SELECT
+        CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l_discount AS DECIMAL(18,2))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+        {_REV} AS total_revenue,
+        count(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    disc = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return li.join(part, F.col("l_partkey") == F.col("p_partkey")).agg(
+        F.sum(promo).cast("double").alias("promo_revenue"),
+        _revenue_col().alias("total_revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
