@@ -159,3 +159,19 @@ def test_write_mart_clusters_rows_within_files(spark, tmp_path):
         assert rows == sorted(rows)
         checked += len(rows)
     assert checked == mart.count()
+
+
+def test_example_pipeline_runs(tmp_path):
+    """examples/run_pipeline.py is living documentation — keep it green."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "examples/run_pipeline.py", str(tmp_path / "demo")],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "after merge: 5 rows" in proc.stdout

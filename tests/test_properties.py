@@ -92,3 +92,42 @@ def test_binned_range_join_matches_bruteforce(spark, probes, bounds, bin_width):
         if lo <= v < hi
     }
     assert got == expect
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 5000)),  # (user, minute)
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+    gap_minutes=st.sampled_from([10, 45, 120]),
+)
+@settings(**_SETTINGS)
+def test_sessionize_invariants(spark, events, gap_minutes):
+    from openaq_data_pipeline_engineering_spark.operators.sessionize import sessionize
+
+    rows = [
+        (u, dt.datetime(2026, 1, 1) + dt.timedelta(minutes=m), i)
+        for i, (u, m) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int")
+    out = sessionize(
+        df, "user_id", "ts",
+        gap_seconds=gap_minutes * 60, order_tiebreaker="event_id",
+    ).collect()
+
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        # session indices start at 1 and are contiguous & nondecreasing
+        assert rs[0]["session_idx"] == 1
+        for a, b in zip(rs, rs[1:]):
+            gap = (b["ts"] - a["ts"]).total_seconds()
+            if b["session_idx"] == a["session_idx"]:
+                assert gap <= gap_minutes * 60  # intra-session gap bounded
+            else:
+                assert b["session_idx"] == a["session_idx"] + 1
+                assert gap > gap_minutes * 60  # boundary exceeds the gap
