@@ -122,13 +122,50 @@ def extract_features(
     return df.select(id_col, payload_col).mapInPandas(_extract, FEATURES_SCHEMA)
 
 
-def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling stub: the real implementation would mapInPandas
-    over (payload) → exploded frame rows. Raises until a decoder exists."""
-    raise NotImplementedError(
-        "frame sampling requires a media decoder not present in this "
-        "container; the decode_metadata plumbing shows the intended shape"
-    )
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_payload binary"
+
+
+def chunk_frames(payload: bytes, every_n: int, frame_bytes: int = 64) -> list[bytes]:
+    """Deterministic stand-in for a video frame extractor: treats the
+    payload as fixed-size frames and keeps every ``every_n``-th one. A
+    real deployment swaps in ffmpeg keyframe extraction; the Spark-side
+    shape (one input row → many frame rows, Arrow-batched) is identical.
+    """
+    frames = [
+        payload[i : i + frame_bytes] for i in range(0, len(payload), frame_bytes)
+    ]
+    return frames[::every_n]
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_fn: Callable[[bytes, int], list[bytes]] = chunk_frames,
+) -> DataFrame:
+    """Explode binary payloads into sampled frame rows via mapInPandas.
+
+    Row-explosion inside the Arrow batch loop: output batches are built
+    per input batch, so a 4 GB video never materializes all its frames
+    in one Python list-of-rows — only the sampled subset per batch.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            payloads: list[bytes] = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                for j, fr in enumerate(frame_fn(payload, every_n)):
+                    ids.append(int(doc_id))
+                    idxs.append(j)
+                    payloads.append(fr)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_payload": payloads}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_sample, FRAMES_SCHEMA)
 
 
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:

@@ -7,7 +7,8 @@ import pytest
 from openaq_data_pipeline_engineering_spark.operators.multimodal import (
     decode_metadata,
     fake_decode,
-    frame_sample_stub,
+    chunk_frames,
+    sample_frames,
     with_binary_payload,
 )
 
@@ -33,7 +34,25 @@ def test_decode_custom_fn(spark):
     assert (row.width, row.height, row.format) == (111, 222, "fake")
 
 
-def test_frame_sample_is_explicit_stub(spark):
-    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+def test_sample_frames_explodes_and_samples(spark):
+    # 300-byte payload -> 5 64-byte frames (last partial) -> every 2nd -> 3
+    df = spark.createDataFrame([(1, "a" * 300), (2, "b" * 10)], ["doc_id", "text"])
+    out = sample_frames(with_binary_payload(df), every_n=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 3
+    assert [r["frame_idx"] for r in sorted(by_doc[1], key=lambda r: r["frame_idx"])] == [0, 1, 2]
+    assert bytes(by_doc[1][0]["frame_payload"]) == b"a" * 64
+    assert len(by_doc[2]) == 1  # short payload: one frame survives
+    assert bytes(by_doc[2][0]["frame_payload"]) == b"b" * 10
+    # matches the local reference splitter
+    assert chunk_frames(b"a" * 300, 2) == [b"a" * 64] * 2 + [b"a" * 44]
+
+
+def test_resize_is_explicit_stub(spark):
+    from openaq_data_pipeline_engineering_spark.operators.multimodal import resize_stub
+
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
     with pytest.raises(NotImplementedError):
-        frame_sample_stub(df)
+        resize_stub(df, 64, 64)
