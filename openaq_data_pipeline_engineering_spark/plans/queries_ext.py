@@ -251,3 +251,66 @@ def streaming_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_ingest_result", output_mode="complete"
     )
     return spark.sql("SELECT event_type, n FROM stream_ingest_result")
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split + weighted source mixing — the
+# reproducibility-critical sampling ops of a training-data pipeline
+# (membership is a pure function of the row key: stable across reruns,
+# partition layouts, and engines; operators/sampling.py).
+# --------------------------------------------------------------------------
+@query(
+    "train_test_split",
+    "sampling: hash-deterministic train/val/test split counts per source",
+    oracle=None,  # set below after import to avoid a forward reference
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.operators.sampling import split_column
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", split_column("doc_id"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "weighted_source_mix",
+    "sampling: per-source weighted down-mix, deterministic by doc hash",
+    oracle=None,
+)
+def weighted_source_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.operators.sampling import (
+        weighted_source_mix,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = weighted_source_mix(
+        docs, key="doc_id", source_col="source",
+        weights={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+    )
+    return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _install_sampling_oracles() -> None:
+    from openaq_data_pipeline_engineering_spark.operators.sampling import (
+        hash_unit_sql,
+        split_column_sql,
+    )
+    from openaq_data_pipeline_engineering_spark.plans.registry import QUERIES
+
+    QUERIES["train_test_split"].oracle = f"""
+    SELECT source, {split_column_sql('doc_id')} AS split, count(*) AS n
+    FROM documents GROUP BY source, 2
+    """
+    u = hash_unit_sql("doc_id", "mix")
+    QUERIES["weighted_source_mix"].oracle = f"""
+    SELECT source, count(*) AS n FROM documents
+    WHERE {u} < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                 WHEN 'src2' THEN 0.25 ELSE 0.0 END)
+    GROUP BY source
+    """
+
+
+_install_sampling_oracles()

@@ -218,3 +218,35 @@ class TestCompaction:
         # partition 1 compacted to fewer files
         d1_after = glob.glob(os.path.join(out, "day_bucket=1", "*.parquet"))
         assert len(d1_after) < 8
+
+
+class TestDeterministicSampling:
+    def test_membership_is_layout_independent(self, spark):
+        """Same rows selected regardless of partitioning — the property
+        df.sample(seed=..) does NOT have, and the one that keeps
+        train/eval uncontaminated across cluster resizes."""
+        from openaq_data_pipeline_engineering_spark.operators.sampling import (
+            deterministic_sample,
+        )
+
+        docs = _events(spark).select("event_id")
+        a = {r["event_id"] for r in
+             deterministic_sample(docs, "event_id", 0.3).collect()}
+        b = {r["event_id"] for r in
+             deterministic_sample(docs.repartition(13), "event_id", 0.3).collect()}
+        assert a == b
+        n = docs.count()
+        assert 0.15 * n < len(a) < 0.45 * n  # roughly the asked fraction
+
+    def test_split_disjoint_exhaustive_nested(self, spark):
+        from openaq_data_pipeline_engineering_spark.operators.sampling import (
+            split_column,
+        )
+
+        docs = _events(spark).select("event_id")
+        tagged = docs.withColumn("split", split_column("event_id", 0.8, 0.1))
+        counts = {r["split"]: r["n"] for r in
+                  tagged.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert set(counts) == {"train", "val", "test"}
+        assert sum(counts.values()) == docs.count()  # exhaustive + disjoint
+        assert counts["train"] > counts["val"]
