@@ -211,3 +211,50 @@ def rolling_hash_sql(texpr: str) -> str:
         f"t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT))), "
         f"(h, v) -> (h * 31 + v) % {_ROLL_MOD})"
     )
+
+
+# PII patterns restricted to explicit character classes so Java regex
+# (Spark) and RE2 (DuckDB) agree byte-for-byte.
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PHONE_PATTERN = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact email addresses and phone numbers (training-data cleaning)."""
+    t = _col(text)
+    t = F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(t, PHONE_PATTERN, "<PHONE>")
+
+
+def pii_count(text: Column | str) -> Column:
+    """# of PII matches found (emails + phones)."""
+    t = _col(text)
+    return (
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_PATTERN), F.lit(0)))
+        + F.size(F.regexp_extract_all(t, F.lit(PHONE_PATTERN), F.lit(0)))
+    ).cast("bigint")
+
+
+def repetition_ratio(text: Column | str) -> Column:
+    """max token frequency / token count — the repeated-content quality
+    signal (a doc that is one token over and over scores 1.0).
+
+    Expressed per-row over the token array (no explode/shuffle): builds
+    a token→count map via aggregate, then takes the max count. Stays a
+    Column expression — at 100 TB this is map-side only.
+    """
+    toks = F.split(_col(text), " ")
+    n = F.size(toks)
+    counts = F.aggregate(
+        toks,
+        F.create_map().cast("map<string,int>"),
+        lambda acc, t: F.map_concat(
+            F.map_filter(acc, lambda k, v: k != t),
+            F.create_map(t, F.coalesce(F.element_at(acc, t), F.lit(0)) + F.lit(1)),
+        ),
+    )
+    mx = F.array_max(F.map_values(counts))
+    # guard on text length: split("") yields [""] (size 1), not []
+    return F.when(F.length(_col(text)) == 0, F.lit(0.0)).otherwise(
+        mx.cast("double") / n.cast("double")
+    )

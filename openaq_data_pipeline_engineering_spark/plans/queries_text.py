@@ -15,6 +15,11 @@ from pyspark.sql import functions as F
 
 from openaq_data_pipeline_engineering_spark.functions.text import (
     BPE_TOKEN_PATTERN,
+    EMAIL_PATTERN,
+    PHONE_PATTERN,
+    pii_count,
+    repetition_ratio,
+    scrub_pii,
     regex_token_count,
     rolling_hash,
     rolling_hash_sql,
@@ -430,3 +435,50 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(whitespace_token_count("text")).alias("total_words"),
     )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing + repetition quality signal (training-data cleaning)
+# --------------------------------------------------------------------------
+@query(
+    "pii_scrub_stats",
+    "cleaning: email/phone redaction counts + scrubbed length per doc",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{EMAIL_PATTERN}'))
+                + len(regexp_extract_all(text, '{PHONE_PATTERN}')) AS BIGINT)
+               AS n_pii,
+           length(regexp_replace(regexp_replace(text, '{EMAIL_PATTERN}',
+                  '<EMAIL>', 'g'), '{PHONE_PATTERN}', '<PHONE>', 'g'))
+               AS scrubbed_len
+    FROM documents
+    """,
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        pii_count("text").alias("n_pii"),
+        F.length(scrub_pii("text")).alias("scrubbed_len"),
+    )
+
+
+@query(
+    "repetition_quality",
+    "cleaning: max-token-frequency repetition ratio per doc (quality signal)",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, length(text) AS tl, string_split(text, ' ') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN tl = 0 THEN 0.0 ELSE
+             (SELECT max(c) FROM (
+                 SELECT count(*) AS c FROM unnest(t) AS u(tok) GROUP BY tok))
+             / CAST(len(t) AS DOUBLE) END AS rep_ratio
+    FROM toks
+    """,
+)
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", repetition_ratio("text").alias("rep_ratio"))

@@ -118,3 +118,37 @@ def test_regex_token_count_symbols(spark):
            df.select("doc_id", regex_token_count("text").alias("n")).collect()}
     assert got[1] == 5  # Hello , world ! x2
     assert got[2] == 0
+
+
+def test_pii_scrub(spark):
+    from openaq_data_pipeline_engineering_spark.functions.text import (
+        pii_count,
+        scrub_pii,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "mail me at jo.doe+x@test.org or call 555-123-4567 ok"),
+         (2, "nothing here")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", pii_count("text").alias("n"), scrub_pii("text").alias("s")
+    ).collect()}
+    assert out[1]["n"] == 2
+    assert "<EMAIL>" in out[1]["s"] and "<PHONE>" in out[1]["s"]
+    assert "test.org" not in out[1]["s"] and "555" not in out[1]["s"]
+    assert out[2]["n"] == 0 and out[2]["s"] == "nothing here"
+
+
+def test_repetition_ratio(spark):
+    from openaq_data_pipeline_engineering_spark.functions.text import repetition_ratio
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all words here differ"), (3, "")],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["r"] for r in
+           df.select("doc_id", repetition_ratio("text").alias("r")).collect()}
+    assert got[1] == 1.0
+    assert got[2] == 0.25
+    assert got[3] == 0.0
