@@ -672,3 +672,99 @@ def promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         _revenue_col().alias("total_revenue"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# Window-function breadth: ranking family beyond row_number/rank
+# (ntile, percent_rank, cume_dist, dense_rank) in one windowed pass.
+# --------------------------------------------------------------------------
+@query(
+    "window_rank_suite",
+    "window ranking family: dense_rank / ntile / percent_rank / cume_dist",
+    oracle="""
+    SELECT event_id, user_id,
+           dense_rank() OVER w AS drank,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS prank,
+           cume_dist() OVER w AS cdist
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "event_id", "user_id",
+        F.dense_rank().over(w).alias("drank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar string-function suite over the engine-identical subset
+# (lpad/substr/replace/upper/trim/concat_ws/length/reverse).
+# --------------------------------------------------------------------------
+@query(
+    "string_functions_suite",
+    "scalar string functions: pad/slice/replace/case/trim/concat/reverse",
+    oracle="""
+    SELECT c_custkey,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+           upper(substr(c_name, 1, 8)) AS prefix_u,
+           replace(c_name, '#', '-') AS dehashed,
+           trim('  ' || c_name || ' ') AS trimmed,
+           concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS tagged,
+           reverse(c_name) AS rev,
+           length(c_name) AS name_len
+    FROM customer
+    """,
+)
+def string_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.upper(F.substring("c_name", 1, 8)).alias("prefix_u"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("dehashed"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias("trimmed"),
+        F.concat_ws(
+            "|", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")
+        ).alias("tagged"),
+        F.reverse(F.col("c_name")).alias("rev"),
+        F.length("c_name").alias("name_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Null-handling semantics: coalesce / nullif / null-safe equality
+# --------------------------------------------------------------------------
+@query(
+    "null_semantics",
+    "null handling: coalesce chains, nullif, null-safe equality counts",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           count(nullif(o_orderpriority, '1-URGENT')) AS non_urgent,
+           sum(CASE WHEN o_totalprice IS NOT DISTINCT FROM NULL
+                    THEN 1 ELSE 0 END) AS null_price,
+           min(coalesce(NULLIF(o_orderpriority, '1-URGENT'), 'URGENT!'))
+               AS min_prio
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    non_urgent = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(non_urgent).alias("non_urgent"),
+        F.sum(
+            F.when(F.col("o_totalprice").eqNullSafe(F.lit(None).cast("double")), 1)
+            .otherwise(0)
+        ).alias("null_price"),
+        F.min(F.coalesce(non_urgent, F.lit("URGENT!"))).alias("min_prio"),
+    )
