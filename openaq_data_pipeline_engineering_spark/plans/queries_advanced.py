@@ -768,3 +768,92 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("null_price"),
         F.min(F.coalesce(non_urgent, F.lit("URGENT!"))).alias("min_prio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pagination: total-order LIMIT/OFFSET (deterministic only over a total
+# order — registry rule) — the API-pagination query shape.
+# --------------------------------------------------------------------------
+@query(
+    "pagination_page3",
+    "pagination: ORDER BY total order LIMIT 20 OFFSET 40 (page 3)",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def pagination_page3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+        .offset(40)
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Array functions: build → sort → dedup → slice → join, emitted as a
+# string (cross-engine hash-stable) — collect_set order is made
+# deterministic by array_sort before any use.
+# --------------------------------------------------------------------------
+@query(
+    "array_functions_suite",
+    "arrays: collect_set -> sort -> slice -> contains -> stringified",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+           len(list_sort(list(DISTINCT event_type))) AS n_types,
+           list_sort(list(DISTINCT event_type))[1] AS first_type,
+           CAST(list_contains(list(DISTINCT event_type), 'error') AS INTEGER)
+               AS has_error
+    FROM events
+    WHERE user_id < 25
+    GROUP BY user_id
+    """,
+)
+def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 25)
+    types = F.array_sort(F.collect_set("event_type"))
+    return ev.groupBy("user_id").agg(
+        F.array_join(types, ",").alias("types"),
+        F.size(types).alias("n_types"),
+        F.element_at(types, 1).alias("first_type"),
+        F.array_contains(F.collect_set("event_type"), "error")
+        .cast("int")
+        .alias("has_error"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Datetime arithmetic suite: component extraction, day difference from a
+# fixed epoch, interval shift — restricted to constructs with identical
+# semantics in both engines (no dayofweek: numbering conventions differ).
+# --------------------------------------------------------------------------
+@query(
+    "datetime_functions_suite",
+    "datetime: extract components, datediff vs fixed date, interval shift",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+           hour(o_orderdate) AS h,
+           datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since,
+           o_orderdate + INTERVAL 90 DAY AS due_date
+    FROM orders WHERE o_orderkey < 200
+    """,
+)
+def datetime_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.hour("o_orderdate").alias("h"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp")
+        ).alias("days_since"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+    )
