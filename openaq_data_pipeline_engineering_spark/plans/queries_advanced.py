@@ -857,3 +857,66 @@ def datetime_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("days_since"),
         (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
     )
+
+
+# --------------------------------------------------------------------------
+# SQL-string surface through the oracle gate: the engine's spark.sql
+# path (Athena equivalence, S11) with correlated EXISTS / IN / scalar
+# subqueries — Catalyst decorrelates these into the joins the
+# DataFrame forms above write by hand.
+# --------------------------------------------------------------------------
+def _register_views(spark: SparkSession, sf_dir: str, tables: list[str]) -> None:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@query(
+    "sql_exists_subquery",
+    "SQL surface: correlated EXISTS + NOT EXISTS over customer/orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 400000)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderstatus = 'F')
+    """,
+)
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 400000)
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderstatus = 'F')
+        """
+    )
+
+
+@query(
+    "sql_scalar_subquery",
+    "SQL surface: scalar subquery in projection + IN-list predicate",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           o_totalprice - (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                                  AS DOUBLE) / count(*) FROM orders) AS delta_vs_avg
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'P')
+      AND o_orderkey < 500
+    """,
+)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               o_totalprice - (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                                      AS DOUBLE) / count(*) FROM orders) AS delta_vs_avg
+        FROM orders
+        WHERE o_orderstatus IN ('F', 'P')
+          AND o_orderkey < 500
+        """
+    )
