@@ -131,3 +131,64 @@ def test_sessionize_invariants(spark, events, gap_minutes):
             else:
                 assert b["session_idx"] == a["session_idx"] + 1
                 assert gap > gap_minutes * 60  # boundary exceeds the gap
+
+
+@given(
+    meas=st.lists(
+        st.tuples(
+            st.sampled_from(["loc1", "loc2", "loc3"]),
+            st.integers(0, 72),                       # hour offset
+            st.sampled_from(["pm25", "pm10", "o3"]),
+            st.floats(0, 500, allow_nan=False),
+            st.booleans(),                            # has metadata?
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@settings(**_SETTINGS)
+def test_mart_pipeline_invariants(spark, meas):
+    """Reference §5 invariants hold for ANY input: (key, ts) uniqueness,
+    partition columns derived from the timestamp, metadata functional
+    dependency, fill defaults on missing metadata."""
+    from openaq_data_pipeline_engineering_spark.plans.mart import MartConfig, build_mart
+
+    city = {"loc1": "Hanoi", "loc2": "Hue", "loc3": "Danang"}
+    rows = [
+        (
+            loc,
+            (dt.datetime(2025, 12, 30, 0, 0)
+             + dt.timedelta(hours=h)).strftime("%Y-%m-%dT%H:00:00+07:00"),
+            param,
+            round(v, 2),
+            city[loc] if has_meta else None,
+            "VN" if has_meta else None,
+            21.0 if has_meta else None,
+            105.8 if has_meta else None,
+        )
+        for loc, h, param, v, has_meta in meas
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "location_id string, datetime string, parameter string, value double,"
+        "city string, country string, latitude double, longitude double",
+    )
+    mart = build_mart(df, MartConfig(tiebreaker=["value"])).collect()
+
+    seen = set()
+    for r in mart:
+        key = (r["location_id"], r["datetime"])
+        assert key not in seen  # uniqueness of (key, ts)
+        seen.add(key)
+        # partition columns must be derived from the (UTC) timestamp
+        assert r["year"] == str(r["datetime"].year)
+        assert r["month"] == f"{r['datetime'].month:02d}"
+        assert r["day"] == f"{r['datetime'].day:02d}"
+        # fill defaults: city never null
+        assert r["city_name"] is not None
+        assert r["country_code"] is not None
+    # metadata functional dependency: one (city, lat, lon) per location
+    per_loc = {}
+    for r in mart:
+        fd = (r["city_name"], r["latitude"], r["longitude"])
+        assert per_loc.setdefault(r["location_id"], fd) == fd
