@@ -258,3 +258,22 @@ def repetition_ratio(text: Column | str) -> Column:
     return F.when(F.length(_col(text)) == 0, F.lit(0.0)).otherwise(
         mx.cast("double") / n.cast("double")
     )
+
+
+# Common-English stopwords used for the stopword-density quality signal
+# (space-delimited matching, same engine-identical occurrence trick).
+STOPWORDS = [" the ", " and ", " of ", " to ", " in ", " a ", " is "]
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    """stopword occurrences / word count — natural-language documents
+    score well above keyword-stuffed or non-linguistic content."""
+    t = _col(text)
+    total = None
+    for w in STOPWORDS:
+        c = occurrence_count(t, w)
+        total = c if total is None else total + c
+    wc = whitespace_token_count(t)
+    return F.when(wc == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / wc.cast("double")
+    )

@@ -482,3 +482,33 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", repetition_ratio("text").alias("rep_ratio"))
+
+
+# --------------------------------------------------------------------------
+# Stopword-density quality signal (the third leg of length/punct/
+# stopword quality scoring)
+# --------------------------------------------------------------------------
+def _stopword_oracle() -> str:
+    from openaq_data_pipeline_engineering_spark.functions.text import STOPWORDS
+
+    total = " + ".join(_occ_sql("text", w) for w in STOPWORDS)
+    wc = _wc_sql("text")
+    return f"""
+    SELECT doc_id,
+           CASE WHEN ({wc}) = 0 THEN 0.0
+                ELSE CAST({total} AS DOUBLE) / CAST({wc} AS DOUBLE) END
+               AS stop_ratio
+    FROM documents
+    """
+
+
+@query(
+    "stopword_ratio_quality",
+    "cleaning: stopword-density quality signal per doc",
+    oracle=_stopword_oracle(),
+)
+def stopword_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.functions.text import stopword_ratio
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", stopword_ratio("text").alias("stop_ratio"))

@@ -152,3 +152,17 @@ def test_repetition_ratio(spark):
     assert got[1] == 1.0
     assert got[2] == 0.25
     assert got[3] == 0.0
+
+
+def test_stopword_ratio(spark):
+    from openaq_data_pipeline_engineering_spark.functions.text import stopword_ratio
+
+    df = spark.createDataFrame(
+        [(1, "x the y and z of w"), (2, "foo bar baz"), (3, "")],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["s"] for r in
+           df.select("doc_id", stopword_ratio("text").alias("s")).collect()}
+    assert got[1] == 3 / 7
+    assert got[2] == 0.0
+    assert got[3] == 0.0
