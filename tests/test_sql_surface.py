@@ -66,3 +66,27 @@ def test_conditional_aggregates_sql(eng):
     ).first()
     assert row["total"] >= row["users"] > 0
     assert row["non_null"] <= row["total"]
+
+
+def test_concurrent_queries_one_session(spark):
+    """FAIR-scheduler style robustness: independent queries submitted
+    from multiple threads on one SparkSession all complete correctly
+    (the shared-session usage pattern of a query service)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from openaq_data_pipeline_engineering_spark.plans.registry import get_queries
+
+    qs = get_queries()
+    names = [
+        "flagship_daily_topk", "group_count_ranking", "topk_order_limit",
+        "pivot_mean", "temporal_extent", "null_profile",
+        "distinct_scan", "pricing_summary",
+    ]
+    expected = {n: qs[n](spark, SF_DIR).count() for n in names}
+
+    def run(n):
+        return n, qs[n](spark, SF_DIR).count()
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        got = dict(pool.map(run, names))
+    assert got == expected
