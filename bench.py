@@ -99,6 +99,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "runs_per_query": RUNS,
+                "cpus": int(cpus),
                 "sf": sf,
             }
         )

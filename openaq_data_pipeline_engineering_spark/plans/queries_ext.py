@@ -314,3 +314,53 @@ def _install_sampling_oracles() -> None:
 
 
 _install_sampling_oracles()
+
+
+@query(
+    "streaming_windowed_counts",
+    "streaming: watermarked tumbling-window rollup over the event stream",
+    oracle=None,  # streaming machinery: rows-only check (ingest twin has oracle-
+    # equivalent semantics proven in tests/test_sources_streaming.py)
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
+    from openaq_data_pipeline_engineering_spark.streaming.ingest import windowed_counts
+
+    apply_runtime_confs(spark)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+    agg = windowed_counts(stream, "ts", "1 hour", watermark="2 hours",
+                          group_cols=["event_type"])
+    checkpoint = tempfile.mkdtemp(prefix="openaq_streamwin_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("stream_windowed_result")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # append mode: only watermark-closed windows are emitted; aggregate
+    # to a small summary so the memory table result stays driver-safe
+    return spark.sql(
+        "SELECT event_type, count(*) AS n_windows, sum(n) AS n_events "
+        "FROM stream_windowed_result GROUP BY event_type"
+    )

@@ -74,3 +74,18 @@ def test_scans_prune_columns(plans):
         assert m, f"{name}: no ReadSchema found"
         ncols = len([c for c in m.group(1).split(",") if c])
         assert ncols <= 6, f"{name}: scan reads {ncols} columns"
+
+
+def test_aqe_coalesces_shuffle_partitions(spark):
+    """AQE evidence: a 32-partition shuffle over tiny data is coalesced
+    at runtime (AQEShuffleRead), so small stages don't pay 32 tasks."""
+    from openaq_data_pipeline_engineering_spark.sources.star import load_table
+
+    df = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .count()
+    )
+    df.collect()  # materialize so AQE finalizes the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan and "coalesced" in plan
