@@ -41,3 +41,27 @@ def approx_quantiles(
             for i, p in enumerate(probabilities)
         ]
     )
+
+
+def heavy_hitters(
+    df: DataFrame, cols: list[str], support: float = 0.01
+) -> DataFrame:
+    """Frequent-items sketch (one-row frame of arrays): every value with
+    frequency > support is guaranteed present (false positives possible
+    — the classic lossy-counting tradeoff). One pass, constant memory
+    per column; the 100 TB path for spam/boilerplate hot-key detection.
+    """
+    return df.stat.freqItems(cols, support)
+
+
+def exact_top_k(df: DataFrame, col: str, k: int = 10) -> DataFrame:
+    """Exact heavy hitters for comparison: groupBy + count + top-k
+    (shuffle ∝ distinct values; use heavy_hitters when that explodes)."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), col)
+        .limit(k)
+    )

@@ -250,3 +250,16 @@ class TestDeterministicSampling:
         assert set(counts) == {"train", "val", "test"}
         assert sum(counts.values()) == docs.count()  # exhaustive + disjoint
         assert counts["train"] > counts["val"]
+
+
+class TestHeavyHitters:
+    def test_freq_items_contains_true_heavy_hitter(self, spark):
+        from openaq_data_pipeline_engineering_spark.operators.sketch import (
+            exact_top_k,
+            heavy_hitters,
+        )
+
+        ev = _events(spark)
+        top = exact_top_k(ev, "event_type", 1).first()["event_type"]
+        hh = heavy_hitters(ev, ["event_type"], support=0.1).first()
+        assert top in hh["event_type_freqItems"]
