@@ -920,3 +920,43 @@ def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o_orderkey < 500
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order clustering codes: Morton interleave of two key dimensions —
+# the multi-column data-layout technique (functions/zorder.py); emitted
+# as a query so the bit-exact code path is oracle-gated.
+# --------------------------------------------------------------------------
+@query(
+    "zorder_codes",
+    "Z-order: Morton interleave of (user bucket, value bucket) per event",
+    oracle=None,  # installed below (generated from the same generator)
+)
+def zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.functions.zorder import morton_code
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    xb = F.pmod("user_id", F.lit(256))
+    yb = F.pmod(F.floor("value").cast("bigint"), F.lit(256))
+    return ev.select(
+        "event_id",
+        xb.alias("xb"),
+        yb.alias("yb"),
+        morton_code(xb, yb, bits=8).alias("zcode"),
+    )
+
+
+def _install_zorder_oracle() -> None:
+    from openaq_data_pipeline_engineering_spark.functions.zorder import morton_code_sql
+    from openaq_data_pipeline_engineering_spark.plans.registry import QUERIES
+
+    QUERIES["zorder_codes"].oracle = f"""
+    SELECT event_id,
+           user_id % 256 AS xb,
+           CAST(floor(value) AS BIGINT) % 256 AS yb,
+           {morton_code_sql('(user_id % 256)', '(CAST(floor(value) AS BIGINT) % 256)', 8)} AS zcode
+    FROM events WHERE event_id < 2000
+    """
+
+
+_install_zorder_oracle()

@@ -263,3 +263,57 @@ class TestHeavyHitters:
         top = exact_top_k(ev, "event_type", 1).first()["event_type"]
         hh = heavy_hitters(ev, ["event_type"], support=0.1).first()
         assert top in hh["event_type_freqItems"]
+
+
+class TestZOrder:
+    def test_morton_known_values(self, spark):
+        from openaq_data_pipeline_engineering_spark.functions.zorder import morton_code
+
+        df = spark.createDataFrame(
+            [(0, 0), (1, 0), (0, 1), (1, 1), (3, 3), (255, 255)], "x int, y int"
+        )
+        got = [r["z"] for r in df.select(morton_code("x", "y", 8).alias("z"))
+               .collect()]
+        assert got == [0, 1, 2, 3, 15, 65535]
+
+    def test_zorder_improves_two_dim_clustering(self, spark):
+        """Sorting by the Morton code clusters BOTH dimensions: within
+        any contiguous chunk of the z-sorted order, the spread of each
+        coordinate is far below the full domain (the row-group pruning
+        property), unlike a (x, y) lexicographic sort where y spans the
+        whole domain inside every x run."""
+        import random
+
+        from openaq_data_pipeline_engineering_spark.functions.zorder import morton_code
+
+        rng = random.Random(7)
+        pts = [(rng.randrange(256), rng.randrange(256)) for _ in range(4096)]
+        df = spark.createDataFrame(pts, "x int, y int")
+        z = [
+            (r["x"], r["y"])
+            for r in df.select("x", "y", morton_code("x", "y", 8).alias("z"))
+            .orderBy("z")
+            .collect()
+        ]
+        lex = sorted(pts)
+        chunk = 256
+
+        def chunks_overlapping(rows, dim, lo, hi):
+            n = 0
+            for i in range(0, len(rows), chunk):
+                c = [r[dim] for r in rows[i : i + chunk]]
+                if max(c) >= lo and min(c) <= hi:
+                    n += 1
+            return n
+
+        n_chunks = len(z) // chunk
+        # predicates on the SECOND sort dimension alone (32-wide y
+        # bands): a lexicographic (x, y) sort leaves y unclustered, so
+        # every chunk's min/max overlaps every band (zero pruning); the
+        # z-sorted layout prunes a majority of chunks on average (bands
+        # straddling a major quadrant boundary prune less — expected)
+        bands = [(lo, lo + 31) for lo in (0, 32, 64, 160, 192, 224)]
+        lex_total = sum(chunks_overlapping(lex, 1, *b) for b in bands)
+        z_total = sum(chunks_overlapping(z, 1, *b) for b in bands)
+        assert lex_total == n_chunks * len(bands)  # lex: no pruning at all
+        assert z_total <= lex_total // 2           # z: >2x fewer chunks read
