@@ -89,3 +89,19 @@ def test_aqe_coalesces_shuffle_partitions(spark):
     df.collect()  # materialize so AQE finalizes the plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan and "coalesced" in plan
+
+
+def test_no_void_output_columns(plans, spark):
+    """The VoidType hazard (reference P3): an untyped NULL literal that
+    reaches a query's output schema breaks schema-compare and parquet
+    writes. Gate every declared query's output schema."""
+    from openaq_data_pipeline_engineering_spark.plans.registry import get_queries
+
+    bad = []
+    for name, fn in get_queries().items():
+        if name in SKIP:
+            continue
+        for col, dtype in fn(spark, SF_DIR).dtypes:
+            if dtype in ("void", "null"):
+                bad.append((name, col))
+    assert not bad, f"void-typed output columns: {bad}"
