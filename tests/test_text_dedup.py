@@ -166,3 +166,27 @@ def test_stopword_ratio(spark):
     assert got[1] == 3 / 7
     assert got[2] == 0.0
     assert got[3] == 0.0
+
+
+def test_minhash_jaccard_estimate_extremes(spark):
+    """MinHash signature agreement estimates Jaccard: identical docs
+    agree on every component; disjoint-vocabulary docs on none."""
+    from pyspark.sql import functions as F
+
+    from openaq_data_pipeline_engineering_spark.functions.text import (
+        minhash_agg_exprs,
+        word_shingles,
+    )
+
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, a), (2, a), (3, b)], "doc_id int, text string"
+    )
+    sh = df.select("doc_id", F.explode(word_shingles("text", 3)).alias("sh"))
+    mh = {r["doc_id"]: [r[f"h{i}"] for i in range(8)]
+          for r in sh.groupBy("doc_id").agg(*minhash_agg_exprs("sh", 8)).collect()}
+
+    agree = lambda x, y: sum(1 for i in range(8) if mh[x][i] == mh[y][i]) / 8  # noqa: E731
+    assert agree(1, 2) == 1.0   # identical docs: estimate J = 1
+    assert agree(1, 3) == 0.0   # disjoint shingle sets: estimate J = 0
