@@ -175,3 +175,18 @@ def test_example_pipeline_runs(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "after merge: 5 rows" in proc.stdout
+
+
+def test_example_similarity_runs(tmp_path):
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "examples/run_similarity.py", "/root/testdata/sf0.001"],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert proc.stdout.count("--") >= 5
