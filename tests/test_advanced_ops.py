@@ -151,3 +151,24 @@ class TestRollupPlan:
         )
         assert "Expand" in plan
         assert plan.count("Exchange") <= 2
+
+
+class TestAsofJoinMultiValue:
+    def test_multiple_value_cols_and_suffix(self, spark):
+        import datetime as dt
+
+        quotes = spark.createDataFrame(
+            [(1, dt.datetime(2026, 1, 1, 9), 100.0, 55.0, 1),
+             (1, dt.datetime(2026, 1, 1, 11), 110.0, 66.0, 2)],
+            "user_id int, ts timestamp, bid double, ask double, event_id int",
+        )
+        probes = spark.createDataFrame(
+            [(1, dt.datetime(2026, 1, 1, 10), 7)],
+            "user_id int, ts timestamp, event_id int",
+        )
+        out = asof_join(
+            probes, quotes, on=["user_id"], ts_col="ts",
+            value_cols=["bid", "ask"], tiebreaker="event_id", suffix="_q",
+        ).first()
+        assert out["bid_q"] == 100.0 and out["ask_q"] == 55.0
+        assert set(out.asDict()) == {"user_id", "ts", "event_id", "bid_q", "ask_q"}
