@@ -32,11 +32,14 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow for pandas_udf / mapInPandas / toPandas exchange.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Right-size shuffles for local-mode runs (the 200 default wastes
-    # task-launch overhead at test scale; AQE coalesces further). On a
-    # real cluster this is overridden by the session/bench config.
-    "spark.sql.shuffle.partitions": "32",
 }
+
+# Local-mode-only shuffle sizing: the 200 default wastes task-launch
+# overhead at test scale (AQE coalesces further). Applied ONLY when the
+# session master is local AND the conf still holds Spark's own default —
+# a cluster session's (or caller's) explicit setting is never overridden.
+_LOCAL_SHUFFLE_PARTITIONS = "32"
+_SHUFFLE_PARTITIONS_DEFAULT = "200"
 
 # Builder-time confs for sessions we create ourselves.
 _BUILD_CONFS: dict[str, str] = {
@@ -63,6 +66,17 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
             # A conf may be unsupported on some Spark build; every consumer
             # of it has a fallback path.
             pass
+    try:
+        master = spark.conf.get("spark.master", "")
+        current = spark.conf.get(
+            "spark.sql.shuffle.partitions", _SHUFFLE_PARTITIONS_DEFAULT
+        )
+        if master.startswith("local") and current == _SHUFFLE_PARTITIONS_DEFAULT:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", _LOCAL_SHUFFLE_PARTITIONS
+            )
+    except Exception:
+        pass
     return spark
 
 

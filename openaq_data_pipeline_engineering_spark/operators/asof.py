@@ -45,12 +45,17 @@ def asof_join(
     tiebreaker: quote column ordering equal-timestamp quotes (max wins).
     """
     probe_cols = probes.columns
+    # All value_cols travel in ONE struct so the carry-forward is atomic:
+    # the struct itself is non-null for every quote row even when fields
+    # are NULL, so last(ignorenulls) always picks whole rows — per-column
+    # carries could stitch fields from DIFFERENT quote rows whenever the
+    # latest quote holds a NULL field.
     tagged_q = quotes.select(
         *on,
         ts_col,
         F.lit(0).alias("__side"),
         F.col(tiebreaker).alias("__tie"),
-        *[F.col(c).alias(f"__q_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__q"),
         *[F.lit(None).alias(f"__p_{c}") for c in probe_cols if c not in on and c != ts_col],
     )
     tagged_p = probes.select(
@@ -58,7 +63,7 @@ def asof_join(
         ts_col,
         F.lit(1).alias("__side"),
         F.lit(None).cast(tagged_q.schema["__tie"].dataType).alias("__tie"),
-        *[F.lit(None).cast(quotes.schema[c].dataType).alias(f"__q_{c}") for c in value_cols],
+        F.lit(None).cast(tagged_q.schema["__q"].dataType).alias("__q"),
         *[F.col(c).alias(f"__p_{c}") for c in probe_cols if c not in on and c != ts_col],
     )
     w = (
@@ -67,16 +72,15 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = tagged_q.unionByName(tagged_p).select(
-        "*",
-        *[
-            F.last(f"__q_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+        "*", F.last("__q", ignorenulls=True).over(w).alias("__q_carried")
     )
     out = carried.filter(F.col("__side") == 1).select(
         *on,
         ts_col,
         *[F.col(f"__p_{c}").alias(c) for c in probe_cols if c not in on and c != ts_col],
-        *[f"{c}{suffix}" for c in value_cols],
+        *[
+            F.col("__q_carried").getField(c).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
     )
     return out

@@ -749,8 +749,8 @@ def string_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            count(*) AS n,
            count(nullif(o_orderpriority, '1-URGENT')) AS non_urgent,
-           sum(CASE WHEN o_totalprice IS NOT DISTINCT FROM NULL
-                    THEN 1 ELSE 0 END) AS null_price,
+           CAST(sum(CASE WHEN o_totalprice IS NOT DISTINCT FROM NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS null_price,
            min(coalesce(NULLIF(o_orderpriority, '1-URGENT'), 'URGENT!'))
                AS min_prio
     FROM orders GROUP BY o_orderstatus

@@ -96,7 +96,7 @@ def group_count_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT count(*) AS n_rows,
            count(DISTINCT l_orderkey) AS n_orders,
-           sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted,
+           CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
            count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                     * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
@@ -398,9 +398,9 @@ def param_normalize_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     "range_qa",
     "P9: single-pass out-of-range counts across columns",
     oracle="""
-    SELECT sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS l_quantity_oob,
-           sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS l_discount_oob,
-           sum(CASE WHEN l_extendedprice < 0 OR l_extendedprice > 1e9 THEN 1 ELSE 0 END) AS l_extendedprice_oob
+    SELECT CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS l_quantity_oob,
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS l_discount_oob,
+           CAST(sum(CASE WHEN l_extendedprice < 0 OR l_extendedprice > 1e9 THEN 1 ELSE 0 END) AS BIGINT) AS l_extendedprice_oob
     FROM lineitem
     """,
 )

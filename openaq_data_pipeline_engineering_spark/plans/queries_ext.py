@@ -319,8 +319,24 @@ _install_sampling_oracles()
 @query(
     "streaming_windowed_counts",
     "streaming: watermarked tumbling-window rollup over the event stream",
-    oracle=None,  # streaming machinery: rows-only check (ingest twin has oracle-
-    # equivalent semantics proven in tests/test_sources_streaming.py)
+    # Batch-SQL-expressible: with availableNow + a final no-data batch,
+    # append mode emits exactly the tumbling windows whose end <= final
+    # watermark (max event time - 2h). The oracle replays that semantics
+    # over the same parquet.
+    oracle="""
+    WITH win AS (
+        SELECT event_type, date_trunc('hour', ts) AS wstart, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ), wm AS (
+        SELECT max(ts) - INTERVAL 2 HOUR AS watermark FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_windows,
+           CAST(sum(n) AS BIGINT) AS n_events
+    FROM win, wm
+    WHERE wstart + INTERVAL 1 HOUR <= watermark
+    GROUP BY event_type
+    """,
 )
 def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T

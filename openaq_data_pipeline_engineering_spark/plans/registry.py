@@ -24,8 +24,11 @@ DuckDB round() is binary-nearest — they DISAGREE on boundary values like
 
 from __future__ import annotations
 
+import json
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -61,11 +64,54 @@ def _load_all() -> None:
     from openaq_data_pipeline_engineering_spark.plans import queries_advanced  # noqa: F401
 
 
+def _latest_correctness() -> dict:
+    """Latest committed CORRECTNESS_r{N}.json at the repo root, or {}.
+
+    Used only to ORDER the registry (see _ordered_names); never to skip
+    or alter a query. Any read/parse failure degrades to registration
+    order, so driver environments without the file are unaffected.
+    """
+    root = Path(__file__).resolve().parents[2]
+    best_n, best_path = -1, None
+    for p in root.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"_r(\d+)\.json$", p.name)
+        if m and int(m.group(1)) > best_n:
+            best_n, best_path = int(m.group(1)), p
+    if best_path is None:
+        return {}
+    try:
+        return json.loads(best_path.read_text())
+    except (OSError, ValueError):
+        return {}
+
+
+def _ordered_names() -> list[str]:
+    """Registry order: queries WITHOUT a green row in the latest
+    correctness snapshot first, greens last (stable within each group).
+
+    The driver checks a bounded prefix of ``queries()`` per round, so
+    surfacing not-yet-verified queries first converts them to driver
+    rows fastest; already-green queries rotate back in on later rounds.
+    """
+    prior = _latest_correctness()
+
+    def is_green(name: str) -> bool:
+        row = prior.get(name)
+        return bool(row) and row.get("hash_match") is True
+
+    names = list(QUERIES)
+    return [n for n in names if not is_green(n)] + [n for n in names if is_green(n)]
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all()
-    return {name: q.fn for name, q in QUERIES.items()}
+    return {name: QUERIES[name].fn for name in _ordered_names()}
 
 
 def get_oracles() -> dict[str, str]:
     _load_all()
-    return {name: q.oracle for name, q in QUERIES.items() if q.oracle}
+    return {
+        name: QUERIES[name].oracle
+        for name in _ordered_names()
+        if QUERIES[name].oracle
+    }

@@ -54,7 +54,7 @@ _TS_COLUMNS = {
 # read per call. Keyed by session id so a new session never sees stale
 # frames; holds logical plans only (no data pinned).
 _LOAD_CACHE: dict[tuple[int, str, str], DataFrame] = {}
-# fan_out memo: the getNumPartitions probe triggers physical planning.
+# fan_out memo: inputFiles() walks the file index once per frame.
 # Values pin (input, output) so the id() key can never be reused by a
 # garbage-collected frame.
 _FANOUT_CACHE: dict[tuple[int, int], tuple[DataFrame, DataFrame]] = {}
@@ -97,7 +97,15 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     cached = _FANOUT_CACHE.get(key)
     if cached is not None:
         return cached[1]
-    out = df if df.rdd.getNumPartitions() >= n else df.repartition(n)
+    # Planning-free parallelism estimate: file count is a lower bound on
+    # scan splits (large files split further by maxPartitionBytes, never
+    # merge below one task per file). No RDD materialization, no physical
+    # plan. Non-file sources report no files → treated as needing fan-out.
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:
+        n_splits = 0
+    out = df if n_splits >= n else df.repartition(n)
     _FANOUT_CACHE[key] = (df, out)
     return out
 

@@ -172,3 +172,24 @@ class TestAsofJoinMultiValue:
         ).first()
         assert out["bid_q"] == 100.0 and out["ask_q"] == 55.0
         assert set(out.asDict()) == {"user_id", "ts", "event_id", "bid_q", "ask_q"}
+
+    def test_null_fields_in_latest_quote_stay_atomic(self, spark):
+        """The carried quote is one ROW: a NULL field in the latest quote
+        must come through as NULL, not backfilled from an older quote."""
+        import datetime as dt
+
+        quotes = spark.createDataFrame(
+            [(1, dt.datetime(2026, 1, 1, 9), 100.0, 55.0, 1),
+             (1, dt.datetime(2026, 1, 1, 10), 110.0, None, 2)],
+            "user_id int, ts timestamp, bid double, ask double, event_id int",
+        )
+        probes = spark.createDataFrame(
+            [(1, dt.datetime(2026, 1, 1, 11), 7)],
+            "user_id int, ts timestamp, event_id int",
+        )
+        out = asof_join(
+            probes, quotes, on=["user_id"], ts_col="ts",
+            value_cols=["bid", "ask"], tiebreaker="event_id",
+        ).first()
+        assert out["bid_asof"] == 110.0
+        assert out["ask_asof"] is None  # NOT 55.0 from the older quote

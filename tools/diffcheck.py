@@ -52,6 +52,22 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
             f"columns differ: spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}"
         )
         return problems
+    # Typed check BEFORE normalization: the driver's value-hash is typed, so
+    # a DuckDB HUGEINT (→ float64 in pandas) against a Spark BIGINT (int64)
+    # hash-mismatches even when every value is equal. Catch int↔float family
+    # drift here; date/datetime conventions legitimately differ and are
+    # handled by normalize().
+    for c in spark_df.columns:
+        s_int = pd.api.types.is_integer_dtype(spark_df[c])
+        s_flt = pd.api.types.is_float_dtype(spark_df[c])
+        o_int = pd.api.types.is_integer_dtype(oracle_df[c])
+        o_flt = pd.api.types.is_float_dtype(oracle_df[c])
+        if (s_int and o_flt) or (s_flt and o_int):
+            problems.append(
+                f"numeric dtype family differs on '{c}': spark={spark_df[c].dtype} "
+                f"oracle={oracle_df[c].dtype} (HUGEINT-class oracle typing? "
+                f"wrap the oracle aggregate in CAST(... AS BIGINT/DOUBLE))"
+            )
     if len(spark_df) != len(oracle_df):
         problems.append(f"row count: spark={len(spark_df)} oracle={len(oracle_df)}")
     a, b = normalize(spark_df), normalize(oracle_df)
