@@ -3,18 +3,39 @@
 The reference fetches OpenAQ v3 measurements with a sequential
 driver-side loop over sensors (etls/openaq_etl.py:185-260,
 lambda_functions/openaq_fetcher/extract_api.py:193-268): one process,
-one sensor at a time, rate-limit sleeps — 30-40 min per backfill month
+one sensor at a time — 30-40 min per backfill month
 (doc/archive/historical_backfill_2025_plan.md:352-359). The scale path
 is to make the *fetch itself* a Spark data source: each input partition
 owns a batch of sensor ids, executors fetch in parallel, and the result
 is a plain DataFrame feeding the normal pipeline.
 
+Fetch semantics ported from the reference:
+
+- **paginate-until-empty** per sensor (etls/openaq_etl.py:68-105 does
+  this for /locations; the same loop shape applied to measurements):
+  request page 1, 2, ... until a page returns no results.
+- **per-sensor failure skip** (etls/openaq_etl.py:222-257): a non-200
+  response or any exception while fetching one sensor skips THAT sensor
+  and continues with the rest — a batch never fails because one sensor
+  is down.
+- **bounded retry with backoff** on transient statuses (429/5xx) before
+  declaring a sensor failed — an engine addition the reference's
+  single-shot requests lack; sleep is injectable so tests don't wait.
+
 The HTTP transport is pluggable and defaulted to a local-fixture
-transport (one ``{sensor_id}.json`` NDJSON file per sensor) because
-live HTTP is out of correctness scope (SURVEY §7.4) and no HTTP client
-ships in this container. Swapping ``_fetch_sensor`` for a real
-requests-based pager changes nothing else — partition planning,
-schema, and executor-side iteration are the production shape.
+transport because live HTTP is out of correctness scope (SURVEY §7.4)
+and no HTTP client ships in this container. Swapping FixtureTransport
+for a requests-based one changes nothing else — partition planning,
+schema, page loop, retry, and skip behavior are the production shape.
+
+Fixture layout (per sensor id):
+
+- ``{sid}.page{N}.json`` — API-shaped page payload:
+  ``{"status": 200, "results": [...]}``. Optional ``"fail_times": K``
+  makes the first K attempts return ``status`` (simulating a transient
+  error) and subsequent attempts succeed with ``results``.
+- ``{sid}.json`` — legacy single-page NDJSON (one measurement per line).
+- no file — sensor yields no rows (reference: empty results → skip).
 
 Usage::
 
@@ -30,7 +51,8 @@ from __future__ import annotations
 
 import json
 import os
-from collections.abc import Iterator
+import time
+from collections.abc import Callable, Iterator
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
@@ -41,24 +63,98 @@ API_DS_SCHEMA = (
     "unit string, value double"
 )
 
+# Transient statuses worth retrying; anything else non-200 fails the
+# sensor immediately (reference treats every non-200 as skip).
+RETRYABLE_STATUSES = frozenset({429, 500, 502, 503, 504})
+
+
+class SensorFetchError(Exception):
+    """A sensor's fetch failed after retries; caller skips the sensor."""
+
 
 class _SensorBatch(InputPartition):
     def __init__(self, sensor_ids: list[int]):
         self.sensor_ids = sensor_ids
 
 
-def _fetch_sensor(fixtures_path: str, sensor_id: int) -> Iterator[dict]:
-    """Fixture transport: NDJSON file per sensor. A live transport pages
-    GET /v3/sensors/{id}/measurements here instead; failures skip the
-    sensor (reference behavior, etls/openaq_etl.py:250-256)."""
-    path = os.path.join(fixtures_path, f"{sensor_id}.json")
-    if not os.path.exists(path):
-        return
-    with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if line:
-                yield json.loads(line)
+class FixtureTransport:
+    """File-backed stand-in for ``GET /v3/sensors/{id}/measurements``.
+
+    Stateful only for ``fail_times`` simulation: attempt counts live in
+    this instance (one per executor task), mirroring how a real
+    transient error clears on retry within the same request loop.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        self._attempts: dict[tuple[int, int], int] = {}
+
+    def get_measurements(self, sensor_id: int, page: int) -> tuple[int, list[dict]]:
+        """Return (status_code, results) for one page of one sensor."""
+        paged = os.path.join(self.root, f"{sensor_id}.page{page}.json")
+        if os.path.exists(paged):
+            with open(paged) as f:
+                payload = json.load(f)
+            fail_times = int(payload.get("fail_times", 0))
+            key = (sensor_id, page)
+            attempt = self._attempts.get(key, 0)
+            self._attempts[key] = attempt + 1
+            if attempt < fail_times:
+                return int(payload.get("status", 503)), []
+            if fail_times:
+                return 200, payload.get("results", [])
+            return int(payload.get("status", 200)), payload.get("results", [])
+        if page == 1:
+            legacy = os.path.join(self.root, f"{sensor_id}.json")
+            if os.path.exists(legacy):
+                with open(legacy) as f:
+                    return 200, [
+                        json.loads(line) for line in f if line.strip()
+                    ]
+        return 200, []  # past the last page → pagination complete
+
+
+def _get_page_with_retry(
+    transport: FixtureTransport,
+    sensor_id: int,
+    page: int,
+    max_retries: int,
+    backoff_seconds: float,
+    sleep: Callable[[float], None],
+) -> list[dict]:
+    """One page fetch with bounded exponential backoff on 429/5xx."""
+    for attempt in range(max_retries + 1):
+        status, results = transport.get_measurements(sensor_id, page)
+        if status == 200:
+            return results
+        if status not in RETRYABLE_STATUSES or attempt == max_retries:
+            raise SensorFetchError(
+                f"sensor {sensor_id} page {page}: HTTP {status}"
+            )
+        sleep(backoff_seconds * (2**attempt))
+    raise SensorFetchError(f"sensor {sensor_id} page {page}: retries exhausted")
+
+
+def fetch_sensor_measurements(
+    transport: FixtureTransport,
+    sensor_id: int,
+    max_retries: int = 2,
+    backoff_seconds: float = 0.1,
+    sleep: Callable[[float], None] = time.sleep,
+) -> Iterator[dict]:
+    """Paginate one sensor's measurements until an empty page
+    (reference etls/openaq_etl.py:68-105 loop shape). Raises
+    SensorFetchError on a non-retryable/exhausted failure — the caller
+    decides whether that skips the sensor."""
+    page = 1
+    while True:
+        results = _get_page_with_retry(
+            transport, sensor_id, page, max_retries, backoff_seconds, sleep
+        )
+        if not results:
+            return
+        yield from results
+        page += 1
 
 
 class OpenAQApiReader(DataSourceReader):
@@ -67,6 +163,8 @@ class OpenAQApiReader(DataSourceReader):
         ids = options.get("sensor_ids", "")
         self.sensor_ids = [int(s) for s in ids.split(",") if s.strip()]
         self.batch_size = int(options.get("batch_size", "50"))
+        self.max_retries = int(options.get("max_retries", "2"))
+        self.backoff_seconds = float(options.get("backoff_seconds", "0.1"))
 
     def partitions(self) -> list[InputPartition]:
         """One partition per sensor batch — fetch parallelism scales
@@ -78,18 +176,28 @@ class OpenAQApiReader(DataSourceReader):
         ] or [_SensorBatch([])]
 
     def read(self, partition: _SensorBatch) -> Iterator[tuple]:
+        transport = FixtureTransport(self.fixtures_path)
         for sid in partition.sensor_ids:
-            for rec in _fetch_sensor(self.fixtures_path, sid):
-                p = rec.get("parameter") or {}
-                period = rec.get("period") or {}
-                dt_from = (period.get("datetimeFrom") or {}).get("utc")
-                yield (
-                    sid,
-                    dt_from,
-                    p.get("name"),
-                    p.get("units"),
-                    rec.get("value"),
-                )
+            try:
+                for rec in fetch_sensor_measurements(
+                    transport, sid, self.max_retries, self.backoff_seconds
+                ):
+                    p = rec.get("parameter") or {}
+                    period = rec.get("period") or {}
+                    dt_from = (period.get("datetimeFrom") or {}).get("utc")
+                    yield (
+                        sid,
+                        dt_from,
+                        p.get("name"),
+                        p.get("units"),
+                        rec.get("value"),
+                    )
+            except Exception:
+                # Per-sensor failure skip (reference etls/openaq_etl.py:
+                # 255-257): one bad sensor never fails the batch. Rows
+                # already yielded for this sensor stay, matching the
+                # reference's per-measurement appends.
+                continue
 
 
 class OpenAQApiDataSource(DataSource):

@@ -55,3 +55,119 @@ def test_api_datasource_reads_and_partitions(spark, tmp_path):
 
     parsed = with_partition_columns(parse_datetime(df, "datetime"), "datetime")
     assert parsed.filter("year = '2026'").count() == 6
+
+
+def _page(dirpath: str, sensor_id: int, page: int, values: list[float], **extra) -> None:
+    payload = {
+        "status": 200,
+        "results": [
+            {
+                "value": v,
+                "parameter": {"name": "pm25", "units": "µg/m³"},
+                "period": {"datetimeFrom": {"utc": "2026-01-01T00:00:00Z"}},
+            }
+            for v in values
+        ],
+        **extra,
+    }
+    with open(os.path.join(dirpath, f"{sensor_id}.page{page}.json"), "w") as f:
+        json.dump(payload, f)
+
+
+def test_api_datasource_paginates_until_empty(spark, tmp_path):
+    """Reference page loop (etls/openaq_etl.py:68-105): page 1, 2, ...
+    until a page comes back empty; all pages' rows land in the frame."""
+    fixtures = str(tmp_path / "paged")
+    os.makedirs(fixtures)
+    _page(fixtures, 201, 1, [1.0, 2.0])
+    _page(fixtures, 201, 2, [3.0])
+    # no page3 file → empty page → pagination complete
+
+    spark.dataSource.register(OpenAQApiDataSource)
+    df = (
+        spark.read.format("openaq_api")
+        .option("fixtures_path", fixtures)
+        .option("sensor_ids", "201")
+        .load()
+    )
+    assert sorted(r["value"] for r in df.collect()) == [1.0, 2.0, 3.0]
+
+
+def test_api_datasource_skips_failed_sensor_keeps_rest(spark, tmp_path):
+    """Reference skip semantics (etls/openaq_etl.py:222-257): a sensor
+    that errors (non-retryable 404 here) is dropped; the batch survives."""
+    fixtures = str(tmp_path / "skip")
+    os.makedirs(fixtures)
+    _page(fixtures, 301, 1, [1.0])
+    _page(fixtures, 302, 1, [], status=404)  # hard failure → skip sensor
+    _page(fixtures, 303, 1, [3.0])
+
+    spark.dataSource.register(OpenAQApiDataSource)
+    df = (
+        spark.read.format("openaq_api")
+        .option("fixtures_path", fixtures)
+        .option("sensor_ids", "301,302,303")
+        .option("batch_size", "3")  # all in ONE partition: skip is per-sensor
+        .load()
+    )
+    rows = df.collect()
+    assert sorted(r["sensor_id"] for r in rows) == [301, 303]
+
+
+def test_api_datasource_retries_transient_then_succeeds(spark, tmp_path):
+    """A 503 that clears within max_retries yields the sensor's rows."""
+    fixtures = str(tmp_path / "retry")
+    os.makedirs(fixtures)
+    _page(fixtures, 401, 1, [7.0], fail_times=2, status=503)
+
+    spark.dataSource.register(OpenAQApiDataSource)
+    df = (
+        spark.read.format("openaq_api")
+        .option("fixtures_path", fixtures)
+        .option("sensor_ids", "401")
+        .option("max_retries", "2")
+        .option("backoff_seconds", "0.001")
+        .load()
+    )
+    assert [r["value"] for r in df.collect()] == [7.0]
+
+
+def test_api_datasource_exhausted_retries_skip_sensor(spark, tmp_path):
+    fixtures = str(tmp_path / "exhaust")
+    os.makedirs(fixtures)
+    _page(fixtures, 501, 1, [9.0], fail_times=5, status=503)
+    _page(fixtures, 502, 1, [2.0])
+
+    spark.dataSource.register(OpenAQApiDataSource)
+    df = (
+        spark.read.format("openaq_api")
+        .option("fixtures_path", fixtures)
+        .option("sensor_ids", "501,502")
+        .option("batch_size", "2")
+        .option("max_retries", "1")
+        .option("backoff_seconds", "0.001")
+        .load()
+    )
+    assert [r["sensor_id"] for r in df.collect()] == [502]
+
+
+def test_fetch_backoff_schedule_and_page_loop(tmp_path):
+    """Unit-level: exponential backoff sleeps, then the page loop resumes."""
+    from openaq_data_pipeline_engineering_spark.sources.api_datasource import (
+        FixtureTransport,
+        fetch_sensor_measurements,
+    )
+
+    fixtures = str(tmp_path)
+    _page(fixtures, 601, 1, [1.0], fail_times=2, status=429)
+    _page(fixtures, 601, 2, [2.0])
+
+    sleeps: list[float] = []
+    recs = list(
+        fetch_sensor_measurements(
+            FixtureTransport(fixtures), 601,
+            max_retries=3, backoff_seconds=0.5, sleep=sleeps.append,
+        )
+    )
+    assert [r["value"] for r in recs] == [1.0, 2.0]
+    assert sleeps == [0.5, 1.0]  # 0.5 * 2**attempt, two transient failures
