@@ -1,0 +1,104 @@
+"""Connected components over a candidate-pair edge list — the step that
+turns near-duplicate PAIRS into dedup CLUSTERS with one survivor each.
+
+The reference has no graph step (its dedup is single-key row_number,
+glue_jobs/process_openaq_raw.py:131-135); this belongs to the
+training-pipeline extension surface: MinHash/SimHash/embedding LSH all
+emit pairs, and corpus dedup needs the transitive closure of those
+pairs (A~B, B~C ⇒ {A,B,C} is one duplicate group).
+
+Algorithm: iterative min-label propagation. Every node starts labeled
+with itself; each round, a node adopts the minimum label among itself
+and its neighbors; converged when no label changes. Rounds needed =
+graph diameter, and near-dup components are small and dense (they exist
+because their members are mutually similar), so 3-5 rounds is typical.
+
+Scale posture (100 TB):
+- The edge list is LSH-bounded (pairs only within buckets), so the
+  graph is orders of magnitude smaller than the corpus — this runs on
+  candidate pairs, never on all docs.
+- Each round is one shuffle (groupBy node) plus one broadcast-or-hash
+  join; ``localCheckpoint`` truncates lineage each round so the plan
+  does not grow with iterations (a 20-round unpersisted loop would
+  otherwise re-plan a 20-deep join tree).
+- The convergence check is a count action per round — deliberate: an
+  iterative algorithm's stopping rule needs a materialization barrier,
+  and the counted frame is the (small) label table, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Label each node of the undirected graph ``edges`` with the MIN
+    node id of its connected component (deterministic cluster id).
+
+    Returns a DataFrame (node, cluster_id) covering every node that
+    appears in at least one edge. Isolated nodes (no edges) are the
+    caller's concern — they are their own singleton clusters by
+    definition and need no propagation.
+    """
+    und = edges.select(F.col(src).alias("es"), F.col(dst).alias("ed")).union(
+        edges.select(F.col(dst).alias("es"), F.col(src).alias("ed"))
+    )
+    labels = (
+        und.select(F.col("es").alias("node"))
+        .distinct()
+        .withColumn("cluster_id", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            und.join(labels, und.ed == labels.node)
+            .groupBy(F.col("es").alias("node"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.alias("l")
+            .join(nbr_min.alias("m"), "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("l.cluster_id"),
+                    F.coalesce(F.col("m.nbr_min"), F.col("l.cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
+        if checkpoint:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Near-dup dedup verdict per document: (doc_id, cluster_id,
+    is_survivor). The survivor of each cluster is its min doc_id — keep
+    survivors, drop the rest, and the corpus has one copy per
+    duplicate group."""
+    labels = connected_components(edges, src, dst, max_iterations)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("is_survivor"),
+    )

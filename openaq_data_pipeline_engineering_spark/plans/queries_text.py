@@ -314,6 +314,40 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Near-dup clusters: LSH candidate pairs → connected components →
+# survivor election (operators/cluster.py). The oracle replays the
+# transitive closure with a recursive CTE over the SAME candidate SQL.
+# --------------------------------------------------------------------------
+@query(
+    "neardup_clusters",
+    "near-dup: MinHash-LSH pairs → connected components → min-id survivor election",
+    oracle=f"""
+    WITH RECURSIVE cand AS ({_minhash_oracle()}),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM cand
+        UNION ALL
+        SELECT doc_b AS s, doc_a AS d FROM cand
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.d, r.r FROM reach r JOIN edges e ON e.s = r.node
+    )
+    SELECT node AS doc_id,
+           min(r) AS cluster_id,
+           node = min(r) AS is_survivor
+    FROM reach GROUP BY node
+    """,
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.operators.cluster import dedup_clusters
+
+    pairs = minhash_lsh_candidates(spark, sf_dir)
+    return dedup_clusters(pairs, src="doc_a", dst="doc_b")
+
+
 @query(
     "token_counts_regex",
     "text: BPE-ish regex pretoken counts (word runs + single symbols)",

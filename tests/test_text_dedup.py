@@ -190,3 +190,45 @@ def test_minhash_jaccard_estimate_extremes(spark):
     agree = lambda x, y: sum(1 for i in range(8) if mh[x][i] == mh[y][i]) / 8  # noqa: E731
     assert agree(1, 2) == 1.0   # identical docs: estimate J = 1
     assert agree(1, 3) == 0.0   # disjoint shingle sets: estimate J = 0
+
+
+class TestConnectedComponents:
+    def test_chain_and_separate_components(self, spark):
+        from openaq_data_pipeline_engineering_spark.operators.cluster import (
+            connected_components,
+        )
+
+        # chain 1-2-3-4 (diameter 3, needs multiple rounds) + pair 10-11
+        edges = spark.createDataFrame(
+            [(2, 1), (2, 3), (3, 4), (11, 10)], "src bigint, dst bigint"
+        )
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(edges).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_dedup_clusters_survivor_election(self, spark):
+        from openaq_data_pipeline_engineering_spark.operators.cluster import (
+            dedup_clusters,
+        )
+
+        edges = spark.createDataFrame(
+            [(7, 5), (5, 9), (20, 30)], "doc_a bigint, doc_b bigint"
+        )
+        rows = {
+            r["doc_id"]: (r["cluster_id"], r["is_survivor"])
+            for r in dedup_clusters(edges, src="doc_a", dst="doc_b").collect()
+        }
+        assert rows == {
+            5: (5, True), 7: (5, False), 9: (5, False),
+            20: (20, True), 30: (20, False),
+        }
+
+    def test_empty_edges(self, spark):
+        from openaq_data_pipeline_engineering_spark.operators.cluster import (
+            connected_components,
+        )
+
+        edges = spark.createDataFrame([], "src bigint, dst bigint")
+        assert connected_components(edges).count() == 0
