@@ -50,6 +50,17 @@ def connected_components(
     und = edges.select(F.col(src).alias("es"), F.col(dst).alias("ed")).union(
         edges.select(F.col(dst).alias("es"), F.col(src).alias("ed"))
     )
+    if checkpoint:
+        # Materialize the edge list ONCE: it is consumed every round, and
+        # upstream it is typically a full LSH pipeline (shingle → minhash →
+        # band join) that would otherwise re-execute per iteration. Then
+        # right-size partitions to the materialized edge count — candidate
+        # graphs are far smaller than their producing pipeline's shuffle
+        # width (coalesce only ever narrows, so a 1e9-edge graph keeps its
+        # parallelism).
+        und = und.localCheckpoint(eager=True)
+        n_edges = und.count()
+        und = und.coalesce(max(1, n_edges // 100_000 + 1))
     labels = (
         und.select(F.col("es").alias("node"))
         .distinct()
@@ -61,6 +72,8 @@ def connected_components(
             .groupBy(F.col("es").alias("node"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # Keep the previous label alongside the new one so convergence is
+        # a filter over the (checkpointed) result — no extra join round.
         new_labels = (
             labels.alias("l")
             .join(nbr_min.alias("m"), "node", "left")
@@ -70,17 +83,15 @@ def connected_components(
                     F.col("l.cluster_id"),
                     F.coalesce(F.col("m.nbr_min"), F.col("l.cluster_id")),
                 ).alias("cluster_id"),
+                F.col("l.cluster_id").alias("__prev"),
             )
         )
         if checkpoint:
             new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("cluster_id") != F.col("__prev")
+        ).count()
+        labels = new_labels.drop("__prev")
         if changed == 0:
             break
     return labels
