@@ -1,0 +1,110 @@
+"""Spherical k-means (cosine Lloyd iterations) for IVF index training.
+
+The reference has no vector indexing at all; this completes the
+similarity-search scale path: ``ivf_ann_topk`` coarse-quantizes into
+FIXED cells, and this operator learns the cells from the data — the
+standard IVF recipe (train centroids on a sample, assign the corpus,
+search only the probe's cell).
+
+Design for determinism AND scale:
+
+- **Deterministic everywhere**: init = the k lowest-id vectors;
+  assignment similarity rounded to ``round_decimals`` with centroid-id
+  tiebreak; per-dimension means computed as ``round(sum, d)/count``
+  (exact division of an on-grid sum). An identical computation is
+  SQL-expressible, so training itself is oracle-checkable cross-engine.
+- **Bounded iterations**: Lloyd rounds are unrolled — no convergence
+  polling. Each round's centroid table (k × dim values, trivially
+  small at any corpus size) is materialized so a round executes exactly
+  once; the CORPUS side is never materialized. Broadcast of the
+  centroid table makes each assignment a map-side pass.
+- **Update step is a posexplode + groupBy(cell, pos)**: shuffle volume
+  is N·dim value rows per round — linear, uniform keys (dim spreads
+  every cell across partitions), no skew amplification.
+
+At 100 TB you would train on a sampled slice (``vectors.sample``)
+and only ASSIGN the full corpus; both steps are the same code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_engineering_spark.functions.vectors import cosine
+
+
+def assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (ties → min cid).
+
+    Returns (id_col, vec_col, cell). Centroids (cid, cvec) are
+    broadcast — the corpus side never shuffles.
+    """
+    scored = vectors.join(F.broadcast(centroids)).withColumn(
+        "ccos", F.round(cosine(vec_col, "cvec"), round_decimals)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, F.col("cid").alias("cell"))
+    )
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+    materialize: bool = True,
+) -> DataFrame:
+    """Train k spherical-k-means centroids; returns (cid, cvec).
+
+    cid values are the ORIGINAL seed ids only at init; after an update
+    round they are the cell labels the seeds induced. Cells that lose
+    every member simply drop out (mirrorable in SQL, and harmless for
+    IVF: an empty cell indexes nothing).
+    """
+    seeds = vectors.orderBy(id_col).limit(k)
+    centroids = seeds.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    for _ in range(iterations):
+        assigned = assign_cells(
+            vectors, centroids, id_col, vec_col, round_decimals
+        )
+        dims = (
+            assigned.select(
+                "cell", F.posexplode(F.col(vec_col)).alias("pos", "val")
+            )
+            .groupBy("cell", "pos")
+            .agg(
+                (
+                    F.round(F.sum(F.col("val").cast("double")), round_decimals)
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+        )
+        centroids = (
+            dims.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.getField("m"),
+                ).alias("cvec")
+            )
+            .select(F.col("cell").alias("cid"), "cvec")
+        )
+        if materialize:
+            # k × dim values — always driver-safe; without this, every
+            # downstream consumer would replay ALL prior Lloyd rounds.
+            centroids = centroids.localCheckpoint(eager=True)
+    return centroids

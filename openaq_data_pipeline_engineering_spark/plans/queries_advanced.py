@@ -260,6 +260,92 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# IVF with LEARNED centroids: spherical k-means training (bounded Lloyd
+# rounds, operators/kmeans.py) unrolled into one declarative plan, then
+# in-cell probe search. The oracle replays the identical deterministic
+# training as a generated CTE chain — the INDEX BUILD itself is
+# correctness-checked cross-engine, not just the final search.
+# --------------------------------------------------------------------------
+_KM_K = 8
+_KM_ITERS = 2
+_KM_DIM = 64  # embeddings.embedding width (TESTDATA.md)
+_KM_PROBE = 0
+
+
+def _kmeans_oracle(k: int, iters: int, dim: int, probe: int) -> str:
+    ctes = [
+        f"c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec "
+        f"FROM embeddings ORDER BY vec_id LIMIT {k})"
+    ]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"s{t} AS (SELECT v.vec_id, v.embedding, c.cid, "
+            f"round({_cos_sql('v.embedding', 'c.cvec')}, 6) AS ccos "
+            f"FROM embeddings v CROSS JOIN {prev} c)"
+        )
+        ctes.append(
+            f"a{t} AS (SELECT vec_id, embedding, cid AS cell FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY ccos DESC, cid) AS rn FROM s{t}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"d{t} AS (SELECT cell, r.i AS pos, "
+            f"round(sum(embedding[r.i + 1]::DOUBLE), 6) / count(*) AS m "
+            f"FROM a{t}, range({dim}) AS r(i) GROUP BY cell, r.i)"
+        )
+        ctes.append(
+            f"c{t} AS (SELECT cell AS cid, list(m ORDER BY pos) AS cvec "
+            f"FROM d{t} GROUP BY cell)"
+        )
+        prev = f"c{t}"
+    cte_block = ",\n         ".join(ctes)
+    return f"""
+    WITH {cte_block},
+    fs AS (SELECT v.vec_id, v.embedding, c.cid,
+                  round({_cos_sql('v.embedding', 'c.cvec')}, 6) AS ccos
+           FROM embeddings v CROSS JOIN {prev} c),
+    fa AS (SELECT vec_id, embedding, cid AS cell FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY ccos DESC, cid) AS rn FROM fs) WHERE rn = 1),
+    q AS (SELECT cell AS qcell, embedding AS qvec FROM fa
+          WHERE vec_id = {probe})
+    SELECT a.vec_id, round({_cos_sql('a.embedding', 'q.qvec')}, 6) AS cosine
+    FROM fa a, q
+    WHERE a.cell = q.qcell AND a.vec_id <> {probe}
+    ORDER BY cosine DESC, a.vec_id LIMIT 10
+    """
+
+
+@query(
+    "kmeans_ivf_topk",
+    "ANN: spherical k-means trains 8 IVF centroids (2 Lloyd rounds), in-cell top-10",
+    oracle=_kmeans_oracle(_KM_K, _KM_ITERS, _KM_DIM, _KM_PROBE),
+)
+def kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.operators.kmeans import (
+        assign_cells,
+        kmeans_fit,
+    )
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    cent = kmeans_fit(emb, k=_KM_K, iterations=_KM_ITERS)
+    assigned = assign_cells(emb, cent)
+    q = assigned.filter(F.col("vec_id") == _KM_PROBE).select(
+        F.col("cell").alias("qcell"), F.col("embedding").alias("qvec")
+    )
+    return (
+        assigned.filter(F.col("vec_id") != _KM_PROBE)
+        .join(F.broadcast(q), F.col("cell") == F.col("qcell"))
+        .select("vec_id", F.round(cosine("embedding", "qvec"), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
 # Multimodal feature extraction through the Arrow/Pandas-UDF path, with
 # an exact oracle (md5-derived pseudo-features, operators/multimodal.py)
 # --------------------------------------------------------------------------

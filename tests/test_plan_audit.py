@@ -25,6 +25,8 @@ NLJ_ALLOWED = {
     "ann_cosine_topk",
     "knn_join_top3",
     "ivf_ann_topk",
+    # k-means: every vector scored vs a k-row broadcast centroid table.
+    "kmeans_ivf_topk",
 }
 
 # Streaming plans can't be built with a batch explain.

@@ -317,3 +317,74 @@ class TestZOrder:
         z_total = sum(chunks_overlapping(z, 1, *b) for b in bands)
         assert lex_total == n_chunks * len(bands)  # lex: no pruning at all
         assert z_total <= lex_total // 2           # z: >2x fewer chunks read
+
+
+class TestKMeans:
+    def _python_spherical_kmeans(self, vecs, k, iterations):
+        """Pure-Python reference: same deterministic rules as the operator
+        (init = k lowest ids, cosine assignment rounded to 6 with min-cid
+        tiebreak, per-dim mean = round(sum, 6)/count)."""
+        import math
+
+        def cos(a, b):
+            dot = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return round(dot / (na * nb), 6)
+
+        cent = {i: list(vecs[i]) for i in sorted(vecs)[:k]}
+        for _ in range(iterations):
+            cells = {}
+            for vid in sorted(vecs):
+                best = max(
+                    sorted(cent), key=lambda c: (cos(vecs[vid], cent[c]), -c)
+                )
+                cells.setdefault(best, []).append(vecs[vid])
+            cent = {
+                c: [
+                    round(sum(v[d] for v in members), 6) / len(members)
+                    for d in range(len(members[0]))
+                ]
+                for c, members in cells.items()
+            }
+        return cent
+
+    def test_matches_python_reference(self, spark):
+        import random
+
+        from openaq_data_pipeline_engineering_spark.operators.kmeans import (
+            kmeans_fit,
+        )
+
+        rng = random.Random(7)
+        vecs = {
+            i: [rng.uniform(-1, 1) for _ in range(6)] for i in range(30)
+        }
+        df = spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()],
+            "vec_id bigint, embedding array<double>",
+        )
+        got = {
+            r["cid"]: list(r["cvec"])
+            for r in kmeans_fit(df, k=3, iterations=2).collect()
+        }
+        want = self._python_spherical_kmeans(vecs, k=3, iterations=2)
+        assert set(got) == set(want)
+        for cid in want:
+            for a, b in zip(got[cid], want[cid]):
+                assert abs(a - b) < 1e-9
+
+    def test_assignment_covers_all_vectors(self, spark):
+        from openaq_data_pipeline_engineering_spark.operators.kmeans import (
+            assign_cells,
+            kmeans_fit,
+        )
+        from openaq_data_pipeline_engineering_spark.sources.star import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+            "vec_id", "embedding"
+        )
+        cent = kmeans_fit(emb, k=4, iterations=1)
+        assigned = assign_cells(emb, cent)
+        assert assigned.count() == emb.count()
+        assert assigned.select("cell").distinct().count() <= 4
