@@ -1,0 +1,75 @@
+"""Batch MERGE / upsert and SCD2 versioning over keyed tables.
+
+The reference pipeline is append-only (daily partitions written once —
+etls/glue_etl.py writes a fresh date partition per run), but any
+warehouse consuming it eventually needs keyed updates: corrected
+sensor metadata, re-delivered days, dimension churn. These operators
+express MERGE semantics with plain DataFrame joins so Catalyst plans
+them (no table-format dependency, works on any source).
+
+Scale notes: both operators are ONE shuffle-or-broadcast join on the
+merge key. The changes side of a merge is normally tiny relative to
+the base (a day's delta vs years of history) — Spark's AQE broadcasts
+it automatically; nothing here forces a layout.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    base: DataFrame, updates: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """UPSERT: rows in ``updates`` replace same-key rows in ``base``;
+    unmatched update rows are inserts. Columns must align by name."""
+    cols = base.columns
+    untouched = base.join(updates.select(*keys), list(keys), "left_anti")
+    return untouched.select(*cols).unionByName(updates.select(*cols))
+
+
+def scd2_apply(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    from_version: int = 1,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: keep history instead of
+    overwriting. Same-key rows get a closed-out old version
+    (``is_current = false``) plus the update as the new current
+    version; unmatched base rows stay current at ``from_version``;
+    unmatched update rows are inserted as current.
+
+    Output = base columns + (version INT, is_current BOOLEAN).
+    """
+    cols = base.columns
+    k = list(keys)
+    changed_keys = updates.select(*k)
+    closed = (
+        base.join(changed_keys, k, "left_semi")
+        .select(*cols)
+        .withColumn("version", F.lit(from_version))
+        .withColumn("is_current", F.lit(False))
+    )
+    untouched = (
+        base.join(changed_keys, k, "left_anti")
+        .select(*cols)
+        .withColumn("version", F.lit(from_version))
+        .withColumn("is_current", F.lit(True))
+    )
+    fresh = (
+        updates.select(*cols)
+        .join(base.select(*k).withColumn("__had", F.lit(1)), k, "left")
+        .select(
+            *cols,
+            (
+                F.when(F.col("__had").isNotNull(), F.lit(from_version + 1))
+                .otherwise(F.lit(from_version))
+            ).alias("version"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    return closed.unionByName(untouched).unionByName(fresh)

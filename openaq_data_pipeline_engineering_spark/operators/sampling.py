@@ -83,3 +83,32 @@ def split_column_sql(
         f"WHEN {u} < {train_frac + val_frac} THEN 'val' "
         f"ELSE 'test' END"
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    n_per_stratum: int,
+    salt: str = "strat",
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, chosen by key hash.
+
+    Equal-count stratified sampling (vs :func:`weighted_source_mix`'s
+    rate-based thinning): rank rows inside each stratum by the
+    deterministic hash (key tiebreak) and keep the first n. One window
+    shuffle on the strata column; layout-independent like all sampling
+    here. Skewed strata don't skew the OUTPUT (each emits exactly n),
+    and the window shuffle can be salted upstream if a single stratum
+    dominates the input.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_unit(key, salt), F.col(key)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )

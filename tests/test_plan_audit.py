@@ -27,6 +27,8 @@ NLJ_ALLOWED = {
     "ivf_ann_topk",
     # k-means: every vector scored vs a k-row broadcast centroid table.
     "kmeans_ivf_topk",
+    # tf-idf: 1-row corpus-size aggregate broadcast onto the tf table.
+    "tfidf_top_terms",
 }
 
 # Streaming plans can't be built with a batch explain.
