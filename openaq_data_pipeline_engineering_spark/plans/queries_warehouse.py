@@ -1,0 +1,165 @@
+"""Declared queries: warehouse surface extensions — unpivot (wide→long),
+time-range rolling windows, one-pass data-quality expectations,
+explicit GROUPING SETS.
+
+Completes operator families the reference only exercises in one
+direction: the Glue job pivots long→wide (process_openaq_raw.py:151-165)
+but never inverts it; Athena validation runs COUNT(*)-style checks
+(utils/athena_utils.py:38-175, tests/test_phase5_manual_trigger.py)
+but one at a time, not as a single-pass expectation report.
+
+Float policy (plans/registry.py): window/grouped sums go through
+DECIMAL inside the aggregate (order-independent), then cast to DOUBLE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_engineering_spark.plans.queries_core import EVENT_TYPES
+from openaq_data_pipeline_engineering_spark.plans.registry import query
+from openaq_data_pipeline_engineering_spark.sources.star import fan_out, load_table
+
+
+# --------------------------------------------------------------------------
+# Unpivot / melt: the inverse of A1's pivot.  pivot(explicit values) then
+# unpivot(drop nulls) must equal the plain two-key GROUP BY — which is
+# exactly what the oracle computes, so the roundtrip itself is what's
+# being verified.
+# --------------------------------------------------------------------------
+@query(
+    "events_unpivot",
+    "unpivot: pivot(user x event_type mean) melted back to long = 2-key GROUP BY",
+    oracle="""
+    SELECT user_id, event_type,
+           round(sum(value), 2) / count(value) AS mean_value
+    FROM events
+    GROUP BY user_id, event_type
+    HAVING count(value) > 0
+    """,
+)
+def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    cnt = F.count("value")
+    stable_mean = F.when(cnt > 0, F.round(F.sum("value"), 2) / cnt)
+    wide = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).agg(stable_mean)
+    return wide.unpivot(
+        ["user_id"], EVENT_TYPES, "event_type", "mean_value"
+    ).dropna(subset=["mean_value"])
+
+
+# --------------------------------------------------------------------------
+# Time-RANGE rolling window (not ROWS): per-user trailing-1h activity.
+# Frame bounds are integer microseconds on both engines (ts carries
+# sub-second precision — see sources/star.py nanos handling).
+# --------------------------------------------------------------------------
+@query(
+    "rolling_time_window",
+    "window: per-user trailing-1h RANGE frame (sum via DECIMAL, count)",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_1h"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+    )
+
+
+# --------------------------------------------------------------------------
+# One-pass data-quality expectation report (deequ-style, engine-native):
+# each table contributes ONE aggregate pass (stack() fans the metrics
+# out to rows); referential integrity is an anti-join count.
+# --------------------------------------------------------------------------
+@query(
+    "dq_expectations",
+    "data quality: uniqueness/completeness/range/referential checks as one report",
+    oracle="""
+    SELECT 'orders_orderkey_unique' AS expectation,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_custkey_complete',
+           CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           CAST(count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_quantity_range',
+           CAST(count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END)
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_no_orphans', CAST(count(*) AS BIGINT)
+    FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = fan_out(load_table(spark, sf_dir, "orders"))
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
+    o_metrics = orders.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("m1"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("m2"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("m3"),
+    ).select(
+        F.expr(
+            "stack(3, 'orders_orderkey_unique', m1,"
+            " 'orders_custkey_complete', m2,"
+            " 'orders_totalprice_positive', m3)"
+        ).alias("expectation", "violations")
+    )
+    l_range = li.agg(
+        F.count(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+        ).alias("violations")
+    ).select(F.lit("lineitem_quantity_range").alias("expectation"), "violations")
+    orphans = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("lineitem_no_orphans").alias("expectation"), "violations")
+    )
+    return o_metrics.unionByName(l_range).unionByName(orphans)
+
+
+# --------------------------------------------------------------------------
+# Explicit GROUPING SETS (beyond the rollup/cube shorthands), via the
+# SQL executor surface (S11) like the subquery pair.
+# --------------------------------------------------------------------------
+_GSETS_SQL = """
+SELECT event_type,
+       CAST(user_id % 7 AS BIGINT) AS user_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(grouping(event_type) AS BIGINT) AS g_type
+FROM events
+GROUP BY GROUPING SETS ((event_type), (user_id % 7), ())
+"""
+
+
+@query(
+    "grouping_sets_report",
+    "GROUP BY GROUPING SETS: by-type, by-user-bucket, and grand-total slices",
+    oracle=_GSETS_SQL,
+)
+def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_GSETS_SQL)
