@@ -155,6 +155,53 @@ GROUP BY GROUPING SETS ((event_type), (user_id % 7), ())
 """
 
 
+# --------------------------------------------------------------------------
+# Integer PageRank over the part co-purchase graph (parts sharing an
+# order). Iterative-algorithm pattern #3 (operators/pagerank.py) with a
+# bit-exact CTE-chain oracle — the ITERATION is verified cross-engine,
+# like kmeans_ivf_topk.
+# --------------------------------------------------------------------------
+_PR_EDGES_CTE = """e0 AS (
+        SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (SELECT s AS src, t AS dst FROM e0
+              UNION ALL SELECT t AS src, s AS dst FROM e0)"""
+
+
+from openaq_data_pipeline_engineering_spark.operators.pagerank import (
+    pagerank,
+    pagerank_oracle_sql,
+    undirect,
+)
+
+
+@query(
+    "pagerank_parts",
+    "graph: 3-round integer PageRank on parts co-ordered together, top-100",
+    oracle=pagerank_oracle_sql(_PR_EDGES_CTE, iterations=3, top_k=100),
+)
+def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = fan_out(load_table(spark, sf_dir, "lineitem")).select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    pr = pagerank(undirect(pairs), iterations=3)
+    return pr.orderBy(F.desc("pr"), "node").limit(100)
+
+
 @query(
     "grouping_sets_report",
     "GROUP BY GROUPING SETS: by-type, by-user-bucket, and grand-total slices",

@@ -113,3 +113,35 @@ class TestMerge:
         assert sorted(map(tuple, cur.collect())) == sorted(
             map(tuple, ups.collect())
         )
+
+
+class TestPageRank:
+    def test_matches_python_reference(self, spark):
+        from openaq_data_pipeline_engineering_spark.operators.pagerank import (
+            DAMP_NUM, SCALE, TELEPORT_NUM, pagerank, undirect,
+        )
+
+        # triangle + pendant: 1-2, 2-3, 1-3, 3-4
+        pairs = [(1, 2), (2, 3), (1, 3), (3, 4)]
+        edges = undirect(
+            spark.createDataFrame(pairs, "src bigint, dst bigint")
+        )
+        got = {
+            r["node"]: r["pr"] for r in pagerank(edges, iterations=3).collect()
+        }
+
+        adj, deg = {}, {}
+        for s, t in pairs:
+            adj.setdefault(s, []).append(t)
+            adj.setdefault(t, []).append(s)
+        deg = {n: len(ns) for n, ns in adj.items()}
+        pr = {n: SCALE for n in adj}
+        for _ in range(3):
+            nxt = {}
+            for n, ns in adj.items():
+                s = sum(pr[m] // deg[m] for m in ns)
+                nxt[n] = TELEPORT_NUM + (DAMP_NUM * s) // SCALE
+            pr = nxt
+        assert got == pr
+        # pendant node (deg 1) must rank below the triangle hub (node 3)
+        assert got[4] < got[3]
