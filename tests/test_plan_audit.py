@@ -29,6 +29,8 @@ NLJ_ALLOWED = {
     "kmeans_ivf_topk",
     # tf-idf: 1-row corpus-size aggregate broadcast onto the tf table.
     "tfidf_top_terms",
+    # quantized ANN: 5 query vectors broadcast, `!=` is the only condition.
+    "quantized_ann_topk",
 }
 
 # Streaming plans can't be built with a batch explain.
