@@ -54,14 +54,16 @@ def pagerank(
     :func:`undirect`). Initial rank = SCALE for every node.
     """
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
-    if materialize:
-        # edges/degrees are reused every round; stop re-planning them.
-        deg = deg.localCheckpoint(eager=True)
-        edges = edges.localCheckpoint(eager=True)
-    pr = deg.select(
-        F.col(src).alias("node"), F.lit(SCALE).cast("long").alias("pr")
-    )
     e_deg = edges.join(deg, src)
+    if materialize:
+        # The degree-annotated edge list is reused every round; pin the
+        # JOINED form once so no round re-plans (or re-shuffles) it.
+        e_deg = e_deg.localCheckpoint(eager=True)
+    pr = (
+        e_deg.select(F.col(src).alias("node"))
+        .distinct()
+        .withColumn("pr", F.lit(SCALE).cast("long"))
+    )
     for _ in range(iterations):
         contrib = e_deg.join(pr, F.col(src) == F.col("node")).select(
             F.col(dst).alias("__to"),
