@@ -151,6 +151,35 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quantized_dots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, embedding, qvec, dot_q): integer-quantized
+    dot of every (query < 5, other) pair, carrying both float vectors so
+    a rerank stage needs no second pass over the table."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    quantize = F.expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT))"
+    )
+    quant = emb.select("vec_id", "embedding", quantize.alias("q"))
+    qset = quant.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("q").alias("qq"),
+    )
+    dot_q = F.expr(
+        "aggregate(zip_with(q, qq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
+    )
+    return quant.join(
+        F.broadcast(qset), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "embedding",
+        "qvec",
+        dot_q.alias("dot_q"),
+    )
+
+
+
 # --------------------------------------------------------------------------
 # Quantized (integer) dot-product ANN: cheap first-pass ranking
 # --------------------------------------------------------------------------
@@ -183,27 +212,87 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def quantized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    quantize = F.expr(
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT))"
-    )
-    quant = emb.select("vec_id", quantize.alias("q"))
-    qset = quant.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
-    )
-    dot_q = F.expr(
-        "aggregate(zip_with(q, qq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
-    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("dot_q"), "neighbor_id"
     )
     return (
-        quant.join(F.broadcast(qset), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            dot_q.alias("dot_q"),
-        )
+        _quantized_dots(spark, sf_dir)
+        .select("query_id", "neighbor_id", "dot_q")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
+    )
+
+
+# --------------------------------------------------------------------------
+# Two-stage retrieval: quantized prune -> exact cosine rerank
+# --------------------------------------------------------------------------
+@query(
+    "quantized_rerank_topk",
+    "similarity: int-quantized top-20 prune, then exact-cosine rerank to "
+    "top-5 — the canonical cheap-scan + bounded-rerank ANN shape",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 64) AS BIGINT)
+                 AS qx,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    qset AS (SELECT * FROM flat WHERE vec_id < 5),
+    dots AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             sum(q.qx * b.qx) AS dot_q
+      FROM qset q JOIN flat b ON q.i = b.i AND b.vec_id <> q.vec_id
+      GROUP BY q.vec_id, b.vec_id
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id
+               ) AS c_rn
+        FROM dots
+      ) WHERE c_rn <= 20
+    ),
+    exact AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+                 AS cos_raw
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.query_id
+      JOIN embeddings b ON b.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM (
+      SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id
+             ) AS rn
+      FROM exact
+    ) WHERE rn <= 5
+    """,
+)
+def quantized_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.functions.vectors import cosine
+
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), "neighbor_id")
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), "neighbor_id")
+    return (
+        _quantized_dots(spark, sf_dir)
+        .withColumn("c_rn", F.row_number().over(w1))
+        .filter(F.col("c_rn") <= 20)
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine("embedding", "qvec").alias("cos_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rn",
+        )
     )

@@ -31,6 +31,7 @@ NLJ_ALLOWED = {
     "tfidf_top_terms",
     # quantized ANN: 5 query vectors broadcast, `!=` is the only condition.
     "quantized_ann_topk",
+    "quantized_rerank_topk",
 }
 
 # Streaming plans can't be built with a batch explain.
