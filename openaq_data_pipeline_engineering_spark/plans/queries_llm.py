@@ -296,3 +296,261 @@ def quantized_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Capstone: full pretraining-data funnel with per-stage survivor counts
+# --------------------------------------------------------------------------
+def _funnel_oracle() -> str:
+    from openaq_data_pipeline_engineering_spark.functions.text import (
+        minhash_sql_exprs,
+    )
+    from openaq_data_pipeline_engineering_spark.operators.sampling import (
+        split_column_sql,
+    )
+    from openaq_data_pipeline_engineering_spark.plans.queries_text import (
+        _BANDS,
+        _NUM_HASHES,
+        _quality_sql,
+        _wc_sql,
+    )
+
+    mins = ",\n               ".join(minhash_sql_exprs("sh", _NUM_HASHES))
+    bands = ", ".join(f"md5(h{a} || h{b})" for a, b in _BANDS)
+    split = split_column_sql("doc_id")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       for i in range(1, len(t) - 1)]) AS sh
+        FROM toks WHERE len(t) >= 3
+    ), mh AS (
+        SELECT doc_id, {mins}
+        FROM sh GROUP BY doc_id
+    ), bandtab AS (
+        SELECT doc_id, unnest([{bands}]) AS band FROM mh
+    ), near_b AS (
+        SELECT DISTINCT b.doc_id AS doc_id
+        FROM bandtab a JOIN bandtab b ON a.band = b.band AND a.doc_id < b.doc_id
+    ), keepers AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ), eval_g AS (
+        SELECT DISTINCT sh AS g FROM sh WHERE doc_id % {_EVAL_MOD} = 0
+    ), contam AS (
+        SELECT DISTINCT s.doc_id FROM sh s JOIN eval_g e ON s.sh = e.g
+        WHERE s.doc_id % {_EVAL_MOD} <> 0
+    ), flags AS (
+        SELECT d.doc_id, d.source, {_wc_sql('d.text')} AS wc,
+               (d.lang = 'en') AS lang_ok,
+               ({_quality_sql('d.text')} > 0.4) AS q_ok,
+               (k.doc_id IS NOT NULL) AS keep,
+               (n.doc_id IS NOT NULL) AS nd,
+               (c.doc_id IS NOT NULL OR d.doc_id % {_EVAL_MOD} = 0) AS ct
+        FROM documents d
+        LEFT JOIN keepers k ON d.doc_id = k.doc_id
+        LEFT JOIN near_b n ON d.doc_id = n.doc_id
+        LEFT JOIN contam c ON d.doc_id = c.doc_id
+    ), surv AS (
+        SELECT * FROM flags
+        WHERE lang_ok AND q_ok AND keep AND NOT nd AND NOT ct
+    ), packed AS (
+        SELECT source,
+               CAST(floor(coalesce(sum(wc) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {_PACK_TARGET}) AS BIGINT) AS seq_id
+        FROM surv
+    )
+    SELECT CAST(1 AS BIGINT) AS stage, 'raw' AS stage_name,
+           CAST(count(*) AS BIGINT) AS n FROM flags
+    UNION ALL SELECT 2, 'lang_en',
+           CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+    UNION ALL SELECT 3, 'quality',
+           CAST(sum(CASE WHEN lang_ok AND q_ok THEN 1 ELSE 0 END) AS BIGINT)
+           FROM flags
+    UNION ALL SELECT 4, 'exact_dedup',
+           CAST(sum(CASE WHEN lang_ok AND q_ok AND keep
+                    THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+    UNION ALL SELECT 5, 'near_dedup',
+           CAST(sum(CASE WHEN lang_ok AND q_ok AND keep AND NOT nd
+                    THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+    UNION ALL SELECT 6, 'decontaminated',
+           CAST(count(*) AS BIGINT) FROM surv
+    UNION ALL SELECT 7, 'chunks',
+           CAST(coalesce(sum(1 + greatest(wc - 9, 0) // 24), 0) AS BIGINT)
+           FROM surv
+    UNION ALL SELECT 8, 'packed_sequences',
+           CAST(count(DISTINCT (source, seq_id)) AS BIGINT) FROM packed
+    UNION ALL SELECT 9, 'train_docs',
+           CAST(sum(CASE WHEN ({split}) = 'train' THEN 1 ELSE 0 END)
+                AS BIGINT) FROM surv
+    """
+
+
+@query(
+    "pretraining_funnel",
+    "capstone: per-stage survivor counts through lang -> quality -> exact "
+    "dedup -> near-dup -> decontamination -> chunk/pack/split — flags "
+    "computed in one scan, conditional sums per stage",
+    oracle=_funnel_oracle(),
+)
+def pretraining_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.functions.text import (
+        minhash_agg_exprs,
+        quality_score,
+        whitespace_token_count,
+    )
+    from openaq_data_pipeline_engineering_spark.operators.dedup import exact_dedup
+    from openaq_data_pipeline_engineering_spark.operators.sampling import (
+        split_column,
+    )
+    from openaq_data_pipeline_engineering_spark.plans.queries_text import (
+        _BANDS,
+        _NUM_HASHES,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+
+    keepers = exact_dedup(docs, content_col="text", id_col="doc_id").select(
+        "doc_id"
+    )
+
+    sh = docs.select("doc_id", F.explode(word_shingles("text", 3)).alias("sh"))
+    mh = sh.groupBy("doc_id").agg(*minhash_agg_exprs("sh", _NUM_HASHES))
+    band_exprs = [
+        F.md5(F.concat(F.col(f"h{a}"), F.col(f"h{b}"))) for a, b in _BANDS
+    ]
+    bandtab = mh.select("doc_id", F.explode(F.array(*band_exprs)).alias("band"))
+    a, b = bandtab.alias("a"), bandtab.alias("b")
+    near_b = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+
+    is_eval = (F.col("doc_id") % _EVAL_MOD) == 0
+    eval_g = sh.filter(is_eval).select(F.col("sh").alias("g")).distinct()
+    contam = (
+        sh.filter(~is_eval)
+        .join(F.broadcast(eval_g), F.col("sh") == F.col("g"), "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+    flags = (
+        docs.select(
+            "doc_id",
+            "source",
+            whitespace_token_count("text").alias("wc"),
+            (F.col("lang") == "en").alias("lang_ok"),
+            (quality_score("text") > 0.4).alias("q_ok"),
+        )
+        .join(keepers.withColumn("__k", F.lit(1)), "doc_id", "left")
+        .join(near_b.withColumn("__n", F.lit(1)), "doc_id", "left")
+        .join(contam.withColumn("__c", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "wc",
+            "lang_ok",
+            "q_ok",
+            F.col("__k").isNotNull().alias("keep"),
+            F.col("__n").isNotNull().alias("nd"),
+            (F.col("__c").isNotNull() | is_eval).alias("ct"),
+        )
+    )
+    # The flag table feeds four aggregation branches; pin it once so the
+    # LSH/minhash subtree isn't re-executed per branch.
+    flags = flags.localCheckpoint(eager=True)
+    surv = flags.filter(
+        F.col("lang_ok")
+        & F.col("q_ok")
+        & F.col("keep")
+        & ~F.col("nd")
+        & ~F.col("ct")
+    )
+
+    def row(stage: int, name: str, col) -> DataFrame:
+        src = flags if stage <= 5 else surv
+        return src.agg(
+            F.lit(stage).cast("bigint").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.coalesce(col, F.lit(0)).cast("bigint").alias("n"),
+        )
+
+    ones = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = surv.select(
+        "source",
+        F.floor(
+            F.coalesce(F.sum("wc").over(w), F.lit(0)) / _PACK_TARGET
+        ).alias("seq_id"),
+    )
+
+    return (
+        row(1, "raw", F.count(F.lit(1)))
+        .unionByName(row(2, "lang_en", ones(F.col("lang_ok"))))
+        .unionByName(
+            row(3, "quality", ones(F.col("lang_ok") & F.col("q_ok")))
+        )
+        .unionByName(
+            row(
+                4,
+                "exact_dedup",
+                ones(F.col("lang_ok") & F.col("q_ok") & F.col("keep")),
+            )
+        )
+        .unionByName(
+            row(
+                5,
+                "near_dedup",
+                ones(
+                    F.col("lang_ok")
+                    & F.col("q_ok")
+                    & F.col("keep")
+                    & ~F.col("nd")
+                ),
+            )
+        )
+        .unionByName(row(6, "decontaminated", F.count(F.lit(1))))
+        .unionByName(
+            row(
+                7,
+                "chunks",
+                F.sum(
+                    F.lit(1)
+                    + F.expr("CAST(greatest(wc - 9, 0) div 24 AS BIGINT)")
+                ),
+            )
+        )
+        .unionByName(
+            packed.agg(
+                F.lit(8).cast("bigint").alias("stage"),
+                F.lit("packed_sequences").alias("stage_name"),
+                F.coalesce(
+                    F.count_distinct(F.col("source"), F.col("seq_id")),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("n"),
+            )
+        )
+        .unionByName(
+            row(
+                9,
+                "train_docs",
+                ones(split_column("doc_id") == "train"),
+            )
+        )
+    )
