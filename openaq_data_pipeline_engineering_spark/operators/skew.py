@@ -58,3 +58,28 @@ def salted_agg(
             for out, (src, fn) in aggs.items()
         ]
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-safe equi-join: replicate the small side across ``n_salts``
+    sub-keys and salt the fact side, so one hot join key spreads over
+    ``n_salts`` reducers instead of one.
+
+    The salt on the fact side may be ANY per-row value in [0, n_salts)
+    (it only routes rows); the dim side carries every salt, so the
+    joined row-set is identical to the unsalted join. Use when a
+    broadcast is too large and AQE's runtime skew splitting is
+    unavailable or insufficient.
+    """
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(*fact.columns), F.lit(n_salts))
+    )
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    return salted_fact.join(salted_dim, [key, "__salt"]).drop("__salt")

@@ -210,3 +210,98 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_GSETS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Partial-aggregate rollup merge: daily partials -> monthly, the
+# pre-aggregation pattern that turns a 100 TB re-scan into a merge of
+# tiny partial tables. Values are summed in exact integer milli-units
+# (floor(value*1000): the multiply is correctly rounded IEEE in both
+# engines, floor is exact) so the merge is bit-exact cross-engine.
+# --------------------------------------------------------------------------
+_ROLLUP_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+               AS sum_milli
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+)
+SELECT event_type,
+       CAST(date_trunc('month', day) AS DATE) AS month,
+       CAST(sum(n) AS BIGINT) AS n,
+       CAST(sum(sum_milli) AS BIGINT) AS sum_milli,
+       CAST(sum(sum_milli) AS DOUBLE) / sum(n) AS avg_milli
+FROM daily GROUP BY event_type, date_trunc('month', day)
+"""
+
+
+@query(
+    "rollup_merge",
+    "rollup: daily partial aggregates merged to monthly (algebraic "
+    "sum/count re-aggregation — the pre-aggregation scale pattern)",
+    oracle=_ROLLUP_SQL,
+)
+def rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias(
+            "sum_milli"
+        ),
+    )
+    return daily.groupBy(
+        "event_type",
+        F.date_trunc("month", "day").cast("date").alias("month"),
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_milli").alias("sum_milli"),
+        (
+            F.sum("sum_milli").cast("double") / F.sum("n")
+        ).alias("avg_milli"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Salted skew join: hot event_type keys spread across 8 sub-keys; the
+# aggregated result is salt-invariant, so the oracle is the PLAIN join.
+# --------------------------------------------------------------------------
+_SALTED_JOIN_SQL = """
+WITH dim AS (
+    SELECT DISTINCT event_type,
+           CAST(length(event_type) AS BIGINT) AS type_len
+    FROM events
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(e.value * 1000) AS BIGINT)) AS BIGINT)
+           AS sum_milli,
+       max(d.type_len) AS type_len
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type
+"""
+
+
+@query(
+    "salted_skew_join",
+    "skew: fact-side salted join against a salt-replicated dim "
+    "(row-set identical to the plain join; oracle is the plain join)",
+    oracle=_SALTED_JOIN_SQL,
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.operators.skew import salted_join
+
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    dim = ev.select("event_type").distinct().withColumn(
+        "type_len", F.length("event_type").cast("bigint")
+    )
+    joined = salted_join(ev, dim, key="event_type", n_salts=8)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias(
+            "sum_milli"
+        ),
+        F.max("type_len").alias("type_len"),
+    )

@@ -388,3 +388,37 @@ class TestKMeans:
         assigned = assign_cells(emb, cent)
         assert assigned.count() == emb.count()
         assert assigned.select("cell").distinct().count() <= 4
+
+
+class TestSaltedJoin:
+    def test_rowset_identical_to_plain_join(self, spark):
+        from openaq_data_pipeline_engineering_spark.operators.skew import salted_join
+
+        fact = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "c")],
+            "id bigint, k string",
+        )
+        dim = spark.createDataFrame(
+            [("a", 10), ("b", 20), ("c", 30), ("d", 40)], "k string, v int"
+        )
+        salted = salted_join(fact, dim, key="k", n_salts=4)
+        plain = fact.join(dim, "k")
+        assert sorted(map(tuple, salted.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+
+    def test_hot_key_spreads_over_salts(self, spark):
+        from openaq_data_pipeline_engineering_spark.operators.skew import salted_join
+        from pyspark.sql import functions as F
+
+        fact = spark.range(0, 1000).select(
+            F.col("id"), F.lit("hot").alias("k")
+        )
+        dim = spark.createDataFrame([("hot", 1)], "k string, v int")
+        out = salted_join(fact, dim, key="k", n_salts=8)
+        assert out.count() == 1000
+        # the fact side's salt column takes >1 distinct value on a hot key
+        salted_fact = fact.withColumn(
+            "__salt", F.pmod(F.xxhash64(*fact.columns), F.lit(8))
+        )
+        assert salted_fact.select("__salt").distinct().count() > 1
