@@ -82,4 +82,9 @@ def salted_join(
     salted_dim = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("__salt", F.col("__salt").cast("bigint"))
-    return salted_fact.join(salted_dim, [key, "__salt"]).drop("__salt")
+    # shuffle_hash hint: a dim small enough to broadcast wouldn't need
+    # salting at all — keep the plan an actual distributed join so the
+    # technique the operator demonstrates is the technique in the plan.
+    return salted_fact.join(
+        salted_dim.hint("shuffle_hash"), [key, "__salt"]
+    ).drop("__salt")

@@ -88,6 +88,20 @@ def _latest_correctness() -> dict:
         return {}
 
 
+# More registered-but-unverified queries than the driver's ~50-per-round
+# budget: these wait one rotation because their semantics already have
+# adjacent driver/pytest evidence (see each note). They sort after the
+# other not-yet-green queries and before greens, so they surface first
+# in the round AFTER the current backlog clears.
+_DEFER_ONE_ROTATION = (
+    "streaming_incremental_ingest",  # rows-only by design; has its r02 row
+    "quantized_ann_topk",  # strict subset of quantized_rerank_topk stage 1
+    "sequence_packing",  # same packing window as pretraining_funnel stage 8
+    "doc_chunks",  # chunk math mirrored in funnel stage 7; TestChunking
+    "cube_report",  # grouping-id machinery == rollup/grouping_sets reports
+)
+
+
 def _ordered_names() -> list[str]:
     """Registry order: queries WITHOUT a green row in the latest
     correctness snapshot first, greens last (stable within each group).
@@ -103,7 +117,13 @@ def _ordered_names() -> list[str]:
         return bool(row) and row.get("hash_match") is True
 
     names = list(QUERIES)
-    return [n for n in names if not is_green(n)] + [n for n in names if is_green(n)]
+    fresh = [
+        n for n in names if not is_green(n) and n not in _DEFER_ONE_ROTATION
+    ]
+    deferred = [
+        n for n in names if not is_green(n) and n in _DEFER_ONE_ROTATION
+    ]
+    return fresh + deferred + [n for n in names if is_green(n)]
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

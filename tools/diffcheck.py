@@ -84,8 +84,15 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    json_path = None
+    for a in list(args):
+        if a.startswith("--json="):
+            json_path = a.split("=", 1)[1]
+            args.remove(a)
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
 
     from openaq_data_pipeline_engineering_spark.engine import get_spark
     from openaq_data_pipeline_engineering_spark.plans.registry import get_oracles, get_queries
@@ -109,16 +116,19 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
+            results[name] = {"status": "fail", "err": f"spark: {e}"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            results[name] = {"status": "rows_only", "rows": len(sdf)}
             n_noracle += 1
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
+            results[name] = {"status": "fail", "err": f"oracle: {e}"}
             n_fail += 1
             continue
         problems = compare(name, sdf, odf)
@@ -126,11 +136,24 @@ def main() -> int:
             print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
             for p in problems:
                 print(f"      {p}")
+            results[name] = {"status": "fail", "err": "; ".join(problems)}
             n_fail += 1
         else:
             print(f"PASS  {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+            results[name] = {
+                "status": "pass",
+                "rows": len(sdf),
+                "sec": round(time.time() - t0, 2),
+            }
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
+    if json_path:
+        import json as _json
+
+        with open(json_path, "w") as f:
+            _json.dump(
+                {"sf_dir": sf_dir, "results": results}, f, indent=1, sort_keys=True
+            )
     spark.stop()
     return 1 if n_fail else 0
 
