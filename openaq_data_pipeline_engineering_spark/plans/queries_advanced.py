@@ -1125,3 +1125,151 @@ def returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q4 shape: EXISTS decorrelated to a left-semi join + priority agg.
+# (Synthetic lineitem lacks commit/receipt dates; the EXISTS predicate
+# is returnflag='R', preserving the correlated-EXISTS plan shape.)
+# --------------------------------------------------------------------------
+@query(
+    "priority_exists_q4",
+    "TPC-H Q4 shape: EXISTS subquery -> semi join, order-priority counts",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def priority_exists_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    returned = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(
+            returned,
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q12 shape: fact⋈fact join + dual conditional counts per status.
+# --------------------------------------------------------------------------
+@query(
+    "linestatus_priority_q12",
+    "TPC-H Q12 shape: orders x lineitem, urgent/non-urgent counts per status",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def linestatus_priority_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("bigint").alias("high_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).cast("bigint").alias("low_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q13 shape: customer order-count distribution (left join keeps
+# zero-order customers; count(col) skips the nulls they produce).
+# --------------------------------------------------------------------------
+@query(
+    "custdist_q13",
+    "TPC-H Q13 shape: per-customer order counts incl. zeros -> distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def custdist_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunction of conjunctive band predicates across the
+# join — Catalyst extracts the common join key and pushes the
+# brand/size side down to the part scan.
+# --------------------------------------------------------------------------
+@query(
+    "disjunctive_bands_q19",
+    "TPC-H Q19 shape: OR-of-ANDs predicate spanning lineitem x part",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def disjunctive_bands_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    band = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    ).cast("double")
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(
+            band("Brand#12", 5, 1, 11)
+            | band("Brand#23", 10, 10, 20)
+            | band("Brand#34", 15, 20, 30)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            rev.alias("revenue"),
+        )
+    )
