@@ -68,24 +68,31 @@ def _load_all() -> None:
 
 
 def _latest_correctness() -> dict:
-    """Latest committed CORRECTNESS_r{N}.json at the repo root, or {}.
+    """Per-query MOST RECENT row across every committed
+    CORRECTNESS_r{N}.json at the repo root, or {}.
+
+    Overlaying rounds (ascending, later rows win) matters because the
+    driver writes rows only for the ~50-query prefix it checks each
+    round: a query green in round 2 but absent from round 3's snapshot
+    is still verified and must not jump ahead of never-checked queries.
 
     Used only to ORDER the registry (see _ordered_names); never to skip
     or alter a query. Any read/parse failure degrades to registration
-    order, so driver environments without the file are unaffected.
+    order, so driver environments without the files are unaffected.
     """
     root = Path(__file__).resolve().parents[2]
-    best_n, best_path = -1, None
+    rounds: list[tuple[int, Path]] = []
     for p in root.glob("CORRECTNESS_r*.json"):
         m = re.search(r"_r(\d+)\.json$", p.name)
-        if m and int(m.group(1)) > best_n:
-            best_n, best_path = int(m.group(1)), p
-    if best_path is None:
-        return {}
-    try:
-        return json.loads(best_path.read_text())
-    except (OSError, ValueError):
-        return {}
+        if m:
+            rounds.append((int(m.group(1)), p))
+    merged: dict = {}
+    for _, p in sorted(rounds):
+        try:
+            merged.update(json.loads(p.read_text()))
+        except (OSError, ValueError):
+            continue
+    return merged
 
 
 # More registered-but-unverified queries than the driver's ~50-per-round
