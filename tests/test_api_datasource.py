@@ -171,3 +171,77 @@ def test_fetch_backoff_schedule_and_page_loop(tmp_path):
     )
     assert [r["value"] for r in recs] == [1.0, 2.0]
     assert sleeps == [0.5, 1.0]  # 0.5 * 2**attempt, two transient failures
+
+
+def test_api_datasource_streaming_pages_as_microbatches(spark, tmp_path):
+    """Each micro-batch delivers one page across all sensors; the
+    cursor stops advancing at the first empty page."""
+    from openaq_data_pipeline_engineering_spark.sources.api_datasource import (
+        OpenAQApiDataSource,
+    )
+
+    fixtures = str(tmp_path / "stream")
+    os.makedirs(fixtures)
+    _page(fixtures, 401, 1, [1.0, 2.0])
+    _page(fixtures, 401, 2, [3.0])
+    _page(fixtures, 402, 1, [10.0])
+
+    spark.dataSource.register(OpenAQApiDataSource)
+    q = (
+        spark.readStream.format("openaq_api")
+        .option("fixtures_path", fixtures)
+        .option("sensor_ids", "401,402")
+        .load()
+        .writeStream.format("memory")
+        .queryName("api_stream")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .start()
+    )
+    import time as _t
+
+    deadline = _t.time() + 120
+    while _t.time() < deadline:
+        if spark.sql("SELECT count(*) FROM api_stream").collect()[0][0] >= 4:
+            break
+        _t.sleep(0.5)
+    q.stop()
+    rows = spark.sql(
+        "SELECT sensor_id, value FROM api_stream ORDER BY sensor_id, value"
+    ).collect()
+    assert [(r["sensor_id"], r["value"]) for r in rows] == [
+        (401, 1.0),
+        (401, 2.0),
+        (401, 3.0),
+        (402, 10.0),
+    ]
+
+
+def test_api_stream_reader_replay_is_exact(tmp_path):
+    """readBetweenOffsets re-fetches a committed range identically —
+    the recovery property Structured Streaming relies on."""
+    from openaq_data_pipeline_engineering_spark.sources.api_datasource import (
+        OpenAQApiStreamReader,
+    )
+
+    fixtures = str(tmp_path / "replay")
+    os.makedirs(fixtures)
+    _page(fixtures, 501, 1, [1.0])
+    _page(fixtures, 501, 2, [2.0])
+
+    r = OpenAQApiStreamReader(
+        {"fixtures_path": fixtures, "sensor_ids": "501"}
+    )
+    assert r.initialOffset() == {"page": 1}
+    rows1, off1 = r.read({"page": 1})
+    rows1 = list(rows1)
+    assert off1 == {"page": 2} and len(rows1) == 1
+    rows2, off2 = r.read(off1)
+    assert off2 == {"page": 3} and len(list(rows2)) == 1
+    # empty page: offset must NOT advance
+    rows3, off3 = r.read(off2)
+    assert off3 == {"page": 3} and list(rows3) == []
+    replay = list(r.readBetweenOffsets({"page": 1}, {"page": 3}))
+    assert replay == rows1 + [(501, replay[1][1], "pm25", replay[1][3], 2.0)]
+    assert len(replay) == 2
