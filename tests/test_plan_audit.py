@@ -32,6 +32,10 @@ NLJ_ALLOWED = {
     # quantized ANN: 5 query vectors broadcast, `!=` is the only condition.
     "quantized_ann_topk",
     "quantized_rerank_topk",
+    # Q11/Q22 shapes: 1-row scalar-subquery aggregate (region total /
+    # average balance) broadcast onto the main plan.
+    "important_suppliers_q11",
+    "idle_customers_q22",
 }
 
 # Streaming plans can't be built with a batch explain.
