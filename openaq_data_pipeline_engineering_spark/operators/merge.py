@@ -31,6 +31,49 @@ def merge_upsert(
     return untouched.select(*cols).unionByName(updates.select(*cols))
 
 
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Apply a CDC change stream with upserts AND deletes (tombstones).
+
+    ``changes`` carries the base columns plus ``op_col`` ('U' upsert /
+    'D' delete) and ``seq_col`` (change order). Per key the
+    HIGHEST-``seq`` change wins (ties broken by preferring the delete —
+    deterministic even if a feed emits U and D at the same version);
+    a winning 'D' removes the key, a winning 'U' replaces-or-inserts.
+
+    Scale: the change stream first collapses with one hash aggregation
+    on the key (shuffle ∝ distinct changed keys, map-side combined),
+    then a single join against base — same two-exchange shape as
+    ``merge_upsert``; base is never scanned twice.
+    """
+    cols = base.columns
+    latest = (
+        changes.groupBy(*keys)
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col(op_col).alias("__op"),
+                    *[F.col(c).alias(c) for c in cols if c not in keys],
+                ),
+                # Delete outranks upsert at equal seq (true > false).
+                F.struct(
+                    F.col(seq_col),
+                    (F.col(op_col) == "D").alias("__is_del"),
+                ),
+            ).alias("__w")
+        )
+        .select(*keys, "__w.*")
+    )
+    untouched = base.join(latest.select(*keys), list(keys), "left_anti")
+    survivors = latest.filter(F.col("__op") == "U").select(*cols)
+    return untouched.select(*cols).unionByName(survivors)
+
+
 def scd2_apply(
     base: DataFrame,
     updates: DataFrame,

@@ -206,29 +206,17 @@ def nested_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,
 )
 def streaming_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import types as T
-
     from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
     from openaq_data_pipeline_engineering_spark.streaming.ingest import (
         StreamingQueryStarter,
+        events_stream_spec,
         incremental_ingest,
     )
 
     apply_runtime_confs(spark)
-    # events.ts is TIMESTAMP(NANOS) → read as long (nanosAsLong), convert.
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-
-    def to_event_time(stream: DataFrame) -> DataFrame:
-        return stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    # Schema mirrors the parquet footer's own ts type (micros timestamp
+    # or nanos-as-long); transform normalizes to TimestampType.
+    schema, to_event_time = events_stream_spec(spark, sf_dir)
 
     checkpoint = tempfile.mkdtemp(prefix="openaq_stream_ckpt_")
     deduped, starter = incremental_ingest(
@@ -339,28 +327,19 @@ _install_sampling_oracles()
     """,
 )
 def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import types as T
-
     from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
-    from openaq_data_pipeline_engineering_spark.streaming.ingest import windowed_counts
+    from openaq_data_pipeline_engineering_spark.streaming.ingest import (
+        events_stream_spec,
+        windowed_counts,
+    )
 
     apply_runtime_confs(spark)
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    stream = (
+    schema, to_event_time = events_stream_spec(spark, sf_dir)
+    stream = to_event_time(
         spark.readStream.format("parquet")
         .schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     )
     agg = windowed_counts(stream, "ts", "1 hour", watermark="2 hours",
                           group_cols=["event_type"])
@@ -379,4 +358,89 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT event_type, count(*) AS n_windows, sum(n) AS n_events "
         "FROM stream_windowed_result GROUP BY event_type"
+    )
+
+
+# --------------------------------------------------------------------------
+# Stream-stream interval join: click→purchase attribution within 10 min.
+# Both sides are watermarked and the join carries an event-time range
+# condition, so state eviction is bounded (clicks held ≤ watermark +
+# 10 min) — the production shape for joining two firehoses at 100 TB:
+# state ∝ events inside the interval, never the full history.
+# --------------------------------------------------------------------------
+@query(
+    "streaming_join_attribution",
+    "streaming: stream-stream inner join (click→purchase ≤10 min, same "
+    "user) with watermarks + event-time range condition",
+    # Inner interval joins emit exactly the matching pairs; with
+    # availableNow over one parquet file the plan runs as a single
+    # micro-batch, so no pair is dropped by watermark eviction. The
+    # oracle is the equivalent batch range join; delay is exact integer
+    # microseconds (no datediff boundary-crossing semantics).
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    """,
+)
+def streaming_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
+    from openaq_data_pipeline_engineering_spark.streaming.ingest import (
+        events_stream_spec,
+    )
+
+    apply_runtime_confs(spark)
+    schema, to_event_time = events_stream_spec(spark, sf_dir)
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            to_event_time(
+                spark.readStream.format("parquet")
+                .schema(schema)
+                .option("pathGlobFilter", "events.parquet")
+                .load(sf_dir)
+            )
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                # exact integer micros alongside the event-time col
+                F.col("ts_us").alias(f"{prefix}_us"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "2 hours")
+        )
+
+    clicks = side("click", "click")
+    purchases = side("purchase", "purchase")
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "click_user = purchase_user "
+            "AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + INTERVAL 10 MINUTES"
+        ),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("click_user").alias("user_id"),
+        (F.col("purchase_us") - F.col("click_us")).alias("delay_us"),
+    )
+    checkpoint = tempfile.mkdtemp(prefix="openaq_streamjoin_ckpt_")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("stream_join_result")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        "SELECT click_id, purchase_id, user_id, delay_us "
+        "FROM stream_join_result"
     )

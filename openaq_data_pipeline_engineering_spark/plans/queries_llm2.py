@@ -1,0 +1,335 @@
+"""Declared queries: LLM-training-corpus operators, fourth wave —
+n-gram language modeling, tokenizer vocabulary build, boilerplate
+stripping, deterministic sharding, CDC tombstones.
+
+The reference pipeline stops at mart SQL (its analytics surface is
+Athena over the pivoted mart, reference utils/athena_utils.py:38-65);
+these model the corpus-side steps a 100 TB training-data pipeline runs
+after curation (queries_text/queries_corpus/queries_llm waves):
+
+- bigram LM counts: the classic count-based language model build.
+  Shuffle ∝ distinct bigrams with map-side partial aggregation; the
+  conditional probability is integer-scaled (ppm) so the cross-engine
+  hash is bit-exact — no float sums anywhere.
+- vocabulary coverage: the tokenizer-training view (top-k tokens +
+  cumulative corpus coverage). The ranking window is vocab-bounded
+  (distinct tokens, not corpus rows), which is what makes it safe at
+  100 TB: the heavy corpus collapses to per-token counts first.
+- boilerplate chunk stripping: fixed-width non-overlapping token
+  chunks; a chunk seen in ≥2 distinct documents is boilerplate
+  (headers, license banners, nav bars). One hash aggregation on the
+  chunk text + one join back — shuffle ∝ distinct chunks.
+- deterministic sharding: layout-independent md5 shard assignment for
+  training-data writes — any cluster size produces the same shard
+  membership (same property as operators/sampling.split_column), so a
+  re-run on 10× executors bit-reproduces the corpus layout.
+- CDC apply with tombstones: operators/merge.cdc_apply — latest change
+  per key wins, deletes remove keys. Collapse-then-join: the change
+  stream never touches base more than once.
+
+Float policy per plans/registry.py: every output column here is an
+integer (BIGINT), string, or exact DOUBLE arithmetic on per-row values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_engineering_spark.operators.merge import cdc_apply
+from openaq_data_pipeline_engineering_spark.plans.registry import query
+from openaq_data_pipeline_engineering_spark.sources.star import fan_out, load_table
+
+
+# --------------------------------------------------------------------------
+# Bigram language-model counts: top next-word per word, ppm-scaled
+# conditional probability (pure integer arithmetic, bit-exact).
+# --------------------------------------------------------------------------
+@query(
+    "bigram_lm_topnext",
+    "LM: bigram counts, per-word top-3 next words with ppm conditional "
+    "probability (integer-exact; shuffle ∝ distinct bigrams)",
+    oracle="""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM toks, unnest(range(1, greatest(len(t), 1))) AS r(i)
+    ),
+    c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1 AS u1, CAST(sum(c12) AS BIGINT) AS c1
+           FROM c12 GROUP BY 1)
+    SELECT w1, w2, c12, c1,
+           (c12 * 1000000) // c1 AS p_ppm, rn
+    FROM (
+      SELECT w1, w2, c12,
+             row_number() OVER (
+               PARTITION BY w1 ORDER BY c12 DESC, w2
+             ) AS rn
+      FROM c12
+    ) JOIN c1 ON w1 = u1
+    WHERE rn <= 3
+    """,
+)
+def bigram_lm_topnext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    t = F.split("text", " ")
+    pairs = (
+        docs.select(t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(element_at(t, i) AS w1, "
+                    "element_at(t, i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    c1 = c12.groupBy(F.col("w1").alias("u1")).agg(
+        F.sum("c12").alias("c1")
+    )
+    w = Window.partitionBy("w1").orderBy(F.desc("c12"), "w2")
+    return (
+        c12.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .join(c1, F.col("w1") == F.col("u1"))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            F.expr("(c12 * CAST(1000000 AS BIGINT)) div c1").alias("p_ppm"),
+            "rn",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer vocabulary build: top-k tokens + cumulative corpus coverage
+# --------------------------------------------------------------------------
+@query(
+    "vocab_coverage",
+    "tokenizer build: top-30 tokens by count with cumulative ppm corpus "
+    "coverage (corpus collapses to vocab-bounded counts before any window)",
+    oracle="""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    w AS (SELECT unnest(t) AS tok FROM toks),
+    cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY tok),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnt),
+    ranked AS (
+      SELECT tok, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT)
+                 AS rank,
+             CAST(sum(cnt) OVER (
+               ORDER BY cnt DESC, tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_cnt
+      FROM cnt
+    )
+    SELECT tok, cnt, rank, cum_cnt,
+           (cum_cnt * 1000000) // total AS cov_ppm
+    FROM ranked, tot WHERE rank <= 30
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    cnt = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # Both windows are over the VOCAB (distinct tokens), not the corpus:
+    # the single-partition window is bounded by vocabulary size.
+    w = Window.orderBy(F.desc("cnt"), "tok")
+    ranked = cnt.select(
+        "tok",
+        "cnt",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum_cnt"),
+    )
+    total = cnt.agg(F.sum("cnt").cast("bigint").alias("total"))
+    return (
+        ranked.filter(F.col("rank") <= 30)
+        .join(F.broadcast(total))
+        .select(
+            "tok",
+            "cnt",
+            "rank",
+            "cum_cnt",
+            F.expr("(cum_cnt * CAST(1000000 AS BIGINT)) div total").alias(
+                "cov_ppm"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Boilerplate stripping: chunks repeated across documents
+# --------------------------------------------------------------------------
+_CHUNK_W = 16
+
+
+@query(
+    "boilerplate_chunks",
+    "curation: per-doc counts of 16-token chunks repeated in ≥2 docs "
+    "(boilerplate); one hash agg on chunk text + one join back",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    ch AS (
+      SELECT doc_id,
+             array_to_string(
+               t[1 + {_CHUNK_W} * i : {_CHUNK_W} + {_CHUNK_W} * i], ' '
+             ) AS chunk
+      FROM toks,
+           unnest(range(0, CAST(ceil(len(t) / {_CHUNK_W}.0) AS BIGINT)))
+               AS r(i)
+    ),
+    freq AS (
+      SELECT chunk, count(DISTINCT doc_id) AS nd FROM ch GROUP BY chunk
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boiler
+    FROM ch JOIN freq USING (chunk)
+    GROUP BY doc_id
+    """,
+)
+def boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    ch = docs.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(t) / {_CHUNK_W}.0) "
+                f"AS INT) - 1), "
+                f"i -> array_join(slice(t, i * {_CHUNK_W} + 1, {_CHUNK_W}), "
+                f"' '))"
+            )
+        ).alias("chunk"),
+    )
+    freq = ch.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        ch.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_boiler"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic sharding for training-data writes
+# --------------------------------------------------------------------------
+_N_SHARDS = 8
+
+
+@query(
+    "corpus_shards",
+    "layout: md5-deterministic shard assignment (8 shards) with per-shard "
+    "doc/token totals — bit-reproducible on any cluster size",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+                  AS BIGINT) % {_N_SHARDS} AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM d GROUP BY shard
+    """,
+)
+def corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("bigint")
+        % _N_SHARDS
+    )
+    return (
+        docs.select(
+            shard.alias("shard"),
+            "doc_id",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC apply with tombstones (deletes) — latest change per key wins
+# --------------------------------------------------------------------------
+@query(
+    "cdc_merge_tombstones",
+    "CDC MERGE with deletes: upsert wave then tombstone wave; latest seq "
+    "wins per key, 'D' removes the key (operators/merge.cdc_apply)",
+    # The oracle re-derives the expected survivors independently of the
+    # collapse mechanics: keys ≤1000 keep base rows; (1000,1400] get the
+    # upsert values EXCEPT (1100,1300] which the later tombstone deletes
+    # (deletes of keys absent from base are no-ops).
+    oracle="""
+    SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+    FROM customer WHERE c_custkey <= 1000
+    UNION ALL
+    SELECT c_custkey, 'MOVED' AS c_mktsegment,
+           CAST(c_acctbal AS DOUBLE) + 100.0 AS c_acctbal
+    FROM customer
+    WHERE c_custkey > 1000 AND c_custkey <= 1400
+      AND NOT (c_custkey > 1100 AND c_custkey <= 1300)
+    """,
+)
+def cdc_merge_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = fan_out(load_table(spark, sf_dir, "customer"))
+    base = cust.filter(F.col("c_custkey") <= 1200).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+    upserts = cust.filter(
+        (F.col("c_custkey") > 1000) & (F.col("c_custkey") <= 1400)
+    ).select(
+        "c_custkey",
+        F.lit("MOVED").alias("c_mktsegment"),
+        (F.col("c_acctbal").cast("double") + F.lit(100.0)).alias("c_acctbal"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    tombstones = cust.filter(
+        (F.col("c_custkey") > 1100) & (F.col("c_custkey") <= 1300)
+    ).select(
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit("D").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    return cdc_apply(
+        base, upserts.unionByName(tombstones), keys=["c_custkey"]
+    )

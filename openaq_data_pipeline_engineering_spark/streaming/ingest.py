@@ -21,9 +21,48 @@ the same idempotent partitioned writer the batch path uses.
 
 from __future__ import annotations
 
+import os
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
+
+
+def events_stream_spec(
+    spark: SparkSession, sf_dir: str
+) -> tuple[T.StructType, Callable[[DataFrame], DataFrame]]:
+    """(schema, transform) for streaming over the driver's events table,
+    adaptive to the parquet writer's physical ``ts`` type.
+
+    The driver's testdata has shipped ``ts`` both as TIMESTAMP(MICROS)
+    (reads natively as a timestamp) and as TIMESTAMP(NANOS) (readable
+    only as int64 nanos under ``spark.sql.legacy.parquet.nanosAsLong``).
+    A streaming read needs an explicit schema, so probe the batch
+    footer once and mirror the file's own type; ``transform`` then
+    normalizes to two columns every consumer can rely on:
+
+    - ``ts``     TimestampType event time (session-UTC),
+    - ``ts_us``  exact integer epoch microseconds (for arithmetic that
+      must be bit-identical to a SQL oracle — no datediff semantics).
+    """
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    schema = raw.schema
+    ts_is_long = isinstance(schema["ts"].dataType, T.LongType)
+
+    def transform(stream: DataFrame) -> DataFrame:
+        if ts_is_long:
+            # integer nanos → micros (floor division: DuckDB's ns→us
+            # truncation semantics; double math would lose precision)
+            return stream.withColumn(
+                "ts_us", F.expr("ts DIV 1000")
+            ).withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        return stream.withColumn(
+            "ts", F.col("ts").cast(T.TimestampType())
+        ).withColumn("ts_us", F.unix_micros("ts"))
+
+    return schema, transform
 
 
 def stream_dedup(

@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 
 from openaq_data_pipeline_engineering_spark.operators.chunking import chunk_documents
 from openaq_data_pipeline_engineering_spark.operators.merge import (
+    cdc_apply,
     merge_upsert,
     scd2_apply,
 )
@@ -113,6 +114,41 @@ class TestMerge:
         assert sorted(map(tuple, cur.collect())) == sorted(
             map(tuple, ups.collect())
         )
+
+    def test_cdc_apply_latest_wins_with_tombstones(self, spark):
+        base, _ = self._tables(spark)
+        changes = spark.createDataFrame(
+            [
+                # k=2: update then later delete -> gone
+                (2, "Y2", "U", 1),
+                (2, None, "D", 2),
+                # k=3: delete then later re-insert -> new value wins
+                (3, None, "D", 1),
+                (3, "Z2", "U", 2),
+                # k=4: insert of a new key
+                (4, "W", "U", 1),
+                # k=5: delete of an absent key -> no-op
+                (5, None, "D", 1),
+            ],
+            "k bigint, v string, op string, seq int",
+        )
+        got = {
+            r["k"]: r["v"]
+            for r in cdc_apply(base, changes, ["k"]).collect()
+        }
+        assert got == {1: "x", 3: "Z2", 4: "W"}
+
+    def test_cdc_apply_delete_outranks_upsert_at_equal_seq(self, spark):
+        base, _ = self._tables(spark)
+        changes = spark.createDataFrame(
+            [(1, "X2", "U", 7), (1, None, "D", 7)],
+            "k bigint, v string, op string, seq int",
+        )
+        got = {
+            r["k"]: r["v"]
+            for r in cdc_apply(base, changes, ["k"]).collect()
+        }
+        assert got == {2: "y", 3: "z"}
 
 
 class TestPageRank:

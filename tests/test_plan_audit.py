@@ -36,6 +36,9 @@ NLJ_ALLOWED = {
     # average balance) broadcast onto the main plan.
     "important_suppliers_q11",
     "idle_customers_q22",
+    # vocab build: 1-row corpus-total aggregate broadcast onto the
+    # top-30 ranked vocab rows.
+    "vocab_coverage",
 }
 
 # Streaming plans can't be built with a batch explain.
