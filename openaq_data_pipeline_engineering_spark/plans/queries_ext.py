@@ -211,6 +211,7 @@ def streaming_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         StreamingQueryStarter,
         events_stream_spec,
         incremental_ingest,
+        scoped_shuffle_partitions,
     )
 
     apply_runtime_confs(spark)
@@ -235,9 +236,12 @@ def streaming_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operators): the memory sink then holds 5 aggregate rows instead of
     # the full deduped firehose on the driver.
     counts = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    StreamingQueryStarter(counts, checkpoint).run_available_now_to_memory(
-        "stream_ingest_result", output_mode="complete"
-    )
+    # State partitioning sized to state volume, not scan parallelism
+    # (see scoped_shuffle_partitions).
+    with scoped_shuffle_partitions(spark, 8):
+        StreamingQueryStarter(counts, checkpoint).run_available_now_to_memory(
+            "stream_ingest_result", output_mode="complete"
+        )
     return spark.sql("SELECT event_type, n FROM stream_ingest_result")
 
 
@@ -330,6 +334,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
     from openaq_data_pipeline_engineering_spark.streaming.ingest import (
         events_stream_spec,
+        scoped_shuffle_partitions,
         windowed_counts,
     )
 
@@ -344,15 +349,16 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = windowed_counts(stream, "ts", "1 hour", watermark="2 hours",
                           group_cols=["event_type"])
     checkpoint = tempfile.mkdtemp(prefix="openaq_streamwin_ckpt_")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("stream_windowed_result")
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("stream_windowed_result")
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # append mode: only watermark-closed windows are emitted; aggregate
     # to a small summary so the memory table result stays driver-safe
     return spark.sql(
@@ -391,6 +397,7 @@ def streaming_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
     from openaq_data_pipeline_engineering_spark.streaming.ingest import (
         events_stream_spec,
+        scoped_shuffle_partitions,
     )
 
     apply_runtime_confs(spark)
@@ -431,15 +438,19 @@ def streaming_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("purchase_us") - F.col("click_us")).alias("delay_us"),
     )
     checkpoint = tempfile.mkdtemp(prefix="openaq_streamjoin_ckpt_")
-    q = (
-        joined.writeStream.format("memory")
-        .queryName("stream_join_result")
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # A stream-stream join maintains 4 state stores PER partition; size
+    # partitioning to join-state volume (see scoped_shuffle_partitions:
+    # 32 partitions measured ~5× slower than 8 on the same input).
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("stream_join_result")
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.sql(
         "SELECT click_id, purchase_id, user_id, delay_us "
         "FROM stream_join_result"

@@ -553,6 +553,8 @@ def promotion_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def waiting_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = load_table(spark, sf_dir, "supplier")
@@ -560,31 +562,35 @@ def waiting_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_supp = li.groupBy(
         F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
     ).agg(F.max("l_shipdate").alias("smax"))
-    # Order level: #suppliers, latest shipment, how many suppliers hit
-    # it, and the runner-up value — enough to evaluate "max over the
-    # OTHER suppliers" for any supplier without a self-join.
-    order_stats = per_supp.groupBy("ok").agg(
-        F.count(F.lit(1)).alias("nsupp"),
-        F.max("smax").alias("m1"),
+    # Order level over a single window partitioning: #suppliers, latest
+    # shipment, how many suppliers hit it, and the runner-up — enough to
+    # evaluate "max over the OTHER suppliers" for any supplier without a
+    # self-join. Both window passes share the partitioning, so this is
+    # ONE exchange on ok (vs three aggregate+join branches).
+    w = Window.partitionBy("ok")
+    s1 = per_supp.select(
+        "ok",
+        "sk",
+        "smax",
+        F.count(F.lit(1)).over(w).alias("nsupp"),
+        F.max("smax").over(w).alias("m1"),
     )
-    enriched = per_supp.join(order_stats, "ok")
-    runner_up = enriched.filter(F.col("smax") < F.col("m1")).groupBy(
-        F.col("ok").alias("ok2")
-    ).agg(F.max("smax").alias("m2"))
-    cnt_at_max = (
-        enriched.filter(F.col("smax") == F.col("m1"))
-        .groupBy(F.col("ok").alias("ok3"))
-        .agg(F.count(F.lit(1)).alias("cnt1"))
-    )
-    stats = (
-        order_stats.join(runner_up, F.col("ok") == F.col("ok2"), "left")
-        .join(cnt_at_max, F.col("ok") == F.col("ok3"), "left")
-        .select("ok", "nsupp", "m1", "m2", "cnt1")
+    s2 = s1.select(
+        "ok",
+        "sk",
+        "smax",
+        "nsupp",
+        "m1",
+        F.max(F.when(F.col("smax") < F.col("m1"), F.col("smax")))
+        .over(w)
+        .alias("m2"),
+        F.sum(F.when(F.col("smax") == F.col("m1"), 1).otherwise(0))
+        .over(w)
+        .alias("cnt1"),
     )
     # others_max for supplier s: m1 unless s alone achieves it (then m2).
     qualifying = (
-        per_supp.join(stats, "ok")
-        .filter(F.col("nsupp") > 1)
+        s2.filter(F.col("nsupp") > 1)
         .withColumn(
             "others_max",
             F.when(
