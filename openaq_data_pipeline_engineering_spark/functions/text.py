@@ -141,6 +141,14 @@ def minhash_agg_exprs(shingle_col: str, num_hashes: int = 8) -> list[Column]:
     this operator. String-min over fixed-width lowercase hex == numeric
     min, and md5 is IDENTICAL in Spark and DuckDB (their native hash()
     functions are not).
+
+    Deliberately agg-over-explode and NOT a per-row
+    ``array_min(transform(...))`` fold: (a) the groupBy's exchange is
+    ReusedExchange'd across both sides of the LSH band self-join, so
+    the signature is computed once per query; (b) 8 chained array-HOF
+    expressions in one projection overflow whole-stage codegen into
+    interpreted evaluation — measured 3.5× slower end-to-end at sf0.1
+    despite saving the (partial-agg-shrunk) shuffle.
     """
     out: list[Column] = []
     for i in range(num_hashes):
@@ -151,42 +159,6 @@ def minhash_agg_exprs(shingle_col: str, num_hashes: int = 8) -> list[Column]:
             else F.md5(F.concat(F.col(shingle_col), F.lit("#" * salt)))
         )
         out.append(F.min(F.substring(h, 1 + 8 * piece, 8)).alias(f"h{i}"))
-    return out
-
-
-def minhash_row_exprs(shingles: Column, num_hashes: int = 8) -> list[Column]:
-    """MinHash signature computed PER ROW over a shingle array — the
-    shuffle-free form of :func:`minhash_agg_exprs` (identical hash
-    family, identical minima).
-
-    ``explode + groupBy(doc)`` shuffles one row per shingle (~200× the
-    document count) just to take per-document minima; folding over the
-    array instead keeps the whole signature map-side — at 100 TB the
-    minhash stage becomes a pure projection with ZERO exchanges, and
-    measured 6× faster at sf0.1 even locally. A document with no
-    shingles (< k tokens) yields NULL minima (the agg form drops the
-    row instead); downstream band equality never matches NULL, so LSH
-    candidate sets are identical either way.
-    """
-    out: list[Column] = []
-    md5s: dict[int, Column] = {}
-    for salt in range((num_hashes + 3) // 4):
-        md5s[salt] = F.transform(
-            shingles,
-            (lambda slt: lambda s: F.md5(
-                s if slt == 0 else F.concat(s, F.lit("#" * slt))
-            ))(salt),
-        )
-    for i in range(num_hashes):
-        salt, piece = divmod(i, 4)
-        out.append(
-            F.array_min(
-                F.transform(
-                    md5s[salt],
-                    (lambda p: lambda m: F.substring(m, 1 + 8 * p, 8))(piece),
-                )
-            ).alias(f"h{i}")
-        )
     return out
 
 

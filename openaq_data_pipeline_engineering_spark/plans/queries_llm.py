@@ -398,7 +398,7 @@ def _funnel_oracle() -> str:
 )
 def pretraining_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openaq_data_pipeline_engineering_spark.functions.text import (
-        minhash_row_exprs,
+        minhash_agg_exprs,
         quality_score,
         whitespace_token_count,
     )
@@ -418,11 +418,7 @@ def pretraining_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sh = docs.select("doc_id", F.explode(word_shingles("text", 3)).alias("sh"))
-    # Row-form signature (no explode/shuffle); `sh` above still feeds
-    # the decontamination gram sets.
-    mh = docs.select(
-        "doc_id", *minhash_row_exprs(word_shingles("text", 3), _NUM_HASHES)
-    )
+    mh = sh.groupBy("doc_id").agg(*minhash_agg_exprs("sh", _NUM_HASHES))
     band_exprs = [
         F.md5(F.concat(F.col(f"h{a}"), F.col(f"h{b}"))) for a, b in _BANDS
     ]
