@@ -325,3 +325,98 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
     )
     got = {r["location_id"]: r["city"] for r in spark.read.parquet(out_dir).collect()}
     assert got == {"loc1": "Hanoi", "loc2": "Hue", "locX": "Unknown"}
+
+
+def _write_events_parquet(path, ts_unit):
+    """events-shaped parquet with ts in the given pyarrow timestamp unit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_us = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z in micros
+    rows_us = [base_us, base_us + 3_600_000_000, base_us + 7_200_000_000]
+    mult = 1000 if ts_unit == "ns" else 1
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [v * mult for v in rows_us], pa.timestamp(ts_unit)
+            ),
+            "user_id": pa.array([10, 10, 11], pa.int64()),
+            "event_type": pa.array(["click"] * 3, pa.string()),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "props": pa.array(["{}"] * 3, pa.string()),
+        }
+    )
+    pq.write_table(table, path, coerce_timestamps=None)
+    return rows_us
+
+
+class TestEventsStreamSpec:
+    """The driver has shipped events.ts as both TIMESTAMP(micros) and
+    TIMESTAMP(NANOS) across testdata regenerations; a hardcoded stream
+    schema silently corrupts event times by 1000x for the other type.
+    events_stream_spec must adapt to whichever is on disk."""
+
+    def _roundtrip(self, spark, tmp_path, ts_unit):
+        import os
+
+        from openaq_data_pipeline_engineering_spark.streaming.ingest import (
+            events_stream_spec,
+        )
+
+        src = str(tmp_path / f"src_{ts_unit}")
+        os.makedirs(src)
+        rows_us = _write_events_parquet(
+            os.path.join(src, "events.parquet"), ts_unit
+        )
+        schema, to_event_time = events_stream_spec(spark, src)
+        stream = to_event_time(
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .load(src)
+        )
+        ckpt = str(tmp_path / f"ckpt_{ts_unit}")
+        name = f"events_spec_{ts_unit}"
+        (
+            stream.select("event_id", "ts", "ts_us")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        got = {
+            r["event_id"]: (r["ts"], r["ts_us"])
+            for r in spark.table(name).collect()
+        }
+        assert sorted(got) == [1, 2, 3]
+        for eid, us in zip([1, 2, 3], rows_us):
+            ts, ts_us = got[eid]
+            assert ts_us == us, f"{ts_unit}: exact micros preserved"
+            # event-time column spans the true 2h window, not 1000x off
+        span = got[3][1] - got[1][1]
+        assert span == 7_200_000_000
+
+    def test_micros_parquet(self, spark, tmp_path):
+        self._roundtrip(spark, tmp_path, "us")
+
+    def test_nanos_parquet(self, spark, tmp_path):
+        self._roundtrip(spark, tmp_path, "ns")
+
+
+def test_scoped_shuffle_partitions_restores(spark):
+    from openaq_data_pipeline_engineering_spark.streaming.ingest import (
+        scoped_shuffle_partitions,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        with scoped_shuffle_partitions(spark, 3):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
