@@ -202,6 +202,53 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.orderBy(F.desc("pr"), "node").limit(100)
 
 
+_TRI_EDGES_CTE = """e0 AS (
+        SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE year(a.l_shipdate) = 1996 AND year(b.l_shipdate) = 1996
+    )"""
+
+
+@query(
+    "triangle_count",
+    "graph: degree-ordered triangle count on 1996 co-ordered parts "
+    "(forward wedges bounded by O(m^1.5) regardless of hub skew)",
+    oracle=None,  # installed below (needs the operator's oracle builder)
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.operators.triangles import (
+        count_triangles,
+    )
+
+    li = fan_out(load_table(spark, sf_dir, "lineitem")).filter(
+        F.year("l_shipdate") == 1996
+    ).select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("t"))
+        .distinct()
+    )
+    return count_triangles(pairs)
+
+
+def _install_triangle_oracle() -> None:
+    from openaq_data_pipeline_engineering_spark.operators.triangles import (
+        triangle_oracle_sql,
+    )
+    from openaq_data_pipeline_engineering_spark.plans.registry import QUERIES
+
+    QUERIES["triangle_count"].oracle = triangle_oracle_sql(_TRI_EDGES_CTE)
+
+
+_install_triangle_oracle()
+
+
 @query(
     "grouping_sets_report",
     "GROUP BY GROUPING SETS: by-type, by-user-bucket, and grand-total slices",

@@ -422,3 +422,33 @@ class TestSaltedJoin:
             "__salt", F.pmod(F.xxhash64(*fact.columns), F.lit(8))
         )
         assert salted_fact.select("__salt").distinct().count() > 1
+
+
+class TestTriangles:
+    def test_known_graph(self, spark):
+        from openaq_data_pipeline_engineering_spark.operators.triangles import (
+            count_triangles,
+        )
+
+        # K4 on {1,2,3,4} (4 triangles) + pendant 4-5 + disjoint edge 6-7
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (6, 7)],
+            "s bigint, t bigint",
+        )
+        row = count_triangles(pairs).collect()[0]
+        assert row["n_edges"] == 8
+        assert row["n_triangles"] == 4
+
+    def test_hub_star_has_no_triangles(self, spark):
+        from openaq_data_pipeline_engineering_spark.operators.triangles import (
+            count_triangles,
+        )
+
+        # star: hub 0 to 1..20 — no triangles, and degree-ordering keeps
+        # the hub's wedges at zero (all edges orient INTO the hub).
+        pairs = spark.createDataFrame(
+            [(0, i) for i in range(1, 21)], "s bigint, t bigint"
+        )
+        row = count_triangles(pairs).collect()[0]
+        assert row["n_triangles"] == 0
+        assert row["n_wedges"] == 0, "hub wedges must not materialize"
