@@ -249,6 +249,97 @@ def _install_triangle_oracle() -> None:
 _install_triangle_oracle()
 
 
+_MINSUP = 3
+
+
+@query(
+    "basket_rules",
+    "mining: market-basket association rules over co-ordered parts — "
+    "support / confidence / lift in exact integer ppm, top-30",
+    oracle=f"""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey AS bid, l_partkey AS item FROM lineitem
+    ),
+    n AS (SELECT CAST(count(DISTINCT bid) AS BIGINT) AS n_baskets
+          FROM baskets),
+    sup AS (SELECT item, CAST(count(*) AS BIGINT) AS s
+            FROM baskets GROUP BY item),
+    pairs AS (
+        SELECT a.item AS part_a, b.item AS part_b,
+               CAST(count(*) AS BIGINT) AS sup_ab
+        FROM baskets a JOIN baskets b
+          ON a.bid = b.bid AND a.item < b.item
+        GROUP BY 1, 2
+        HAVING count(*) >= {_MINSUP}
+    )
+    SELECT part_a, part_b, sup_ab,
+           sa.s AS sup_a, sb.s AS sup_b,
+           (sup_ab * 1000000) // sa.s AS conf_ab_ppm,
+           (sup_ab * n_baskets * 1000000) // (sa.s * sb.s) AS lift_ppm
+    FROM pairs
+    JOIN sup sa ON sa.item = part_a
+    JOIN sup sb ON sb.item = part_b
+    CROSS JOIN n
+    ORDER BY sup_ab DESC, part_a, part_b
+    LIMIT 30
+    """,
+)
+def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining (the A-Priori pair pass) on order
+    baskets. One distinct projection, one self-join on basket id for
+    pair supports (map-side combined), one small join against item
+    supports, a 1-row basket-count broadcast; confidence and lift are
+    integer ppm, so the cross-engine hash is bit-exact. The min-support
+    HAVING prunes the pair table before any downstream join — at
+    100 TB the pair table is the only large intermediate and it shrinks
+    with support, exactly the A-Priori property."""
+    baskets = (
+        fan_out(load_table(spark, sf_dir, "lineitem"))
+        .select(F.col("l_orderkey").alias("bid"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    n = baskets.agg(
+        F.countDistinct("bid").cast("bigint").alias("n_baskets")
+    )
+    sup = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("s"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bid") == F.col("b.bid"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("part_a"), F.col("b.item").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("sup_ab"))
+        .filter(F.col("sup_ab") >= _MINSUP)
+    )
+    sa = sup.select(F.col("item").alias("part_a"), F.col("s").alias("sup_a"))
+    sb = sup.select(F.col("item").alias("part_b"), F.col("s").alias("sup_b"))
+    return (
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .join(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "sup_ab",
+            "sup_a",
+            "sup_b",
+            F.expr("(sup_ab * CAST(1000000 AS BIGINT)) div sup_a").alias(
+                "conf_ab_ppm"
+            ),
+            F.expr(
+                "(sup_ab * n_baskets * CAST(1000000 AS BIGINT))"
+                " div (sup_a * sup_b)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.desc("sup_ab"), "part_a", "part_b")
+        .limit(30)
+    )
+
+
 @query(
     "grouping_sets_report",
     "GROUP BY GROUPING SETS: by-type, by-user-bucket, and grand-total slices",

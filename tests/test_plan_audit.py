@@ -42,6 +42,8 @@ NLJ_ALLOWED = {
     # triangle summary: three 1-row aggregates (edges/wedges/triangles)
     # combined into the single output row.
     "triangle_count",
+    # basket rules: 1-row basket-count aggregate broadcast for lift.
+    "basket_rules",
 }
 
 # Streaming plans can't be built with a batch explain.
