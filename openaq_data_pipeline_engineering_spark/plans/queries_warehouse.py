@@ -341,6 +341,117 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_funnel",
+    "analytics: ordered view→click→purchase funnel — per-user first-touch "
+    "chain (each stage's min ts after the previous stage), stage counts",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS vt FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS ct
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts >= v.vt
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS pt
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.ct
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_view_click_purchase
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel. Each stage is one aggregation keyed on
+    user_id plus one join back to the (pruned) event scan — all three
+    stages co-partition on user_id, so at 100 TB this is a chain of
+    co-located hash joins with no wide intermediate (never a per-user
+    event-list materialization)."""
+    ev = fan_out(load_table(spark, sf_dir, "events")).select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .join(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .join(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
+
+
+@query(
+    "retention_cohorts",
+    "analytics: weekly signup cohorts × activity-week offsets — the "
+    "classic retention triangle, integer counts",
+    oracle="""
+    WITH cohort AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cw FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events
+    )
+    SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+           CAST((epoch(aw) - epoch(cw)) / 604800 AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM cohort JOIN activity USING (user_id)
+    WHERE aw >= cw
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: one aggregation for cohort week, one
+    distinct for (user, activity week) — both keyed on user_id, one
+    co-partitioned join. The week offset is exact integer epoch
+    arithmetic (both engines truncate weeks to Monday 00:00), so the
+    oracle hash matches bit-for-bit."""
+    ev = fan_out(load_table(spark, sf_dir, "events")).select(
+        "user_id", "event_type", "ts"
+    )
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cw"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("aw")
+    ).distinct()
+    return (
+        cohort.join(activity, "user_id")
+        .filter(F.col("aw") >= F.col("cw"))
+        .groupBy(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            ((F.unix_timestamp("aw") - F.unix_timestamp("cw")) / 604800)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
     "grouping_sets_report",
     "GROUP BY GROUPING SETS: by-type, by-user-bucket, and grand-total slices",
     oracle=_GSETS_SQL,

@@ -44,6 +44,8 @@ NLJ_ALLOWED = {
     "triangle_count",
     # basket rules: 1-row basket-count aggregate broadcast for lift.
     "basket_rules",
+    # funnel summary: three 1-row stage counts combined into one row.
+    "event_funnel",
 }
 
 # Streaming plans can't be built with a batch explain.
