@@ -452,6 +452,72 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "outlier_mad",
+    "robust stats: median-absolute-deviation outlier counts per event "
+    "type (two-pass exact medians, co-partitioned join back)",
+    # |x - med| and the 3*MAD screen are per-row IEEE arithmetic over
+    # engine-identical exact percentiles (quantile_cont parity is
+    # already proven by value_percentiles) — bit-exact across engines.
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type AS mt, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           any_value(d.med) AS med,
+           any_value(m.mad) AS mad,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON d.event_type = m.mt
+    GROUP BY d.event_type
+    """,
+)
+def outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen: median and MAD are exact percentiles
+    computed in two grouped passes; both joins key on event_type, so
+    the fact table shuffles once and the tiny per-group stats broadcast
+    back. Never sorts the full table globally."""
+    ev = fan_out(load_table(spark, sf_dir, "events")).select(
+        "event_type", "value"
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", 0.5).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med").alias("med"),
+            F.any_value("mad").alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@query(
     "grouping_sets_report",
     "GROUP BY GROUPING SETS: by-type, by-user-bucket, and grand-total slices",
     oracle=_GSETS_SQL,
