@@ -367,6 +367,73 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_sliding_counts",
+    "streaming: HOPPING-window rollup (1h window / 30min slide) with "
+    "watermark — each event lands in window/slide = 2 overlapping windows",
+    # Append mode emits each hopping window once its end passes the
+    # final watermark (max ts - 2h). DuckDB replays: every event maps
+    # to its two covering 30-min-aligned starts (time_bucket's epoch
+    # origin matches Spark's window alignment), then the same
+    # closed-window screen.
+    oracle="""
+    WITH starts AS (
+        SELECT event_type, ts,
+               unnest([time_bucket(INTERVAL '30 minutes', ts),
+                       time_bucket(INTERVAL '30 minutes', ts)
+                           - INTERVAL 30 MINUTE]) AS wstart
+        FROM events
+    ), win AS (
+        SELECT event_type, wstart, count(*) AS n
+        FROM starts GROUP BY 1, 2
+    ), wm AS (
+        SELECT max(ts) - INTERVAL 2 HOUR AS watermark FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_windows,
+           CAST(sum(n) AS BIGINT) AS n_events
+    FROM win, wm
+    WHERE wstart + INTERVAL 1 HOUR <= watermark
+    GROUP BY event_type
+    """,
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
+    from openaq_data_pipeline_engineering_spark.streaming.ingest import (
+        events_stream_spec,
+        scoped_shuffle_partitions,
+        windowed_counts,
+    )
+
+    apply_runtime_confs(spark)
+    schema, to_event_time = events_stream_spec(spark, sf_dir)
+    stream = to_event_time(
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    agg = windowed_counts(
+        stream, "ts", "1 hour", watermark="2 hours",
+        group_cols=["event_type"], slide="30 minutes",
+    )
+    checkpoint = tempfile.mkdtemp(prefix="openaq_streamslide_ckpt_")
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("stream_sliding_result")
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.sql(
+        "SELECT event_type, count(*) AS n_windows, sum(n) AS n_events "
+        "FROM stream_sliding_result GROUP BY event_type"
+    )
+
+
 # --------------------------------------------------------------------------
 # Stream-stream interval join: click→purchase attribution within 10 min.
 # Both sides are watermarked and the join carries an event-time range

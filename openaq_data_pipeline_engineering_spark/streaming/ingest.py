@@ -176,6 +176,7 @@ def windowed_counts(
     window_duration: str = "1 hour",
     watermark: str = "2 hours",
     group_cols: list[str] | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
     """Watermarked tumbling-window aggregation — the late-data-correct
     rollup for event streams.
@@ -186,11 +187,12 @@ def windowed_counts(
     stream length. Output in append mode emits each window once, when
     the watermark passes its end.
     """
-    from pyspark.sql import functions as F
-
-    keys = [F.window(ts_col, window_duration).alias("win")] + [
-        F.col(c) for c in (group_cols or [])
-    ]
+    win = (
+        F.window(ts_col, window_duration, slide)
+        if slide
+        else F.window(ts_col, window_duration)
+    )
+    keys = [win.alias("win")] + [F.col(c) for c in (group_cols or [])]
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(*keys)
