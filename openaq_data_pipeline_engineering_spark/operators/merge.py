@@ -42,9 +42,11 @@ def cdc_apply(
 
     ``changes`` carries the base columns plus ``op_col`` ('U' upsert /
     'D' delete) and ``seq_col`` (change order). Per key the
-    HIGHEST-``seq`` change wins (ties broken by preferring the delete —
-    deterministic even if a feed emits U and D at the same version);
-    a winning 'D' removes the key, a winning 'U' replaces-or-inserts.
+    HIGHEST-``seq`` change wins; at equal seq the delete outranks the
+    upsert, and among equal-(seq, op) upserts the greatest payload wins
+    — a TOTAL order, so the survivor set is deterministic even on a
+    malformed feed that reuses sequence numbers. A winning 'D' removes
+    the key, a winning 'U' replaces-or-inserts.
 
     Scale: the change stream first collapses with one hash aggregation
     on the key (shuffle ∝ distinct changed keys, map-side combined),
@@ -60,10 +62,12 @@ def cdc_apply(
                     F.col(op_col).alias("__op"),
                     *[F.col(c).alias(c) for c in cols if c not in keys],
                 ),
-                # Delete outranks upsert at equal seq (true > false).
+                # Total order: seq, then delete-over-upsert (true >
+                # false), then the payload itself as final tiebreaker.
                 F.struct(
                     F.col(seq_col),
                     (F.col(op_col) == "D").alias("__is_del"),
+                    *[F.col(c).alias(c) for c in cols if c not in keys],
                 ),
             ).alias("__w")
         )

@@ -192,3 +192,97 @@ def test_mart_pipeline_invariants(spark, meas):
     for r in mart:
         fd = (r["city_name"], r["latitude"], r["longitude"])
         assert per_loc.setdefault(r["location_id"], fd) == fd
+
+
+# --------------------------------------------------------------------------
+# CDC apply with tombstones vs sequential replay
+# --------------------------------------------------------------------------
+@given(
+    base=st.dictionaries(
+        st.integers(1, 8), st.integers(0, 99), min_size=0, max_size=6
+    ),
+    changes=st.lists(
+        st.tuples(
+            st.integers(1, 8),          # key
+            st.integers(0, 99),         # value
+            st.booleans(),              # is_delete
+            st.integers(1, 5),          # seq
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+)
+@settings(**_SETTINGS)
+def test_cdc_apply_matches_sequential_replay(spark, base, changes):
+    from openaq_data_pipeline_engineering_spark.operators.merge import cdc_apply
+
+    base_df = spark.createDataFrame(
+        [(k, v) for k, v in base.items()], "k bigint, v bigint"
+    ) if base else spark.createDataFrame([], "k bigint, v bigint")
+    ch_df = spark.createDataFrame(
+        [(k, v, "D" if d else "U", s) for k, v, d, s in changes],
+        "k bigint, v bigint, op string, seq int",
+    ) if changes else spark.createDataFrame(
+        [], "k bigint, v bigint, op string, seq int"
+    )
+
+    # Reference: per-key max over the operator's total order —
+    # (seq, delete-over-upsert, payload).
+    state = dict(base)
+    winners: dict[int, tuple[int, bool, int]] = {}
+    for k, v, d, s in changes:
+        prev = winners.get(k)
+        if prev is None or (s, d, v) > prev:
+            winners[k] = (s, d, v)
+    for k, (s, d, v) in winners.items():
+        if d:
+            state.pop(k, None)
+        else:
+            state[k] = v
+
+    got = {
+        r["k"]: r["v"]
+        for r in cdc_apply(base_df, ch_df, ["k"]).collect()
+    }
+    assert got == state
+
+
+# --------------------------------------------------------------------------
+# Degree-ordered triangle counting vs brute-force enumeration
+# --------------------------------------------------------------------------
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+)
+@settings(**_SETTINGS)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    from itertools import combinations
+
+    from openaq_data_pipeline_engineering_spark.operators.triangles import (
+        count_triangles,
+    )
+
+    canon = {(min(a, b), max(a, b)) for a, b in edges}
+    if not canon:
+        canon = {(0, 1)}
+    pairs = spark.createDataFrame(sorted(canon), "s bigint, t bigint")
+
+    adj: dict[int, set[int]] = {}
+    for a, b in canon:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    expected = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+
+    row = count_triangles(pairs).collect()[0]
+    assert row["n_edges"] == len(canon)
+    assert row["n_triangles"] == expected
