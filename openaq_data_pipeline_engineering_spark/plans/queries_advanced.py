@@ -790,6 +790,40 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "window_nav_suite",
+    "window navigation family: lag / lead / first_value / nth_value "
+    "over a total per-user event order",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(value) OVER w AS prev_val,
+           lead(value) OVER w AS next_val,
+           first_value(value) OVER w AS first_val,
+           nth_value(value, 3) OVER w AS third_val
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_nav_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(wo).alias("prev_val"),
+        F.lead("value").over(wo).alias("next_val"),
+        F.first("value").over(w).alias("first_val"),
+        F.nth_value("value", 3).over(w).alias("third_val"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Scalar string-function suite over the engine-identical subset
 # (lpad/substr/replace/upper/trim/concat_ws/length/reverse).
