@@ -824,6 +824,41 @@ def window_nav_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "math_functions_suite",
+    "scalar numeric functions over the engine-exact subset: abs / floor "
+    "/ ceil / sign / pmod / sqrt / greatest / least (no transcendentals)",
+    # sqrt is correctly rounded in IEEE-754, so it is bit-identical
+    # across engines; exp/log/pow are NOT (libm last-ULP drift) and are
+    # deliberately absent — the same policy as functions/text.py.
+    oracle="""
+    SELECT event_id,
+           abs(value - 50.0) AS centered,
+           CAST(floor(value) AS BIGINT) AS flr,
+           CAST(ceil(value) AS BIGINT) AS cl,
+           CAST(sign(value - 50.0) AS BIGINT) AS sgn,
+           CAST(user_id % 7 AS BIGINT) AS bucket,
+           sqrt(value) AS rt,
+           greatest(value, 25.0) AS hi,
+           least(value, 75.0) AS lo
+    FROM events WHERE user_id < 20
+    """,
+)
+def math_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return ev.select(
+        "event_id",
+        F.abs(F.col("value") - 50.0).alias("centered"),
+        F.floor("value").alias("flr"),
+        F.ceil("value").alias("cl"),
+        F.signum(F.col("value") - 50.0).cast("bigint").alias("sgn"),
+        (F.col("user_id") % 7).cast("bigint").alias("bucket"),
+        F.sqrt("value").alias("rt"),
+        F.greatest(F.col("value"), F.lit(25.0)).alias("hi"),
+        F.least(F.col("value"), F.lit(75.0)).alias("lo"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Scalar string-function suite over the engine-identical subset
 # (lpad/substr/replace/upper/trim/concat_ws/length/reverse).
