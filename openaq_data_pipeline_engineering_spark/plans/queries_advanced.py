@@ -825,6 +825,45 @@ def window_nav_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fuzzy_name_pairs",
+    "fuzzy matching: blocked Levenshtein pairs over the DISTINCT part-name "
+    "domain (block on the noun; edit distance <= 4)",
+    # Fuzzy matching runs on the distinct value domain, never the row
+    # count: a 100 TB fact collapses to its name vocabulary before any
+    # pairwise work, and blocking (shared noun) bounds each bucket.
+    # Levenshtein is the standard DP distance in both engines.
+    oracle="""
+    WITH d AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM d a JOIN d b
+      ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+     AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    a = d.select(F.col("p_name").alias("name_a"))
+    b = d.select(F.col("p_name").alias("name_b"))
+    return (
+        a.join(
+            b,
+            (
+                F.split_part(F.col("name_a"), F.lit(" "), F.lit(2))
+                == F.split_part(F.col("name_b"), F.lit(" "), F.lit(2))
+            )
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("bigint")
+        )
+        .filter(F.col("dist") <= 4)
+        .select("name_a", "name_b", "dist")
+    )
+
+
+@query(
     "math_functions_suite",
     "scalar numeric functions over the engine-exact subset: abs / floor "
     "/ ceil / sign / pmod / sqrt / greatest / least (no transcendentals)",
