@@ -193,3 +193,60 @@ class TestAsofJoinMultiValue:
         ).first()
         assert out["bid_asof"] == 110.0
         assert out["ask_asof"] is None  # NOT 55.0 from the older quote
+
+
+class TestEventFunnelOrdering:
+    """The funnel requires stage ORDER: a click before the first view
+    must not count, and a purchase before the first qualifying click
+    must not count. Runs the declared query over a synthetic events
+    table to pin the ordering semantics the oracle also encodes."""
+
+    def _run(self, spark, tmp_path, rows):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        base = 1_700_000_000_000_000
+        table = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    [base + h * 3_600_000_000 for _, h, _ in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+                "event_type": pa.array([t for _, _, t in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        import os
+
+        d = str(tmp_path / "fev")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(table, os.path.join(d, "events.parquet"))
+        from openaq_data_pipeline_engineering_spark.plans.queries_warehouse import (
+            event_funnel,
+        )
+
+        return event_funnel(spark, d).first()
+
+    def test_out_of_order_stages_do_not_count(self, spark, tmp_path):
+        rows = [
+            # user 1: click(h1) BEFORE view(h2) -> click doesn't qualify
+            (1, 1, "click"), (1, 2, "view"),
+            # user 2: purchase(h1) before view(h2)->click(h3): no purchase
+            (2, 1, "purchase"), (2, 2, "view"), (2, 3, "click"),
+            # user 3: full ordered chain
+            (3, 1, "view"), (3, 2, "click"), (3, 3, "purchase"),
+        ]
+        out = self._run(spark, tmp_path, rows)
+        assert out["n_view"] == 3
+        assert out["n_view_click"] == 2   # users 2 and 3
+        assert out["n_view_click_purchase"] == 1  # user 3 only
+
+    def test_same_timestamp_counts_as_after(self, spark, tmp_path):
+        rows = [(1, 5, "view"), (1, 5, "click"), (1, 5, "purchase")]
+        out = self._run(spark, tmp_path, rows)
+        assert out["n_view"] == 1
+        assert out["n_view_click"] == 1
+        assert out["n_view_click_purchase"] == 1
