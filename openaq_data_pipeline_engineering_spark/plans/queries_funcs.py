@@ -1,0 +1,172 @@
+"""Declared queries: function-surface suites — higher-order array
+lambdas, map construction/lookup, and regular expressions.
+
+Extends the scalar/array/datetime suites (plans/queries_advanced.py)
+with the three remaining builtin-function families a warehouse user of
+the reference would reach for: the reference's Glue job leans on
+plain projections (process_openaq_raw.py:116-165) and its Athena
+validation uses LIKE-style predicates (utils/athena_utils.py:38-175);
+this engine exposes the full Spark lambda/map/regex surface with
+DuckDB-replayable semantics.
+
+Cross-engine rules applied here:
+- Lambda folds run left-to-right in BOTH engines over the same row, so
+  per-row float folds are bit-identical (registry float policy); we
+  still round fold outputs to 6 like embedding_norm_stats.
+- Map iteration order is made deterministic by sorting entries BEFORE
+  map_from_entries; only scalar lookups / sorted-key strings are
+  emitted (never a raw map column).
+- Regex patterns are restricted to the RE2 ∩ java.util.regex common
+  subset (char classes, quantifiers, one capture group — no lookaround,
+  no backrefs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_engineering_spark.plans.registry import query
+from openaq_data_pipeline_engineering_spark.sources.star import fan_out, load_table
+
+
+# --------------------------------------------------------------------------
+# Higher-order lambdas over the embedding vectors: transform / filter /
+# aggregate / exists / forall / zip_with, each reduced to a scalar so
+# the value-hash is engine-stable (raw float arrays never leave the row).
+# --------------------------------------------------------------------------
+@query(
+    "higher_order_funcs_suite",
+    "lambdas: filter/transform/aggregate/exists/forall/zip_with folds",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+           round(list_reduce(
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * x),
+               (a, x) -> a + x), 6) AS sum_sq,
+           round(list_reduce(
+               list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+               (a, x) -> a + x), 6) AS l1_norm,
+           CAST(len(list_filter(embedding, x -> abs(x) > 2.0)) > 0
+                AS INTEGER) AS any_big,
+           CAST(len(list_filter(embedding, x -> abs(x) >= 4.0)) = 0
+                AS INTEGER) AS all_small
+    FROM embeddings
+    WHERE vec_id < 500
+    """,
+)
+def higher_order_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    e = F.col("embedding")
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    return emb.filter(F.col("vec_id") < 500).select(
+        "vec_id",
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
+        # zip_with(e, e, *) == per-element square; the fold over it is
+        # the same left-to-right double sum the oracle replays.
+        F.round(
+            F.aggregate(
+                F.zip_with(e, e, lambda x, y: dbl(x) * dbl(y)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        ).alias("sum_sq"),
+        F.round(
+            F.aggregate(
+                F.transform(e, lambda x: F.abs(dbl(x))),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        ).alias("l1_norm"),
+        F.exists(e, lambda x: F.abs(x) > 2.0).cast("int").alias("any_big"),
+        F.forall(e, lambda x: F.abs(x) < 4.0).cast("int").alias("all_small"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Map functions: build a per-user map event_type -> count (entries
+# sorted before map_from_entries so key order is deterministic), then
+# read it back via map_keys / element_at / map_filter / map_values.
+# The oracle replays the same VALUES without a map type — what is
+# checked is the lookup/filter semantics, not DuckDB's map internals.
+# --------------------------------------------------------------------------
+@query(
+    "map_functions_suite",
+    "maps: map_from_entries -> keys/element_at/map_filter/values folds",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS keys,
+           CAST(count(DISTINCT event_type) AS INTEGER) AS n_keys,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS error_n,
+           CAST(count(DISTINCT CASE WHEN cnt > 5 THEN event_type END)
+                AS INTEGER) AS n_hot_keys,
+           CAST(count(*) AS BIGINT) AS vals_total
+    FROM (
+        SELECT user_id, event_type,
+               count(*) OVER (PARTITION BY user_id, event_type) AS cnt
+        FROM events WHERE user_id < 40
+    )
+    GROUP BY user_id
+    """,
+)
+def map_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    counts = (
+        ev.filter(F.col("user_id") < 40)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    m = F.map_from_entries(
+        F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+    )
+    return counts.groupBy("user_id").agg(
+        F.array_join(F.map_keys(m), ",").alias("keys"),
+        F.size(m).alias("n_keys"),
+        F.coalesce(F.element_at(m, "error"), F.lit(0).cast("long")).alias(
+            "error_n"
+        ),
+        F.size(F.map_filter(m, lambda k, v: v > 5)).alias("n_hot_keys"),
+        F.aggregate(
+            F.map_values(m), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("vals_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Regex suite (RE2 ∩ Java common subset): extract, extract_all, count,
+# boolean match, global replace.
+# --------------------------------------------------------------------------
+@query(
+    "regex_functions_suite",
+    "regex: extract/extract_all/count/match/replace over customer names",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([0-9]+)', 1) AS first_number,
+           coalesce(array_to_string(regexp_extract_all(text, '[A-Z][a-z]+'),
+                    ','), '') AS cap_words,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS INTEGER)
+               AS n_digits,
+           CAST(regexp_matches(text, '[.!?] [A-Z]') AS INTEGER)
+               AS multi_sentence,
+           regexp_replace(text, '[0-9]', '#', 'g') AS masked
+    FROM documents
+    WHERE doc_id < 300
+    """,
+)
+def regex_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") < 300).select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), r"([0-9]+)", 1).alias("first_number"),
+        F.array_join(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[A-Z][a-z]+")), ","
+        ).alias("cap_words"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[0-9]"))).alias(
+            "n_digits"
+        ),
+        F.col("text").rlike(r"[.!?] [A-Z]").cast("int").alias("multi_sentence"),
+        F.regexp_replace(F.col("text"), r"[0-9]", "#").alias("masked"),
+    )
