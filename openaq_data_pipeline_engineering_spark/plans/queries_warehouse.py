@@ -620,3 +620,79 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("type_len").alias("type_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series gap filling: per-user calendar spine (sequence + explode)
+# left-joined to the observed daily sums, missing days forward-filled
+# with last(ignorenulls). The first spine day per user is always
+# observed (spine starts at min(day)), so the fill never reads off the
+# front of the frame.
+#
+# Scale shape: the spine is |users| x |date-range| rows built from a
+# per-user 2-row aggregate (no driver loop, no cross join); the join
+# keys on (user_id, day) so spine and dailies co-partition; the
+# forward-fill window runs inside each user's partition. At 100 TB the
+# spine is tiny relative to the fact table because it is bounded by
+# keys x days, not by events.
+# --------------------------------------------------------------------------
+@query(
+    "gap_fill_forward",
+    "time series: calendar-spine gap fill + forward-fill (last ignorenulls)",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_sum
+      FROM events WHERE user_id < 15 GROUP BY user_id, day
+    ), spans AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1
+      FROM daily GROUP BY user_id
+    ), spine AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                 AS day
+      FROM spans
+    )
+    SELECT s.user_id, s.day,
+           CAST(d.day_sum IS NOT NULL AS INTEGER) AS observed,
+           last_value(d.day_sum IGNORE NULLS)
+             OVER (PARTITION BY s.user_id ORDER BY s.day) AS filled_sum
+    FROM spine s
+    LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    daily = (
+        ev.filter(F.col("user_id") < 15)
+        .groupBy(
+            "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("day_sum")
+        )
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.col("day_sum").isNotNull().cast("int").alias("observed"),
+        F.last("day_sum", ignorenulls=True).over(w).alias("filled_sum"),
+    )

@@ -250,3 +250,46 @@ class TestEventFunnelOrdering:
         assert out["n_view"] == 1
         assert out["n_view_click"] == 1
         assert out["n_view_click_purchase"] == 1
+
+
+class TestGapFillForward:
+    """Calendar-spine gap fill: a missing middle day appears in the
+    spine with observed=0 and carries the previous day's sum forward."""
+
+    def test_gap_days_filled_forward(self, spark, tmp_path):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        day_us = 86_400_000_000
+        base = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+        # user 1: values on Jan 1 and Jan 4; Jan 2-3 are gaps.
+        rows = [(1, 0, 10.0), (1, 3 * day_us, 5.0)]
+        table = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    [base + off for _, off, _ in rows], pa.timestamp("us")
+                ),
+                "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
+                "value": pa.array([v for _, _, v in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        d = str(tmp_path / "gapev")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(table, os.path.join(d, "events.parquet"))
+        from openaq_data_pipeline_engineering_spark.plans.queries_warehouse import (
+            gap_fill_forward,
+        )
+
+        out = sorted(
+            gap_fill_forward(spark, d).collect(), key=lambda r: str(r["day"])
+        )
+        assert [str(r["day"]) for r in out] == [
+            "2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04",
+        ]
+        assert [r["observed"] for r in out] == [1, 0, 0, 1]
+        assert [r["filled_sum"] for r in out] == [10.0, 10.0, 10.0, 5.0]
