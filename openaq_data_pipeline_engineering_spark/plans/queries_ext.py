@@ -522,3 +522,81 @@ def streaming_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT click_id, purchase_id, user_id, delay_us "
         "FROM stream_join_result"
     )
+
+
+@query(
+    "streaming_session_windows",
+    "streaming: native session_window aggregation (4h gap, watermarked) "
+    "— per-user session counts over the event stream",
+    # Append mode emits a session once the watermark (max event time -
+    # 2h, computed AFTER the user filter) passes the session end (last
+    # event + gap). The oracle replays the same semantics batch-side as
+    # gaps-and-islands: a new session starts when the inter-event gap is
+    # >= 4h (Spark merges sessions that OVERLAP, i.e. next < prev+gap).
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, ts FROM events WHERE user_id < 200
+    ), wm AS (
+        SELECT max(ts) - INTERVAL 2 HOUR AS watermark FROM ev
+    ), flag AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR
+                    THEN 1 ELSE 0 END AS new_s
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flag
+    ), agg AS (
+        SELECT user_id, sid, count(*) AS n,
+               max(ts) + INTERVAL 4 HOUR AS s_end
+        FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(max(n) AS BIGINT) AS max_session_n
+    FROM agg, wm
+    WHERE s_end <= watermark
+    GROUP BY user_id
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
+    from openaq_data_pipeline_engineering_spark.streaming.ingest import (
+        events_stream_spec,
+        scoped_shuffle_partitions,
+    )
+
+    apply_runtime_confs(spark)
+    schema, to_event_time = events_stream_spec(spark, sf_dir)
+    stream = to_event_time(
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    sessions = (
+        stream.filter(F.col("user_id") < 200)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "4 hours"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    checkpoint = tempfile.mkdtemp(prefix="openaq_streamsess_ckpt_")
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName("stream_session_result")
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.sql(
+        "SELECT user_id, count(*) AS n_sessions, sum(n) AS n_events, "
+        "max(n) AS max_session_n "
+        "FROM stream_session_result GROUP BY user_id"
+    )
