@@ -1,0 +1,148 @@
+"""Declared queries: modern Spark SQL surface — recursive CTEs, pipe
+syntax, and the VARIANT semi-structured type.
+
+The reference executes its SQL through Athena (utils/athena_utils.py:
+38-175); this engine's equivalent surface is `spark.sql`, and these
+queries pin the Spark-4 extensions of that surface the reference's
+users would gain by switching: WITH RECURSIVE (hierarchical rollups
+Athena expresses with bounded self-join chains), the |> pipe operator
+chain, and VARIANT (`parse_json`/`variant_get`) for schema-on-read
+JSON columns.
+
+All three run through the same SQL executor path as S11
+(engine.Engine.sql); views are registered from the star loader so
+scans keep pruned schemas and pushed filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_engineering_spark.plans.registry import query
+from openaq_data_pipeline_engineering_spark.sources.star import load_table
+
+
+def _view(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE: hierarchical rollup over the implicit decimal-digit
+# tree on part keys (parent(k) = k div 10 — every parent key exists
+# because keys are contiguous). The BFS carries (root, depth) down the
+# tree; the rollup is the depth histogram. Recursion depth is
+# log10(|part|) ~ 4..7, far inside cteRecursionLevelLimit (100).
+#
+# Scale shape: each recursion level is one equi-join of the frontier
+# against the part table on the parent key — the same bounded
+# self-join chain a non-recursive engine would write by hand, but
+# driven by the engine until the frontier empties.
+# --------------------------------------------------------------------------
+@query(
+    "sql_recursive_hierarchy",
+    "SQL surface: WITH RECURSIVE tree walk (root/depth) + depth rollup",
+    oracle="""
+    WITH RECURSIVE h(partkey, root, depth) AS (
+        SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey < 10
+        UNION ALL
+        SELECT p.p_partkey, h.root, h.depth + 1
+        FROM part p JOIN h ON p.p_partkey // 10 = h.partkey
+        WHERE p.p_partkey >= 10
+    )
+    SELECT depth,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT root) AS BIGINT) AS n_roots
+    FROM h GROUP BY depth
+    """,
+)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        WITH RECURSIVE h(partkey, root, depth) AS (
+            SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey < 10
+            UNION ALL
+            SELECT p.p_partkey, h.root, h.depth + 1
+            FROM part p JOIN h ON p.p_partkey div 10 = h.partkey
+            WHERE p.p_partkey >= 10
+        )
+        SELECT depth,
+               count(*) AS n,
+               count(DISTINCT root) AS n_roots
+        FROM h GROUP BY depth
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# SQL pipe syntax: the linear |> form of a filter -> aggregate ->
+# order chain. Catalyst compiles it to the identical plan as the
+# nested form — the oracle IS that nested form.
+# --------------------------------------------------------------------------
+@query(
+    "sql_pipe_surface",
+    "SQL surface: |> pipe-operator chain (WHERE |> AGGREGATE |> ORDER BY)",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_pipe_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE count(*) AS n,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                         AS total
+           GROUP BY o_orderpriority
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# VARIANT: schema-on-read over the JSON props column — parse once,
+# extract typed paths with variant_get (no user-supplied struct schema,
+# unlike from_json in json_props_extract). Missing paths yield NULL,
+# not an error, which is the schema-drift behavior a 100 TB ingest
+# needs.
+# --------------------------------------------------------------------------
+@query(
+    "variant_extract",
+    "VARIANT type: parse_json(props) -> variant_get typed paths + drift nulls",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS sum_k,
+           CAST(sum(CASE WHEN json_extract_string(props, '$.absent') IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_drift
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        ev.select(
+            "event_type",
+            F.try_variant_get(v, "$.k", "int").alias("k"),
+            F.try_variant_get(v, "$.absent", "string").alias("absent"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.when(F.col("absent").isNull(), 1).otherwise(0)).alias(
+                "n_drift"
+            ),
+        )
+    )
