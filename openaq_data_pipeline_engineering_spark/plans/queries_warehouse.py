@@ -696,3 +696,59 @@ def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day_sum").isNotNull().cast("int").alias("observed"),
         F.last("day_sum", ignorenulls=True).over(w).alias("filled_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Table content checksums (anti-entropy validation): one row per table
+# with row count + an ORDER-INDEPENDENT content fingerprint — the sum
+# of a 28-bit integer derived from each row's md5 over a canonical
+# '|'-joined key string. Two clusters (or a cluster and its DR copy)
+# compare these three numbers instead of shipping rows; a single
+# changed/missing/duplicated row moves the sum.
+#
+# Canonical strings use only integer/string columns (float formatting
+# is engine-specific); md5 and the hex-prefix parse are identical in
+# Spark (conv) and DuckDB (0x-cast) — same bridge as corpus_shards.
+#
+# Scale shape: one pruned scan per table, map-side partial sum, 1-row
+# output each; the union is of three 1-row aggregates.
+# --------------------------------------------------------------------------
+_CHECKSUM_KEYS = {
+    "customer": ("c_custkey", "c_mktsegment", "c_nationkey"),
+    "orders": ("o_orderkey", "o_orderstatus", "o_orderpriority"),
+    "lineitem": ("l_orderkey", "l_linenumber", "l_returnflag"),
+}
+
+
+def _checksum_oracle() -> str:
+    parts = []
+    for t, cols in _CHECKSUM_KEYS.items():
+        canon = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        parts.append(
+            f"SELECT '{t}' AS table_name,\n"
+            f"       CAST(count(*) AS BIGINT) AS n_rows,\n"
+            f"       CAST(sum(CAST(concat('0x', substr(md5({canon}), 1, 7))\n"
+            f"                AS BIGINT)) AS BIGINT) AS content_sum\n"
+            f"FROM {t}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@query(
+    "table_checksums",
+    "validation: per-table row count + order-independent md5 content sum",
+    oracle=_checksum_oracle(),
+)
+def table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t, cols in _CHECKSUM_KEYS.items():
+        df = load_table(spark, sf_dir, t)
+        canon = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        row_int = F.conv(F.substring(F.md5(canon), 1, 7), 16, 10).cast("bigint")
+        agg = df.agg(
+            F.lit(t).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(row_int).alias("content_sum"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out

@@ -420,3 +420,67 @@ def test_scoped_shuffle_partitions_restores(spark):
     except RuntimeError:
         pass
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+class TestCsvSource:
+    def test_roundtrip_types_preserved(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from openaq_data_pipeline_engineering_spark.sources.csv_source import (
+            read_csv,
+            write_csv,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a,b", 1.5, None), (2, 'q"x', -2.0, "z")],
+            "id BIGINT, s STRING, v DOUBLE, opt STRING",
+        )
+        d = str(tmp_path / "csvout")
+        write_csv(df, d)
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("s", T.StringType()),
+                T.StructField("v", T.DoubleType()),
+                T.StructField("opt", T.StringType()),
+            ]
+        )
+        back = read_csv(spark, d, schema=schema)
+        assert back.schema == schema
+        got = sorted(back.collect(), key=lambda r: r["id"])
+        assert [tuple(r) for r in got] == [
+            (1, "a,b", 1.5, None),
+            (2, 'q"x', -2.0, "z"),
+        ]
+
+    def test_permissive_quarantines_bad_rows(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from openaq_data_pipeline_engineering_spark.sources.csv_source import (
+            CORRUPT_COL,
+            read_csv,
+        )
+
+        d = str(tmp_path / "csvbad")
+        os.makedirs(d)
+        with open(os.path.join(d, "part.csv"), "w") as f:
+            f.write("id,v\n1,2.5\nnot_an_int,oops\n3,4.5\n")
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("v", T.DoubleType()),
+                T.StructField(CORRUPT_COL, T.StringType()),
+            ]
+        )
+        back = read_csv(spark, d, schema=schema, mode="PERMISSIVE").cache()
+        try:
+            good = back.filter(F.col(CORRUPT_COL).isNull())
+            bad = back.filter(F.col(CORRUPT_COL).isNotNull())
+            assert sorted(r["id"] for r in good.collect()) == [1, 3]
+            assert bad.count() == 1
+            assert "not_an_int" in bad.first()[CORRUPT_COL]
+        finally:
+            back.unpersist()
