@@ -600,3 +600,72 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max(n) AS max_session_n "
         "FROM stream_session_result GROUP BY user_id"
     )
+
+
+@query(
+    "streaming_static_enrich",
+    "streaming: stream-static broadcast join (event stream x derived "
+    "dim), complete-mode rollup",
+    # Stream-static joins are stateless: with availableNow every stream
+    # row joins the same static snapshot, so the batch replay is the
+    # identical join + rollup.
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT event_type,
+               CAST(length(event_type) AS BIGINT) AS type_len
+        FROM events
+    )
+    SELECT d.type_len,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(e.value * 1000) AS BIGINT)) AS BIGINT)
+               AS sum_milli
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY d.type_len
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
+    from openaq_data_pipeline_engineering_spark.streaming.ingest import (
+        events_stream_spec,
+        scoped_shuffle_partitions,
+    )
+
+    apply_runtime_confs(spark)
+    # Static side: small derived dim — broadcast into every micro-batch.
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .withColumn("type_len", F.length("event_type").cast("bigint"))
+    )
+    schema, to_event_time = events_stream_spec(spark, sf_dir)
+    stream = to_event_time(
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    rollup = (
+        stream.join(dim, "event_type")
+        .groupBy("type_len")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias(
+                "sum_milli"
+            ),
+        )
+    )
+    checkpoint = tempfile.mkdtemp(prefix="openaq_streamenrich_ckpt_")
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            rollup.writeStream.format("memory")
+            .queryName("stream_enrich_result")
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.sql(
+        "SELECT type_len, n, sum_milli FROM stream_enrich_result"
+    )

@@ -146,3 +146,33 @@ def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# LATERAL correlated subquery: greatest-n-per-group in its SQL form.
+# Catalyst rewrites the correlated LIMIT subquery into the same
+# rank-window plan the DataFrame API writes by hand (dedup_window /
+# knn_join_top3) — this pins the SQL spelling of that pattern.
+# --------------------------------------------------------------------------
+@query(
+    "sql_lateral_topk",
+    "SQL surface: LATERAL (ORDER BY ... LIMIT 2) top-2 customers per nation",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, top.c_custkey, top.c_acctbal
+    FROM nation n,
+    LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_custkey LIMIT 2) top
+    """,
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "nation", "customer")
+    return spark.sql(
+        """
+        SELECT n.n_nationkey, n.n_name, top.c_custkey, top.c_acctbal
+        FROM nation n,
+        LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) top
+        """
+    )
