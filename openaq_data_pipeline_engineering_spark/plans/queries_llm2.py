@@ -333,3 +333,116 @@ def cdc_merge_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_apply(
         base, upserts.unionByName(tombstones), keys=["c_custkey"]
     )
+
+
+# --------------------------------------------------------------------------
+# OOV-bigram quality screen: fraction of a document's bigrams that
+# occur NOWHERE else in the corpus (corpus-wide count == 1). High
+# ratios flag machine-generated / garbled text without any float
+# model: the score is integer ppm from exact counts. Two shuffles —
+# bigram counts (∝ distinct bigrams, map-side combined) and the
+# join-back + per-doc rollup (∝ doc bigrams, keyed back to doc_id).
+# --------------------------------------------------------------------------
+@query(
+    "oov_bigram_screen",
+    "LM screen: per-doc ratio (ppm) of corpus-unique bigrams — "
+    "integer-exact statistical quality gate",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks, unnest(range(1, greatest(len(t), 1))) AS r(i)
+    ),
+    c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+            FROM bg GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bg,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uniq,
+           CAST((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000)
+                // count(*) AS BIGINT) AS uniq_ppm
+    FROM bg JOIN c12 USING (w1, w2)
+    GROUP BY doc_id
+    """,
+)
+def oov_bigram_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    t = F.split("text", " ")
+    bg = (
+        docs.select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(element_at(t, i) AS w1, "
+                    "element_at(t, i + 1) AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    n_uniq = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return (
+        bg.join(c12, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bg"),
+            n_uniq.alias("n_uniq"),
+            F.expr(
+                "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) "
+                "* CAST(1000000 AS BIGINT) AS BIGINT) "
+                "div count(*)"
+            ).alias("uniq_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-mixture weights: per-source sampling probability that
+# rebalances the corpus toward a uniform token budget per source,
+# capped at 1.0 (never upsample) — the epoch-mixing computation a
+# training-data pipeline runs before writing shards. Pure integer
+# arithmetic (token counts, ppm weights); the 1-row corpus total is a
+# broadcast, never a driver round-trip.
+# --------------------------------------------------------------------------
+@query(
+    "mixture_weights",
+    "mixing: per-source ppm sampling weight toward a uniform token "
+    "budget (integer-exact, capped at 1x)",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_src
+      FROM s
+    )
+    SELECT source, n_docs, n_tokens,
+           least(CAST(1000000 AS BIGINT),
+                 ((total // n_src) * 1000000) // n_tokens) AS weight_ppm
+    FROM s, tot
+    """,
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("n_tokens"),
+    )
+    tot = s.agg(
+        F.sum("n_tokens").alias("total"), F.count(F.lit(1)).alias("n_src")
+    )
+    return s.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.least(
+            F.lit(1_000_000).cast("bigint"),
+            F.expr("((total div n_src) * CAST(1000000 AS BIGINT)) div n_tokens"),
+        ).alias("weight_ppm"),
+    )
