@@ -39,6 +39,9 @@ NLJ_ALLOWED = {
     # vocab build: 1-row corpus-total aggregate broadcast onto the
     # top-30 ranked vocab rows.
     "vocab_coverage",
+    # mixture weights: 1-row corpus-total aggregate broadcast onto the
+    # per-source rows.
+    "mixture_weights",
     # triangle summary: three 1-row aggregates (edges/wedges/triangles)
     # combined into the single output row.
     "triangle_count",
