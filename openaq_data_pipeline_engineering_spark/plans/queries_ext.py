@@ -669,3 +669,66 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT type_len, n, sum_milli FROM stream_enrich_result"
     )
+
+
+@query(
+    "grouped_pandas_stats",
+    "applyInPandas: per-group exact rank quantiles (lower-rank median / "
+    "quartiles on integer milli-units) — the grouped custom-aggregation "
+    "escape hatch, Arrow-batched",
+    # Rank statistics are defined POSITIONALLY (0-indexed (n-1)//k over
+    # the sorted milli-values), so pandas and the window-based SQL
+    # replay agree bit-for-bit — no interpolation, no float folds.
+    # Ties: the value at a fixed sorted position is unique for a given
+    # multiset regardless of how row_number permutes equal keys.
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS m
+      FROM events
+    ), r AS (
+      SELECT event_type, m,
+             row_number() OVER (PARTITION BY event_type ORDER BY m) - 1 AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(max(CASE WHEN rn = (n-1)//2 THEN m END) AS BIGINT)
+               AS med_milli,
+           CAST(max(CASE WHEN rn = (n-1)//4 THEN m END) AS BIGINT)
+               AS p25_milli,
+           CAST(max(CASE WHEN rn = 3*(n-1)//4 THEN m END) AS BIGINT)
+               AS p75_milli
+    FROM r GROUP BY event_type
+    """,
+)
+def grouped_pandas_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = fan_out(load_table(spark, sf_dir, "events")).select(
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("value_milli"),
+    )
+
+    def stats(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        v = np.sort(pdf["value_milli"].to_numpy())
+        n = len(v)
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "n": n,
+                    "med_milli": int(v[(n - 1) // 2]),
+                    "p25_milli": int(v[(n - 1) // 4]),
+                    "p75_milli": int(v[3 * (n - 1) // 4]),
+                }
+            ]
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        stats,
+        "event_type string, n bigint, med_milli bigint, "
+        "p25_milli bigint, p75_milli bigint",
+    )
