@@ -752,3 +752,71 @@ def table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+# --------------------------------------------------------------------------
+# Algebraic statistics from EXACT integer sums: builtin corr()/var_samp()
+# accumulate float partials whose combine order varies with
+# partitioning — not reproducible cross-engine or cross-cluster-size.
+# This computes the five raw moments (n, Sx, Sy, Sxx, Sxy, Syy) as
+# BIGINT sums (order-independent, map-side combinable), widens to
+# DECIMAL(38)/HUGEINT for the products, and derives corr/variance with
+# ONE double division+sqrt per group — bit-identical on any engine and
+# any partition count. The decomposition is exactly what makes the
+# statistic safe to compute distributed at 100 TB.
+# --------------------------------------------------------------------------
+@query(
+    "algebraic_corr_stats",
+    "stats: per-type corr/var from exact integer moments (partition-"
+    "count-independent, unlike float-partial corr())",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS HUGEINT) AS sx,
+             CAST(sum(user_id) AS HUGEINT) AS sy,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)
+                      * CAST(floor(value * 1000) AS BIGINT)) AS HUGEINT)
+                 AS sxx,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT) * user_id)
+                  AS HUGEINT) AS sxy,
+             CAST(sum(user_id * user_id) AS HUGEINT) AS syy
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+               AS var_x_milli2,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) AS corr_xy
+    FROM m
+    """,
+)
+def algebraic_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    x = F.floor(F.col("value") * 1000).cast("bigint")
+    y = F.col("user_id")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(x).alias("sx0"),
+        F.sum(y).alias("sy0"),
+        F.sum(x * x).alias("sxx0"),
+        F.sum(x * y).alias("sxy0"),
+        F.sum(y * y).alias("syy0"),
+    )
+    # widen to DECIMAL(38,0) before the cross products (n*Sxx etc. can
+    # exceed BIGINT at real scale), then ONE double op per output
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    n, sx, sy, sxx, sxy, syy = (
+        d("n0"), d("sx0"), d("sy0"), d("sxx0"), d("sxy0"), d("syy0")
+    )
+    var_num = (n * sxx - sx * sx).cast("double")
+    cov_num = (n * sxy - sx * sy).cast("double")
+    vy_num = (n * syy - sy * sy).cast("double")
+    return m.select(
+        "event_type",
+        F.col("n0").alias("n"),
+        (var_num / (n * (n - F.lit(1))).cast("double")).alias("var_x_milli2"),
+        (cov_num / F.sqrt(var_num * vy_num)).alias("corr_xy"),
+    )
