@@ -452,3 +452,59 @@ class TestTriangles:
         row = count_triangles(pairs).collect()[0]
         assert row["n_triangles"] == 0
         assert row["n_wedges"] == 0, "hub wedges must not materialize"
+
+
+class TestPhysicalStrategyInvariance:
+    """Results must be a function of the LOGICAL plan only: identical
+    under any join strategy hint and any shuffle partition count."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _rows(self, df):
+        return sorted(tuple(r) for r in df.collect())
+
+    def test_join_hint_equivalence(self, spark):
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_engineering_spark.sources.star import load_table
+
+        orders = load_table(spark, self.SF, "orders")
+        cust = load_table(spark, self.SF, "customer")
+        expected = None
+        for hint in ("broadcast", "merge", "shuffle_hash"):
+            joined = (
+                orders.join(cust.hint(hint), orders.o_custkey == cust.c_custkey)
+                .groupBy("c_mktsegment")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min("o_orderkey").alias("first_key"),
+                )
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            expect_node = {
+                "broadcast": "BroadcastHashJoin",
+                "merge": "SortMergeJoin",
+                "shuffle_hash": "ShuffledHashJoin",
+            }[hint]
+            assert expect_node in plan, f"{hint} hint not honored:\n{plan[:500]}"
+            rows = self._rows(joined)
+            if expected is None:
+                expected = rows
+            else:
+                assert rows == expected, f"{hint} join changed the result"
+
+    def test_shuffle_partition_count_invariance(self, spark):
+        from openaq_data_pipeline_engineering_spark.plans.registry import get_queries
+        from openaq_data_pipeline_engineering_spark.streaming.ingest import (
+            scoped_shuffle_partitions,
+        )
+
+        qs = get_queries()
+        for name in ("flagship_daily_topk", "dedup_exact", "gap_fill_forward"):
+            results = []
+            for n_part in (3, 17):
+                with scoped_shuffle_partitions(spark, n_part):
+                    results.append(self._rows(qs[name](spark, self.SF)))
+            assert results[0] == results[1], (
+                f"{name}: result depends on shuffle partition count"
+            )
