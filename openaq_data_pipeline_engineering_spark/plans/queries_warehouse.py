@@ -820,3 +820,94 @@ def algebraic_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (var_num / (n * (n - F.lit(1))).cast("double")).alias("var_x_milli2"),
         (cov_num / F.sqrt(var_num * vy_num)).alias("corr_xy"),
     )
+
+
+# --------------------------------------------------------------------------
+# Synthetic-source smoke: spark.range as a FILE-LESS distributed source
+# (the backfill / load-test / CI-fixture generator pattern). Columns
+# are pure functions of the row id (md5 bucket, modular value), so any
+# cluster size generates the bit-identical table — and DuckDB replays
+# it from generate_series. range() parallelizes by slicing the id
+# space across tasks: no input files, no driver materialization.
+# --------------------------------------------------------------------------
+@query(
+    "synthetic_range_source",
+    "source: spark.range generator (id-deterministic columns) + rollup",
+    oracle="""
+    WITH g AS (
+      SELECT i AS id,
+             CAST(concat('0x', substr(md5(CAST(i AS VARCHAR)), 1, 7))
+                  AS BIGINT) % 10 AS bucket,
+             (i * 37) % 1000 AS val
+      FROM generate_series(0, 99999) AS t(i)
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(val) AS BIGINT) AS sum_val,
+           min(id) AS first_id
+    FROM g GROUP BY bucket
+    """,
+)
+def synthetic_range_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = spark.range(0, 100_000, numPartitions=8).select(
+        F.col("id"),
+        (
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 7), 16, 10)
+            .cast("bigint")
+            % 10
+        ).alias("bucket"),
+        ((F.col("id") * 37) % 1000).alias("val"),
+    )
+    return g.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("val").alias("sum_val"),
+        F.min("id").alias("first_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pareto frontier (2-D skyline): order dates not dominated by any later
+# date with an equal-or-higher best price. The naive form is a
+# quadratic NOT EXISTS self-join; this collapses to one row per date
+# first (shuffle ∝ distinct dates) and then needs only a single
+# cumulative max over the date axis — O(n log n), no self-join at all.
+# The window is global but over |distinct dates| rows, not the fact
+# table.
+# --------------------------------------------------------------------------
+@query(
+    "pareto_frontier",
+    "skyline: (date, best price) frontier via collapse + suffix-max "
+    "window (no quadratic self-join)",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderdate AS day, max(o_totalprice) AS best_price
+      FROM orders GROUP BY 1
+    ), f AS (
+      SELECT day, best_price,
+             max(best_price) OVER (
+               ORDER BY epoch_us(day)
+               RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+             ) AS later_best
+      FROM d
+    )
+    SELECT day, best_price FROM f
+    WHERE later_best IS NULL OR best_price > later_best
+    """,
+)
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.max("o_totalprice").alias("best_price")
+    )
+    w = (
+        Window.orderBy(F.unix_micros(F.col("day")))
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    return (
+        d.withColumn("later_best", F.max("best_price").over(w))
+        .filter(
+            F.col("later_best").isNull()
+            | (F.col("best_price") > F.col("later_best"))
+        )
+        .select("day", "best_price")
+    )
