@@ -911,3 +911,77 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("day", "best_price")
     )
+
+
+# --------------------------------------------------------------------------
+# Version reconciliation via FULL OUTER join: classify every key of
+# two table versions as added / removed / changed / unchanged and
+# report per-class counts + key extents. The "what changed between
+# yesterday's and today's snapshot" audit. Version B is derived from A
+# by a deterministic synthetic drift (drop <=100, shift balances in
+# (100,130], add 1e6-offset copies of <=50) so the oracle can state
+# the expected classes in closed form.
+#
+# Scale shape: one full-outer hash join keyed on the primary key —
+# co-partitioned, shuffle ∝ rows, no driver materialization; the
+# classify step is a pure projection and the rollup is 4 groups.
+# --------------------------------------------------------------------------
+@query(
+    "table_diff",
+    "audit: FULL OUTER version diff -> added/removed/changed/unchanged "
+    "counts + key extents",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'removed' AS status, CAST(count(*) AS BIGINT) AS n,
+             min(c_custkey) AS min_key, max(c_custkey) AS max_key
+      FROM customer WHERE c_custkey <= 100
+      UNION ALL
+      SELECT 'added', CAST(count(*) AS BIGINT),
+             min(c_custkey + 1000000), max(c_custkey + 1000000)
+      FROM customer WHERE c_custkey <= 50
+      UNION ALL
+      SELECT 'changed', CAST(count(*) AS BIGINT), min(c_custkey), max(c_custkey)
+      FROM customer WHERE c_custkey > 100 AND c_custkey <= 130
+      UNION ALL
+      SELECT 'unchanged', CAST(count(*) AS BIGINT), min(c_custkey), max(c_custkey)
+      FROM customer WHERE c_custkey > 130
+    ) WHERE n > 0
+    """,
+)
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select("c_custkey", "c_acctbal")
+    # synthetic version B: deterministic drift off version A
+    b = (
+        cust.filter(F.col("c_custkey") > 100)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") <= 130, F.col("c_acctbal") + 50.0)
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") <= 50).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"), "c_acctbal"
+            )
+        )
+    )
+    joined = a.alias("a").join(
+        b.alias("b"), F.col("a.c_custkey") == F.col("b.c_custkey"), "full_outer"
+    )
+    status = (
+        F.when(F.col("b.c_custkey").isNull(), "removed")
+        .when(F.col("a.c_custkey").isNull(), "added")
+        .when(F.col("a.c_acctbal") != F.col("b.c_acctbal"), "changed")
+        .otherwise("unchanged")
+    )
+    key = F.coalesce(F.col("a.c_custkey"), F.col("b.c_custkey"))
+    return (
+        joined.select(status.alias("status"), key.alias("key"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("key").alias("min_key"),
+            F.max("key").alias("max_key"),
+        )
+    )
