@@ -170,3 +170,134 @@ def regex_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").rlike(r"[.!?] [A-Z]").cast("int").alias("multi_sentence"),
         F.regexp_replace(F.col("text"), r"[0-9]", "#").alias("masked"),
     )
+
+
+# --------------------------------------------------------------------------
+# Binary functions: encode -> base64 / hex / byte length, decode
+# roundtrip. UTF-8 byte semantics (octet_length, not char length) are
+# what a payload-hashing pipeline needs (multimodal binary columns use
+# the same machinery).
+# --------------------------------------------------------------------------
+@query(
+    "binary_functions_suite",
+    "binary: encode/base64/hex/octet_length + base64 roundtrip equality",
+    oracle="""
+    SELECT c_custkey,
+           base64(encode(c_name)) AS b64,
+           hex(encode(c_mktsegment)) AS seg_hex,
+           CAST(octet_length(encode(c_name)) AS INTEGER) AS n_bytes,
+           CAST(c_name = decode(from_base64(base64(encode(c_name))))
+                AS INTEGER) AS roundtrip_ok
+    FROM customer WHERE c_custkey < 300
+    """,
+)
+def binary_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    name_bin = F.col("c_name").cast("binary")
+    return cust.filter(F.col("c_custkey") < 300).select(
+        "c_custkey",
+        F.base64(name_bin).alias("b64"),
+        F.hex(F.col("c_mktsegment").cast("binary")).alias("seg_hex"),
+        F.octet_length("c_name").alias("n_bytes"),
+        (
+            F.col("c_name")
+            == F.unbase64(F.base64(name_bin)).cast("string")
+        )
+        .cast("int")
+        .alias("roundtrip_ok"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Schema-drift union: unionByName(allowMissingColumns=True) across two
+# extracts with different column sets — the multi-source ingest shape
+# where later feeds add columns. Missing columns null-fill; the oracle
+# replays with explicit NULL projections (SQL UNION is positional, so
+# the name-based alignment is exactly what the API adds).
+# --------------------------------------------------------------------------
+@query(
+    "union_schema_drift",
+    "union: unionByName(allowMissingColumns) across drifted extracts",
+    oracle="""
+    SELECT event_id, event_type, value, NULL AS quality_flag
+    FROM events WHERE user_id < 10
+    UNION ALL
+    SELECT event_id, event_type, CAST(NULL AS DOUBLE) AS value,
+           CASE WHEN value >= 50 THEN 'hi' ELSE 'lo' END AS quality_flag
+    FROM events WHERE user_id >= 10 AND user_id < 20
+    """,
+)
+def union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    old_feed = ev.filter(F.col("user_id") < 10).select(
+        "event_id", "event_type", "value"
+    )
+    new_feed = (
+        ev.filter((F.col("user_id") >= 10) & (F.col("user_id") < 20))
+        .select(
+            "event_id",
+            "event_type",
+            F.when(F.col("value") >= 50, "hi").otherwise("lo").alias(
+                "quality_flag"
+            ),
+        )
+    )
+    return old_feed.unionByName(new_feed, allowMissingColumns=True)
+
+
+# --------------------------------------------------------------------------
+# Pivot with MULTIPLE aggregates (A1 extended): explicit pivot values
+# (no distinct pre-scan) x two aliased measures -> {value}_{alias}
+# columns. Integer milli-sums keep the wide matrix engine-exact.
+# --------------------------------------------------------------------------
+@query(
+    "pivot_multi_agg",
+    "pivot: explicit values x two aliased measures (count + milli sum)",
+    oracle="""
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+               AS click_n,
+           CAST(sum(CASE WHEN event_type = 'click'
+                    THEN CAST(floor(value * 1000) AS BIGINT) END) AS BIGINT)
+               AS click_milli,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+               AS error_n,
+           CAST(sum(CASE WHEN event_type = 'error'
+                    THEN CAST(floor(value * 1000) AS BIGINT) END) AS BIGINT)
+               AS error_milli,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+               AS view_n,
+           CAST(sum(CASE WHEN event_type = 'view'
+                    THEN CAST(floor(value * 1000) AS BIGINT) END) AS BIGINT)
+               AS view_milli
+    FROM events WHERE user_id < 30
+    GROUP BY user_id
+    """,
+)
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    wide = (
+        ev.filter(F.col("user_id") < 30)
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "error", "view"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias(
+                "milli"
+            ),
+        )
+    )
+    # count over an empty pivot cell yields 0; the oracle's conditional
+    # sum yields NULL — normalize to the SQL convention
+    return wide.select(
+        "user_id",
+        *[
+            (
+                F.when(F.col(f"{t}_n") > 0, F.col(f"{t}_{m}")).alias(
+                    f"{t}_{m}"
+                )
+            )
+            for t in ("click", "error", "view")
+            for m in ("n", "milli")
+        ],
+    )
