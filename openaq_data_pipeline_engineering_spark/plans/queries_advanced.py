@@ -1381,3 +1381,54 @@ def disjunctive_bands_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             rev.alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Nearest-direction as-of join (operators/asof.py direction='nearest'):
+# both carried columns come from ONE window shuffle; the choice is a
+# pure per-row delta comparison. Tie rules: equal deltas prefer
+# backward; equal-ts backward quotes take the max tiebreaker, forward
+# quotes the min.
+# --------------------------------------------------------------------------
+@query(
+    "asof_join_nearest",
+    "as-of join (nearest): closest click in time to each error event, "
+    "backward-preferring on delta ties",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, ts, value, event_id FROM events
+        WHERE event_type = 'click'
+    ), e AS (
+        SELECT user_id, ts, value, event_id FROM events
+        WHERE event_type = 'error'
+    )
+    SELECT e.user_id, e.ts, e.event_id, e.value,
+           (SELECT c.value FROM c
+            WHERE c.user_id = e.user_id
+            ORDER BY abs(epoch_us(c.ts) - epoch_us(e.ts)),
+                     CASE WHEN c.ts <= e.ts THEN 0 ELSE 1 END,
+                     CASE WHEN c.ts <= e.ts THEN -c.event_id
+                          ELSE c.event_id END
+            LIMIT 1) AS value_asof
+    FROM e
+    """,
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(
+        probes=errors,
+        quotes=clicks,
+        on=["user_id"],
+        ts_col="ts",
+        value_cols=["value"],
+        tiebreaker="event_id",
+        direction="nearest",
+    )

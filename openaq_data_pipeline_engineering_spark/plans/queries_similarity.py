@@ -199,3 +199,36 @@ def ann_lsh_bucketed_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cos_raw"), 6).alias("cosine"), "rn",
         )
     )
+
+
+@query(
+    "embedding_mean_pool",
+    "vectors: per-label element-wise centroid of int-quantized "
+    "embeddings (posexplode -> co-partitioned integer sums, exact)",
+    # Float element-wise means would be partition-order-dependent;
+    # quantizing to floor(x*64) ints first makes the pooled centroid
+    # bit-reproducible on any cluster (same trick as quantized_ann /
+    # kmeans). Shuffle ∝ |labels| x dims after map-side combine.
+    oracle="""
+    SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+           CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 64)
+                    AS BIGINT)) AS BIGINT) AS sum_q,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 64)
+                    AS BIGINT)) AS DOUBLE) / count(*) AS mean_q
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+    GROUP BY label, dim
+    """,
+)
+def embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 64).cast("bigint"),
+    )
+    exploded = emb.select("label", F.posexplode(q).alias("dim", "qv"))
+    return exploded.groupBy("label", "dim").agg(
+        F.sum("qv").alias("sum_q"),
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("qv").cast("double") / F.count(F.lit(1))).alias("mean_q"),
+    )

@@ -293,3 +293,70 @@ class TestGapFillForward:
         ]
         assert [r["observed"] for r in out] == [1, 0, 0, 1]
         assert [r["filled_sum"] for r in out] == [10.0, 10.0, 10.0, 5.0]
+
+
+class TestAsofDirections:
+    """forward picks the earliest STRICTLY-later quote (equal-ts quotes
+    belong to backward under the shared sort); nearest prefers the
+    smaller time delta, backward on ties."""
+
+    def _frames(self, spark):
+        quotes = spark.createDataFrame(
+            [
+                (1, _ts(9), 100.0, 1),
+                (1, _ts(11), 110.0, 2),
+                (1, _ts(11), 111.0, 3),
+                (2, _ts(10), 200.0, 4),
+            ],
+            "user_id int, ts timestamp, value double, event_id int",
+        )
+        probes = spark.createDataFrame(
+            [
+                (1, _ts(10), 90, 0.5),   # 9h behind=1h, 11h ahead=1h
+                (1, _ts(11), 91, 0.6),   # equal ts
+                (1, _ts(8), 92, 0.7),    # before any quote
+                (1, _ts(12), 93, 0.8),   # after all quotes
+                (2, _ts(12), 94, 0.9),
+            ],
+            "user_id int, ts timestamp, event_id int, value double",
+        )
+        return probes, quotes
+
+    def _got(self, spark, direction):
+        probes, quotes = self._frames(spark)
+        out = asof_join(
+            probes, quotes, on=["user_id"], ts_col="ts",
+            value_cols=["value"], tiebreaker="event_id",
+            direction=direction,
+        )
+        return {r["event_id"]: r["value_asof"] for r in out.collect()}
+
+    def test_forward(self, spark):
+        # equal-ts quotes are NOT forward matches; min tiebreaker wins
+        assert self._got(spark, "forward") == {
+            90: 110.0,  # earliest ts>10h is 11h; min event_id -> 110.0
+            91: None,   # nothing strictly after 11h
+            92: 100.0,
+            93: None,
+            94: None,
+        }
+
+    def test_nearest(self, spark):
+        assert self._got(spark, "nearest") == {
+            90: 100.0,  # 1h back vs 1h forward: tie -> backward
+            91: 111.0,  # delta 0 backward
+            92: 100.0,  # only forward exists
+            93: 111.0,  # only backward exists
+            94: 200.0,
+        }
+
+    def test_bad_direction_raises(self, spark):
+        probes, quotes = self._frames(spark)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            asof_join(
+                probes, quotes, on=["user_id"], ts_col="ts",
+                value_cols=["value"], tiebreaker="event_id",
+                direction="sideways",
+            )
