@@ -135,3 +135,69 @@ def sessionizer_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def running_totals_tws(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+):
+    """Per-key running (count, sum) on the Spark 4 arbitrary-state v2
+    API (``transformWithStateInPandas``): typed ValueState managed by a
+    StatefulProcessor instead of ``applyInPandasWithState``'s packed
+    tuple. Requires the RocksDB state store provider (columnFamilies) —
+    callers set ``spark.sql.streaming.stateStore.providerClass`` to
+    RocksDBStateStoreProvider before starting the query.
+
+    Same scale posture as :func:`running_stats`: state is O(distinct
+    keys), one key-shuffle per micro-batch; v2 adds typed state slots,
+    per-key timers, and TTL for idle-key expiry in unbounded domains.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("s", DoubleType())]
+    )
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("n", LongType()),
+            StructField("sum", DoubleType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                n, s = self._totals.get()
+            else:
+                n, s = 0, 0.0
+            for pdf in rows:
+                v = pdf[value_col]
+                n += int(v.count())
+                s += float(v.sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame({"key": [key[0]], "n": [n], "sum": [s]})
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

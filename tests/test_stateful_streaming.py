@@ -108,3 +108,78 @@ def test_stateful_sessionizer_emits_closed_sessions(spark, tmp_path):
     assert len(rows) == 1  # only the CLOSED session is emitted
     assert rows[0]["n_events"] == 2
     assert rows[0]["end_us"] - rows[0]["start_us"] == 600 * 1_000_000
+
+
+def _has_protobuf() -> bool:
+    # transformWithStateInPandas speaks protobuf to the JVM; the
+    # container lacks google.protobuf (and installs are off-limits),
+    # so the v2 path can only run where a full pyspark env exists.
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas requires google.protobuf "
+    "(absent in this container; no installs)",
+)
+def test_transform_with_state_v2_accumulates_and_restarts(spark, tmp_path):
+    """Spark 4 arbitrary-state v2 (transformWithStateInPandas, typed
+    ValueState, RocksDB provider): totals accumulate across
+    micro-batches and survive a restarted query on the same
+    checkpoint."""
+    from openaq_data_pipeline_engineering_spark.streaming.stateful import (
+        running_totals_tws,
+    )
+
+    src = str(tmp_path / "src_tws")
+    ckpt = str(tmp_path / "ckpt_tws")
+    os.makedirs(src)
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        def run(out_dir):
+            stream = spark.readStream.format("json").schema(SCHEMA).load(src)
+            out = running_totals_tws(stream, "k", "v")
+
+            def sink(batch_df, batch_id):
+                batch_df.write.mode("append").parquet(out_dir)
+
+            q = (
+                out.writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return spark.read.parquet(out_dir).collect()
+
+        _write_batch(src, "b1.json", [
+            {"k": "a", "v": 1.0}, {"k": "a", "v": 3.0}, {"k": "b", "v": 10.0},
+        ])
+        got = {r["key"]: r for r in run(str(tmp_path / "tws_out1"))}
+        assert got["a"]["n"] == 2 and got["a"]["sum"] == 4.0
+        assert got["b"]["n"] == 1 and got["b"]["sum"] == 10.0
+
+        _write_batch(src, "b2.json", [{"k": "a", "v": 5.0}])
+        got2 = {r["key"]: r for r in run(str(tmp_path / "tws_out2"))}
+        assert got2["a"]["n"] == 3 and got2["a"]["sum"] == 9.0
+        assert "b" not in got2  # untouched key not re-emitted in update mode
+    finally:
+        if prev is not None:
+            spark.conf.set(prov_key, prev)
+        else:
+            spark.conf.unset(prov_key)
