@@ -985,3 +985,64 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("key").alias("max_key"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling z-score anomaly screen: each event scored against its own
+# trailing 10-event window (per user, excluding itself). The window
+# moments are BIGINT milli-sums (exact in any evaluation order /
+# sliding-frame algorithm); the z-comparison is rearranged to avoid
+# division so the flag is pure integer arithmetic:
+#     |n*x - S1| > k * sqrt(n*(n*S2 - S1^2))   (k = 2)
+# squared on both sides -> BIGINT-only comparison, engine-exact.
+# --------------------------------------------------------------------------
+@query(
+    "rolling_zscore_outliers",
+    "time series: trailing-window z>2 anomaly counts from exact integer "
+    "moments (division-free flag)",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, event_id,
+             CAST(floor(value * 1000) AS BIGINT) AS x,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) OVER w
+                  AS BIGINT) AS s1,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)
+                      * CAST(floor(value * 1000) AS BIGINT)) OVER w
+                  AS BIGINT) AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(sum(CASE WHEN n >= 5
+                    AND (n*x - s1)*(n*x - s1) > 4 * n * (n*s2 - s1*s1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM m GROUP BY user_id
+    """,
+)
+def rolling_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    x = F.floor(F.col("value") * 1000).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    m = ev.select(
+        "user_id",
+        x.alias("x"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(x).over(w).alias("s1"),
+        F.sum(x * x).over(w).alias("s2"),
+    )
+    nx_s1 = m["n"] * m["x"] - m["s1"]
+    flag = (
+        (m["n"] >= 5)
+        & (nx_s1 * nx_s1 > 4 * m["n"] * (m["n"] * m["s2"] - m["s1"] * m["s1"]))
+    )
+    return m.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(flag.cast("bigint")).alias("n_outliers"),
+    )
