@@ -1046,3 +1046,115 @@ def rolling_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_scored"),
         F.sum(flag.cast("bigint")).alias("n_outliers"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cumulative sum WITH RESET (running balance): per-user milli-value
+# running total that restarts at every 'signup' event — the segmented
+# cumsum pattern (inventory resets, meter rollovers, balance
+# snapshots). Segment ids come from a cumulative count of reset
+# markers; both windows share one (user, ts) sort.
+# --------------------------------------------------------------------------
+@query(
+    "cumsum_with_reset",
+    "window: per-user running milli-total restarting at signup events "
+    "(segmented cumulative sum, shared sort)",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 1000) AS BIGINT) AS m,
+             CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg_id
+      FROM events WHERE user_id < 25
+    )
+    SELECT user_id, event_id, seg_id,
+           CAST(sum(m) OVER (PARTITION BY user_id, seg_id
+                             ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS running_milli
+    FROM seg
+    """,
+)
+def cumsum_with_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    w_all = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seg = ev.filter(F.col("user_id") < 25).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("m"),
+        F.sum((F.col("event_type") == "signup").cast("bigint"))
+        .over(w_all)
+        .alias("seg_id"),
+    )
+    w_seg = (
+        Window.partitionBy("user_id", "seg_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return seg.select(
+        "user_id",
+        "event_id",
+        "seg_id",
+        F.sum("m").over(w_seg).alias("running_milli"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Contribution ranking (percent-of-group): each user's ppm share of
+# their event type's total activity, top-3 contributors per type.
+# Window total + rank over the AGGREGATED table (|users x types|),
+# never over raw events.
+# --------------------------------------------------------------------------
+@query(
+    "contribution_topk",
+    "window: top-3 users per event type by ppm share of the type total",
+    oracle="""
+    WITH u AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type, user_id, n,
+             CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, user_id) AS rn
+      FROM u
+    )
+    SELECT event_type, user_id, n,
+           (n * 1000000) // total AS share_ppm, CAST(rn AS INTEGER) AS rn
+    FROM s WHERE rn <= 3
+    """,
+)
+def contribution_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    u = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_tot = Window.partitionBy("event_type")
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.desc("n"), "user_id"
+    )
+    return (
+        u.select(
+            "event_type",
+            "user_id",
+            "n",
+            F.sum("n").over(w_tot).alias("total"),
+            F.row_number().over(w_rank).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .select(
+            "event_type",
+            "user_id",
+            "n",
+            F.expr("(n * CAST(1000000 AS BIGINT)) div total").alias(
+                "share_ppm"
+            ),
+            "rn",
+        )
+    )
