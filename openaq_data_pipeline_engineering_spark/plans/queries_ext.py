@@ -732,3 +732,108 @@ def grouped_pandas_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, n bigint, med_milli bigint, "
         "p25_milli bigint, p75_milli bigint",
     )
+
+
+@query(
+    "count_min_estimates",
+    "sketch: count-min (d=3, w=64) built as a grouped count matrix, "
+    "probed for 5 keys — md5 row hashes make the sketch bit-replayable",
+    # Unlike HLL/GK (engine-specific internals, accuracy-tested in
+    # pytest only), this sketch is EXACTLY reproducible cross-engine:
+    # the d x w counter matrix is an ordinary groupBy over
+    # md5-derived cells, and the estimate is min over d counters.
+    # Overestimation-only is asserted structurally: est >= true count.
+    oracle="""
+    WITH cells AS (
+      SELECT j,
+             CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':',
+                  CAST(user_id AS VARCHAR))), 1, 7)) AS BIGINT) % 64 AS cell,
+             count(*) AS c
+      FROM events, unnest([0, 1, 2]) AS r(j)
+      GROUP BY 1, 2
+    ), probes AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id < 5
+    ), probe_cells AS (
+      SELECT p.user_id, j,
+             CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':',
+                  CAST(p.user_id AS VARCHAR))), 1, 7)) AS BIGINT) % 64 AS cell
+      FROM probes p, unnest([0, 1, 2]) AS r(j)
+    ), truth AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS true_n
+      FROM events WHERE user_id < 5 GROUP BY user_id
+    )
+    SELECT t.user_id, t.true_n,
+           CAST(min(c.c) AS BIGINT) AS est_n,
+           CAST(min(c.c) >= t.true_n AS INTEGER) AS overestimates
+    FROM probe_cells pc
+    JOIN cells c ON c.j = pc.j AND c.cell = pc.cell
+    JOIN truth t ON t.user_id = pc.user_id
+    GROUP BY t.user_id, t.true_n
+    """,
+)
+def count_min_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    rows = ["0", "1", "2"]
+
+    def cell(j: str, key):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(j), F.lit(":"), key.cast("string"))),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 64
+        )
+
+    hashed = ev.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(j)).alias("j"),
+                        cell(j, F.col("user_id")).alias("cell"),
+                    )
+                    for j in rows
+                ]
+            )
+        ).alias("h"),
+    )
+    cells = hashed.groupBy("h.j", "h.cell").agg(F.count(F.lit(1)).alias("c"))
+    truth = (
+        ev.filter(F.col("user_id") < 5)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    probe_cells = truth.select(
+        "user_id",
+        "true_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(j)).alias("j"),
+                        cell(j, F.col("user_id")).alias("cell"),
+                    )
+                    for j in rows
+                ]
+            )
+        ).alias("h"),
+    ).select("user_id", "true_n", "h.j", "h.cell")
+    return (
+        probe_cells.join(F.broadcast(cells), ["j", "cell"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("c").alias("est_n"))
+        .select(
+            "user_id",
+            "true_n",
+            "est_n",
+            (F.col("est_n") >= F.col("true_n")).cast("int").alias(
+                "overestimates"
+            ),
+        )
+    )

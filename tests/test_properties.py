@@ -286,3 +286,53 @@ def test_triangle_count_matches_bruteforce(spark, edges):
     row = count_triangles(pairs).collect()[0]
     assert row["n_edges"] == len(canon)
     assert row["n_triangles"] == expected
+
+
+@given(
+    quotes=st.lists(
+        st.tuples(st.integers(1, 3), _ts_strategy, st.floats(0, 100, allow_nan=False)),
+        min_size=0,
+        max_size=15,
+    ),
+    probes=st.lists(
+        st.tuples(st.integers(1, 3), _ts_strategy),
+        min_size=1,
+        max_size=15,
+    ),
+)
+@settings(**_SETTINGS)
+def test_asof_nearest_matches_bruteforce(spark, quotes, probes):
+    """nearest = min |delta|; ties prefer backward; equal-ts backward
+    quotes take max tiebreaker, forward quotes min tiebreaker."""
+    qrows = [(k, _t(h), float(v), i) for i, (k, h, v) in enumerate(quotes)]
+    prows = [(k, _t(h), 1000 + i) for i, (k, h) in enumerate(probes)]
+    qdf = spark.createDataFrame(
+        qrows or [(0, _t(0), 0.0, -1)],
+        "user_id int, ts timestamp, value double, event_id int",
+    )
+    if not qrows:
+        qdf = qdf.filter("event_id >= 0")
+    pdf = spark.createDataFrame(prows, "user_id int, ts timestamp, event_id int")
+    out = asof_join(
+        pdf, qdf, on=["user_id"], ts_col="ts", value_cols=["value"],
+        tiebreaker="event_id", direction="nearest",
+    )
+    got = {r["event_id"]: r["value_asof"] for r in out.collect()}
+
+    def brute(k, t):
+        back = [(q[1], q[3], q[2]) for q in qrows if q[0] == k and q[1] <= t]
+        fwd = [(q[1], q[3], q[2]) for q in qrows if q[0] == k and q[1] > t]
+        b = max(back) if back else None         # latest; max tie wins
+        f = min(fwd) if fwd else None           # earliest; min tie wins
+        if b is None and f is None:
+            return None
+        if f is None:
+            return b[2]
+        if b is None:
+            return f[2]
+        if (t - b[0]) <= (f[0] - t):            # tie -> backward
+            return b[2]
+        return f[2]
+
+    expect = {eid: brute(k, t) for k, t, eid in prows}
+    assert got == expect
