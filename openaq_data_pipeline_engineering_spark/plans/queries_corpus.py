@@ -300,3 +300,89 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, upd = _merge_inputs(spark, sf_dir)
     return scd2_apply(base, upd, keys=["c_custkey"])
+
+
+# --------------------------------------------------------------------------
+# Fixed-N per-stratum sample: the deterministic complement to
+# stratified_sample_docs (fraction-based). Rank by md5-of-key inside
+# each stratum and keep the first N — layout- and cluster-size-
+# independent, reproducible, and (unlike LIMIT) total-ordered.
+# WindowGroupLimit keeps the rank partial: each map task pre-prunes to
+# its local top-N before the shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "fixed_n_sample",
+    "sampling: deterministic fixed-N per source (md5 rank, "
+    "WindowGroupLimit pre-prune)",
+    oracle="""
+    WITH r AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT source, doc_id, CAST(rn AS INTEGER) AS rn
+    FROM r WHERE rn <= 20
+    """,
+)
+def fixed_n_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Quantile normalization (rank -> uniform grid): the feature-transform
+# that maps each value to its empirical quantile, emitted as integer
+# ppm so the grid is engine-exact. Ties broken by doc_id for a total
+# order (rank-based, so the output distribution is uniform by
+# construction regardless of the input's shape).
+# --------------------------------------------------------------------------
+@query(
+    "quantile_normalize",
+    "feature transform: per-source rank -> uniform ppm grid "
+    "(empirical-quantile normalization, integer-exact)",
+    oracle="""
+    WITH r AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT source, doc_id, n_chars,
+           CAST(((rn - 1) * 1000000) // greatest(n - 1, 1) AS BIGINT)
+               AS q_ppm
+    FROM r WHERE doc_id < 400
+    """,
+)
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    w_rank = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    w_n = Window.partitionBy("source")
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1)).over(w_n).alias("n"),
+        )
+        .filter(F.col("doc_id") < 400)
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.expr(
+                "((rn - 1) * CAST(1000000 AS BIGINT)) "
+                "div greatest(n - 1, CAST(1 AS BIGINT))"
+            ).alias("q_ppm"),
+        )
+    )

@@ -1158,3 +1158,53 @@ def contribution_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Join-cardinality audit: BEFORE joining two tables, verify the
+# relationship shape — max fan-out per key on each side and whether
+# the key is unique. A 1:N join assumed to be 1:1 is the classic
+# silent row-explosion bug; this report is the guard a pipeline runs
+# ahead of a new join. One aggregation per side over the key only
+# (column-pruned scans), combined into a 2-row report.
+# --------------------------------------------------------------------------
+@query(
+    "join_cardinality_audit",
+    "audit: per-side key fan-out + uniqueness ahead of an orders x "
+    "lineitem join",
+    oracle="""
+    SELECT 'orders' AS side,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(cnt) AS BIGINT) AS max_fanout,
+           CAST(max(cnt) = 1 AS INTEGER) AS key_unique
+    FROM (SELECT o_orderkey, count(*) AS cnt FROM orders GROUP BY 1)
+    CROSS JOIN (SELECT 1)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST(sum(cnt) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           CAST(max(cnt) AS BIGINT),
+           CAST(max(cnt) = 1 AS INTEGER)
+    FROM (SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1)
+    CROSS JOIN (SELECT 1)
+    """,
+)
+def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def side(table: str, key: str, label: str) -> DataFrame:
+        per_key = (
+            load_table(spark, sf_dir, table)
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        return per_key.agg(
+            F.lit(label).alias("side"),
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("cnt").alias("max_fanout"),
+            (F.max("cnt") == 1).cast("int").alias("key_unique"),
+        )
+
+    return side("orders", "o_orderkey", "orders").unionByName(
+        side("lineitem", "l_orderkey", "lineitem")
+    )
