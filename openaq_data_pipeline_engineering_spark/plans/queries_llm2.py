@@ -446,3 +446,88 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("((total div n_src) * CAST(1000000 AS BIGINT)) div n_tokens"),
         ).alias("weight_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source leakage: the same 8-token PREFIX fingerprint appearing
+# under MORE THAN ONE source — the curation check that catches
+# mirrored / scraped-twice corpora before mixture weighting
+# double-counts them (mirrors share openings even when trailing
+# boilerplate differs; full-content md5 finds only byte-exact
+# mirrors). Hash-aggregate on the fingerprint (shuffle ∝ distinct
+# prefixes), never a text self-join.
+# --------------------------------------------------------------------------
+@query(
+    "cross_source_leakage",
+    "curation: 8-token prefix fingerprints appearing in >1 source "
+    "(mirror detection)",
+    oracle="""
+    SELECT md5(array_to_string(string_split(lower(trim(text)), ' ')[1:8],
+               ' ')) AS prefix_md5,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM documents
+    GROUP BY prefix_md5
+    HAVING count(DISTINCT source) > 1
+    """,
+)
+def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            F.md5(
+                F.array_join(
+                    F.slice(F.split(F.lower(F.trim(F.col("text"))), " "), 1, 8),
+                    " ",
+                )
+            ).alias("prefix_md5"),
+            "source",
+            "doc_id",
+        )
+        .groupBy("prefix_md5")
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_sources") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-length histogram in log2 bins — the context-length planning
+# view (how much of the corpus fits a 2^k-token window). Integer bin
+# math; one scan, shuffle ∝ bins.
+# --------------------------------------------------------------------------
+@query(
+    "token_length_histogram",
+    "corpus stats: doc counts/token mass per log2 token-length bin",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT CAST(floor(log2(greatest(n_tok, 1))) AS BIGINT) AS len_bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(min(n_tok) AS BIGINT) AS min_tok,
+           CAST(max(n_tok) AS BIGINT) AS max_tok
+    FROM t GROUP BY len_bin
+    """,
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    binned = docs.select(
+        n_tok.alias("n_tok"),
+        F.floor(F.log2(F.greatest(n_tok, F.lit(1)))).cast("bigint").alias(
+            "len_bin"
+        ),
+    )
+    return binned.groupBy("len_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("n_tok").alias("min_tok"),
+        F.max("n_tok").alias("max_tok"),
+    )
