@@ -1208,3 +1208,56 @@ def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return side("orders", "o_orderkey", "orders").unionByName(
         side("lineitem", "l_orderkey", "lineitem")
     )
+
+
+# --------------------------------------------------------------------------
+# Financial reconciliation: recompute each order's total from its line
+# items (extended * (1-disc) * (1+tax), floored to cents per row) and
+# compare against the order header — the classic cross-table
+# consistency audit. Per-row double products are bit-identical across
+# engines; all cross-row math is integer cents. One co-partitioned
+# join on the order key; 1-row report.
+# --------------------------------------------------------------------------
+@query(
+    "order_total_reconciliation",
+    "audit: header total vs recomputed lineitem total (integer cents), "
+    "mismatch counts + worst absolute drift",
+    oracle="""
+    WITH recomputed AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                 * (1 + l_tax) * 100) AS BIGINT))
+                  AS BIGINT) AS line_cents
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN abs(CAST(floor(o_totalprice * 100) AS BIGINT)
+                                  - line_cents) > 100
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_drifted,
+           CAST(max(abs(CAST(floor(o_totalprice * 100) AS BIGINT)
+                        - line_cents)) AS BIGINT) AS max_drift_cents
+    FROM orders JOIN recomputed ON o_orderkey = l_orderkey
+    """,
+)
+def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
+    o = load_table(spark, sf_dir, "orders")
+    line_cents = F.floor(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 100
+    ).cast("bigint")
+    recomputed = li.groupBy("l_orderkey").agg(
+        F.sum(line_cents).alias("line_cents")
+    )
+    joined = o.join(recomputed, o.o_orderkey == recomputed.l_orderkey)
+    drift = F.abs(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint")
+        - F.col("line_cents")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum((drift > 100).cast("bigint")).alias("n_drifted"),
+        F.max(drift).alias("max_drift_cents"),
+    )

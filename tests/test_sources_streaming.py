@@ -484,3 +484,23 @@ class TestCsvSource:
             assert "not_an_int" in bad.first()[CORRUPT_COL]
         finally:
             back.unpersist()
+
+
+def test_metadata_columns_exposed(spark):
+    """Scan provenance: the hidden _metadata struct (file_name, size,
+    row_index) is selectable from the parquet source — the lineage
+    hook a quarantine/debug flow uses to trace a bad row to its file."""
+    from pyspark.sql import functions as F
+
+    from openaq_data_pipeline_engineering_spark.sources.star import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    meta = ev.select(
+        F.col("_metadata.file_name").alias("fname"),
+        F.col("_metadata.row_index").alias("ridx"),
+    )
+    row = meta.first()
+    assert row["fname"] == "events.parquet"
+    assert meta.filter(F.col("ridx") < 0).count() == 0
+    n_files = meta.select("fname").distinct().count()
+    assert n_files == 1
