@@ -176,3 +176,38 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) top
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Parameterized SQL (named markers, injection-safe): the S11 executor
+# surface a multi-tenant pipeline should use instead of string
+# interpolation. Values bind as literals AFTER parsing, so the plan is
+# identical to the inlined form — which is exactly what the oracle
+# states.
+# --------------------------------------------------------------------------
+@query(
+    "sql_parameterized",
+    "SQL surface: named-parameter markers (:min_bal, :nations) bound "
+    "injection-safe",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n,
+           min(c_custkey) AS first_key
+    FROM customer
+    WHERE c_acctbal > 1000.0 AND c_nationkey IN (3, 7)
+    GROUP BY c_mktsegment
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(*) AS n,
+               min(c_custkey) AS first_key
+        FROM customer
+        WHERE c_acctbal > :min_bal AND c_nationkey IN (:n1, :n2)
+        GROUP BY c_mktsegment
+        """,
+        args={"min_bal": 1000.0, "n1": 3, "n2": 7},
+    )
