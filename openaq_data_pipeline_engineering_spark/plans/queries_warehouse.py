@@ -1261,3 +1261,61 @@ def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((drift > 100).cast("bigint")).alias("n_drifted"),
         F.max(drift).alias("max_drift_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day active users (WAU per day): sliding-window DISTINCT
+# cannot be window-framed (distinct doesn't decompose), so each
+# (user, active-day) pair is exploded to the <=7 report days it
+# contributes to — a bounded factor-7 explosion over the DEDUPED
+# per-day actives (not raw events), then an exact countDistinct per
+# report day. Report days are clipped to the observed range so every
+# window is fully covered.
+# --------------------------------------------------------------------------
+@query(
+    "rolling_wau",
+    "time series: exact 7-day rolling distinct users per day "
+    "(bounded day-explosion over deduped actives)",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), bounds AS (
+      SELECT min(day) AS d0, max(day) AS d1 FROM active
+    ), contrib AS (
+      SELECT a.user_id,
+             CAST(unnest(generate_series(a.day, least(a.day + INTERVAL 6 DAY,
+                  b.d1::TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS report_day
+      FROM active a, bounds b
+    )
+    SELECT c.report_day,
+           CAST(count(DISTINCT c.user_id) AS BIGINT) AS wau
+    FROM contrib c, bounds b
+    WHERE c.report_day >= b.d0 + INTERVAL 6 DAY
+    GROUP BY c.report_day
+    """,
+)
+def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    active = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).distinct()
+    bounds = active.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    contrib = active.join(F.broadcast(bounds)).select(
+        "user_id",
+        "d0",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.least(F.date_add(F.col("day"), 6), F.col("d1")),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("report_day"),
+    )
+    return (
+        contrib.filter(F.col("report_day") >= F.date_add(F.col("d0"), 6))
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
