@@ -42,6 +42,8 @@ NLJ_ALLOWED = {
     # mixture weights: 1-row corpus-total aggregate broadcast onto the
     # per-source rows.
     "mixture_weights",
+    # rolling WAU: 1-row date-bounds aggregate broadcast onto actives.
+    "rolling_wau",
     # triangle summary: three 1-row aggregates (edges/wedges/triangles)
     # combined into the single output row.
     "triangle_count",
