@@ -1319,3 +1319,58 @@ def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("report_day")
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+
+
+# --------------------------------------------------------------------------
+# Bounded BFS seed expansion over the 1996 co-order graph
+# (operators/bfs.py): hop-distance histogram from seed parts. The
+# DuckDB oracle replays it as a recursive CTE with UNION-dedup +
+# min(dist) — same min-distance semantics the anti-join enforces
+# structurally on the Spark side.
+# --------------------------------------------------------------------------
+@query(
+    "bfs_part_distance",
+    "graph: 3-hop BFS from seed parts over 1996 co-orders -> distance "
+    "histogram (frontier joins, visited anti-join)",
+    oracle="""
+    WITH RECURSIVE e0 AS (
+        SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE year(a.l_shipdate) = 1996 AND year(b.l_shipdate) = 1996
+    ), edges AS (SELECT s AS src, t AS dst FROM e0
+                 UNION ALL SELECT t, s FROM e0),
+    walk(node, dist) AS (
+        SELECT DISTINCT src, 0 FROM edges WHERE src < 50
+        UNION
+        SELECT e.dst, w.dist + 1 FROM edges e JOIN walk w ON e.src = w.node
+        WHERE w.dist < 3
+    ), d AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node)
+    SELECT CAST(dist AS INTEGER) AS dist,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM d GROUP BY dist
+    """,
+)
+def bfs_part_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.operators.bfs import bfs_distances
+    from openaq_data_pipeline_engineering_spark.operators.pagerank import undirect
+
+    li = fan_out(load_table(spark, sf_dir, "lineitem")).filter(
+        F.year("l_shipdate") == 1996
+    ).select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    edges = undirect(pairs)
+    seeds = edges.filter(F.col("src") < 50).select(F.col("src").alias("node"))
+    dist = bfs_distances(edges, seeds, max_hops=3)
+    return dist.groupBy("dist").agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -508,3 +508,34 @@ class TestPhysicalStrategyInvariance:
             assert results[0] == results[1], (
                 f"{name}: result depends on shuffle partition count"
             )
+
+
+class TestBfs:
+    def test_min_distance_and_unreached(self, spark):
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_engineering_spark.operators.bfs import (
+            bfs_distances,
+        )
+
+        # path graph 1-2-3-4-5 plus a shortcut 1-3 and isolated 9
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3),
+             (4, 5), (5, 4), (1, 3), (3, 1)],
+            "src int, dst int",
+        )
+        seeds = spark.createDataFrame([(1,)], "node int")
+        got = {r["node"]: r["dist"]
+               for r in bfs_distances(edges, seeds, max_hops=2).collect()}
+        # shortcut makes 3 distance 1 (not 2); 5 is 3 hops -> unreached
+        assert got == {1: 0, 2: 1, 3: 1, 4: 2}
+
+    def test_seed_dedup_and_zero_hops(self, spark):
+        from openaq_data_pipeline_engineering_spark.operators.bfs import (
+            bfs_distances,
+        )
+
+        edges = spark.createDataFrame([(1, 2), (2, 1)], "src int, dst int")
+        seeds = spark.createDataFrame([(1,), (1,)], "node int")
+        got = bfs_distances(edges, seeds, max_hops=0).collect()
+        assert [(r["node"], r["dist"]) for r in got] == [(1, 0)]
