@@ -211,3 +211,80 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_bal": 1000.0, "n1": 3, "n2": 7},
     )
+
+
+# --------------------------------------------------------------------------
+# ANSI-safe arithmetic: the engine runs with ANSI mode ON (Spark 4
+# default — overflow/bad-cast/div-by-zero THROW), so coercing paths
+# must opt in explicitly via try_* — which is the shape this query
+# pins: div-by-zero -> NULL, malformed parse -> NULL, and counts of
+# rescued rows.
+# --------------------------------------------------------------------------
+@query(
+    "ansi_safe_arithmetic",
+    "ANSI surface: try_divide/try_cast rescue nulls instead of throwing "
+    "(div-by-zero + malformed parse counts)",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE CAST(floor(o_totalprice * 100
+                         / (o_orderkey % 7)) AS BIGINT) END)
+                AS BIGINT) AS safe_ratio_cents,
+           CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_div_zero,
+           CAST(sum(CASE WHEN try_cast(o_orderpriority AS INTEGER) IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_unparseable
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def ansi_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    denom = F.col("o_orderkey") % 7
+    safe = F.floor(
+        F.try_divide(F.col("o_totalprice") * 100, denom)
+    ).cast("bigint")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(safe).alias("safe_ratio_cents"),
+        F.sum((denom == 0).cast("bigint")).alias("n_div_zero"),
+        F.sum(
+            F.try_to_number(F.col("o_orderpriority"), F.lit("99"))
+            .isNull()
+            .cast("bigint")
+        ).alias("n_unparseable"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Collations (Spark 4): case-insensitive comparison as a COLUMN
+# property (COLLATE UTF8_LCASE) instead of lower() call sites. The
+# oracle replays with explicit lower() — which is exactly the
+# equivalence the collation encapsulates.
+# --------------------------------------------------------------------------
+@query(
+    "collation_compare",
+    "SQL surface: UTF8_LCASE collation equality/grouping vs explicit "
+    "lower() semantics",
+    oracle="""
+    SELECT lower(p_brand) AS brand_ci,
+           count(*) AS n,
+           CAST(count(DISTINCT p_type) AS BIGINT) AS n_types
+    FROM part
+    GROUP BY brand_ci
+    """,
+)
+def collation_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        SELECT lower(brand_ci) AS brand_ci, n, n_types FROM (
+          SELECT p_brand COLLATE UTF8_LCASE AS brand_ci,
+                 count(*) AS n,
+                 count(DISTINCT p_type) AS n_types
+          FROM part
+          GROUP BY p_brand COLLATE UTF8_LCASE
+        )
+        """
+    )
