@@ -301,3 +301,58 @@ def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in ("n", "milli")
         ],
     )
+
+
+# --------------------------------------------------------------------------
+# Row-level semi-structured parsers: from_xml (Spark 4), from_csv,
+# str_to_map — the "stringly-typed column" rescue kit for feeds that
+# embed structured fragments in varchar fields. Inputs are constructed
+# from real columns so the parse is exercised per row; the oracle
+# replays the EXTRACTED values directly (what's checked is parser
+# semantics, not a DuckDB XML engine — it has none).
+# --------------------------------------------------------------------------
+@query(
+    "row_parsers_suite",
+    "parsers: from_xml/from_csv/str_to_map over constructed per-row "
+    "fragments (typed extraction + defaults)",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey % 100 AS INTEGER) AS xml_code,
+           o_orderstatus AS csv_status,
+           CAST(floor(o_totalprice) AS BIGINT) AS csv_cents,
+           2 AS n_map_keys,
+           CAST(o_orderkey % 10 AS BIGINT) AS map_a
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def row_parsers_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    xml_str = F.concat(
+        F.lit("<r><code>"),
+        (F.col("o_orderkey") % 100).cast("string"),
+        F.lit("</code></r>"),
+    )
+    csv_str = F.concat(
+        F.col("o_orderstatus"),
+        F.lit(","),
+        F.floor(F.col("o_totalprice")).cast("string"),
+    )
+    map_str = F.concat(
+        F.lit("a:"),
+        (F.col("o_orderkey") % 10).cast("string"),
+        F.lit(",b:0"),
+    )
+    parsed = o.select(
+        "o_orderkey",
+        F.from_xml(xml_str, "code INT").alias("x"),
+        F.from_csv(csv_str, "status STRING, cents BIGINT").alias("c"),
+        F.str_to_map(map_str, F.lit(","), F.lit(":")).alias("m"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("x.code").alias("xml_code"),
+        F.col("c.status").alias("csv_status"),
+        F.col("c.cents").alias("csv_cents"),
+        F.size("m").alias("n_map_keys"),
+        F.element_at(F.col("m"), "a").cast("bigint").alias("map_a"),
+    )
