@@ -356,3 +356,107 @@ def row_parsers_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("m").alias("n_map_keys"),
         F.element_at(F.col("m"), "a").cast("bigint").alias("map_a"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bitwise functions: scalar ops (& | ^ << >>) and the bit-aggregate
+# family (bit_and/bit_or/bit_xor) — flag-mask rollups. All integer,
+# hence engine-exact by construction.
+# --------------------------------------------------------------------------
+@query(
+    "bit_functions_suite",
+    "bits: scalar &/|/^/shifts + bit_and/bit_or/bit_xor aggregates "
+    "over per-user flag masks",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             CAST(event_id & 255 AS BIGINT) AS mask,
+             CAST((event_id & 12) | 3 AS BIGINT) AS scalar_mix,
+             CAST(xor(event_id & 255, 129) AS BIGINT) AS flipped,
+             CAST((event_id & 15) << 2 AS BIGINT) AS shifted_l,
+             CAST((event_id & 255) >> 3 AS BIGINT) AS shifted_r
+      FROM events WHERE user_id < 20
+    )
+    SELECT user_id,
+           CAST(bit_and(mask) AS BIGINT) AS all_bits,
+           CAST(bit_or(mask) AS BIGINT) AS any_bits,
+           CAST(bit_xor(mask) AS BIGINT) AS parity_bits,
+           CAST(sum(scalar_mix) AS BIGINT) AS sum_mix,
+           CAST(sum(flipped) AS BIGINT) AS sum_flipped,
+           CAST(sum(shifted_l + shifted_r) AS BIGINT) AS sum_shifted
+    FROM f GROUP BY user_id
+    """,
+)
+def bit_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    eid = F.col("event_id")
+    f = ev.select(
+        "user_id",
+        eid.bitwiseAND(255).alias("mask"),
+        (eid.bitwiseAND(12).bitwiseOR(3)).alias("scalar_mix"),
+        eid.bitwiseAND(255).bitwiseXOR(129).alias("flipped"),
+        F.shiftleft(eid.bitwiseAND(15), 2).cast("bigint").alias("shifted_l"),
+        F.shiftright(eid.bitwiseAND(255), 3).cast("bigint").alias("shifted_r"),
+    )
+    return f.groupBy("user_id").agg(
+        F.bit_and("mask").alias("all_bits"),
+        F.bit_or("mask").alias("any_bits"),
+        F.bit_xor("mask").alias("parity_bits"),
+        F.sum("scalar_mix").alias("sum_mix"),
+        F.sum("flipped").alias("sum_flipped"),
+        F.sum(F.col("shifted_l") + F.col("shifted_r")).alias("sum_shifted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Array set operations: union / intersect / except / overlap between
+# each user's first-half and second-half event-type sets. Set results
+# are order-normalized (array_sort) before stringifying so the hash is
+# engine-stable.
+# --------------------------------------------------------------------------
+@query(
+    "array_setops_suite",
+    "arrays: union/intersect/except/overlaps between per-user early "
+    "and late type sets (sort-normalized)",
+    oracle="""
+    WITH halves AS (
+      SELECT user_id,
+             list_sort(list(DISTINCT event_type)
+                 FILTER (WHERE event_id % 2 = 0)) AS early,
+             list_sort(list(DISTINCT event_type)
+                 FILTER (WHERE event_id % 2 = 1)) AS late
+      FROM events WHERE user_id < 25 GROUP BY user_id
+    )
+    SELECT user_id,
+           array_to_string(list_sort(list_distinct(
+               coalesce(early, []) || coalesce(late, []))), ',') AS u,
+           coalesce(array_to_string(list_sort(list_intersect(
+               coalesce(early, []), coalesce(late, []))), ','), '') AS i,
+           coalesce(array_to_string(list_sort(list_filter(
+               coalesce(early, []),
+               x -> NOT list_contains(coalesce(late, []), x))), ','), '')
+               AS d,
+           CAST(len(list_intersect(coalesce(early, []),
+               coalesce(late, []))) > 0 AS INTEGER) AS overlaps
+    FROM halves
+    """,
+)
+def array_setops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 25)
+    early = F.array_sort(
+        F.collect_set(F.when(F.col("event_id") % 2 == 0, F.col("event_type")))
+    )
+    late = F.array_sort(
+        F.collect_set(F.when(F.col("event_id") % 2 == 1, F.col("event_type")))
+    )
+    halves = ev.groupBy("user_id").agg(
+        early.alias("early"), late.alias("late")
+    )
+    e, l = F.col("early"), F.col("late")
+    return halves.select(
+        "user_id",
+        F.array_join(F.array_sort(F.array_union(e, l)), ",").alias("u"),
+        F.array_join(F.array_sort(F.array_intersect(e, l)), ",").alias("i"),
+        F.array_join(F.array_sort(F.array_except(e, l)), ",").alias("d"),
+        F.arrays_overlap(e, l).cast("int").alias("overlaps"),
+    )
