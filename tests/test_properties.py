@@ -336,3 +336,43 @@ def test_asof_nearest_matches_bruteforce(spark, quotes, probes):
 
     expect = {eid: brute(k, t) for k, t, eid in prows}
     assert got == expect
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(1, 8), st.integers(1, 8)),
+        min_size=0,
+        max_size=20,
+    ),
+    seeds=st.lists(st.integers(1, 8), min_size=1, max_size=3),
+    max_hops=st.sampled_from([0, 1, 2, 3]),
+)
+@settings(**_SETTINGS)
+def test_bfs_matches_bruteforce(spark, edges, seeds, max_hops):
+    from openaq_data_pipeline_engineering_spark.operators.bfs import bfs_distances
+
+    edges = [(a, b) for a, b in edges if a != b]
+    edf = spark.createDataFrame(
+        edges or [(0, 0)], "src int, dst int"
+    )
+    if not edges:
+        edf = edf.filter("src <> dst")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node int")
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(edf, sdf, max_hops=max_hops).collect()}
+
+    # brute-force BFS over the directed edge list
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    dist = {s: 0 for s in set(seeds)}
+    frontier = set(seeds)
+    for hop in range(1, max_hops + 1):
+        nxt = set()
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in dist:
+                    dist[m] = hop
+                    nxt.add(m)
+        frontier = nxt
+    assert got == dist
