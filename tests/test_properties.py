@@ -376,3 +376,56 @@ def test_bfs_matches_bruteforce(spark, edges, seeds, max_hops):
                     nxt.add(m)
         frontier = nxt
     assert got == dist
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10), st.integers(0, 50)),  # (day, price)
+        min_size=1,
+        max_size=25,
+    ),
+)
+@settings(**_SETTINGS)
+def test_pareto_frontier_matches_bruteforce(spark, rows):
+    """Skyline semantics incl. ties: a date survives iff no strictly
+    later date has an equal-or-higher best price."""
+    import datetime as _dt
+
+    from openaq_data_pipeline_engineering_spark.plans.queries_warehouse import (
+        pareto_frontier,
+    )
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = _dt.datetime(2024, 1, 1)
+    table = pa.table(
+        {
+            "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+            "o_custkey": pa.array([1] * len(rows), pa.int64()),
+            "o_orderstatus": pa.array(["O"] * len(rows), pa.string()),
+            "o_totalprice": pa.array([float(p) for _, p in rows], pa.float64()),
+            "o_orderdate": pa.array(
+                [base + _dt.timedelta(days=d) for d, _ in rows],
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * len(rows), pa.string()),
+        }
+    )
+    d = tempfile.mkdtemp(prefix="pareto_prop_")
+    pq.write_table(table, os.path.join(d, "orders.parquet"))
+    got = {
+        (r["day"].day if hasattr(r["day"], "day") else r["day"], r["best_price"])
+        for r in pareto_frontier(spark, d).collect()
+    }
+
+    best: dict = {}
+    for day, p in rows:
+        best[day] = max(best.get(day, -1), p)
+    expect = set()
+    for day, p in best.items():
+        if not any(d2 > day and p2 >= p for d2, p2 in best.items()):
+            expect.add(((base + _dt.timedelta(days=day)).day, float(p)))
+    assert got == expect
