@@ -837,3 +837,44 @@ def count_min_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    "multimodal: binary payload -> every-10th-frame row explosion "
+    "(mapInPandas), summarized to per-doc frame counts/bytes",
+    # chunk_frames is the deterministic codec stand-in (64-byte frames,
+    # stride 10 — operators/multimodal.py:127), so the oracle replays
+    # the sampled-frame arithmetic directly from the payload length
+    # (ASCII text payloads: strlen == byte length, same contract
+    # multimodal_decode_meta relies on).
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, strlen(text) AS L FROM documents WHERE doc_id < 500
+    ), f AS (
+      SELECT doc_id, j, least(64, L - j * 10 * 64) AS fb
+      FROM d, unnest(range(0, CAST((((L + 63) // 64) + 9) // 10 AS BIGINT)))
+               AS r(j)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(fb) AS BIGINT) AS bytes_sampled,
+           CAST(max(j) AS INTEGER) AS max_idx
+    FROM f GROUP BY doc_id
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.operators.multimodal import (
+        sample_frames,
+        with_binary_payload,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 500
+    )
+    frames = sample_frames(with_binary_payload(docs, "text"), every_n=10)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(F.octet_length("frame_payload")).alias("bytes_sampled"),
+        F.max("frame_idx").alias("max_idx"),
+    )
