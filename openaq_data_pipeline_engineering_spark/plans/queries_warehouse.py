@@ -1374,3 +1374,64 @@ def bfs_part_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = edges.filter(F.col("src") < 50).select(F.col("src").alias("node"))
     dist = bfs_distances(edges, seeds, max_hops=3)
     return dist.groupBy("dist").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+# --------------------------------------------------------------------------
+# Hierarchical ratio-to-parent: nation revenue as ppm of its region,
+# region as ppm of global — the two-level treemap/drill-down rollup.
+# One aggregation at the leaf level; parent totals come from window
+# sums over the AGGREGATED rows (|nations| rows, not the fact table),
+# so the fact table is scanned exactly once. Integer cents end-to-end.
+# --------------------------------------------------------------------------
+@query(
+    "hierarchical_shares",
+    "rollup: nation-in-region and region-in-global revenue shares "
+    "(ppm, one fact scan + window sums over aggregates)",
+    oracle="""
+    WITH leaf AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY region, nation
+    )
+    SELECT region, nation, cents,
+           CAST((cents * 1000000)
+             // sum(cents) OVER (PARTITION BY region) AS BIGINT) AS nation_ppm,
+           CAST((sum(cents) OVER (PARTITION BY region) * 1000000)
+             // sum(cents) OVER () AS BIGINT) AS region_ppm
+    FROM leaf
+    """,
+)
+def hierarchical_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = fan_out(load_table(spark, sf_dir, "orders"))
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    leaf = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "cents"
+            )
+        )
+    )
+    return leaf.select(
+        "region",
+        "nation",
+        "cents",
+        F.expr(
+            "(cents * CAST(1000000 AS BIGINT)) "
+            "div sum(cents) OVER (PARTITION BY region)"
+        ).alias("nation_ppm"),
+        F.expr(
+            "(sum(cents) OVER (PARTITION BY region) * CAST(1000000 AS BIGINT))"
+            " div sum(cents) OVER ()"
+        ).alias("region_ppm"),
+    )
