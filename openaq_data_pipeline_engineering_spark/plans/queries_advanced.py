@@ -1432,3 +1432,45 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreaker="event_id",
         direction="nearest",
     )
+
+
+# --------------------------------------------------------------------------
+# The LARGE x LARGE range-join path (operators/rangejoin.binned_range_join):
+# same interval semantics as range_join_bands but through bin-bucketed
+# HASH joins — the plan that survives when the interval side is too big
+# to broadcast. The top band is capped at the domain bound (values are
+# bounded metrics) rather than a 1e9 sentinel: binning explodes each
+# interval to the bins it OVERLAPS, so an effectively-unbounded band
+# would mint bins it can never match — cap the band, or for true
+# open-ended bands route them through the broadcast form. Strategy
+# equality is also pinned by TestRangeJoin::test_binned_equals_broadcast.
+# --------------------------------------------------------------------------
+@query(
+    "range_join_binned",
+    "range join (large x large path): bin-bucketed hash join, same "
+    "[lo, hi) semantics as the broadcast form",
+    oracle="""
+    WITH bands(lo, hi, band) AS (
+        VALUES (0.0, 10.0, 'low'), (10.0, 25.0, 'mid'),
+               (25.0, 50.0, 'high'), (50.0, 1000.0, 'extreme')
+    )
+    SELECT b.band, count(*) AS n, round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+)
+def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.operators.rangejoin import (
+        binned_range_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(0.0, 10.0, "low"), (10.0, 25.0, "mid"),
+         (25.0, 50.0, "high"), (50.0, 1000.0, "extreme")],
+        "lo double, hi double, band string",
+    )
+    joined = binned_range_join(ev, bands, value_col="value", bin_width=25.0)
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
