@@ -1,0 +1,72 @@
+"""Geospatial operators: derived points, grid cells, bucketed NN join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_engineering_spark.operators.geo import (
+    CELL_MICRO,
+    nearest_in_neighborhood,
+    with_point_and_cell,
+)
+from openaq_data_pipeline_engineering_spark.sources.star import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _points(spark):
+    sup = load_table(spark, SF_DIR, "supplier").select("s_suppkey")
+    cust = load_table(spark, SF_DIR, "customer").select("c_custkey")
+    return (
+        with_point_and_cell(cust, "c_custkey", "p"),
+        with_point_and_cell(sup, "s_suppkey", "s"),
+    )
+
+
+class TestGeo:
+    def test_point_bounds_and_cell_consistency(self, spark):
+        _, st = _points(spark)
+        bad = st.filter(
+            (F.abs("s_lat") > 90_000_000)
+            | (F.abs("s_lon") > 180_000_000)
+            | (
+                F.col("s_cell_lat")
+                != F.floor((F.col("s_lat") + 90_000_000) / CELL_MICRO)
+            )
+            | (
+                F.col("s_cell_lon")
+                != F.floor((F.col("s_lon") + 180_000_000) / CELL_MICRO)
+            )
+        ).count()
+        assert bad == 0
+
+    def test_nearest_matches_bruteforce_within_neighborhood(self, spark):
+        pr, st = _points(spark)
+        got = {
+            (r["c_custkey"]): (r["s_suppkey"], r["dist_sq"])
+            for r in nearest_in_neighborhood(
+                pr, st, "c_custkey", "s_suppkey"
+            ).collect()
+        }
+        # Brute force: all pairs, keep pairs within the 3x3 neighborhood,
+        # argmin per probe with the same (dist, key) tiebreak.
+        probes = pr.collect()
+        stations = st.collect()
+        expect = {}
+        for p in probes:
+            best = None
+            for s in stations:
+                if (
+                    abs(p["p_cell_lat"] - s["s_cell_lat"]) <= 1
+                    and abs(p["p_cell_lon"] - s["s_cell_lon"]) <= 1
+                ):
+                    d = (p["p_lat"] - s["s_lat"]) ** 2 + (
+                        p["p_lon"] - s["s_lon"]
+                    ) ** 2
+                    k = (d, s["s_suppkey"])
+                    if best is None or k < best:
+                        best = k
+            if best is not None:
+                expect[p["c_custkey"]] = (best[1], best[0])
+        assert got == expect
+        assert len(got) > 0
