@@ -1,0 +1,72 @@
+"""File-level min/max statistics manifest — Delta-style data skipping
+built from the `_metadata` hidden column.
+
+At 100 TB a query with a selective key predicate should not open every
+file: engines keep a manifest of per-file [min, max] ranges and prune
+files whose range cannot contain the predicate value (Delta/Iceberg
+data skipping; Parquet row-group stats do the same one level down).
+This operator materializes that manifest as a DataFrame so it can be
+persisted next to the data and consulted before planning a scan.
+
+Spark-first shape: the stats pass is one aggregation keyed by
+`_metadata.file_name` — shuffle bounded by |files|, map-side combined.
+Pruning is a filter on the (tiny) manifest plus a file-list-constrained
+re-read; no driver-side file walking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def file_stats(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Per-file manifest: file_name, n_rows, {col}_min / {col}_max.
+
+    ``df`` must be a file-source DataFrame (parquet/orc/json scan) so
+    the `_metadata` struct is available.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for c in key_cols:
+        aggs.append(F.min(c).alias(f"{c}_min"))
+        aggs.append(F.max(c).alias(f"{c}_max"))
+    return (
+        df.select(F.col("_metadata.file_name").alias("file_name"), *key_cols)
+        .groupBy("file_name")
+        .agg(*aggs)
+    )
+
+
+def candidate_files(
+    stats: DataFrame, key_col: str, value
+) -> DataFrame:
+    """Files whose [min, max] range may contain ``value`` (single-column
+    point predicate). Everything else is provably skippable."""
+    return stats.filter(
+        (F.col(f"{key_col}_min") <= F.lit(value))
+        & (F.col(f"{key_col}_max") >= F.lit(value))
+    ).select("file_name")
+
+
+def pruned_read(
+    df: DataFrame, stats: DataFrame, key_col: str, value
+) -> DataFrame:
+    """Equality read through the manifest: constrain the scan to
+    candidate files, then apply the exact predicate.
+
+    The file-list constraint is a join on `_metadata.file_name` against
+    the (broadcast) candidate set — at scale the candidate list is
+    passed to the reader as a path list; the semantics here are
+    identical and stay fully declarative.
+    """
+    cands = candidate_files(stats, key_col, value)
+    return (
+        df.withColumn("__file", F.col("_metadata.file_name"))
+        .join(
+            F.broadcast(cands.withColumnRenamed("file_name", "__file")),
+            on="__file",
+            how="inner",
+        )
+        .filter(F.col(key_col) == F.lit(value))
+        .drop("__file")
+    )

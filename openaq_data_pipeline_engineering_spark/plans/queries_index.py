@@ -1,0 +1,133 @@
+"""Declared queries: secondary-index structures (Bloom-filter
+partition index).
+
+The reference engine's pruning story is Hive partition columns only
+(reference utils/glue_utils.py crawler + partition layout); this adds
+the key-level skipping layer: a per-source Bloom index built as data
+(operators/bloom.py) and probed with a broadcast join. The companion
+file-level min/max manifest is operators/skipstats.py (pytest-verified
+against self-written files, since the driver's oracle views hide file
+paths).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_engineering_spark.operators.bloom import (
+    M_BITS,
+    WORD_BITS,
+    bloom_build,
+    bloom_probe,
+    oracle_position_sql,
+)
+from openaq_data_pipeline_engineering_spark.plans.registry import query
+from openaq_data_pipeline_engineering_spark.sources.star import (
+    fan_out,
+    load_table,
+)
+
+# 20 probe keys: 10 real doc ids (members of some source) + 10 absent.
+_PRESENT = list(range(10))
+_ABSENT = [10_000_000 + i for i in range(10)]
+_PROBES = _PRESENT + _ABSENT
+
+_P1 = oracle_position_sql("doc_id", "b1:")
+_P2 = oracle_position_sql("doc_id", "b2:")
+_PROBE_VALUES = ", ".join(f"({k})" for k in _PROBES)
+
+
+@query(
+    "bloom_index_probe",
+    "secondary index: per-source 1024-bit Bloom filter built with "
+    "bit_or aggregates, probed for 20 keys via broadcast join — zero "
+    "false negatives by construction, false positives counted "
+    "(operators/bloom.py)",
+    oracle=f"""
+    WITH pos AS (
+      SELECT source, {_P1} AS h FROM documents
+      UNION ALL
+      SELECT source, {_P2} AS h FROM documents
+    ),
+    bloom AS (
+      SELECT source, word_idx, bit_or(bit) AS word
+      FROM (SELECT source, h // {WORD_BITS} AS word_idx,
+                   (1::BIGINT << CAST(h % {WORD_BITS} AS INT)) AS bit
+            FROM pos) b
+      GROUP BY source, word_idx
+    ),
+    probes(doc_id) AS (VALUES {_PROBE_VALUES}),
+    probe_pos AS (
+      SELECT doc_id, {_P1} AS h FROM probes
+      UNION ALL
+      SELECT doc_id, {_P2} AS h FROM probes
+    ),
+    checked AS (
+      SELECT g.source, p.doc_id,
+             coalesce(
+               (bl.word & (1::BIGINT << CAST(p.h % {WORD_BITS} AS INT))) <> 0,
+               false) AS is_set
+      FROM probe_pos p
+      CROSS JOIN (SELECT DISTINCT source FROM documents) g
+      LEFT JOIN bloom bl
+        ON bl.source = g.source AND bl.word_idx = p.h // {WORD_BITS}
+    ),
+    hits AS (
+      SELECT source, doc_id,
+             sum(CASE WHEN is_set THEN 1 ELSE 0 END) = 2 AS hit
+      FROM checked GROUP BY source, doc_id
+    ),
+    labeled AS (
+      SELECT h.source, h.doc_id, h.hit,
+             EXISTS (SELECT 1 FROM documents d
+                     WHERE d.source = h.source AND d.doc_id = h.doc_id)
+               AS is_member
+      FROM hits h
+    )
+    SELECT source,
+           CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_members_probed,
+           CAST(sum(CASE WHEN is_member AND hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_member_hits,
+           CAST(sum(CASE WHEN NOT is_member AND hit THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nonmember_hits
+    FROM labeled GROUP BY source
+    """,
+)
+def bloom_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "source", "doc_id"
+    )
+    bloom = bloom_build(docs, "source", "doc_id")
+    probes = spark.createDataFrame(
+        [(k,) for k in _PROBES], "doc_id bigint"
+    )
+    hits = bloom_probe(bloom, probes, "doc_id")
+    members = docs.select(
+        F.col("source").alias("group"),
+        "doc_id",
+        F.lit(True).alias("is_member"),
+    ).distinct()
+    labeled = hits.join(
+        F.broadcast(members), on=["group", "doc_id"], how="left"
+    ).withColumn("is_member", F.coalesce("is_member", F.lit(False)))
+    return (
+        labeled.groupBy(F.col("group").alias("source"))
+        .agg(
+            F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_members_probed"),
+            F.sum(F.when(F.col("is_member") & F.col("hit"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_member_hits"),
+            F.sum(
+                F.when(~F.col("is_member") & F.col("hit"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_nonmember_hits"),
+        )
+    )
+
+
+assert M_BITS % WORD_BITS == 0

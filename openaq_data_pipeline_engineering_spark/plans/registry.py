@@ -70,6 +70,7 @@ def _load_all() -> None:
     from openaq_data_pipeline_engineering_spark.plans import queries_funcs  # noqa: F401
     from openaq_data_pipeline_engineering_spark.plans import queries_sql4  # noqa: F401
     from openaq_data_pipeline_engineering_spark.plans import queries_geo  # noqa: F401
+    from openaq_data_pipeline_engineering_spark.plans import queries_index  # noqa: F401
 
 
 def _latest_correctness() -> dict:
