@@ -878,3 +878,55 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.octet_length("frame_payload")).alias("bytes_sampled"),
         F.max("frame_idx").alias("max_idx"),
     )
+
+
+# --------------------------------------------------------------------------
+# Complete-mode streaming ranking: the third output-mode surface
+# (append + update are exercised above). Complete mode re-emits the
+# FULL aggregate every trigger — correct only because the aggregate
+# state is tiny (|event types| rows); the docstring contract at 100 TB
+# is exactly that: complete mode is for small leaderboards, never for
+# high-cardinality keys (state = the whole result set).
+# --------------------------------------------------------------------------
+@query(
+    "streaming_topk_complete",
+    "streaming: complete-mode leaderboard (per-type totals re-emitted "
+    "each trigger), final snapshot == batch top-k",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    ORDER BY n DESC, event_type
+    LIMIT 5
+    """,
+)
+def streaming_topk_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
+    from openaq_data_pipeline_engineering_spark.streaming.ingest import (
+        events_stream_spec,
+        scoped_shuffle_partitions,
+    )
+
+    apply_runtime_confs(spark)
+    schema, to_event_time = events_stream_spec(spark, sf_dir)
+    stream = to_event_time(
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    checkpoint = tempfile.mkdtemp(prefix="openaq_streamtopk_ckpt_")
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("stream_topk_result")
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.sql(
+        "SELECT event_type, n FROM stream_topk_result "
+        "ORDER BY n DESC, event_type LIMIT 5"
+    )

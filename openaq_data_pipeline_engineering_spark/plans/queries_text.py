@@ -553,3 +553,61 @@ def stopword_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", stopword_ratio("text").alias("stop_ratio"))
+
+
+# --------------------------------------------------------------------------
+# Character-class profile: the byte-level sanity signals (space density,
+# vowel density, mean word length) a corpus-cleaning pass screens on
+# before tokenization — mojibake, binary spills, and wrong-charset docs
+# all show up as outliers here. Pure codegen'd expressions, integer ppm
+# outputs (no float division), one pruned scan.
+# --------------------------------------------------------------------------
+@query(
+    "char_class_profile",
+    "cleaning: per-doc character-class profile (space/vowel ppm, mean "
+    "word length in milli-chars) — charset-sanity screen",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             length(text) - length(replace(text, ' ', '')) AS n_spaces,
+             length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))
+               AS n_vowels,
+             len(string_split(text, ' ')) AS n_words
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(CASE WHEN n_chars = 0 THEN 0
+                ELSE 1000000 * n_spaces // n_chars END AS BIGINT)
+             AS space_ppm,
+           CAST(CASE WHEN n_chars = 0 THEN 0
+                ELSE 1000000 * n_vowels // n_chars END AS BIGINT)
+             AS vowel_ppm,
+           CAST(CASE WHEN n_words = 0 THEN 0
+                ELSE 1000 * (n_chars - n_spaces) // n_words END AS BIGINT)
+             AS word_len_milli
+    FROM c
+    """,
+)
+def char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    n_chars = F.length("text")
+    n_spaces = n_chars - F.length(F.regexp_replace("text", r" ", ""))
+    n_vowels = n_chars - F.length(F.regexp_replace("text", r"[aeiou]", ""))
+    n_words = F.size(F.split("text", " "))
+    ppm = lambda num, den: (  # noqa: E731 - local ratio helper
+        F.when(den == 0, F.lit(0))
+        .otherwise((F.lit(1_000_000) * num / den).cast("bigint"))
+        .cast("bigint")
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.cast("bigint").alias("n_chars"),
+        ppm(n_spaces, n_chars).alias("space_ppm"),
+        ppm(n_vowels, n_chars).alias("vowel_ppm"),
+        F.when(n_words == 0, F.lit(0))
+        .otherwise((F.lit(1000) * (n_chars - n_spaces) / n_words).cast("bigint"))
+        .cast("bigint")
+        .alias("word_len_milli"),
+    )

@@ -1435,3 +1435,133 @@ def hierarchical_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div sum(cents) OVER ()"
         ).alias("region_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# A/B experiment readout: deterministic hash assignment + per-arm
+# conversion metrics. Assignment is md5(user_id) parity — the standard
+# layout-independent bucketing (same user lands in the same arm on any
+# cluster, any partitioning, any day). One scan, one agg; conversion is
+# integer ppm, revenue is DECIMAL-exact then DOUBLE.
+# --------------------------------------------------------------------------
+@query(
+    "ab_experiment_report",
+    "experimentation: md5-parity arm assignment + per-arm users, "
+    "converters, conversion ppm, DECIMAL-exact revenue",
+    oracle="""
+    WITH assigned AS (
+      SELECT *,
+             CASE WHEN CAST(concat('0x', substr(md5(concat('exp1:',
+                    CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm
+      FROM events
+    )
+    SELECT arm,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                THEN user_id END) AS BIGINT) AS n_converters,
+           CAST(1000000 * count(DISTINCT CASE WHEN event_type = 'purchase'
+                THEN user_id END) // count(DISTINCT user_id) AS BIGINT)
+             AS conversion_ppm,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE)
+             AS revenue
+    FROM assigned GROUP BY arm
+    """,
+)
+def ab_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    converters = F.count_distinct(
+        F.when(F.col("event_type") == "purchase", F.col("user_id"))
+    )
+    return (
+        ev.withColumn("arm", arm)
+        .groupBy("arm")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            converters.alias("n_converters"),
+            (F.lit(1_000_000) * converters / F.count_distinct("user_id"))
+            .cast("bigint")
+            .alias("conversion_ppm"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(18,2)"),
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Day-of-week seasonal anomaly screen: per (event_type, ISO dow)
+# baseline from the full history, then days whose count exceeds 1.1x the
+# dow mean. The comparison is an integer cross-multiplication
+# (10 * n * n_days > 11 * total) — no division, no floats, no ties lost.
+# Scale: daily-count table is |types| x |days| after one map-combined
+# agg; the baseline join keys on (event_type, dow) — co-partitioned.
+# --------------------------------------------------------------------------
+@query(
+    "dow_anomaly_days",
+    "monitoring: day-of-week seasonal baseline + integer 1.1x-mean "
+    "anomaly screen per event type",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, isodow(ts) AS dow,
+             count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    base AS (
+      SELECT event_type, dow, sum(n) AS total, count(*) AS n_days
+      FROM daily GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.d, CAST(d.n AS BIGINT) AS n,
+           CAST(b.total AS BIGINT) AS dow_total,
+           CAST(b.n_days AS BIGINT) AS dow_days
+    FROM daily d JOIN base b
+      ON d.event_type = b.event_type AND d.dow = b.dow
+    WHERE 10 * d.n * b.n_days > 11 * b.total
+    ORDER BY d.event_type, d.d
+    """,
+)
+def dow_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.col("ts").cast("date").alias("d"),
+            (F.weekday("ts") + 1).alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    base = daily.groupBy("event_type", "dow").agg(
+        F.sum("n").alias("dow_total"), F.count(F.lit(1)).alias("dow_days")
+    )
+    return (
+        daily.join(base, on=["event_type", "dow"])
+        .filter(10 * F.col("n") * F.col("dow_days") > 11 * F.col("dow_total"))
+        .select(
+            "event_type",
+            "d",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("dow_total").cast("bigint").alias("dow_total"),
+            F.col("dow_days").cast("bigint").alias("dow_days"),
+        )
+        .orderBy("event_type", "d")
+    )

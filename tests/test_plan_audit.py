@@ -51,6 +51,9 @@ NLJ_ALLOWED = {
     "basket_rules",
     # funnel summary: three 1-row stage counts combined into one row.
     "event_funnel",
+    # bloom probe: 20 probe keys crossed with the |sources| (5) group
+    # list — a deliberate bounded broadcast expansion (100 rows).
+    "bloom_index_probe",
 }
 
 # Streaming plans can't be built with a batch explain.
