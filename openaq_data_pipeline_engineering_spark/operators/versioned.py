@@ -1,0 +1,84 @@
+"""Versioned table snapshots with time travel — a minimal lakehouse
+commit protocol on plain parquet.
+
+The reference overwrites its mart in place (reference
+etls/openaq_transform_etl.py writes a fixed S3 prefix; a failed job can
+leave a half-written table). This operator gives the batch mart the
+same guarantees the streaming upsert sink already has (streaming/
+upsert.py versioned snapshot): every write is a NEW immutable version
+directory, readers pin a version, and "latest" advances atomically via
+a tiny manifest rewrite — so a crashed writer can never corrupt what
+readers see, and yesterday's pipeline output stays queryable (time
+travel) for reproducible re-runs.
+
+Layout:
+    <root>/v=<N>/part-*.parquet     immutable snapshot data
+    <root>/_VERSIONS.json           manifest: committed versions (the
+                                    write is data-first, manifest-last:
+                                    an uncommitted v-dir is invisible)
+
+Scale notes: the manifest lists versions only (O(#snapshots), not
+O(#files)); data files are listed by Spark's parquet reader per pinned
+version directory, so reads stay partition-parallel. Version pruning =
+directory pruning. This intentionally models the *commit protocol*
+layer of Delta/Iceberg, not their file-level transaction log.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_path(root: str) -> str:
+    return os.path.join(root, "_VERSIONS.json")
+
+
+def _read_manifest(root: str) -> list[int]:
+    try:
+        with open(_manifest_path(root)) as f:
+            return sorted(json.load(f)["versions"])
+    except (OSError, ValueError, KeyError):
+        return []
+
+
+def write_snapshot(df: DataFrame, root: str) -> int:
+    """Commit ``df`` as the next version; returns the version number.
+
+    Data is written fully before the manifest references it (rename of
+    a same-directory temp file — atomic on POSIX; on object stores the
+    equivalent is a conditional PUT of the manifest key).
+    """
+    os.makedirs(root, exist_ok=True)
+    versions = _read_manifest(root)
+    version = (versions[-1] + 1) if versions else 1
+    df.write.mode("errorifexists").parquet(
+        os.path.join(root, f"v={version}")
+    )
+    fd, tmp = tempfile.mkstemp(dir=root, prefix="_VERSIONS.", suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"versions": versions + [version]}, f)
+    os.replace(tmp, _manifest_path(root))
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Read a pinned version (time travel) or the latest committed one."""
+    versions = _read_manifest(root)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {root}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(f"version {version} not committed: {versions}")
+    return spark.read.parquet(os.path.join(root, f"v={version}"))
+
+
+def snapshot_versions(root: str) -> list[int]:
+    """Committed versions, oldest first."""
+    return _read_manifest(root)

@@ -1565,3 +1565,57 @@ def dow_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "d")
     )
+
+
+# --------------------------------------------------------------------------
+# Physical join-strategy control surface: the SAME logical join
+# evaluated under the three join-strategy hints Spark exposes
+# (broadcast / merge / shuffle_hash). The declared result proves
+# result-set invariance across physical strategies; the companion
+# pytest (tests/test_join_strategies.py) asserts each hint actually
+# selects its operator (BroadcastHashJoin / SortMergeJoin /
+# ShuffledHashJoin). At 100 TB this is the knob set an operator uses
+# when AQE's choice is wrong: broadcast for under-threshold dims,
+# shuffle_hash to skip the sort when one side is modest, merge for
+# two huge sorted sides.
+# --------------------------------------------------------------------------
+@query(
+    "join_strategy_control",
+    "engine control: identical aggregate under broadcast / merge / "
+    "shuffle_hash join hints — physical strategy changes, result not",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+    )
+    SELECT s.strategy, a.n_rows, a.revenue
+    FROM (VALUES ('broadcast'), ('merge'), ('shuffle_hash')) s(strategy)
+    CROSS JOIN agg a
+    """,
+)
+def join_strategy_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+
+    def one(strategy: str, dim: DataFrame) -> DataFrame:
+        return (
+            orders.join(dim, orders["o_custkey"] == dim["c_custkey"])
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+            .select(F.lit(strategy).alias("strategy"), "n_rows", "revenue")
+        )
+
+    return (
+        one("broadcast", F.broadcast(cust))
+        .unionByName(one("merge", cust.hint("merge")))
+        .unionByName(one("shuffle_hash", cust.hint("shuffle_hash")))
+    )

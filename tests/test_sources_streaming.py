@@ -536,3 +536,18 @@ def test_xml_source_roundtrip(spark, tmp_path):
         .load(d_out)
     )
     assert sorted(tuple(r) for r in back.collect()) == [(1, "a&b"), (2, "c")]
+
+
+def test_orc_source_roundtrip(spark, tmp_path):
+    """ORC interchange: built-in columnar alternative to parquet —
+    write a star table out as ORC, read it back identically (schema
+    and values), closing the last built-in columnar-format edge."""
+    from openaq_data_pipeline_engineering_spark.sources.star import load_table
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation")
+    d = str(tmp_path / "orc")
+    nation.write.format("orc").mode("overwrite").save(d)
+    back = spark.read.format("orc").load(d)
+    assert back.schema == nation.schema
+    assert back.exceptAll(nation).count() == 0
+    assert back.count() == nation.count()

@@ -1,0 +1,47 @@
+"""Versioned snapshots: commit protocol, time travel, crash safety."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_engineering_spark.operators.versioned import (
+    read_snapshot,
+    snapshot_versions,
+    write_snapshot,
+)
+from openaq_data_pipeline_engineering_spark.sources.star import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestVersionedSnapshots:
+    def test_time_travel_and_latest(self, spark, tmp_path):
+        root = str(tmp_path / "mart")
+        nation = load_table(spark, SF_DIR, "nation")
+        v1 = write_snapshot(nation, root)
+        v2 = write_snapshot(
+            nation.withColumn("n_name", F.upper("n_name")), root
+        )
+        assert (v1, v2) == (1, 2)
+        assert snapshot_versions(root) == [1, 2]
+        latest = read_snapshot(spark, root)
+        pinned = read_snapshot(spark, root, version=1)
+        assert latest.filter(F.col("n_name") != F.upper("n_name")).count() == 0
+        # time travel sees the pre-uppercase names
+        assert pinned.exceptAll(nation).count() == 0
+        assert pinned.count() == nation.count()
+
+    def test_uncommitted_directory_is_invisible(self, spark, tmp_path):
+        root = str(tmp_path / "mart")
+        nation = load_table(spark, SF_DIR, "nation")
+        write_snapshot(nation, root)
+        # Simulate a crashed writer: data directory exists, manifest
+        # never updated -> readers must not see it.
+        nation.limit(1).write.parquet(os.path.join(root, "v=99"))
+        assert snapshot_versions(root) == [1]
+        assert read_snapshot(spark, root).count() == nation.count()
+        with pytest.raises(ValueError):
+            read_snapshot(spark, root, version=99)
