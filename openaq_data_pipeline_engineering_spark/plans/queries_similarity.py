@@ -232,3 +232,82 @@ def embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         (F.sum("qv").cast("double") / F.count(F.lit(1))).alias("mean_q"),
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization + ADC: the memory-bound ANN scale path
+# (operators/pq.py — codes scan instead of vector scan; Jégou et al.
+# 2011). 64-dim vectors → 4 sub-spaces × 8-entry seed codebooks;
+# distances are exact integer L2 on the floor(x·64) grid so the oracle
+# replays encode + ADC bit-for-bit.
+# --------------------------------------------------------------------------
+_PQ_SUB_DIMS = 16
+_PQ_K = 8
+_PQ_PROBES = 5
+
+
+@query(
+    "pq_adc_topk",
+    "similarity: product-quantization codes + asymmetric distance "
+    "computation top-5 (4 sub-spaces x 8 codes, integer L2, broadcast "
+    "distance tables)",
+    oracle=f"""
+    WITH flat AS (
+      SELECT vec_id,
+             (generate_subscripts(embedding, 1) - 1) // {_PQ_SUB_DIMS} AS m,
+             (generate_subscripts(embedding, 1) - 1) % {_PQ_SUB_DIMS} AS j,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 64) AS BIGINT)
+               AS qx
+      FROM embeddings
+    ),
+    cb AS (
+      SELECT m, vec_id AS code, j, qx AS cx FROM flat WHERE vec_id < {_PQ_K}
+    ),
+    enc_d AS (
+      SELECT f.vec_id, f.m, c.code,
+             sum((f.qx - c.cx) * (f.qx - c.cx)) AS d2
+      FROM flat f JOIN cb c ON f.m = c.m AND f.j = c.j
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, m, code FROM enc_d
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id, m ORDER BY d2, code) = 1
+    ),
+    dtab AS (
+      SELECT f.vec_id AS query_id, f.m, c.code,
+             sum((f.qx - c.cx) * (f.qx - c.cx)) AS pd2
+      FROM flat f JOIN cb c ON f.m = c.m AND f.j = c.j
+      WHERE f.vec_id < {_PQ_PROBES}
+      GROUP BY 1, 2, 3
+    ),
+    adist AS (
+      SELECT d.query_id, s.vec_id AS neighbor_id,
+             CAST(sum(d.pd2) AS BIGINT) AS adist
+      FROM codes s JOIN dtab d ON s.m = d.m AND s.code = d.code
+      WHERE s.vec_id <> d.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adist, rn FROM (
+      SELECT query_id, neighbor_id, adist,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+      FROM adist
+    ) WHERE rn <= 5
+    """,
+)
+def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.operators.pq import (
+        adc_table,
+        flatten_quantized,
+        pq_adc_topk,
+        pq_encode,
+        seed_codebook,
+    )
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    flat = flatten_quantized(emb, _PQ_SUB_DIMS)
+    cb = seed_codebook(flat, _PQ_K)
+    codes = pq_encode(flat, cb)
+    dtab = adc_table(flat.filter(F.col("vec_id") < _PQ_PROBES), cb)
+    return pq_adc_topk(codes, dtab, topk=5)
