@@ -64,27 +64,38 @@ def derived_point(key: Column) -> tuple[Column, Column]:
     return lat, lon
 
 
-def cell_of(lat_micro: Column, lon_micro: Column) -> tuple[Column, Column]:
+def cell_of(
+    lat_micro: Column, lon_micro: Column, cell_micro: int = CELL_MICRO
+) -> tuple[Column, Column]:
     """Integer grid cell ids. Coordinates are shifted non-negative before
-    the integer division so truncation == floor in every engine."""
-    clat = ((lat_micro + F.lit(_LAT_MOD // 2)) / F.lit(CELL_MICRO)).cast(
+    the integer division so truncation == floor in every engine.
+
+    ``cell_micro`` is the density knob: candidate pairs per probe grow
+    with stations-per-cell x 9, so as station density rises the cell
+    edge must SHRINK to keep the 3x3 neighborhood at O(1..100)
+    stations. Measured at 32x density (32k stations / 4.8M probes,
+    local[32]): the fixed 10-degree grid generates ~2.1e9 candidate
+    rows (40 s); re-sized to 2.5 degrees the same data generates
+    13.2M candidates and the run is scan-dominated (~10 s, most of it
+    the 4.8M-probe derivation+window). See PLANS.md geo section."""
+    clat = ((lat_micro + F.lit(_LAT_MOD // 2)) / F.lit(cell_micro)).cast(
         "bigint"
     )
-    clon = ((lon_micro + F.lit(_LON_MOD // 2)) / F.lit(CELL_MICRO)).cast(
+    clon = ((lon_micro + F.lit(_LON_MOD // 2)) / F.lit(cell_micro)).cast(
         "bigint"
     )
     return clat, clon
 
 
 def with_point_and_cell(
-    df: DataFrame, key_col: str, prefix: str
+    df: DataFrame, key_col: str, prefix: str, cell_micro: int = CELL_MICRO
 ) -> DataFrame:
     """Attach {prefix}_lat/{prefix}_lon (micro-degrees) and
     {prefix}_cell_lat/{prefix}_cell_lon derived from ``key_col``."""
     lat, lon = derived_point(F.col(key_col))
     out = df.withColumn(f"{prefix}_lat", lat).withColumn(f"{prefix}_lon", lon)
     clat, clon = cell_of(
-        F.col(f"{prefix}_lat"), F.col(f"{prefix}_lon")
+        F.col(f"{prefix}_lat"), F.col(f"{prefix}_lon"), cell_micro
     )
     return out.withColumn(f"{prefix}_cell_lat", clat).withColumn(
         f"{prefix}_cell_lon", clon
