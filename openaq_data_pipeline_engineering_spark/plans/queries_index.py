@@ -131,3 +131,127 @@ def bloom_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 assert M_BITS % WORD_BITS == 0
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter JOIN PRUNING, materialized: the data-level twin of
+# Spark's runtime bloom-filter injection (PLANS.md cross-cutting
+# notes). The dim-side key set (BUILDING customers) compresses to ONE
+# 1024-bit array row; the fact side evaluates two bit tests per row in
+# a single map-side pass (broadcast 1-row cross, no explode, no
+# shuffle) and only surviving rows reach the exact semi join — at
+# 100 TB the pruned rows never enter the join exchange, which is the
+# entire point. False positives are quantified by candidate-vs-matched
+# counts in the result.
+# --------------------------------------------------------------------------
+@query(
+    "bloom_join_pruning",
+    "secondary index: fact-side rows pre-screened through a broadcast "
+    "1024-bit Bloom array before the exact semi join — candidate vs "
+    "matched counts expose the false-positive rate",
+    oracle=f"""
+    WITH keys AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    pos AS (
+      SELECT {oracle_position_sql("c_custkey", "b1:")} AS h FROM keys
+      UNION ALL
+      SELECT {oracle_position_sql("c_custkey", "b2:")} AS h FROM keys
+    ),
+    wordtab AS (
+      SELECT h // {WORD_BITS} AS wi,
+             bit_or(1::BIGINT << CAST(h % {WORD_BITS} AS INT)) AS w
+      FROM pos GROUP BY 1
+    ),
+    words AS (
+      SELECT list(coalesce(w, 0) ORDER BY i) AS l
+      FROM (SELECT range AS i FROM range(0, {M_BITS // WORD_BITS})) r
+      LEFT JOIN wordtab ON wi = i
+    ),
+    probes AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             {oracle_position_sql("o_custkey", "b1:")} AS h1,
+             {oracle_position_sql("o_custkey", "b2:")} AS h2
+      FROM orders
+    ),
+    cand AS (
+      SELECT p.* FROM probes p CROSS JOIN words w
+      WHERE (w.l[CAST(p.h1 // {WORD_BITS} AS INT) + 1]
+             & (1::BIGINT << CAST(p.h1 % {WORD_BITS} AS INT))) <> 0
+        AND (w.l[CAST(p.h2 // {WORD_BITS} AS INT) + 1]
+             & (1::BIGINT << CAST(p.h2 % {WORD_BITS} AS INT))) <> 0
+    ),
+    matched AS (
+      SELECT c.* FROM cand c
+      WHERE EXISTS (SELECT 1 FROM keys k WHERE k.c_custkey = c.o_custkey)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidate_orders,
+           (SELECT CAST(count(*) AS BIGINT) FROM matched)
+             AS n_matched_orders,
+           (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            FROM matched) AS revenue
+    """,
+)
+def bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.operators.bloom import (
+        key_positions,
+    )
+
+    cust_b = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    wordrows = bloom_build(
+        cust_b.withColumn("g", F.lit(1)), "g", "c_custkey"
+    )
+    words_row = (
+        spark.range(M_BITS // WORD_BITS)
+        .join(
+            wordrows.select("word_idx", "word"),
+            F.col("id") == F.col("word_idx"),
+            "left",
+        )
+        .select("id", F.coalesce("word", F.lit(0)).alias("w"))
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("id", "w"))),
+                lambda s: s.getField("w"),
+            ).alias("words")
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    probed = (
+        orders.crossJoin(F.broadcast(words_row))
+        .withColumn("hs", key_positions(F.col("o_custkey")))
+        .withColumn("h1", F.element_at("hs", 1))
+        .withColumn("h2", F.element_at("hs", 2))
+    )
+
+    def _set(h: str):
+        word = F.element_at(
+            "words", (F.col(h) / WORD_BITS + 1).cast("int")
+        )
+        bit = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST({h} % {WORD_BITS} AS INT))"
+        )
+        return word.bitwiseAND(bit) != 0
+
+    cand = probed.filter(_set("h1") & _set("h2")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    matched = cand.join(
+        cust_b, cand["o_custkey"] == cust_b["c_custkey"], "left_semi"
+    )
+    n_cand = cand.agg(
+        F.count(F.lit(1)).alias("n_candidate_orders")
+    )
+    m_agg = matched.agg(
+        F.count(F.lit(1)).alias("n_matched_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+    return n_cand.crossJoin(m_agg)

@@ -1619,3 +1619,82 @@ def join_strategy_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("merge", cust.hint("merge")))
         .unionByName(one("shuffle_hash", cust.hint("shuffle_hash")))
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 point-in-time join: events resolve the dimension VERSION that
+# was effective at each event's timestamp — the temporal-correctness
+# join every slowly-changing warehouse needs (joining "current"
+# attributes silently rewrites history). The effective-dated history
+# is derived deterministically here (era 1 for every customer at
+# 2024-01-01, era 2 for custkey % 3 == 0 at 2024-01-15).
+# Implementation is the as-of operator (operators/asof.py): history
+# rows and events union into ONE keyed window with a struct-atomic
+# carry-forward — 1 shuffle, no range/theta join, linear at any scale.
+# DuckDB's native ASOF JOIN is the oracle.
+# --------------------------------------------------------------------------
+_SCD2_HIST_SQL = """
+    SELECT c_custkey, concat('OLD:', c_mktsegment) AS seg,
+           TIMESTAMP '2024-01-01 00:00:00' AS valid_from
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, concat('NEW:', c_mktsegment) AS seg,
+           TIMESTAMP '2024-01-15 00:00:00' AS valid_from
+    FROM customer WHERE c_custkey % 3 = 0
+"""
+
+
+@query(
+    "scd2_point_in_time_join",
+    "warehouse: events joined to the SCD2 dimension version effective "
+    "at event time (as-of union+window, no range join); per-era rollup",
+    oracle=f"""
+    WITH hist AS ({_SCD2_HIST_SQL})
+    SELECT seg,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM (
+      SELECT e.user_id, h.seg
+      FROM events e
+      ASOF JOIN hist h
+        ON e.user_id = h.c_custkey AND e.ts >= h.valid_from
+    ) GROUP BY seg
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.operators.asof import asof_join
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    era1 = cust.select(
+        F.col("c_custkey").alias("user_id"),
+        F.concat(F.lit("OLD:"), "c_mktsegment").alias("seg"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    era2 = (
+        cust.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.concat(F.lit("NEW:"), "c_mktsegment").alias("seg"),
+            F.lit("2024-01-15 00:00:00").cast("timestamp").alias("ts"),
+        )
+    )
+    hist = era1.unionByName(era2)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    joined = asof_join(
+        ev,
+        hist,
+        on=["user_id"],
+        ts_col="ts",
+        value_cols=["seg"],
+        tiebreaker="seg",
+    )
+    return (
+        joined.filter(F.col("seg_asof").isNotNull())
+        .groupBy(F.col("seg_asof").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )

@@ -54,6 +54,9 @@ NLJ_ALLOWED = {
     # bloom probe: 20 probe keys crossed with the |sources| (5) group
     # list — a deliberate bounded broadcast expansion (100 rows).
     "bloom_index_probe",
+    # bloom join pruning: the 1-row packed-words array broadcast onto
+    # the fact scan + the final 1-row x 1-row summary cross.
+    "bloom_join_pruning",
 }
 
 # Streaming plans can't be built with a batch explain.
