@@ -311,3 +311,140 @@ def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(flat, cb)
     dtab = adc_table(flat.filter(F.col("vec_id") < _PQ_PROBES), cb)
     return pq_adc_topk(codes, dtab, topk=5)
+
+
+# --------------------------------------------------------------------------
+# IVF + PQ composition (FAISS "IVFADC" shape, Jégou et al. 2011 §V):
+# the coarse quantizer restricts the ADC scan to the probe's inverted
+# list, so per-query cost is (corpus/K_ivf) code lookups instead of a
+# full code scan — the production large-scale ANN layout. Both layers
+# stay on the integer floor(x·64) grid: IVF assignment is full-dim
+# integer L2 to K_ivf seed centroids, then PQ/ADC ranks ONLY vectors
+# sharing the probe's cell. Everything replays bit-for-bit in DuckDB.
+# --------------------------------------------------------------------------
+_IVFPQ_K_IVF = 4
+
+
+@query(
+    "ivfpq_adc_topk",
+    "similarity: IVF cell restriction (4 integer-L2 seed centroids) + "
+    "PQ/ADC ranking inside the probe's cell — the IVFADC composition",
+    oracle=f"""
+    WITH flat AS (
+      SELECT vec_id,
+             (generate_subscripts(embedding, 1) - 1) // {_PQ_SUB_DIMS} AS m,
+             (generate_subscripts(embedding, 1) - 1) % {_PQ_SUB_DIMS} AS j,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 64) AS BIGINT)
+               AS qx
+      FROM embeddings
+    ),
+    cent AS (SELECT * FROM flat WHERE vec_id < {_IVFPQ_K_IVF}),
+    celld AS (
+      SELECT f.vec_id, c.vec_id AS cid,
+             sum((f.qx - c.qx) * (f.qx - c.qx)) AS d2
+      FROM flat f JOIN cent c ON f.m = c.m AND f.j = c.j
+      GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT vec_id, cid AS cell FROM celld
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY d2, cid) = 1
+    ),
+    cb AS (
+      SELECT m, vec_id AS code, j, qx AS cx FROM flat WHERE vec_id < {_PQ_K}
+    ),
+    enc_d AS (
+      SELECT f.vec_id, f.m, c.code,
+             sum((f.qx - c.cx) * (f.qx - c.cx)) AS d2
+      FROM flat f JOIN cb c ON f.m = c.m AND f.j = c.j
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, m, code FROM enc_d
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id, m ORDER BY d2, code) = 1
+    ),
+    dtab AS (
+      SELECT f.vec_id AS query_id, f.m, c.code,
+             sum((f.qx - c.cx) * (f.qx - c.cx)) AS pd2
+      FROM flat f JOIN cb c ON f.m = c.m AND f.j = c.j
+      WHERE f.vec_id < {_PQ_PROBES}
+      GROUP BY 1, 2, 3
+    ),
+    cand AS (
+      SELECT qc.vec_id AS query_id, vc.vec_id AS neighbor_id
+      FROM cells qc JOIN cells vc ON qc.cell = vc.cell
+      WHERE qc.vec_id < {_PQ_PROBES} AND vc.vec_id <> qc.vec_id
+    ),
+    adist AS (
+      SELECT ca.query_id, ca.neighbor_id,
+             CAST(sum(d.pd2) AS BIGINT) AS adist
+      FROM cand ca
+      JOIN codes s ON s.vec_id = ca.neighbor_id
+      JOIN dtab d
+        ON d.query_id = ca.query_id AND d.m = s.m AND d.code = s.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adist, rn FROM (
+      SELECT query_id, neighbor_id, adist,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+      FROM adist
+    ) WHERE rn <= 5
+    """,
+)
+def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.operators.pq import (
+        adc_table,
+        flatten_quantized,
+        pq_encode,
+        seed_codebook,
+    )
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    flat = flatten_quantized(emb, _PQ_SUB_DIMS)
+
+    # IVF layer: full-dim integer L2 to the K_ivf seed centroids.
+    cent = flat.filter(F.col("vec_id") < _IVFPQ_K_IVF).select(
+        F.col("vec_id").alias("cid"), "m", "j", F.col("qx").alias("cx")
+    )
+    celld = (
+        flat.join(F.broadcast(cent), on=["m", "j"])
+        .withColumn(
+            "dd", (F.col("qx") - F.col("cx")) * (F.col("qx") - F.col("cx"))
+        )
+        .groupBy("vec_id", "cid")
+        .agg(F.sum("dd").alias("d2"))
+    )
+    wc = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    cells = (
+        celld.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+
+    # PQ layer (shared codebook with pq_adc_topk).
+    cb = seed_codebook(flat, _PQ_K)
+    codes = pq_encode(flat, cb)
+    dtab = adc_table(flat.filter(F.col("vec_id") < _PQ_PROBES), cb)
+
+    # Candidate restriction: same-cell pairs only (inverted list read).
+    qcells = cells.filter(F.col("vec_id") < _PQ_PROBES).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    cand_codes = (
+        cells.join(F.broadcast(qcells), on="cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .join(codes, on="vec_id")
+    )
+    adist = (
+        cand_codes.join(F.broadcast(dtab), on=["query_id", "m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pd2").cast("bigint").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        adist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
