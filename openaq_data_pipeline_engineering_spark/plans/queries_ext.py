@@ -930,3 +930,122 @@ def streaming_topk_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT event_type, n FROM stream_topk_result "
         "ORDER BY n DESC, event_type LIMIT 5"
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog registers AS DATA (mergeable-sketch twin of the Bloom
+# index, operators/bloom.py): per-group m=64 max-ρ registers built with
+# one max-aggregation, merged across groups with another max (the HLL
+# union), and the raw Flajolet estimate αm²/Σ2^(-M_j) compared against
+# the exact distinct count in the same result row. Unlike the built-in
+# approx_count_distinct (operators/sketch.py), the registers here are
+# engine-portable integers — DuckDB rebuilds them bit-for-bit, and the
+# estimate arithmetic is exact dyadic-rational double math, so even the
+# float column hash-matches.
+# Scale: register build shuffles |groups| × 64 rows after map-side
+# combine; merge cost is |groups| × 64 regardless of corpus size —
+# the property that lets 100 TB partial sketches union on the driver.
+# --------------------------------------------------------------------------
+_HLL_M = 64  # registers; alpha_64 = 0.709 (Flajolet et al. 2007)
+
+
+@query(
+    "hll_register_sketch",
+    "sketch: portable HyperLogLog registers per event type + ALL-merge "
+    "(max-union), raw estimate vs exact distinct users in one row",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, user_id,
+             CAST(concat('0x', substr(md5(concat('h:',
+                  CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) AS hv
+      FROM events
+    ),
+    rows_ AS (
+      SELECT event_type,
+             user_id,
+             hv % {_HLL_M} AS idx,
+             hv // {_HLL_M} AS w
+      FROM h
+    ),
+    per_type AS (
+      SELECT event_type, idx,
+             max(CASE WHEN w = 0 THEN 27
+                 ELSE 27 - length(bin(w)) END) AS rho
+      FROM rows_ GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT 'ALL' AS grp, idx, max(rho) AS rho FROM per_type GROUP BY 2
+      UNION ALL
+      SELECT event_type, idx, rho FROM per_type
+    ),
+    est AS (
+      SELECT grp,
+             CAST(count(*) AS BIGINT) AS n_registers_set,
+             0.709 * {_HLL_M} * {_HLL_M} /
+               (sum(power(2.0, -rho)) + ({_HLL_M} - count(*))) AS hll_estimate
+      FROM merged GROUP BY 1
+    ),
+    exact AS (
+      SELECT 'ALL' AS grp, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM rows_
+      UNION ALL
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+      FROM rows_ GROUP BY 1
+    )
+    SELECT e.grp, e.n_registers_set, e.hll_estimate, x.exact_distinct
+    FROM est e JOIN exact x ON e.grp = x.grp
+    """,
+)
+def hll_register_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("h:"), F.col("user_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    rows = ev.select(
+        "event_type",
+        "user_id",
+        (hv % _HLL_M).alias("idx"),
+        (hv / _HLL_M).cast("bigint").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(27)).otherwise(
+        F.lit(27) - F.length(F.bin("w"))
+    )
+    per_type = (
+        rows.withColumn("rho", rho)
+        .groupBy("event_type", "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+    merged = (
+        per_type.groupBy("idx")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.lit("ALL").alias("grp"), "idx", "rho")
+        .unionByName(
+            per_type.select(
+                F.col("event_type").alias("grp"), "idx", "rho"
+            )
+        )
+    )
+    est = merged.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_registers_set"),
+        (
+            F.lit(0.709 * _HLL_M * _HLL_M)
+            / (
+                F.sum(F.pow(F.lit(2.0), -F.col("rho")))
+                + (F.lit(_HLL_M) - F.count(F.lit(1)))
+            )
+        ).alias("hll_estimate"),
+    )
+    exact = (
+        rows.agg(F.count_distinct("user_id").alias("exact_distinct"))
+        .select(F.lit("ALL").alias("grp"), "exact_distinct")
+        .unionByName(
+            rows.groupBy(F.col("event_type").alias("grp")).agg(
+                F.count_distinct("user_id").alias("exact_distinct")
+            )
+        )
+    )
+    return est.join(exact, on="grp")
