@@ -460,3 +460,58 @@ def array_setops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.array_except(e, l)), ",").alias("d"),
         F.arrays_overlap(e, l).cast("int").alias("overlaps"),
     )
+
+
+# --------------------------------------------------------------------------
+# Python UDTF as a DECLARED query (§2.10 surface): the engine's
+# sanctioned one-row-in/N-rows-out extension point, exercised
+# end-to-end against a SQL oracle instead of only in pytest. Arrow-
+# optimized (useArrow) so the exec node is ArrowEvalPythonUDTF — the
+# plan-audit gate still bans row-pickled BatchEvalPython. Bounded to a
+# 50-doc slice: UDTF rows cross the JVM/Python boundary, so the
+# declared contract is "small expansion sets"; bulk expansion belongs
+# to mapInPandas (multimodal.sample_frames).
+# --------------------------------------------------------------------------
+@query(
+    "udtf_token_stats",
+    "UDF surface: Arrow Python UDTF emitting each doc's top-3 tokens "
+    "(count desc, token asc) — lateral-join expansion, SQL-oracled",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE doc_id < 50
+    ),
+    counts AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n
+      FROM toks WHERE token <> '' GROUP BY 1, 2
+    )
+    SELECT doc_id, token, n FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY n DESC, token) AS rn
+      FROM counts
+    ) WHERE rn <= 3
+    """,
+)
+def udtf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, n bigint", useArrow=True)
+    class TopTokens:
+        def eval(self, text: str):
+            if not text:
+                return
+            counts: dict[str, int] = {}
+            for t in text.split(" "):
+                if t:
+                    counts[t] = counts.get(t, 0) + 1
+            ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            for token, n in ranked[:3]:
+                yield token, n
+
+    spark.udtf.register("top_tokens", TopTokens)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.select("doc_id", "text").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.token, t.n "
+        "FROM udtf_docs d, LATERAL top_tokens(d.text) t"
+    )

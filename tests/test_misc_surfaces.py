@@ -1,0 +1,79 @@
+"""Smaller engine surfaces: applyInArrow grouped map, parquet
+compression codecs, JSON bad-record quarantine."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_engineering_spark.sources.star import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_apply_in_arrow_grouped_map(spark):
+    """Spark 4 applyInArrow: the Arrow-native grouped-map path (no
+    pandas conversion) — per-group record batches in, batches out."""
+    import pyarrow as pa
+
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "value")
+
+    def spread(rows: pa.Table) -> pa.Table:
+        vmin = pa.compute.min(rows["value"]).as_py()
+        vmax = pa.compute.max(rows["value"]).as_py()
+        et = rows["event_type"][0].as_py()
+        return pa.Table.from_pydict(
+            {"event_type": [et], "spread": [float(vmax - vmin)]}
+        )
+
+    got = {
+        r["event_type"]: r["spread"]
+        for r in ev.groupBy("event_type")
+        .applyInArrow(spread, "event_type string, spread double")
+        .collect()
+    }
+    want = {
+        r["event_type"]: float(r["mx"] - r["mn"])
+        for r in ev.groupBy("event_type")
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert got == want and len(got) == 5
+
+
+def test_parquet_zstd_codec_roundtrip(spark, tmp_path):
+    """zstd-at-rest (the 100 TB archival codec) writes and reads back
+    identically; codec visible in the file names."""
+    nation = load_table(spark, SF_DIR, "nation")
+    d = str(tmp_path / "zstd")
+    nation.write.option("compression", "zstd").parquet(d)
+    files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    assert files and all(".zstd." in f for f in files)
+    back = spark.read.parquet(d)
+    assert back.exceptAll(nation).count() == 0
+    assert back.count() == nation.count()
+
+
+def test_json_bad_record_quarantine(spark, tmp_path):
+    """PERMISSIVE JSON read quarantines malformed rows into
+    _corrupt_record instead of failing the scan (ingest-edge policy;
+    the CSV twin is TestCsvSource)."""
+    p = str(tmp_path / "in.json")
+    with open(p, "w") as f:
+        f.write('{"k": 1, "v": "a"}\n')
+        f.write("{broken\n")
+        f.write('{"k": 2, "v": "b"}\n')
+    df = (
+        spark.read.schema("k BIGINT, v STRING, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(p)
+    ).cache()
+    try:
+        good = df.filter(F.col("_corrupt_record").isNull())
+        bad = df.filter(F.col("_corrupt_record").isNotNull())
+        assert good.count() == 2 and bad.count() == 1
+        assert bad.first()["_corrupt_record"].startswith("{broken")
+    finally:
+        df.unpersist()
