@@ -531,3 +531,88 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_tok").alias("min_tok"),
         F.max("n_tok").alias("max_tok"),
     )
+
+
+# --------------------------------------------------------------------------
+# Contrastive training-pair generation (retrieval/embedding training):
+# the standard inverse-cloze setup — the two halves of one document
+# form the positive pair; negatives are md5-picked other documents
+# (deterministic, layout-independent, collision-bumped past self).
+# One scan + one broadcast of the corpus size; negatives are CHOSEN by
+# hash, not sampled by RNG, so the pair set is bit-reproducible on any
+# cluster — the property that makes training-data regeneration safe.
+# --------------------------------------------------------------------------
+@query(
+    "contrastive_pairs",
+    "training pairs: split-doc positives + 2 deterministic md5 "
+    "negatives per anchor (inverse cloze, reproducible)",
+    oracle="""
+    WITH n AS (SELECT count(*) AS n_docs FROM documents),
+    halves AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             len(string_split(text, ' ')) // 2 AS n_first
+      FROM documents WHERE doc_id < 100
+    ),
+    pairs AS (
+      SELECT h.doc_id,
+             CAST(h.n_first AS BIGINT) AS n_tok_anchor,
+             CAST(h.n_tok - h.n_first AS BIGINT) AS n_tok_positive,
+             CAST(concat('0x', substr(md5(concat('neg1:',
+                  CAST(h.doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+               % n.n_docs AS r1,
+             CAST(concat('0x', substr(md5(concat('neg2:',
+                  CAST(h.doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+               % n.n_docs AS r2,
+             n.n_docs
+      FROM halves h CROSS JOIN n
+    )
+    SELECT doc_id, n_tok_anchor, n_tok_positive,
+           CASE WHEN r1 = doc_id THEN (r1 + 1) % n_docs ELSE r1 END
+             AS neg1_doc_id,
+           CASE WHEN r2 = doc_id THEN (r2 + 1) % n_docs ELSE r2 END
+             AS neg2_doc_id
+    FROM pairs
+    """,
+)
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    n_docs_df = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_tok = F.size(F.split("text", " "))
+    halves = docs.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        (n_tok / 2).cast("bigint").alias("n_first"),
+    )
+
+    def _rand(salt: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(salt), F.col("doc_id").cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("n_docs")
+        )
+
+    def _bump(r):
+        return F.when(
+            r == F.col("doc_id"), (r + 1) % F.col("n_docs")
+        ).otherwise(r)
+
+    return (
+        halves.crossJoin(F.broadcast(n_docs_df))
+        .select(
+            "doc_id",
+            F.col("n_first").alias("n_tok_anchor"),
+            (F.col("n_tok") - F.col("n_first")).alias("n_tok_positive"),
+            _bump(_rand("neg1:")).alias("neg1_doc_id"),
+            _bump(_rand("neg2:")).alias("neg2_doc_id"),
+        )
+    )

@@ -1698,3 +1698,59 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Winsorized statistics: the robust-mean companion to outlier_mad —
+# exact p5/p95 percentiles per group (two-pass: percentile agg, then a
+# co-partitioned join back onto the rows), values clipped into the
+# band before the mean. Float policy: clipped values are identical
+# doubles in both engines (clip of identical inputs against identical
+# interpolated bounds) but do NOT sit on a decimal grid, so the sum is
+# taken in DECIMAL(18,6) (order-independent, double->decimal conversion
+# is deterministic on both sides) and divided as DOUBLE.
+# --------------------------------------------------------------------------
+@query(
+    "winsorized_stats",
+    "robust stats: per-type p5/p95 winsorized mean vs raw mean "
+    "(exact percentiles, two-pass clip)",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+             percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(e.value), 2) / count(*) AS raw_mean,
+           CAST(sum(CAST(least(greatest(e.value, b.lo), b.hi)
+                          AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+             AS winsor_mean,
+           b.lo, b.hi
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    GROUP BY e.event_type, b.lo, b.hi
+    """,
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(bounds, on="event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias(
+                "raw_mean"
+            ),
+            (
+                F.sum(clipped.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("winsor_mean"),
+        )
+        .select("event_type", "n", "raw_mean", "winsor_mean", "lo", "hi")
+    )

@@ -63,3 +63,44 @@ class TestFileSkipping:
         expect = scan.filter(F.col("event_id") == probe).count()
         got = pruned_read(scan, stats, "event_id", probe).count()
         assert got == expect > 0
+
+
+class TestZOrderSkipping:
+    def test_zorder_layout_improves_file_pruning(self, spark, tmp_path):
+        """Z-order + min/max manifest integration: laying files out by
+        Morton code clusters BOTH dimensions, so a 2-D box query prunes
+        more files than a hash-scattered layout with identical data."""
+        from openaq_data_pipeline_engineering_spark.functions.zorder import (
+            morton_code,
+        )
+
+        ev = (
+            load_table(spark, "/root/testdata/sf0.01", "events")
+            .select(
+                "event_id",
+                F.col("user_id").cast("bigint").alias("x"),
+                F.col("value").cast("bigint").alias("y"),
+            )
+            .filter(F.col("y") >= 0)
+        )
+        n_files = 8
+        zpath, hpath = str(tmp_path / "z"), str(tmp_path / "h")
+        ev.withColumn("z", morton_code("x", "y", bits=10)).repartitionByRange(
+            n_files, "z"
+        ).drop("z").write.parquet(zpath)
+        ev.repartition(n_files, "event_id").write.parquet(hpath)
+
+        def candidates(path: str) -> int:
+            stats = file_stats(spark.read.parquet(path), ["x", "y"])
+            # 2-D box: user 10..20, value 50..80
+            return stats.filter(
+                (F.col("x_min") <= 20)
+                & (F.col("x_max") >= 10)
+                & (F.col("y_min") <= 80)
+                & (F.col("y_max") >= 50)
+            ).count()
+
+        z_cand, h_cand = candidates(zpath), candidates(hpath)
+        # hash layout scatters every range across every file
+        assert h_cand == n_files
+        assert z_cand < h_cand
