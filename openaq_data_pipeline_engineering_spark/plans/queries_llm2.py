@@ -616,3 +616,53 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             _bump(_rand("neg2:")).alias("neg2_doc_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge-rule training (operators/bpe.py): the tokenizer-TRAINING
+# op — 6 unrolled most-frequent-pair merges over the corpus word-
+# frequency table, replayed round-for-round by a generated DuckDB CTE
+# chain (the INDEX BUILD is oracle-checked, as with kmeans_ivf_topk).
+# --------------------------------------------------------------------------
+_BPE_ROUNDS = 6
+_BPE_WORDFREQ_SQL = """
+    SELECT word AS w, CAST(count(*) AS BIGINT) AS wfreq
+    FROM (SELECT unnest(string_split(text, ' ')) AS word
+          FROM documents WHERE doc_id < 200)
+    WHERE word <> '' GROUP BY 1
+"""
+
+
+@query(
+    "bpe_merge_training",
+    "tokenizer training: 6 BPE merge rounds (weighted pair counts, "
+    "deterministic argmax, boundary-guarded merge) — training itself "
+    "is cross-engine replayed",
+    oracle=None,  # set below: generated CTE chain
+)
+def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.operators.bpe import bpe_train
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    word_freqs = (
+        docs.filter(F.col("doc_id") < 200)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wfreq"))
+    )
+    return bpe_train(word_freqs, rounds=_BPE_ROUNDS)
+
+
+def _install_bpe_oracle() -> None:
+    from openaq_data_pipeline_engineering_spark.operators.bpe import (
+        bpe_oracle_sql,
+    )
+    from openaq_data_pipeline_engineering_spark.plans.registry import QUERIES
+
+    QUERIES["bpe_merge_training"].oracle = bpe_oracle_sql(
+        _BPE_WORDFREQ_SQL, _BPE_ROUNDS
+    )
+
+
+_install_bpe_oracle()

@@ -57,6 +57,11 @@ NLJ_ALLOWED = {
     # bloom join pruning: the 1-row packed-words array broadcast onto
     # the fact scan + the final 1-row x 1-row summary cross.
     "bloom_join_pruning",
+    # BPE training: each round broadcasts its 1-row argmax pair onto
+    # the |vocab|-row state table.
+    "bpe_merge_training",
+    # contrastive pairs: 1-row corpus-count broadcast onto anchors.
+    "contrastive_pairs",
 }
 
 # Streaming plans can't be built with a batch explain.
