@@ -162,7 +162,9 @@ def nearest_in_neighborhood(
     )
 
 
-def oracle_point_sql(key_expr: str, prefix: str) -> str:
+def oracle_point_sql(
+    key_expr: str, prefix: str, cell_micro: int = CELL_MICRO
+) -> str:
     """DuckDB SQL fragment computing the same derived point + cell
     columns (SELECT-list fragment, comma-joined)."""
     half_lat, half_lon = _LAT_MOD // 2, _LON_MOD // 2
@@ -176,8 +178,8 @@ def oracle_point_sql(key_expr: str, prefix: str) -> str:
     )
     return (
         f"{lat} AS {prefix}_lat, {lon} AS {prefix}_lon, "
-        f"CAST((({lat}) + {half_lat}) // {CELL_MICRO} AS BIGINT) AS "
+        f"CAST((({lat}) + {half_lat}) // {cell_micro} AS BIGINT) AS "
         f"{prefix}_cell_lat, "
-        f"CAST((({lon}) + {half_lon}) // {CELL_MICRO} AS BIGINT) AS "
+        f"CAST((({lon}) + {half_lon}) // {cell_micro} AS BIGINT) AS "
         f"{prefix}_cell_lon"
     )

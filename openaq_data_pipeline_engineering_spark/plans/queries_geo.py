@@ -184,3 +184,105 @@ def geo_radius_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_lat", "s_lon", d2.alias("dist_sq"))
         .orderBy("dist_sq", "s_suppkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Grid-density clustering (the scalable DBSCAN shape): core cells =
+# grid cells holding >= MIN_PTS points; clusters = connected components
+# over ADJACENT core cells (operators/cluster.py large-star/small-star
+# CC — the same bounded-iteration machinery as near-dup clustering).
+# At 100 TB the point->cell aggregation is one map-combined shuffle
+# (∝ occupied cells, not points), adjacency is a 9-offset explode of
+# the CELL table (tiny) joined equi on cell id, and CC runs on the
+# core-cell graph — never on raw points. The DuckDB oracle replays the
+# closure with a recursive CTE.
+# --------------------------------------------------------------------------
+_DBSCAN_CELL = 5_000_000  # 5-degree cells
+_DBSCAN_MIN_PTS = 3
+# pack (cell_lat, cell_lon) into one BIGINT node id: lat cells 0..36,
+# lon cells 0..72 at 5 degrees -> lat * 1000 + lon is collision-free.
+_PACK = 1000
+
+
+@query(
+    "geo_density_clusters",
+    "geo: DBSCAN-shaped clustering — core 5-degree cells (>=3 points) "
+    "merged via connected components over cell adjacency",
+    oracle=f"""
+    WITH RECURSIVE pts AS (
+      SELECT {oracle_point_sql("c_custkey", "p", _DBSCAN_CELL)}
+      FROM customer
+    ),
+    core AS (
+      SELECT p_cell_lat AS cl, p_cell_lon AS cn,
+             p_cell_lat * {_PACK} + p_cell_lon AS node,
+             CAST(count(*) AS BIGINT) AS n_points
+      FROM pts GROUP BY 1, 2, 3
+      HAVING count(*) >= {_DBSCAN_MIN_PTS}
+    ),
+    edges AS (
+      SELECT a.node AS s, b.node AS d
+      FROM core a JOIN core b
+        ON b.cl BETWEEN a.cl - 1 AND a.cl + 1
+       AND b.cn BETWEEN a.cn - 1 AND a.cn + 1
+      UNION ALL
+      SELECT node, node FROM core
+    ),
+    reach(node, r) AS (
+      SELECT node, node FROM core
+      UNION
+      SELECT e.d, r.r FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    labels AS (
+      SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT l.cluster_id,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(c.n_points) AS BIGINT) AS n_points
+    FROM labels l JOIN core c ON l.node = c.node
+    GROUP BY l.cluster_id
+    """,
+)
+def geo_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.operators.cluster import (
+        connected_components,
+    )
+
+    cust = fan_out(load_table(spark, sf_dir, "customer")).select("c_custkey")
+    pts = with_point_and_cell(cust, "c_custkey", "p", _DBSCAN_CELL)
+    core = (
+        pts.groupBy(
+            F.col("p_cell_lat").alias("cl"), F.col("p_cell_lon").alias("cn")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+        .filter(F.col("n_points") >= _DBSCAN_MIN_PTS)
+        .withColumn("node", F.col("cl") * _PACK + F.col("cn"))
+    )
+    offsets = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    nbr = (
+        core.select("cl", "cn", "node")
+        .withColumn("dl", F.explode(offsets))
+        .withColumn("dn", F.explode(offsets))
+        .select(
+            (F.col("cl") + F.col("dl")).alias("jcl"),
+            (F.col("cn") + F.col("dn")).alias("jcn"),
+            F.col("node").alias("d"),
+        )
+    )
+    edges = (
+        core.select("cl", "cn", F.col("node").alias("s"))
+        .join(nbr, on=(F.col("cl") == F.col("jcl")) & (F.col("cn") == F.col("jcn")))
+        .select("s", "d")
+        .unionByName(
+            core.select(F.col("node").alias("s"), F.col("node").alias("d"))
+        )
+    )
+    labels = connected_components(edges, src="s", dst="d")
+    return (
+        labels.join(core, on="node")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n_points").cast("bigint").alias("n_points"),
+        )
+    )

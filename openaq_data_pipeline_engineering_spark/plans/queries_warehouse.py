@@ -1754,3 +1754,88 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n", "raw_mean", "winsor_mean", "lo", "hi")
     )
+
+
+# --------------------------------------------------------------------------
+# Linear multi-touch attribution with EXACT penny allocation: each
+# purchase's value (in integer cents) splits equally across the user's
+# clicks in the preceding 7 days; the integer remainder goes to the
+# EARLIEST click (event_id tiebreak), so attributed cents sum exactly
+# to purchase cents — conservation is provable, no float drift.
+# Scale: the purchase⋈click join is EQUI on user_id with a time-band
+# post-filter — output bounded by per-user activity within the window
+# (pre-bucketing by (user, week) co-locates it at 100 TB); allocation
+# is a per-purchase window rank, attributed rollup is map-combined.
+# --------------------------------------------------------------------------
+@query(
+    "multitouch_attribution",
+    "marketing: linear multi-touch attribution, 7-day lookback, exact "
+    "integer penny allocation (remainder to earliest click)",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id AS pid, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT event_id AS cid, user_id, ts AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    pairs AS (
+      SELECT p.pid, p.cents, c.cid, c.cts,
+             count(*) OVER (PARTITION BY p.pid) AS n,
+             row_number() OVER (
+               PARTITION BY p.pid ORDER BY c.cts, c.cid) AS rn
+      FROM purchases p JOIN clicks c
+        ON p.user_id = c.user_id
+       AND c.cts <= p.ts AND c.cts > p.ts - INTERVAL 7 DAY
+    ),
+    alloc AS (
+      SELECT CAST(cts AS DATE) AS click_date,
+             cents // n + CASE WHEN rn = 1 THEN cents % n ELSE 0 END
+               AS acents
+      FROM pairs
+    )
+    SELECT click_date,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(acents) AS BIGINT) AS attributed_cents
+    FROM alloc GROUP BY click_date
+    """,
+)
+def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+    )
+    pairs = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("cts") <= F.col("ts"))
+        & (F.col("cts") > F.col("ts") - F.expr("INTERVAL 7 DAY")),
+    )
+    wn = Window.partitionBy("pid")
+    wr = Window.partitionBy("pid").orderBy("cts", "cid")
+    alloc = (
+        pairs.withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn("rn", F.row_number().over(wr))
+        .select(
+            F.col("cts").cast("date").alias("click_date"),
+            (
+                F.expr("cents div n")
+                + F.when(F.col("rn") == 1, F.col("cents") % F.col("n"))
+                .otherwise(F.lit(0))
+            ).alias("acents"),
+        )
+    )
+    return alloc.groupBy("click_date").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum("acents").cast("bigint").alias("attributed_cents"),
+    )
