@@ -288,3 +288,46 @@ def collation_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# --------------------------------------------------------------------------
+# SQL-defined scalar function (Spark 4 CREATE FUNCTION ... RETURN):
+# the declarative UDF path — the body is a SQL expression, so Catalyst
+# INLINES it into the plan (full codegen, pushdown through it), unlike
+# Python UDFs which are execution barriers. This is the engine's
+# recommended extension point for row-level logic that SQL can express
+# (the AQI bucketing of operators/aqi.py is the same philosophy in
+# DataFrame form). The oracle inlines the identical CASE by hand.
+# --------------------------------------------------------------------------
+@query(
+    "sql_scalar_function",
+    "SQL surface: CREATE FUNCTION (SQL-bodied scalar UDF, inlined by "
+    "Catalyst) bucketing event values; per-bucket rollup",
+    oracle="""
+    SELECT CASE WHEN value < 10 THEN 'low'
+                WHEN value < 100 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events GROUP BY 1
+    """,
+)
+def sql_scalar_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "events")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION value_bucket(v DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN v < 10 THEN 'low'
+                    WHEN v < 100 THEN 'mid'
+                    ELSE 'high' END
+        """
+    )
+    return spark.sql(
+        """
+        SELECT value_bucket(value) AS bucket,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM events GROUP BY 1
+        """
+    )

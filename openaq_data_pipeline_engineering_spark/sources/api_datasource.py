@@ -57,8 +57,10 @@ from collections.abc import Callable, Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 # Long measurement shape (reference doc/GLUE_JOBS_GUIDE.md:111-132 +
@@ -282,3 +284,75 @@ class OpenAQApiStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # fixtures are immutable; nothing to release
+
+
+# ---------------------------------------------------------------------------
+# Custom WRITE path (Spark 4 Python DataSource writer): the archive-sink
+# twin of the reader above — each partition writes one NDJSON part file
+# and reports rows written back to the driver commit. Mirrors the
+# reference's wrapped-JSON archive sink (reference utils/s3_uploader.py
+# write path) as a pluggable `df.write.format(...)` target instead of a
+# helper function; commit/abort hooks give it the all-or-nothing
+# contract the helper lacked.
+# ---------------------------------------------------------------------------
+def register_archive_sink(spark) -> None:
+    """Register the `ndjson_archive` write format on this session."""
+    spark.dataSource.register(NdjsonArchiveDataSource)
+
+
+class _WriteResult(WriterCommitMessage):
+    def __init__(self, path: str, rows: int) -> None:
+        self.path = path
+        self.rows = rows
+
+
+class NdjsonArchiveWriter(DataSourceWriter):
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("ndjson_archive requires a path option")
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        _os.makedirs(self.path, exist_ok=True)
+        # unique name per attempt: a retried task never half-overwrites
+        part = _os.path.join(
+            self.path, f"part-{pid:05d}-{_uuid.uuid4().hex}.json.tmp"
+        )
+        n = 0
+        with open(part, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _WriteResult(part, n)
+
+    def commit(self, messages):
+        import os as _os
+
+        # finalize: tmp -> visible, atomically per part
+        for m in messages:
+            _os.replace(m.path, m.path[: -len(".tmp")])
+
+    def abort(self, messages):
+        import os as _os
+
+        for m in messages:
+            try:
+                _os.remove(m.path)
+            except OSError:
+                pass
+
+
+class NdjsonArchiveDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "ndjson_archive"
+
+    def writer(self, schema, overwrite: bool) -> NdjsonArchiveWriter:
+        return NdjsonArchiveWriter(self.options)

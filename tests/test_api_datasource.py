@@ -245,3 +245,31 @@ def test_api_stream_reader_replay_is_exact(tmp_path):
     replay = list(r.readBetweenOffsets({"page": 1}, {"page": 3}))
     assert replay == rows1 + [(501, replay[1][1], "pm25", replay[1][3], 2.0)]
     assert len(replay) == 2
+
+
+def test_custom_ndjson_archive_writer(spark, tmp_path):
+    """Spark 4 Python DataSource WRITE path: per-partition NDJSON part
+    files with tmp-then-rename commit (abort leaves nothing visible)."""
+    import json
+    import os
+
+    from openaq_data_pipeline_engineering_spark.sources.api_datasource import (
+        register_archive_sink,
+    )
+    from openaq_data_pipeline_engineering_spark.sources.star import load_table
+
+    register_archive_sink(spark)
+    out = str(tmp_path / "archive")
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation").select(
+        "n_nationkey", "n_name"
+    )
+    nation.repartition(3).write.format("ndjson_archive").option(
+        "path", out
+    ).mode("append").save()
+    files = sorted(os.listdir(out))
+    assert files and all(f.endswith(".json") for f in files)
+    rows = []
+    for f in files:
+        with open(os.path.join(out, f)) as fh:
+            rows += [json.loads(line) for line in fh]
+    assert sorted(r["n_nationkey"] for r in rows) == list(range(25))

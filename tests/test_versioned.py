@@ -45,3 +45,51 @@ class TestVersionedSnapshots:
         assert read_snapshot(spark, root).count() == nation.count()
         with pytest.raises(ValueError):
             read_snapshot(spark, root, version=99)
+
+
+class TestStreamingSnapshotSink:
+    def test_foreach_batch_commits_versions(self, spark, tmp_path):
+        """Streaming sink integration: each micro-batch commits one
+        immutable snapshot version via operators/versioned — readers
+        always see a complete batch, and history stays queryable."""
+        import os
+
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            write_snapshot,
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        with open(os.path.join(src, "a.json"), "w") as f:
+            f.write('{"k": 1}\n{"k": 2}\n')
+        root = str(tmp_path / "snap")
+        ckpt = str(tmp_path / "ckpt")
+
+        def sink(batch_df, batch_id: int) -> None:
+            if batch_df.count() > 0:
+                write_snapshot(batch_df, root)
+
+        stream = spark.readStream.schema("k long").json(src)
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert snapshot_versions(root) == [1]
+        assert read_snapshot(spark, root).count() == 2
+
+        # second incremental drop -> second version; v1 unchanged
+        with open(os.path.join(src, "b.json"), "w") as f:
+            f.write('{"k": 3}\n')
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert snapshot_versions(root) == [1, 2]
+        assert read_snapshot(spark, root, version=1).count() == 2
+        assert read_snapshot(spark, root, version=2).count() == 1
