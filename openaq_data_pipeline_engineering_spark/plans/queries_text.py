@@ -611,3 +611,88 @@ def char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("word_len_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# INCREMENTAL near-dup screening: a new document batch (doc_id >= 400)
+# is checked against the EXISTING corpus index (doc_id < 400) without
+# recomputing the corpus side's pairs — the daily-ingest shape: at
+# scale the index band table is precomputed and stored (it is exactly
+# the `bands` frame below), so each new batch costs
+# O(batch signatures + band-bucket probes), never a corpus self-join.
+# Batch-internal pairs are included (new docs can duplicate each
+# other). Same signature math as minhash_lsh_candidates, so the stored
+# index is shared between the batch path and the full rebuild.
+# --------------------------------------------------------------------------
+_INCR_SPLIT = 400
+
+
+def _minhash_incremental_oracle() -> str:
+    from openaq_data_pipeline_engineering_spark.functions.text import minhash_sql_exprs
+
+    mins = ",\n               ".join(minhash_sql_exprs("sh", _NUM_HASHES))
+    bands = ", ".join(f"md5(h{a} || h{b})" for a, b in _BANDS)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       for i in range(1, len(t) - 1)]) AS sh
+        FROM toks WHERE len(t) >= 3
+    ), mh AS (
+        SELECT doc_id, {mins}
+        FROM sh GROUP BY doc_id
+    ), bands AS (
+        SELECT doc_id, unnest([{bands}]) AS band FROM mh
+    ), idx AS (SELECT * FROM bands WHERE doc_id < {_INCR_SPLIT}),
+       new AS (SELECT * FROM bands WHERE doc_id >= {_INCR_SPLIT})
+    SELECT DISTINCT n.doc_id AS new_doc, i.doc_id AS matched_doc
+    FROM new n JOIN idx i ON n.band = i.band
+    UNION
+    SELECT DISTINCT a.doc_id, b.doc_id
+    FROM new a JOIN new b ON a.band = b.band AND a.doc_id < b.doc_id
+    """
+
+
+@query(
+    "minhash_incremental_candidates",
+    "near-dup: incremental batch-vs-index LSH screening (stored band "
+    "index probed by the new batch; no corpus self-join)",
+    oracle=_minhash_incremental_oracle(),
+)
+def minhash_incremental_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles("text", k=3)).alias("sh")
+    )
+    mh = sh.groupBy("doc_id").agg(*minhash_agg_exprs("sh", _NUM_HASHES))
+    band_exprs = [
+        F.md5(F.concat(F.col(f"h{a}"), F.col(f"h{b}"))) for a, b in _BANDS
+    ]
+    bands = mh.select(
+        "doc_id", F.explode(F.array(*band_exprs)).alias("band")
+    )
+    idx = bands.filter(F.col("doc_id") < _INCR_SPLIT)
+    new = bands.filter(F.col("doc_id") >= _INCR_SPLIT)
+    vs_index = (
+        new.alias("n")
+        .join(idx.alias("i"), F.col("n.band") == F.col("i.band"))
+        .select(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("i.doc_id").alias("matched_doc"),
+        )
+    )
+    internal = (
+        new.alias("a")
+        .join(
+            new.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_doc"),
+            F.col("b.doc_id").alias("matched_doc"),
+        )
+    )
+    return vs_index.unionByName(internal).distinct()

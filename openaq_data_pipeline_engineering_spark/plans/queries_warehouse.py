@@ -1839,3 +1839,112 @@ def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_touches"),
         F.sum("acents").cast("bigint").alias("attributed_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Event-transition matrix (first-order Markov): per-user event streams
+# ordered by time, consecutive (from -> to) transitions counted and
+# normalized to ppm per source state. One window (lag over user/ts —
+# shares the sessionization sort) + one map-combined aggregation;
+# transition space is |types|² regardless of corpus size.
+# --------------------------------------------------------------------------
+@query(
+    "event_transition_matrix",
+    "behavior: first-order Markov transition counts + ppm row "
+    "normalization over per-user ordered event streams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS to_state, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS from_state
+      FROM events
+    ),
+    trans AS (
+      SELECT from_state, to_state, count(*) AS n
+      FROM seq WHERE from_state IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+           CAST(1000000 * n // sum(n) OVER (PARTITION BY from_state)
+                AS BIGINT) AS p_ppm
+    FROM trans
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("from_state", F.lag("event_type").over(w))
+    trans = (
+        seq.filter(F.col("from_state").isNotNull())
+        .groupBy("from_state", F.col("event_type").alias("to_state"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wrow = Window.partitionBy("from_state")
+    return trans.select(
+        "from_state",
+        "to_state",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("1000000 * n div sum(n) over (partition by from_state)")
+        .cast("bigint")
+        .alias("p_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity audit: orphan counts across the star schema's
+# FK edges in one report — the cross-TABLE data-quality complement to
+# dq_expectations (cross-COLUMN). Each edge is a left-anti join on the
+# key (co-partitioned shuffle, map-combined count); at 100 TB each
+# check is one pass over the child table with the parent's keys as the
+# build side.
+# --------------------------------------------------------------------------
+@query(
+    "referential_integrity_audit",
+    "data quality: FK orphan counts (lineitem->orders, orders->customer, "
+    "customer->nation) in one report",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           CAST((SELECT count(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT)
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
+
+    def orphans(child, key, parent, pkey, label):
+        n = (
+            child.join(parent, child[key] == parent[pkey], "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        )
+        return n.select(F.lit(label).alias("fk_edge"), "n_orphans")
+
+    return (
+        orphans(li, "l_orderkey", orders, "o_orderkey",
+                "lineitem.l_orderkey->orders")
+        .unionByName(orphans(orders, "o_custkey", cust, "c_custkey",
+                             "orders.o_custkey->customer"))
+        .unionByName(orphans(cust, "c_nationkey", nation, "n_nationkey",
+                             "customer.c_nationkey->nation"))
+    )
