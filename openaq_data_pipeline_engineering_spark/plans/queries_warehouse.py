@@ -1948,3 +1948,126 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(orphans(cust, "c_nationkey", nation, "n_nationkey",
                              "customer.c_nationkey->nation"))
     )
+
+
+# --------------------------------------------------------------------------
+# Month-over-month growth (integer ppm): lag window over the monthly
+# rollup — the growth-rate analytic every reporting layer needs, kept
+# division-safe (ppm cross-multiplication, NULL first month).
+# --------------------------------------------------------------------------
+@query(
+    "mom_growth",
+    "reporting: month-over-month event-count growth in ppm "
+    "(lag window over monthly rollup, integer-exact)",
+    oracle="""
+    WITH monthly AS (
+      SELECT event_type, date_trunc('month', ts) AS m, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, m, CAST(n AS BIGINT) AS n,
+           CAST(1000000 * (n - lag(n) OVER w) // lag(n) OVER w AS BIGINT)
+             AS growth_ppm
+    FROM monthly
+    WINDOW w AS (PARTITION BY event_type ORDER BY m)
+    """,
+)
+def mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    monthly = ev.groupBy(
+        "event_type", F.date_trunc("month", "ts").alias("m")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("m")
+    prev = F.lag("n").over(w)
+    return monthly.select(
+        "event_type",
+        "m",
+        F.col("n").cast("bigint").alias("n"),
+        F.when(prev.isNotNull(), ((F.lit(1_000_000) * (F.col("n") - prev)
+                                   - F.when(F.lit(1_000_000) * (F.col("n") - prev) < 0,
+                                            prev - 1).otherwise(F.lit(0)))
+                                  / prev).cast("bigint"))
+        .cast("bigint")
+        .alias("growth_ppm"),
+    )
+
+
+def gap_islands(ids: DataFrame, id_col: str, bucket_size: int) -> DataFrame:
+    """Contiguous-run islands of a unique integer id column, without a
+    global row sort: per-bucket windows (parallel), then a merge pass
+    over the island table (tiny) chaining runs across bucket edges."""
+    bucket = F.expr(f"{id_col} div {bucket_size}")
+    wb = Window.partitionBy("bucket").orderBy(id_col)
+    local = (
+        ids.withColumn("bucket", bucket)
+        .withColumn("grp", F.col(id_col) - F.row_number().over(wb))
+        .groupBy("bucket", "grp")
+        .agg(
+            F.min(id_col).alias("island_start"),
+            F.max(id_col).alias("island_end"),
+            F.count(F.lit(1)).cast("bigint").alias("island_len"),
+        )
+        .drop("bucket", "grp")
+    )
+    # Merge pass: islands touching end-to-start share a constant
+    # (island_start - cumulative covered length) grouping key.
+    wg = Window.orderBy("island_start")
+    return (
+        local.withColumn(
+            "mgrp",
+            F.col("island_start")
+            - F.coalesce(
+                F.sum("island_len").over(
+                    wg.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+        .groupBy("mgrp")
+        .agg(
+            F.min("island_start").alias("island_start"),
+            F.max("island_end").alias("island_end"),
+            F.sum("island_len").cast("bigint").alias("island_len"),
+        )
+        .drop("mgrp")
+    )
+
+
+
+# --------------------------------------------------------------------------
+# Gaps and islands, scale-safe two-level form. The textbook
+# id - row_number() trick needs ONE global sort — an unpartitioned
+# window (single reducer) at scale. Instead: detect islands WITHIN
+# fixed id-range buckets (window partitioned by bucket — parallel),
+# then merge islands that touch across bucket boundaries with a second
+# pass over the ISLAND table, which is orders of magnitude smaller
+# than the data (its global window is driver-cheap by construction).
+# The oracle uses the simple global form — results are identical.
+# --------------------------------------------------------------------------
+@query(
+    "id_gap_islands",
+    "data quality: contiguous event_id islands, bucketed two-level "
+    "detection (no global row sort); top-10 largest islands",
+    oracle="""
+    WITH marked AS (
+      SELECT event_id,
+             event_id - row_number() OVER (ORDER BY event_id) AS grp
+      FROM events
+    ),
+    islands AS (
+      SELECT min(event_id) AS island_start, max(event_id) AS island_end,
+             count(*) AS island_len
+      FROM marked GROUP BY grp
+    )
+    SELECT island_start, island_end, CAST(island_len AS BIGINT) AS island_len
+    FROM islands
+    ORDER BY island_len DESC, island_start
+    LIMIT 10
+    """,
+)
+def id_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    return (
+        gap_islands(ev, "event_id", bucket_size=100_000)
+        .orderBy(F.desc("island_len"), "island_start")
+        .limit(10)
+    )

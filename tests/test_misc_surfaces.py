@@ -77,3 +77,31 @@ def test_json_bad_record_quarantine(spark, tmp_path):
         assert bad.first()["_corrupt_record"].startswith("{broken")
     finally:
         df.unpersist()
+
+
+def test_gap_islands_merges_across_buckets(spark):
+    """Bucketed islands must equal the naive global computation,
+    including runs that straddle bucket boundaries."""
+    from openaq_data_pipeline_engineering_spark.plans.queries_warehouse import (
+        gap_islands,
+    )
+
+    ids = sorted(set(list(range(0, 150)) + list(range(200, 251))
+                     + list(range(995, 1006))))  # 995..1005 straddles 1000
+    df = spark.createDataFrame([(i,) for i in ids], "event_id bigint")
+    got = {
+        (r.island_start, r.island_end, r.island_len)
+        for r in gap_islands(df, "event_id", bucket_size=1000).collect()
+    }
+    # naive expectation
+    expect = set()
+    run = [ids[0]]
+    for a, b in zip(ids, ids[1:]):
+        if b == a + 1:
+            run.append(b)
+        else:
+            expect.add((run[0], run[-1], len(run)))
+            run = [b]
+    expect.add((run[0], run[-1], len(run)))
+    assert got == expect
+    assert (995, 1005, 11) in got  # straddles the bucket edge, merged
