@@ -1049,3 +1049,127 @@ def hll_register_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return est.join(exact, on="grp")
+
+
+# --------------------------------------------------------------------------
+# Stream-stream LEFT OUTER interval join: matches emit immediately;
+# an unmatched click emits with NULLs only once the watermark proves
+# no future purchase can join it (click_ts + 10min < watermark) —
+# bounded state, late-but-complete outer results. With availableNow
+# the final no-data batch advances the watermark and evicts; the
+# GLOBAL watermark is the MIN across the two input streams' event-time
+# maxima minus the delay (Spark advances a multi-input query at the
+# pace of its slowest input), so the oracle replays eviction as
+# click_ts + 10min < least(max_click_ts, max_purchase_ts) - 2h —
+# verified empirically against the emitted set (the max-of-all-events
+# form over-emits by exactly the clicks inside the two maxima's gap).
+# --------------------------------------------------------------------------
+@query(
+    "streaming_outer_attribution",
+    "streaming: stream-stream LEFT OUTER interval join — matched "
+    "pairs + watermark-proven unmatched clicks, per-day rollup",
+    oracle="""
+    WITH wm AS (
+      SELECT least(max(CASE WHEN event_type = 'click' THEN ts END),
+                   max(CASE WHEN event_type = 'purchase' THEN ts END))
+             - INTERVAL 2 HOUR AS w
+      FROM events
+    ),
+    clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    matched AS (
+      SELECT c.event_id, c.ts
+      FROM clicks c
+      WHERE EXISTS (
+        SELECT 1 FROM purchases p
+        WHERE p.user_id = c.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE)
+    ),
+    unmatched AS (
+      SELECT c.event_id, c.ts
+      FROM clicks c, wm
+      WHERE NOT EXISTS (
+        SELECT 1 FROM purchases p
+        WHERE p.user_id = c.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE)
+        AND c.ts + INTERVAL 10 MINUTE < wm.w
+    )
+    SELECT d, CAST(sum(m) AS BIGINT) AS n_matched,
+           CAST(sum(u) AS BIGINT) AS n_unmatched
+    FROM (
+      SELECT CAST(ts AS DATE) AS d, 1 AS m, 0 AS u FROM matched
+      UNION ALL
+      SELECT CAST(ts AS DATE), 0, 1 FROM unmatched
+    ) GROUP BY d
+    """,
+)
+def streaming_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
+    from openaq_data_pipeline_engineering_spark.streaming.ingest import (
+        events_stream_spec,
+        scoped_shuffle_partitions,
+    )
+
+    apply_runtime_confs(spark)
+    schema, to_event_time = events_stream_spec(spark, sf_dir)
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            to_event_time(
+                spark.readStream.format("parquet")
+                .schema(schema)
+                .option("pathGlobFilter", "events.parquet")
+                .load(sf_dir)
+            )
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "2 hours")
+        )
+
+    clicks = side("click", "click")
+    purchases = side("purchase", "purchase")
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "click_user = purchase_user "
+            "AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + INTERVAL 10 MINUTES"
+        ),
+        "left_outer",
+    ).select(
+        "click_id",
+        "click_ts",
+        F.col("purchase_id").isNotNull().alias("matched"),
+    )
+    checkpoint = tempfile.mkdtemp(prefix="openaq_streamouter_ckpt_")
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("stream_outer_result")
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # a click matching k purchases appears k times; count it once as
+    # matched (mirrors the oracle's EXISTS), unmatched rows are unique
+    return spark.sql(
+        """
+        SELECT CAST(click_ts AS DATE) AS d,
+               count(DISTINCT CASE WHEN matched THEN click_id END)
+                 AS n_matched,
+               count(DISTINCT CASE WHEN NOT matched THEN click_id END)
+                 AS n_unmatched
+        FROM stream_outer_result
+        GROUP BY 1
+        """
+    )

@@ -2071,3 +2071,69 @@ def id_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("island_len"), "island_start")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Equi-width histogram: integer bin = value div width — one
+# map-combined aggregation, bins ∝ value range. The classic
+# distribution profile (token_length_histogram is the log2 variant).
+# --------------------------------------------------------------------------
+@query(
+    "histogram_equi_width",
+    "profiling: equi-width value histogram per event type "
+    "(width 25, integer bins, map-combined)",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 25) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def histogram_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / 25).cast("bigint").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Window-free per-group argmax: max_by with a composite (value, id)
+# tiebreaker — a plain AGGREGATE, so it map-side combines and never
+# materializes per-group sorted runs; at scale this beats the
+# row_number()=1 window for top-1 (the window needs a full per-key
+# sort; the agg keeps one candidate per partition). The oracle proves
+# equivalence against the window form.
+# --------------------------------------------------------------------------
+@query(
+    "argmax_no_window",
+    "engine pattern: top-1 per group as a map-combined max_by "
+    "aggregate (no window sort), deterministic composite tiebreak",
+    oracle="""
+    SELECT event_type, event_id AS top_event_id,
+           value AS top_value
+    FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def argmax_no_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    best = F.max(F.struct("value", "event_id")).alias("b")
+    return (
+        ev.groupBy("event_type")
+        .agg(best)
+        .select(
+            "event_type",
+            F.col("b.event_id").alias("top_event_id"),
+            F.col("b.value").alias("top_value"),
+        )
+    )
