@@ -429,3 +429,60 @@ def test_pareto_frontier_matches_bruteforce(spark, rows):
         if not any(d2 > day and p2 >= p for d2, p2 in best.items()):
             expect.add(((base + _dt.timedelta(days=day)).day, float(p)))
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: bucketed two-level detection == naive linear scan
+# ---------------------------------------------------------------------------
+@given(
+    ids=st.sets(st.integers(min_value=0, max_value=400), min_size=1,
+                max_size=120),
+    bucket=st.sampled_from([7, 50, 128]),
+)
+@settings(**_SETTINGS)
+def test_gap_islands_matches_naive(spark, ids, bucket):
+    from openaq_data_pipeline_engineering_spark.plans.queries_warehouse import (
+        gap_islands,
+    )
+
+    ordered = sorted(ids)
+    df = spark.createDataFrame([(i,) for i in ordered], "event_id bigint")
+    got = {
+        (r.island_start, r.island_end, r.island_len)
+        for r in gap_islands(df, "event_id", bucket_size=bucket).collect()
+    }
+    expect = set()
+    run = [ordered[0]]
+    for a, b in zip(ordered, ordered[1:]):
+        if b == a + 1:
+            run.append(b)
+        else:
+            expect.add((run[0], run[-1], len(run)))
+            run = [b]
+    expect.add((run[0], run[-1], len(run)))
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Bloom index: NEVER a false negative, whatever the key set
+# ---------------------------------------------------------------------------
+@given(
+    keys=st.sets(st.integers(min_value=0, max_value=10_000_000), min_size=1,
+                 max_size=60),
+)
+@settings(**_SETTINGS)
+def test_bloom_has_no_false_negatives(spark, keys):
+    from pyspark.sql import functions as F
+
+    from openaq_data_pipeline_engineering_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    df = spark.createDataFrame(
+        [("g", k) for k in keys], "grp string, key bigint"
+    )
+    bloom = bloom_build(df, "grp", "key")
+    hits = bloom_probe(bloom, df.select("key").distinct(), "key")
+    missed = hits.filter(~F.col("hit")).count()
+    assert missed == 0
