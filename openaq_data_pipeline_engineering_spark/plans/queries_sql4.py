@@ -331,3 +331,45 @@ def sql_scalar_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY 1
         """
     )
+
+
+# --------------------------------------------------------------------------
+# SQL scripting (Spark 4 compound statements): DECLARE/SET variables +
+# control flow executed server-side — the procedural surface Athena
+# users emulate with client-side Python between queries (reference
+# utils/athena_utils.py polls + parametrizes from Python). The mean
+# threshold is computed DECIMAL-exact so the oracle's inline form
+# hash-matches.
+# --------------------------------------------------------------------------
+@query(
+    "sql_scripting_surface",
+    "SQL surface: scripting block (DECLARE/SET + dependent statement) "
+    "— above-mean event counts per type",
+    oracle="""
+    WITH thr AS (
+      SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        AS t
+      FROM events
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_above
+    FROM events, thr WHERE value > thr.t
+    GROUP BY event_type
+    """,
+)
+def sql_scripting_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "events")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr DOUBLE;
+          SET thr = (
+            SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*)
+            FROM events);
+          SELECT event_type, count(*) AS n_above
+          FROM events WHERE value > thr
+          GROUP BY event_type;
+        END
+        """
+    )
