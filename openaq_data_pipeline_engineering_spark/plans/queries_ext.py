@@ -1173,3 +1173,55 @@ def streaming_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
         """
     )
+
+
+# --------------------------------------------------------------------------
+# UPDATE-mode streaming aggregation — the third output mode as a
+# DECLARED query (append: streaming_windowed_counts; complete:
+# streaming_topk_complete). Update mode re-emits only keys whose
+# aggregate CHANGED in the trigger; with availableNow over one file
+# every key emits exactly once, so the memory sink's latest row per
+# key IS the final state and equals the batch aggregate. The batch-SQL
+# read-back takes max_by(n, n) per key to stay correct even if a
+# multi-batch replay emitted a key twice.
+# --------------------------------------------------------------------------
+@query(
+    "streaming_update_counts",
+    "streaming: update-mode per-type user-event counts — latest "
+    "emission per key equals the batch aggregate",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
+    from openaq_data_pipeline_engineering_spark.streaming.ingest import (
+        events_stream_spec,
+        scoped_shuffle_partitions,
+    )
+
+    apply_runtime_confs(spark)
+    schema, to_event_time = events_stream_spec(spark, sf_dir)
+    stream = to_event_time(
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    checkpoint = tempfile.mkdtemp(prefix="openaq_streamupd_ckpt_")
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("stream_update_result")
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.sql(
+        "SELECT event_type, max_by(n, n) AS n "
+        "FROM stream_update_result GROUP BY event_type"
+    )
