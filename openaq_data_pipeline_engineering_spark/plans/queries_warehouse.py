@@ -1982,10 +1982,14 @@ def mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "m",
         F.col("n").cast("bigint").alias("n"),
-        F.when(prev.isNotNull(), ((F.lit(1_000_000) * (F.col("n") - prev)
-                                   - F.when(F.lit(1_000_000) * (F.col("n") - prev) < 0,
-                                            prev - 1).otherwise(F.lit(0)))
-                                  / prev).cast("bigint"))
+        # DuckDB // and Spark div both truncate toward zero, so the
+        # integer growth rate matches even when the diff is negative
+        F.when(
+            prev.isNotNull(),
+            F.expr("(1000000 * (n - lag(n) over "
+                   "(partition by event_type order by m))) div "
+                   "lag(n) over (partition by event_type order by m)"),
+        )
         .cast("bigint")
         .alias("growth_ppm"),
     )
@@ -2136,4 +2140,74 @@ def argmax_no_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.event_id").alias("top_event_id"),
             F.col("b.value").alias("top_value"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# OLS daily trend (closed form, integer-exact): slope of daily counts
+# per event type from the exact moment sums (n, Σx, Σy, Σxy, Σx²) with
+# x = days since epoch — emitted as an exact integer rational
+# (numerator/denominator) plus a ppm-scaled slope, so no float enters
+# the computation. The moments are one map-combined aggregation; this
+# is the trend-detection analytic behind capacity forecasts.
+#   slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²)
+# --------------------------------------------------------------------------
+@query(
+    "trend_ols_daily",
+    "analytics: per-type OLS slope of daily event counts — exact "
+    "integer moment sums, rational + ppm-scaled outputs",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST((1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+                AS BIGINT) AS slope_ppm
+    FROM m
+    """,
+)
+def trend_ols_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("x"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    m2 = m.select(
+        "event_type",
+        "n",
+        num.cast("bigint").alias("slope_num"),
+        den.cast("bigint").alias("slope_den"),
+    )
+    # INTEGER division: DuckDB's // and Spark's `div` BOTH truncate
+    # toward zero (verified: -7 // 2 = -3 in DuckDB), so plain div
+    # matches on negative slopes too; `/` would go through double and
+    # lose precision past 2^53.
+    return m2.withColumn(
+        "slope_ppm",
+        F.expr("(slope_num * 1000000) div slope_den").cast("bigint"),
     )

@@ -105,3 +105,26 @@ def test_gap_islands_merges_across_buckets(spark):
     expect.add((run[0], run[-1], len(run)))
     assert got == expect
     assert (995, 1005, 11) in got  # straddles the bucket edge, merged
+
+
+def test_schema_diff_classifies_changes(spark):
+    from pyspark.sql import functions as F
+
+    from openaq_data_pipeline_engineering_spark.operators.schema_diff import (
+        is_compatible,
+        schema_diff,
+    )
+
+    old = spark.createDataFrame([(1, "a", 2.0)], "id bigint, name string, v double")
+    new_ok = old.withColumn("extra", F.lit(1))
+    assert is_compatible(old, new_ok)
+    changes = schema_diff(old, new_ok)
+    assert [(c.column, c.change, c.breaking) for c in changes] == [
+        ("extra", "added", False)
+    ]
+
+    new_bad = old.drop("name").withColumn("v", F.col("v").cast("float"))
+    diffs = {c.column: c for c in schema_diff(old, new_bad)}
+    assert diffs["name"].change == "removed" and diffs["name"].breaking
+    assert diffs["v"].change == "type_changed" and diffs["v"].breaking
+    assert not is_compatible(old, new_bad)
