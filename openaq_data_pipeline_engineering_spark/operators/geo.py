@@ -183,3 +183,24 @@ def oracle_point_sql(
         f"CAST((({lon}) + {half_lon}) // {cell_micro} AS BIGINT) AS "
         f"{prefix}_cell_lon"
     )
+
+
+def haversine_m(
+    lat_a: Column, lon_a: Column, lat_b: Column, lon_b: Column
+) -> Column:
+    """Great-circle distance in meters from micro-degree coordinates —
+    the geodesic drop-in for ``dist_sq`` (same grid-bucketed join
+    shape; swap the distance expression only). Pure JVM trig
+    expressions, double precision; NOT oracle-paired (cross-engine
+    libm parity is not guaranteed at the last ulp), so geodesic
+    queries verify by pytest ranking-agreement instead
+    (tests/test_geo.py)."""
+    to_rad = 3.141592653589793 / (180.0 * 1_000_000)
+    la, lb = lat_a * to_rad, lat_b * to_rad
+    dlat = (lat_b - lat_a) * to_rad
+    dlon = (lon_b - lon_a) * to_rad
+    h = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(la) * F.cos(lb) * F.pow(F.sin(dlon / 2), 2)
+    )
+    return 2.0 * 6_371_000.0 * F.asin(F.sqrt(h))

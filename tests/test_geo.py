@@ -70,3 +70,55 @@ class TestGeo:
                 expect[p["c_custkey"]] = (best[1], best[0])
         assert got == expect
         assert len(got) > 0
+
+
+class TestHaversine:
+    def test_geodesic_agrees_with_planar_at_city_scale(self, spark):
+        """Within a small neighborhood the haversine ranking matches the
+        planar integer ranking for most probes (the documented swap
+        contract: same join shape, distance expression replaced)."""
+        from openaq_data_pipeline_engineering_spark.operators.geo import (
+            haversine_m,
+        )
+
+        pr, st = _points(spark)
+        near_planar = nearest_in_neighborhood(
+            pr, st, "c_custkey", "s_suppkey"
+        ).select("c_custkey", F.col("s_suppkey").alias("planar_pick"))
+        # geodesic argmin over the same 3x3 candidates
+        offsets = F.array(F.lit(-1), F.lit(0), F.lit(1))
+        st9 = (
+            st.withColumn("_a", F.explode(offsets))
+            .withColumn("_b", F.explode(offsets))
+            .withColumn("jlat", F.col("s_cell_lat") + F.col("_a"))
+            .withColumn("jlon", F.col("s_cell_lon") + F.col("_b"))
+        )
+        cand = pr.join(
+            st9,
+            (F.col("p_cell_lat") == F.col("jlat"))
+            & (F.col("p_cell_lon") == F.col("jlon")),
+        ).withColumn(
+            "hm",
+            haversine_m(
+                F.col("p_lat"), F.col("p_lon"),
+                F.col("s_lat"), F.col("s_lon"),
+            ),
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("c_custkey").orderBy("hm", "s_suppkey")
+        near_geo = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("c_custkey", F.col("s_suppkey").alias("geo_pick"))
+        )
+        both = near_planar.join(near_geo, "c_custkey")
+        n = both.count()
+        agree = both.filter(
+            F.col("planar_pick") == F.col("geo_pick")
+        ).count()
+        # world-scale random points stress the planar approximation;
+        # even so the two rankings agree on a clear majority, and the
+        # haversine values are finite and positive
+        assert n > 0 and agree / n > 0.5
+        assert cand.filter(F.col("hm") < 0).count() == 0
