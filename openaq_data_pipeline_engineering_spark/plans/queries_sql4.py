@@ -373,3 +373,40 @@ def sql_scripting_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+# --------------------------------------------------------------------------
+# IDENTIFIER() clause + EXECUTE IMMEDIATE (Spark 4): injection-safe
+# DYNAMIC SQL — table/column names bound through IDENTIFIER() and
+# statements composed at runtime with parameter markers, the two
+# facilities that replace string-concatenated SQL (the reference
+# formats Athena query strings by hand: utils/athena_utils.py).
+# --------------------------------------------------------------------------
+@query(
+    "sql_dynamic_identifier",
+    "SQL surface: IDENTIFIER() dynamic table/column binding + EXECUTE "
+    "IMMEDIATE with a parameter marker — injection-safe dynamic SQL",
+    oracle="""
+    SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n
+    FROM orders WHERE o_totalprice > 100000
+    GROUP BY 1
+    """,
+)
+def sql_dynamic_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "orders")
+    # dynamic identifiers bound as VALUES, not spliced into the string
+    stmt = (
+        "SELECT IDENTIFIER(:gcol) AS grp, count(*) AS n "
+        "FROM IDENTIFIER(:tbl) WHERE o_totalprice > :thr "
+        "GROUP BY 1"
+    )
+    return spark.sql(
+        "EXECUTE IMMEDIATE :stmt USING :gcol AS gcol, :tbl AS tbl, "
+        ":thr AS thr",
+        args={
+            "stmt": stmt,
+            "gcol": "o_orderpriority",
+            "tbl": "orders",
+            "thr": 100000,
+        },
+    )
