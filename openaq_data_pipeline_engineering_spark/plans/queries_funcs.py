@@ -515,3 +515,38 @@ def udtf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.token, t.n "
         "FROM udtf_docs d, LATERAL top_tokens(d.text) t"
     )
+
+
+# --------------------------------------------------------------------------
+# Calendar-edge arithmetic: the month-boundary semantics that corrupt
+# billing pipelines when engines disagree — month addition CLAMPS to
+# the target month's last day (Jan 31 + 1 month = Feb 29 in 2024, in
+# both Spark's add_months and DuckDB's INTERVAL addition; verified),
+# last_day, quarter truncation, day-of-year. Distinct event dates in,
+# one row per date.
+# --------------------------------------------------------------------------
+@query(
+    "calendar_edge_suite",
+    "datetime: month-boundary clamping (add_months), last_day, "
+    "quarter truncation, day-of-year over event dates",
+    oracle="""
+    SELECT DISTINCT CAST(ts AS DATE) AS d,
+           CAST(CAST(ts AS DATE) + INTERVAL 1 MONTH AS DATE)
+             AS plus_month,
+           last_day(CAST(ts AS DATE)) AS month_end,
+           CAST(date_trunc('quarter', CAST(ts AS DATE)) AS DATE)
+             AS quarter_start,
+           CAST(dayofyear(CAST(ts AS DATE)) AS BIGINT) AS doy
+    FROM events
+    """,
+)
+def calendar_edge_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    return ev.select(
+        d.alias("d"),
+        F.add_months(d, 1).alias("plus_month"),
+        F.last_day(d).alias("month_end"),
+        F.date_trunc("quarter", d).cast("date").alias("quarter_start"),
+        F.dayofyear(d).cast("bigint").alias("doy"),
+    ).distinct()
