@@ -448,3 +448,139 @@ def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         adist.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
     )
+
+
+# --------------------------------------------------------------------------
+# ANN method agreement — index-quality measurement IN the engine:
+# overlap@5 between the integer-dot brute scan (quantized_ann_topk's
+# ranking) and the compressed-domain PQ/ADC ranking, per probe. This
+# is the recall-vs-compression readout an ANN deployment watches when
+# tuning M/K; both rankings are integer-exact so the overlap count is
+# oracle-checkable, not an estimate.
+# --------------------------------------------------------------------------
+@query(
+    "ann_methods_agreement",
+    "similarity: per-probe overlap@5 between exact integer-dot ranking "
+    "and PQ/ADC compressed ranking — in-engine recall readout",
+    oracle=f"""
+    WITH flat AS (
+      SELECT vec_id,
+             (generate_subscripts(embedding, 1) - 1) // {_PQ_SUB_DIMS} AS m,
+             (generate_subscripts(embedding, 1) - 1) % {_PQ_SUB_DIMS} AS j,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 64) AS BIGINT)
+               AS qx
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             sum(q.qx * b.qx) AS dot_q
+      FROM flat q JOIN flat b
+        ON q.m = b.m AND q.j = b.j AND b.vec_id <> q.vec_id
+      WHERE q.vec_id < {_PQ_PROBES}
+      GROUP BY 1, 2
+    ),
+    exact5 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id) AS rn
+        FROM dots
+      ) WHERE rn <= 5
+    ),
+    cb AS (
+      SELECT m, vec_id AS code, j, qx AS cx FROM flat WHERE vec_id < {_PQ_K}
+    ),
+    enc_d AS (
+      SELECT f.vec_id, f.m, c.code,
+             sum((f.qx - c.cx) * (f.qx - c.cx)) AS d2
+      FROM flat f JOIN cb c ON f.m = c.m AND f.j = c.j
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, m, code FROM enc_d
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id, m ORDER BY d2, code) = 1
+    ),
+    dtab AS (
+      SELECT f.vec_id AS query_id, f.m, c.code,
+             sum((f.qx - c.cx) * (f.qx - c.cx)) AS pd2
+      FROM flat f JOIN cb c ON f.m = c.m AND f.j = c.j
+      WHERE f.vec_id < {_PQ_PROBES}
+      GROUP BY 1, 2, 3
+    ),
+    adist AS (
+      SELECT d.query_id, s.vec_id AS neighbor_id,
+             CAST(sum(d.pd2) AS BIGINT) AS adist
+      FROM codes s JOIN dtab d ON s.m = d.m AND s.code = d.code
+      WHERE s.vec_id <> d.query_id
+      GROUP BY 1, 2
+    ),
+    pq5 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+        FROM adist
+      ) WHERE rn <= 5
+    )
+    SELECT e.query_id,
+           CAST(count(p.neighbor_id) AS BIGINT) AS overlap_at_5
+    FROM exact5 e
+    LEFT JOIN pq5 p
+      ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def ann_methods_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.operators.pq import (
+        adc_table,
+        flatten_quantized,
+        pq_adc_topk,
+        pq_encode,
+        seed_codebook,
+    )
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    flat = flatten_quantized(emb, _PQ_SUB_DIMS)
+
+    # exact integer-dot top-5 (same grid as quantized_ann_topk)
+    q, b = flat.alias("q"), flat.alias("b")
+    dots = (
+        q.filter(F.col("q.vec_id") < _PQ_PROBES)
+        .join(
+            b,
+            (F.col("q.m") == F.col("b.m"))
+            & (F.col("q.j") == F.col("b.j"))
+            & (F.col("b.vec_id") != F.col("q.vec_id")),
+        )
+        .groupBy(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+        )
+        .agg(F.sum(F.col("q.qx") * F.col("b.qx")).alias("dot_q"))
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_q"), "neighbor_id"
+    )
+    exact5 = (
+        dots.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+
+    cb = seed_codebook(flat, _PQ_K)
+    codes = pq_encode(flat, cb)
+    dtab = adc_table(flat.filter(F.col("vec_id") < _PQ_PROBES), cb)
+    pq5 = pq_adc_topk(codes, dtab, topk=5).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        exact5.join(
+            pq5.withColumnRenamed("neighbor_id", "pq_neighbor"),
+            (exact5["query_id"] == pq5["query_id"])
+            & (F.col("neighbor_id") == F.col("pq_neighbor")),
+            "left",
+        )
+        .groupBy(exact5["query_id"].alias("query_id"))
+        .agg(
+            F.count("pq_neighbor").cast("bigint").alias("overlap_at_5")
+        )
+    )
