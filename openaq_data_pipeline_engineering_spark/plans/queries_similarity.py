@@ -584,3 +584,88 @@ def ann_methods_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("pq_neighbor").cast("bigint").alias("overlap_at_5")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Batch model inference (linear scorer): the engine-side shape of
+# applying a trained model to a corpus — broadcast the weight vector,
+# one scan, margin per row, rollup into a confusion matrix against the
+# stored label. Weights are md5-derived integers on the floor(x·64)
+# grid so scoring is bit-exact (a real deployment broadcasts learned
+# weights; the plan is identical). No Python, no shuffle of the
+# corpus beyond the final confusion-count aggregation.
+# --------------------------------------------------------------------------
+@query(
+    "linear_scoring_confusion",
+    "inference: integer linear scorer over embeddings (broadcast "
+    "weights, sign margin) -> confusion counts vs stored label",
+    oracle=f"""
+    WITH flat AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 64) AS BIGINT)
+               AS qx
+      FROM embeddings
+    ),
+    w AS (
+      SELECT i,
+             CAST(concat('0x', substr(md5(concat('w:',
+                  CAST(i AS VARCHAR))), 1, 4)) AS BIGINT) - 32768 AS wv
+      FROM (SELECT DISTINCT i FROM flat)
+    ),
+    margins AS (
+      SELECT f.vec_id, sum(f.qx * w.wv) AS margin
+      FROM flat f JOIN w ON f.i = w.i
+      GROUP BY 1
+    )
+    SELECT e.label,
+           CAST(m.margin > 0 AS BOOLEAN) AS predicted_pos,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(m.margin) AS BIGINT) AS min_margin,
+           CAST(max(m.margin) AS BIGINT) AS max_margin
+    FROM margins m JOIN embeddings e ON e.vec_id = m.vec_id
+    GROUP BY 1, 2
+    """,
+)
+def linear_scoring_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "val")
+    ).select(
+        "vec_id",
+        "i",
+        F.floor(F.col("val").cast("double") * 64).cast("bigint").alias("qx"),
+    )
+    weights = (
+        flat.select("i")
+        .distinct()
+        .select(
+            "i",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("w:"), F.col("i").cast("string"))),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                - 32768
+            ).alias("wv"),
+        )
+    )
+    margins = (
+        flat.join(F.broadcast(weights), on="i")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("qx") * F.col("wv")).alias("margin"))
+    )
+    return (
+        margins.join(emb.select("vec_id", "label"), on="vec_id")
+        .groupBy("label", (F.col("margin") > 0).alias("predicted_pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("margin").cast("bigint").alias("min_margin"),
+            F.max("margin").cast("bigint").alias("max_margin"),
+        )
+    )
