@@ -82,3 +82,29 @@ def read_snapshot(
 def snapshot_versions(root: str) -> list[int]:
     """Committed versions, oldest first."""
     return _read_manifest(root)
+
+
+def vacuum_snapshots(root: str, keep_last: int = 2) -> list[int]:
+    """Retention: drop all but the newest ``keep_last`` versions.
+
+    Manifest-first (the inverse of the write path): the manifest stops
+    referencing old versions BEFORE their data directories are
+    removed, so a concurrent reader either resolved the old manifest
+    (directories still present) or the new one (never sees the
+    dropped versions). Returns the versions removed.
+    """
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = _read_manifest(root)
+    drop, keep = versions[:-keep_last], versions[-keep_last:]
+    if not drop:
+        return []
+    fd, tmp = tempfile.mkstemp(dir=root, prefix="_VERSIONS.", suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"versions": keep}, f)
+    os.replace(tmp, _manifest_path(root))
+    for v in drop:
+        shutil.rmtree(os.path.join(root, f"v={v}"), ignore_errors=True)
+    return drop

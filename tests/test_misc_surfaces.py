@@ -128,3 +128,36 @@ def test_schema_diff_classifies_changes(spark):
     assert diffs["name"].change == "removed" and diffs["name"].breaking
     assert diffs["v"].change == "type_changed" and diffs["v"].breaking
     assert not is_compatible(old, new_bad)
+
+
+def test_binaryfile_and_wholetext_sources(spark, tmp_path):
+    """binaryFile + wholetext sources: the real multimodal/document
+    ingest edges — one row per FILE with content bytes / full text
+    (the synthetic documents table stands in for these downstream)."""
+    import os
+
+    d = str(tmp_path / "blobs")
+    os.makedirs(d)
+    payloads = {"a.bin": b"\x89PNG-fake-a", "b.bin": b"\x89PNG-fake-b"}
+    for name, blob in payloads.items():
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(blob)
+    bdf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(d)
+        .select("path", "length", "content")
+    )
+    rows = {os.path.basename(r["path"]): r for r in bdf.collect()}
+    assert set(rows) == set(payloads)
+    for name, blob in payloads.items():
+        assert bytes(rows[name]["content"]) == blob
+        assert rows[name]["length"] == len(blob)
+
+    t = str(tmp_path / "texts")
+    os.makedirs(t)
+    with open(os.path.join(t, "doc.txt"), "w") as f:
+        f.write("line one\nline two\n")
+    wdf = spark.read.text(t, wholetext=True)
+    assert wdf.count() == 1
+    assert wdf.first()["value"] == "line one\nline two\n"

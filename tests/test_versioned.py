@@ -93,3 +93,23 @@ class TestStreamingSnapshotSink:
         assert snapshot_versions(root) == [1, 2]
         assert read_snapshot(spark, root, version=1).count() == 2
         assert read_snapshot(spark, root, version=2).count() == 1
+
+
+class TestVacuum:
+    def test_retention_drops_old_versions_manifest_first(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            vacuum_snapshots,
+        )
+
+        root = str(tmp_path / "mart")
+        nation = load_table(spark, SF_DIR, "nation")
+        for i in range(4):
+            write_snapshot(nation.limit(5 + i), root)
+        assert snapshot_versions(root) == [1, 2, 3, 4]
+        dropped = vacuum_snapshots(root, keep_last=2)
+        assert dropped == [1, 2]
+        assert snapshot_versions(root) == [3, 4]
+        assert read_snapshot(spark, root).count() == 8  # v4 = limit(8)
+        with pytest.raises(ValueError):
+            read_snapshot(spark, root, version=1)
+        assert vacuum_snapshots(root, keep_last=2) == []
