@@ -138,3 +138,37 @@ s{r} AS (
         for r in range(1, rounds + 1)
     )
     return "\n".join(parts) + "\n" + selects
+
+
+def bpe_apply(
+    word_freqs: DataFrame, merges: DataFrame, rounds: int
+) -> DataFrame:
+    """Apply learned merge rules (in training order) to the vocabulary:
+    returns (w, wfreq, n_syms) — symbols per word AFTER the merges.
+
+    Each rule is a broadcast 1-row join + the same boundary-guarded
+    string replace as training; no collect, no Python. ``rounds`` must
+    equal the merge count (rules are joined by their round number so
+    application order matches training order).
+    """
+    states = word_freqs.select("w", "wfreq", char_state("w").alias("state"))
+    for r in range(1, rounds + 1):
+        rule = merges.filter(F.col("round") == r).select("s1", "s2")
+        states = (
+            states.crossJoin(F.broadcast(rule))
+            .withColumn(
+                "state",
+                F.expr(
+                    "replace(state, concat(' ', s1, ' ', s2, ' '), "
+                    "concat(' ', s1, s2, ' '))"
+                ),
+            )
+            .select("w", "wfreq", "state")
+        )
+    return states.select(
+        "w",
+        "wfreq",
+        F.size(F.split(F.trim(F.col("state")), " ")).cast("bigint").alias(
+            "n_syms"
+        ),
+    )

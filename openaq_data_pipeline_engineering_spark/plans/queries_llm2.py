@@ -666,3 +666,72 @@ def _install_bpe_oracle() -> None:
 
 
 _install_bpe_oracle()
+
+
+# --------------------------------------------------------------------------
+# BPE ENCODE (inference side of bpe_merge_training): apply the learned
+# merges back to the vocabulary and measure the compression they buy —
+# corpus symbol count before (characters) vs after the 6 merges,
+# weighted by word frequency. The oracle replays training AND
+# application in one CTE chain, so the full train->encode loop is
+# cross-engine checked.
+# --------------------------------------------------------------------------
+def _bpe_encode_oracle() -> str:
+    from openaq_data_pipeline_engineering_spark.operators.bpe import (
+        bpe_oracle_sql,
+    )
+
+    train = bpe_oracle_sql(_BPE_WORDFREQ_SQL, _BPE_ROUNDS)
+    # bpe_oracle_sql ends with the merge-table SELECT; wrap it so the
+    # final state table s{rounds} is what we aggregate instead.
+    head = train[: train.rindex("SELECT CAST(1 AS INT)")]
+    return f"""{head}
+    SELECT CAST(sum(wfreq * (length(w))) AS BIGINT) AS n_chars_weighted,
+           CAST(sum(wfreq * len(string_split(trim(state), ' ')))
+                AS BIGINT) AS n_syms_weighted,
+           CAST(count(*) AS BIGINT) AS n_vocab
+    FROM s{_BPE_ROUNDS}
+    """
+
+
+@query(
+    "bpe_encode_compression",
+    "tokenizer inference: learned merges applied back to the "
+    "vocabulary — weighted symbol counts before/after (compression "
+    "readout), train+encode both oracle-replayed",
+    oracle=None,  # installed below (generated CTE chain)
+)
+def bpe_encode_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.operators.bpe import (
+        bpe_apply,
+        bpe_train,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    word_freqs = (
+        docs.filter(F.col("doc_id") < 200)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wfreq"))
+    )
+    merges = bpe_train(word_freqs, rounds=_BPE_ROUNDS)
+    encoded = bpe_apply(word_freqs, merges, rounds=_BPE_ROUNDS)
+    return encoded.agg(
+        F.sum(F.col("wfreq") * F.length("w"))
+        .cast("bigint")
+        .alias("n_chars_weighted"),
+        F.sum(F.col("wfreq") * F.col("n_syms"))
+        .cast("bigint")
+        .alias("n_syms_weighted"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+    )
+
+
+def _install_bpe_encode_oracle() -> None:
+    from openaq_data_pipeline_engineering_spark.plans.registry import QUERIES
+
+    QUERIES["bpe_encode_compression"].oracle = _bpe_encode_oracle()
+
+
+_install_bpe_encode_oracle()

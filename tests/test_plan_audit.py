@@ -60,6 +60,8 @@ NLJ_ALLOWED = {
     # BPE training: each round broadcasts its 1-row argmax pair onto
     # the |vocab|-row state table.
     "bpe_merge_training",
+    # BPE encode: train + per-round 1-row rule broadcasts re-applied.
+    "bpe_encode_compression",
     # contrastive pairs: 1-row corpus-count broadcast onto anchors.
     "contrastive_pairs",
 }
