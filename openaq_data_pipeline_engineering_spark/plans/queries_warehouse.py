@@ -2211,3 +2211,105 @@ def trend_ols_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "slope_ppm",
         F.expr("(slope_num * 1000000) div slope_den").cast("bigint"),
     )
+
+
+# --------------------------------------------------------------------------
+# Max concurrent users (sweep line): each user's daily active interval
+# becomes a +1/-1 boundary pair; a running sum ordered by time inside
+# each day gives the concurrency curve, whose max is the answer. The
+# window partitions by DAY — parallel across days, linear per day; no
+# interval self-join (the naive overlap join is quadratic per day).
+# Ends sort before starts at the same instant via the delta ordering
+# (an interval touching another's endpoint does not overlap it).
+# --------------------------------------------------------------------------
+@query(
+    "max_concurrent_users",
+    "intervals: peak concurrent users per day (sweep-line +1/-1 "
+    "running sum, no interval self-join)",
+    oracle="""
+    WITH intervals AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, min(ts) AS s, max(ts) AS e
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT d, s AS t, 1 AS delta FROM intervals
+      UNION ALL
+      SELECT d, e, -1 FROM intervals
+    ),
+    curve AS (
+      SELECT d,
+             sum(delta) OVER (
+               PARTITION BY d ORDER BY t, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS conc
+      FROM bounds
+    )
+    SELECT d, CAST(max(conc) AS BIGINT) AS peak_concurrent
+    FROM curve GROUP BY d
+    """,
+)
+def max_concurrent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    intervals = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    bounds = intervals.select(
+        "d", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        intervals.select("d", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("d")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = bounds.withColumn("conc", F.sum("delta").over(w))
+    return curve.groupBy("d").agg(
+        F.max("conc").cast("bigint").alias("peak_concurrent")
+    )
+
+
+# --------------------------------------------------------------------------
+# Conversion-delay quantiles: exact p50/p90 of click->purchase delay
+# (same interval pairs as the attribution joins, integer microseconds
+# so the percentile interpolation is over exact values).
+# --------------------------------------------------------------------------
+@query(
+    "conversion_delay_quantiles",
+    "funnel latency: exact p50/p90 click->purchase delay (integer "
+    "microseconds, 10-minute attribution window)",
+    oracle="""
+    WITH pairs AS (
+      SELECT epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+      FROM events c JOIN events p
+        ON c.user_id = p.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY delay_us) AS p50_us,
+           percentile_cont(0.9) WITHIN GROUP (ORDER BY delay_us) AS p90_us
+    FROM pairs
+    """,
+)
+def conversion_delay_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    pairs = c.join(
+        p,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select(
+        (F.unix_micros("pts") - F.unix_micros("cts")).alias("delay_us")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.percentile("delay_us", F.lit(0.5)).alias("p50_us"),
+        F.percentile("delay_us", F.lit(0.9)).alias("p90_us"),
+    )
