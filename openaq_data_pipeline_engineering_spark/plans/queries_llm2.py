@@ -735,3 +735,80 @@ def _install_bpe_encode_oracle() -> None:
 
 
 _install_bpe_encode_oracle()
+
+
+# --------------------------------------------------------------------------
+# Deterministic data augmentation: token dropout keyed by
+# md5(doc_id, position) — every augmented example is bit-reproducible
+# on any cluster (re-generating the corpus yields the identical
+# augmentation, the property RNG-based dropout lacks). Pure
+# filter-on-hash inside a posexplode/re-agg; 10% drop rate.
+# --------------------------------------------------------------------------
+@query(
+    "token_dropout_augmentation",
+    "augmentation: hash-keyed 10% token dropout per doc — "
+    "reproducible counts + surviving-token checksum",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents WHERE doc_id < 200
+    ),
+    kept AS (
+      SELECT doc_id, tok, pos,
+             CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                  ':', CAST(pos AS VARCHAR))), 1, 8)) AS BIGINT) % 10 <> 0
+               AS keep
+      FROM toks WHERE tok <> ''
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN keep THEN length(tok) ELSE 0 END) AS BIGINT)
+             AS kept_chars
+    FROM kept GROUP BY doc_id
+    """,
+)
+def token_dropout_augmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = (
+        docs.filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+        )
+        .filter(F.col("tok") != "")
+        .withColumn("pos", F.col("pos0") + 1)
+    )
+    keep = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("pos").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+        != 0
+    )
+    return (
+        toks.withColumn("keep", keep)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.length("tok")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+    )

@@ -2313,3 +2313,64 @@ def conversion_delay_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("delay_us", F.lit(0.5)).alias("p50_us"),
         F.percentile("delay_us", F.lit(0.9)).alias("p90_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# OHLC resampling: open/high/low/close per (event_type, 4-hour bar) —
+# the time-series downsampling shape. Open/close are window rank-1
+# picks with (ts, event_id) total order (WindowGroupLimit keeps them
+# partial before the exchange); high/low are plain map-combined
+# min/max on the same grouping. One shuffle on the bar key.
+# --------------------------------------------------------------------------
+@query(
+    "ohlc_bars",
+    "time series: 4-hour OHLC bars per event type (rank-1 open/close, "
+    "exact doubles, map-combined high/low)",
+    oracle="""
+    WITH binned AS (
+      SELECT event_type, event_id, value, ts,
+             time_bucket(INTERVAL 4 HOUR, ts) AS bar
+      FROM events
+    ),
+    oc AS (
+      SELECT event_type, bar, value, ts, event_id,
+             row_number() OVER (PARTITION BY event_type, bar
+                                ORDER BY ts, event_id) AS rn_open,
+             row_number() OVER (PARTITION BY event_type, bar
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM binned
+    )
+    SELECT b.event_type, b.bar,
+           CAST(count(*) AS BIGINT) AS n,
+           min(b.value) AS low, max(b.value) AS high,
+           max(CASE WHEN o.rn_open = 1 THEN o.value END) AS open,
+           max(CASE WHEN o.rn_close = 1 THEN o.value END) AS close
+    FROM binned b
+    JOIN oc o ON o.event_type = b.event_type AND o.bar = b.bar
+             AND o.event_id = b.event_id
+    GROUP BY 1, 2
+    """,
+)
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        "ts",
+        F.window("ts", "4 hours").getField("start").alias("bar"),
+    )
+    wo = Window.partitionBy("event_type", "bar").orderBy("ts", "event_id")
+    wc = Window.partitionBy("event_type", "bar").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    marked = binned.withColumn(
+        "rn_open", F.row_number().over(wo)
+    ).withColumn("rn_close", F.row_number().over(wc))
+    return marked.groupBy("event_type", "bar").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("low"),
+        F.max("value").alias("high"),
+        F.max(F.when(F.col("rn_open") == 1, F.col("value"))).alias("open"),
+        F.max(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
+    )
