@@ -2374,3 +2374,57 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn_open") == 1, F.col("value"))).alias("open"),
         F.max(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
     )
+
+
+# --------------------------------------------------------------------------
+# Debounce / telemetry dedup: collapse repeats of the same
+# (user, event_type) arriving within 5 minutes of the PREVIOUS KEPT
+# event — the sequential rule (not bucket-floor dedup, which splits at
+# bucket edges). Chain: lag-gap marks a new burst when the gap from
+# the previous event exceeds the threshold; the first event of each
+# burst is kept. Windows partition by the entity key — co-partitioned
+# with the sessionization family, linear per key at any scale.
+# NOTE this equals "first of each burst" where bursts chain on
+# inter-event gaps; an event 4 min after a kept one but 6 min after
+# the burst head still collapses (chained debounce, the common
+# telemetry semantic).
+# --------------------------------------------------------------------------
+@query(
+    "debounce_dedup",
+    "telemetry: chained 5-minute debounce per (user, type) — burst "
+    "heads kept, repeats collapsed; per-type kept/dropped counts",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS is_head
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           CAST(sum(is_head) AS BIGINT) AS n_kept,
+           CAST(sum(1 - is_head) AS BIGINT) AS n_collapsed
+    FROM marked GROUP BY event_type
+    """,
+)
+def debounce_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    prev = F.lag("ts").over(w)
+    is_head = F.when(
+        prev.isNull()
+        | (F.col("ts") > prev + F.expr("INTERVAL 5 MINUTES")),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("is_head", is_head)
+        .groupBy("event_type")
+        .agg(
+            F.sum("is_head").cast("bigint").alias("n_kept"),
+            F.sum(1 - F.col("is_head")).cast("bigint").alias("n_collapsed"),
+        )
+    )
