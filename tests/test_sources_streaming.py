@@ -551,3 +551,43 @@ def test_orc_source_roundtrip(spark, tmp_path):
     assert back.schema == nation.schema
     assert back.exceptAll(nation).count() == 0
     assert back.count() == nation.count()
+
+
+def test_streaming_file_sink_exactly_once(spark, tmp_path):
+    """The parquet streaming sink is exactly-once: re-starting from the
+    same checkpoint does not duplicate committed batches (the sink's
+    _spark_metadata log defines table contents, not the raw listing)."""
+    import os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write('{"k": 1}\n{"k": 2}\n')
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.schema("k long")
+            .json(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(out).count() == 2
+    # replay with NO new data: nothing must be re-committed
+    run_once()
+    assert spark.read.parquet(out).count() == 2
+    # new data arrives -> only the delta lands
+    with open(os.path.join(src, "b.json"), "w") as f:
+        f.write('{"k": 3}\n')
+    run_once()
+    assert spark.read.parquet(out).count() == 3
+    assert sorted(
+        r["k"] for r in spark.read.parquet(out).collect()
+    ) == [1, 2, 3]
