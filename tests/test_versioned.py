@@ -113,3 +113,51 @@ class TestVacuum:
         with pytest.raises(ValueError):
             read_snapshot(spark, root, version=1)
         assert vacuum_snapshots(root, keep_last=2) == []
+
+
+class TestIncrementalMV:
+    def test_partial_refresh_equals_full_recompute(self, spark, tmp_path):
+        """Materialized-view maintenance composition: daily partial
+        aggregates snapshot-committed per batch; the monthly view
+        refreshes from PARTIALS ONLY (algebraic merge) and must equal
+        a full recompute over all raw data."""
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            write_snapshot,
+        )
+
+        ev = load_table(spark, SF_DIR, "events")
+        day = F.col("ts").cast("date")
+        first = ev.filter(day <= "2024-01-15")
+        second = ev.filter(day > "2024-01-15")
+        root = str(tmp_path / "partials")
+
+        def partials(df):
+            return df.groupBy(
+                "event_type", F.col("ts").cast("date").alias("d")
+            ).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.expr("CAST(floor(value * 1000) AS BIGINT)")).alias(
+                    "milli"
+                ),
+            )
+
+        write_snapshot(partials(first), root)
+        write_snapshot(partials(second), root)
+        # refresh: union ALL snapshot versions of partials, merge up
+        merged = (
+            read_snapshot(spark, root, version=1)
+            .unionByName(read_snapshot(spark, root, version=2))
+            .groupBy("event_type")
+            .agg(F.sum("n").alias("n"), F.sum("milli").alias("milli"))
+        )
+        full = ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(floor(value * 1000) AS BIGINT)")).alias(
+                "milli"
+            ),
+        )
+        got = {tuple(r) for r in merged.collect()}
+        want = {tuple(r) for r in full.collect()}
+        assert got == want and len(got) == 5
