@@ -415,30 +415,37 @@ def sql_dynamic_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # EWMA smoothing via WITH RECURSIVE: the inherently SEQUENTIAL
 # time-series transform (each value depends on the previous smoothed
-# value) expressed as a recursive CTE over the daily rollup — depth =
-# #days, per-step work = |event types| rows. Integer milli-units with
-# truncating division keep every step engine-exact (alpha = 1/8:
+# value) expressed as a recursive CTE over the weekly rollup — depth =
+# #periods, per-step work = |event types| rows. Integer milli-units
+# with truncating division keep every step engine-exact (alpha = 1/8:
 # s_t = (7*s_{t-1} + 1000*x_t) div 8). At 100 TB the recursion runs on
-# the DAILY table (tiny); only the first rollup touches raw data.
+# the rollup table (tiny); only the first rollup touches raw data.
+# Each recursion level is one Spark job, so period count is the
+# latency knob (weekly here: 5 levels; the daily variant measured
+# ~20 s at 30 levels from per-iteration overhead alone).
 # --------------------------------------------------------------------------
 @query(
     "ewma_recursive_smoothing",
-    "time series: EWMA (alpha=1/8) of daily counts via recursive CTE "
+    "time series: EWMA (alpha=1/8) of weekly counts via recursive CTE "
     "— integer milli-units, sequential dependency expressed in SQL",
     oracle="""
-    WITH RECURSIVE daily AS (
-      SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n,
-             row_number() OVER (PARTITION BY event_type
-                                ORDER BY CAST(ts AS DATE)) AS i
+    WITH RECURSIVE wk AS (
+      SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS d,
+             count(*) AS n
       FROM events GROUP BY 1, 2
+    ),
+    weekly AS (
+      SELECT event_type, d, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
+      FROM wk
     ),
     ew(event_type, i, d, n, s_milli) AS (
       SELECT event_type, i, d, n, n * 1000
-      FROM daily WHERE i = 1
+      FROM weekly WHERE i = 1
       UNION ALL
       SELECT x.event_type, x.i, x.d, x.n,
              (7 * e.s_milli + 1000 * x.n) // 8
-      FROM daily x JOIN ew e
+      FROM weekly x JOIN ew e
         ON x.event_type = e.event_type AND x.i = e.i + 1
     )
     SELECT event_type, d, CAST(n AS BIGINT) AS n,
@@ -450,19 +457,23 @@ def ewma_recursive_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "events")
     return spark.sql(
         """
-        WITH RECURSIVE daily AS (
-          SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n,
-                 row_number() OVER (PARTITION BY event_type
-                                    ORDER BY CAST(ts AS DATE)) AS i
+        WITH RECURSIVE wk AS (
+          SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS d,
+                 count(*) AS n
           FROM events GROUP BY 1, 2
+        ),
+        weekly AS (
+          SELECT event_type, d, n,
+                 row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
+          FROM wk
         ),
         ew(event_type, i, d, n, s_milli) AS (
           SELECT event_type, i, d, n, n * 1000L
-          FROM daily WHERE i = 1
+          FROM weekly WHERE i = 1
           UNION ALL
           SELECT x.event_type, x.i, x.d, x.n,
                  (7 * e.s_milli + 1000 * x.n) div 8
-          FROM daily x JOIN ew e
+          FROM weekly x JOIN ew e
             ON x.event_type = e.event_type AND x.i = e.i + 1
         )
         SELECT event_type, d, n, s_milli AS ewma_milli
