@@ -386,3 +386,74 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Largest-remainder quota allocation (Hamilton apportionment): split a
+# fixed sample budget of 100 docs across sources exactly proportional
+# to corpus mass — integer quotas floor'd, the remaining seats go to
+# the largest fractional remainders (ties by source name). The exact
+# integer method every quota sampler needs (naive rounding over- or
+# under-shoots the budget); allocations sum to the budget by
+# construction. Remainders are compared as integer cross-products
+# (n*budget % total), no floats.
+# --------------------------------------------------------------------------
+_QUOTA_BUDGET = 100
+
+
+@query(
+    "quota_allocation",
+    "sampling: largest-remainder (Hamilton) allocation of a 100-doc "
+    "budget across sources — integer-exact, sums to budget",
+    oracle=f"""
+    WITH m AS (
+      SELECT source, count(*) AS n,
+             (SELECT count(*) FROM documents) AS total
+      FROM documents GROUP BY source
+    ),
+    q AS (
+      SELECT source, n,
+             (n * {_QUOTA_BUDGET}) // total AS base,
+             (n * {_QUOTA_BUDGET}) % total AS rem,
+             total
+      FROM m
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY rem DESC, source) AS rr,
+             {_QUOTA_BUDGET} - sum(base) OVER () AS leftover
+      FROM q
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM ranked
+    """,
+)
+def quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    m = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    total_df = docs.agg(F.count(F.lit(1)).alias("total"))
+    q = m.crossJoin(F.broadcast(total_df)).select(
+        "source",
+        "n",
+        F.expr(f"(n * {_QUOTA_BUDGET}) div total").alias("base"),
+        ((F.col("n") * _QUOTA_BUDGET) % F.col("total")).alias("rem"),
+    )
+    w_rank = Window.orderBy(F.desc("rem"), "source")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = q.withColumn("rr", F.row_number().over(w_rank)).withColumn(
+        "leftover", F.lit(_QUOTA_BUDGET) - F.sum("base").over(w_all)
+    )
+    return ranked.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("quota"),
+    )

@@ -550,3 +550,41 @@ def calendar_edge_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("quarter", d).cast("date").alias("quarter_start"),
         F.dayofyear(d).cast("bigint").alias("doy"),
     ).distinct()
+
+
+# --------------------------------------------------------------------------
+# Local-timezone reporting view (+07:00): the reference's domain is
+# Vietnam air quality — its raw timestamps carry +07:00 offsets and
+# its marts report in local time (reference
+# glue_jobs/process_openaq_raw.py datetime parse + partition columns).
+# Fixed-offset conversion is interval arithmetic (engine-exact, unlike
+# named-zone DST rules); local day rollup shifts events near midnight
+# UTC into the neighboring local day.
+# --------------------------------------------------------------------------
+@query(
+    "local_tz_daily_rollup",
+    "datetime: +07:00 local-time daily rollup — fixed-offset interval "
+    "arithmetic, UTC day vs local day drift counted",
+    oracle="""
+    SELECT CAST(ts + INTERVAL 7 HOUR AS DATE) AS local_day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN CAST(ts + INTERVAL 7 HOUR AS DATE)
+                          <> CAST(ts AS DATE) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shifted_from_utc_day
+    FROM events GROUP BY 1
+    """,
+)
+def local_tz_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    local = (F.col("ts") + F.expr("INTERVAL 7 HOURS")).cast("date")
+    return (
+        ev.groupBy(local.alias("local_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(local != F.col("ts").cast("date"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_shifted_from_utc_day"),
+        )
+    )
