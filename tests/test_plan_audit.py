@@ -64,6 +64,9 @@ NLJ_ALLOWED = {
     "bpe_encode_compression",
     # contrastive pairs: 1-row corpus-count broadcast onto anchors.
     "contrastive_pairs",
+    # quota allocation: 1-row corpus-total broadcast onto the
+    # per-source table.
+    "quota_allocation",
 }
 
 # Streaming plans can't be built with a batch explain.
