@@ -812,3 +812,55 @@ def token_dropout_augmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Training-mixture drift monitor: L1 distance (in ppm) between the
+# corpus's realized source shares and the uniform target — the alarm a
+# data pipeline raises when one source starts dominating ingestion.
+# Integer ppm arithmetic end-to-end (KL would need logs; L1 drift is
+# the standard integer-safe monitor and bounds total variation).
+# --------------------------------------------------------------------------
+@query(
+    "mixture_drift_l1",
+    "monitoring: per-source token-share drift vs uniform target (ppm) "
+    "+ total L1 / total-variation distance",
+    oracle="""
+    WITH m AS (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+      FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT source, toks,
+             sum(toks) OVER () AS total,
+             count(*) OVER () AS n_sources
+      FROM m
+    )
+    SELECT source,
+           CAST(1000000 * toks // total AS BIGINT) AS share_ppm,
+           CAST(1000000 // n_sources AS BIGINT) AS target_ppm,
+           CAST(abs(1000000 * toks // total - 1000000 // n_sources)
+                AS BIGINT) AS drift_ppm
+    FROM t
+    """,
+)
+def mixture_drift_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    m = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("toks")
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = m.withColumn("total", F.sum("toks").over(w)).withColumn(
+        "n_sources", F.count(F.lit(1)).over(w)
+    )
+    share = F.expr("(1000000 * toks) div total")
+    target = F.expr("1000000 div n_sources")
+    return t.select(
+        "source",
+        share.cast("bigint").alias("share_ppm"),
+        target.cast("bigint").alias("target_ppm"),
+        F.abs(share - target).cast("bigint").alias("drift_ppm"),
+    )
