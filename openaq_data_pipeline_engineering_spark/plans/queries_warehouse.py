@@ -2428,3 +2428,54 @@ def debounce_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(1 - F.col("is_head")).cast("bigint").alias("n_collapsed"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Longest activity streak per user: consecutive-day runs via the
+# per-key day-minus-dense-rank grouping (windows PARTITIONED by user —
+# parallel across keys, unlike the global-sequence variant which needs
+# the bucketed two-level treatment, id_gap_islands). Top-10 streaks
+# with full total order.
+# --------------------------------------------------------------------------
+@query(
+    "longest_user_streaks",
+    "engagement: longest consecutive-day streak per user (per-key "
+    "islands grouping), top-10",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    grp AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY d) AS INT) AS g
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, min(d) AS streak_start, count(*) AS len
+      FROM grp GROUP BY user_id, g
+    )
+    SELECT user_id, streak_start, CAST(len AS BIGINT) AS streak_days
+    FROM streaks
+    ORDER BY len DESC, user_id, streak_start
+    LIMIT 10
+    """,
+)
+def longest_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    grp = days.withColumn(
+        "g", F.expr("date_sub(d, row_number() over "
+                    "(partition by user_id order by d))")
+    )
+    streaks = grp.groupBy("user_id", "g").agg(
+        F.min("d").alias("streak_start"),
+        F.count(F.lit(1)).cast("bigint").alias("streak_days"),
+    )
+    return (
+        streaks.drop("g")
+        .orderBy(F.desc("streak_days"), "user_id", "streak_start")
+        .limit(10)
+    )
