@@ -669,3 +669,115 @@ def linear_scoring_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("margin").cast("bigint").alias("max_margin"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Decile lift table — the model-evaluation readout for the linear
+# scorer: rank the corpus by margin, cut into ntile(10) deciles, and
+# report each decile's positive-label concentration vs the base rate
+# (integer ppm). The global ntile is a sort over the SCORED table
+# (embeddings-sized, not raw-corpus-sized); at larger scale swap the
+# ntile for two-pass percentile cutpoints (quality_percentile_prune
+# shows that shape) without changing the readout.
+# --------------------------------------------------------------------------
+@query(
+    "decile_lift_table",
+    "model eval: margin-ranked decile lift — per-decile positive-rate "
+    "ppm vs base rate (integer), scorer from linear_scoring_confusion",
+    oracle=f"""
+    WITH flat AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 64) AS BIGINT)
+               AS qx
+      FROM embeddings
+    ),
+    w AS (
+      SELECT i,
+             CAST(concat('0x', substr(md5(concat('w:',
+                  CAST(i AS VARCHAR))), 1, 4)) AS BIGINT) - 32768 AS wv
+      FROM (SELECT DISTINCT i FROM flat)
+    ),
+    margins AS (
+      SELECT f.vec_id, sum(f.qx * w.wv) AS margin
+      FROM flat f JOIN w ON f.i = w.i
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT m.vec_id, m.margin,
+             CASE WHEN e.label = 0 THEN 1 ELSE 0 END AS pos
+      FROM margins m JOIN embeddings e ON e.vec_id = m.vec_id
+    ),
+    deciled AS (
+      SELECT pos,
+             ntile(10) OVER (ORDER BY margin DESC, vec_id) AS decile,
+             count(*) OVER () AS n_total,
+             sum(pos) OVER () AS n_pos_total
+      FROM scored
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(1000000 * sum(pos) // count(*) AS BIGINT) AS pos_rate_ppm,
+           CAST(1000000 * max(n_pos_total) // max(n_total) AS BIGINT)
+             AS base_rate_ppm
+    FROM deciled GROUP BY decile
+    """,
+)
+def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "val")
+    ).select(
+        "vec_id",
+        "i",
+        F.floor(F.col("val").cast("double") * 64).cast("bigint").alias("qx"),
+    )
+    weights = (
+        flat.select("i")
+        .distinct()
+        .select(
+            "i",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("w:"), F.col("i").cast("string"))),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                - 32768
+            ).alias("wv"),
+        )
+    )
+    margins = (
+        flat.join(F.broadcast(weights), on="i")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("qx") * F.col("wv")).alias("margin"))
+    )
+    scored = margins.join(emb.select("vec_id", "label"), on="vec_id").select(
+        "vec_id",
+        "margin",
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("pos"),
+    )
+    wd = Window.orderBy(F.desc("margin"), "vec_id")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    deciled = (
+        scored.withColumn("decile", F.ntile(10).over(wd))
+        .withColumn("n_total", F.count(F.lit(1)).over(wall))
+        .withColumn("n_pos_total", F.sum("pos").over(wall))
+    )
+    return deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.expr("(1000000 * sum(pos)) div count(*)")
+        .cast("bigint")
+        .alias("pos_rate_ppm"),
+        F.expr("(1000000 * max(n_pos_total)) div max(n_total)")
+        .cast("bigint")
+        .alias("base_rate_ppm"),
+    )

@@ -696,3 +696,82 @@ def minhash_incremental_candidates(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     return vs_index.unionByName(internal).distinct()
+
+
+# --------------------------------------------------------------------------
+# CONTAINMENT screening (asymmetric near-dup): C(A,B) = |A∩B| / |A|
+# catches quotations and subset documents that Jaccard misses (a short
+# doc fully contained in a long one has high containment but low
+# Jaccard). Candidates come from the same LSH bands — no all-pairs;
+# containment is computed from shingle-set sizes and the pair's
+# intersection count, all integers (ppm output).
+# --------------------------------------------------------------------------
+@query(
+    "containment_pairs",
+    "near-dup: asymmetric shingle containment (ppm) over LSH "
+    "candidate pairs — subset/quotation detector",
+    oracle=f"""
+    WITH cand AS ({_minhash_oracle()}),
+    toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       for i in range(1, len(t) - 1)]) AS sh
+        FROM toks WHERE len(t) >= 3
+    ), sizes AS (
+        SELECT doc_id, CAST(count(DISTINCT sh) AS BIGINT) AS n_sh
+        FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(count(DISTINCT a.sh) AS BIGINT) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           CAST(1000000 * i.n_common // sa.n_sh AS BIGINT)
+             AS containment_a_ppm,
+           CAST(1000000 * i.n_common // sb.n_sh AS BIGINT)
+             AS containment_b_ppm
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    """,
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles("text", k=3)).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    cand = minhash_lsh_candidates(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    inter = (
+        cand.join(a, on="doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("sa") == F.col("sb"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb2 = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), on="doc_a")
+        .join(F.broadcast(sb2), on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.expr("(1000000 * n_common) div na")
+            .cast("bigint")
+            .alias("containment_a_ppm"),
+            F.expr("(1000000 * n_common) div nb")
+            .cast("bigint")
+            .alias("containment_b_ppm"),
+        )
+    )
