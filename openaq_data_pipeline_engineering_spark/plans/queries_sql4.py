@@ -480,3 +480,36 @@ def ewma_recursive_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ew
         """
     )
+
+
+# --------------------------------------------------------------------------
+# SQL PIVOT / UNPIVOT clauses (Spark 4 native syntax): the declarative
+# wide<->long reshapes as SQL clauses rather than stack()/pivot() API
+# calls (events_unpivot covers the function form). Pivot on the fixed
+# event-type list (explicit IN list — no distinct-scan pre-job), then
+# UNPIVOT back; the roundtrip must reproduce the per-(user, type)
+# counts, which is what the oracle states directly.
+# --------------------------------------------------------------------------
+@query(
+    "sql_pivot_unpivot_roundtrip",
+    "SQL surface: native PIVOT (explicit IN list) then UNPIVOT clause "
+    "roundtrip — per-user per-type counts survive the reshape",
+    oracle="""
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def sql_pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        WITH wide AS (
+          SELECT * FROM (SELECT user_id, event_type FROM events)
+          PIVOT (count(*) FOR event_type IN
+                 ('click', 'error', 'purchase', 'signup', 'view'))
+        )
+        SELECT user_id, event_type, n FROM wide
+        UNPIVOT (n FOR event_type IN
+                 (click, error, purchase, signup, view))
+        """
+    )
