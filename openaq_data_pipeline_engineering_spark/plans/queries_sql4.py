@@ -513,3 +513,26 @@ def sql_pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (click, error, purchase, signup, view))
         """
     )
+
+
+# --------------------------------------------------------------------------
+# GROUP BY ALL / ORDER BY ALL (Spark 4, DuckDB-originated syntax):
+# every non-aggregate select item groups implicitly — the
+# typo-proof form of multi-column rollups.
+# --------------------------------------------------------------------------
+@query(
+    "sql_group_by_all",
+    "SQL surface: GROUP BY ALL + ORDER BY ALL shorthand — per-type "
+    "daily rollup without repeated column lists",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS d,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY ALL ORDER BY ALL
+    """,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "events")
+    return spark.sql(
+        "SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n "
+        "FROM events GROUP BY ALL ORDER BY ALL"
+    )
