@@ -81,8 +81,29 @@ def main() -> None:
     n_curated = curated.count()
 
     # 5: decontamination vs an eval slice (here: the 20 lowest doc_ids)
-    evald = docs.filter(F.col("doc_id") < 20).select("doc_id")
-    curated = curated.join(evald, "doc_id", "left_anti")
+    # — drop the eval docs themselves AND any train doc sharing a word
+    # trigram with them (broadcast the tiny eval gram set, same shape
+    # as plans/queries_llm.decontamination_overlap)
+    from openaq_data_pipeline_engineering_spark.functions.text import (
+        word_shingles,
+    )
+
+    is_eval = F.col("doc_id") < 20
+    grams = docs.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("g")
+    )
+    eval_grams = grams.filter(is_eval).select("g").distinct()
+    contaminated = (
+        grams.filter(~is_eval)
+        .join(F.broadcast(eval_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    evald = docs.filter(is_eval).select("doc_id")
+    curated = curated.join(
+        evald.unionByName(contaminated), "doc_id", "left_anti"
+    )
+    n_decontam = curated.count()
 
     # 6: deterministic split + shard assignment
     final = curated.withColumn(
@@ -101,6 +122,7 @@ def main() -> None:
     print(f"documents:            {n0}")
     print(f"after lang+quality:   {n_gated}")
     print(f"after dedup stages:   {n_curated}")
+    print(f"after decontam:       {n_decontam}")
     print(f"committed version:    {v} (history: {snapshot_versions(root)})")
     back.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"),

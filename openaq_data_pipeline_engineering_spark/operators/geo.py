@@ -103,15 +103,25 @@ def with_point_and_cell(
 
 
 def dist_sq(
-    lat_a: Column, lon_a: Column, lat_b: Column, lon_b: Column
+    lat_a: Column,
+    lon_a: Column,
+    lat_b: Column,
+    lon_b: Column,
+    wrap_lon: bool = False,
 ) -> Column:
     """Squared planar distance in micro-degrees, exact BIGINT.
 
-    Swap point for a haversine expression to go geodesic — the join
-    shape (grid-bucketed candidates) is unchanged.
+    ``wrap_lon=True`` measures the longitude delta the short way around
+    the antimeridian (min(|dlon|, 360e6 - |dlon|)) so a pair straddling
+    lon ±180 gets its true separation; ``haversine_m`` needs no such
+    flag (sin(dlon/2) is periodic). Swap point for a haversine
+    expression to go geodesic — the join shape (grid-bucketed
+    candidates) is unchanged.
     """
     dlat = lat_a - lat_b
-    dlon = lon_a - lon_b
+    dlon = F.abs(lon_a - lon_b)
+    if wrap_lon:
+        dlon = F.least(dlon, F.lit(2 * (_LON_MOD // 2)) - dlon)
     return (dlat * dlat + dlon * dlon).cast("bigint")
 
 
@@ -120,6 +130,8 @@ def nearest_in_neighborhood(
     stations: DataFrame,
     probe_key: str,
     station_key: str,
+    cell_micro: int = CELL_MICRO,
+    wrap_lon: bool = False,
 ) -> DataFrame:
     """Nearest station per probe within the probe's 3x3 grid-cell
     neighborhood (probes with no station that close are dropped).
@@ -131,25 +143,52 @@ def nearest_in_neighborhood(
     id, then per-probe argmin via a rank-1 window (compiles to
     WindowGroupLimit: per-partition candidates collapse before the
     final exchange). Ties break on station key for determinism.
+
+    ``wrap_lon``: by default the grid does NOT wrap at the
+    antimeridian — a probe near lon +180 will not see a station just
+    across the seam (fine for the synthetic derived points, whose
+    oracle replays the same no-wrap grid). Pass ``wrap_lon=True`` for
+    real coordinates: the replicated neighbor-cell lon id wraps modulo
+    the lon cell count and the candidate distance uses the wrapped
+    longitude delta. Polar caveat (both modes): latitude rows neither
+    wrap nor widen, so very-high-latitude neighborhoods where one lon
+    cell spans a sliver of physical distance under-reach; shrink
+    ``cell_micro`` or pre-rotate coordinates for polar workloads.
     """
     offsets = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    join_lon = F.col("s_cell_lon") + F.col("_dlon")
+    probe_lon = F.col("p_cell_lon")
+    if wrap_lon:
+        # True lon cell count: ceil(360e6 / cell_micro). Both join sides
+        # wrap modulo it, which also folds the degenerate lon=+180
+        # sliver cell onto cell 0 (same meridian). When cell_micro does
+        # not divide 360e6 the seam cell is narrower than the rest —
+        # the 3x3 neighborhood still covers it, just asymmetrically.
+        span = 2 * (_LON_MOD // 2)
+        n_lon_cells = (span + cell_micro - 1) // cell_micro
+        join_lon = F.pmod(join_lon, F.lit(n_lon_cells))
+        probe_lon = F.pmod(probe_lon, F.lit(n_lon_cells))
     st9 = (
         stations.withColumn("_dlat", F.explode(offsets))
         .withColumn("_dlon", F.explode(offsets))
         .withColumn("join_cell_lat", F.col("s_cell_lat") + F.col("_dlat"))
-        .withColumn("join_cell_lon", F.col("s_cell_lon") + F.col("_dlon"))
+        .withColumn("join_cell_lon", join_lon)
         .drop("_dlat", "_dlon")
     )
     cand = probes.join(
         st9,
         on=(
             (F.col("p_cell_lat") == F.col("join_cell_lat"))
-            & (F.col("p_cell_lon") == F.col("join_cell_lon"))
+            & (probe_lon == F.col("join_cell_lon"))
         ),
     ).withColumn(
         "dist_sq",
         dist_sq(
-            F.col("p_lat"), F.col("p_lon"), F.col("s_lat"), F.col("s_lon")
+            F.col("p_lat"),
+            F.col("p_lon"),
+            F.col("s_lat"),
+            F.col("s_lon"),
+            wrap_lon=wrap_lon,
         ),
     )
     from pyspark.sql import Window

@@ -22,8 +22,29 @@ from pyspark.sql import functions as F
 from openaq_data_pipeline_engineering_spark.schemas import API_MEASUREMENT_SCHEMA, LOCATION_SCHEMA
 
 # Static location_id → city fallback map (reference LOCATION_CITY_MAP,
-# extract_api.py:355-372): a literal broadcast dim, not a Python dict.
-LOCATION_CITY_MAP: dict[int, str] = {}
+# extract_api.py:355-372): station ids whose API records carry a null
+# locality, mapped to their known city. Compiled into a literal
+# `create_map` expression (a broadcast dim), never a driver-side dict
+# lookup. The reference hardcodes its Vietnam station network; this
+# shipped default mirrors that shape and is overridable per-call via
+# `enrich_from_locations(city_map=...)`.
+LOCATION_CITY_MAP: dict[int, str] = {
+    # Hanoi stations (reference extract_api.py:357-361)
+    18: "Hanoi",
+    2539: "Hanoi",
+    307169: "Hanoi",
+    6123215: "Hanoi",
+    # Ho Chi Minh City stations (extract_api.py:363-372)
+    2446: "Ho Chi Minh City",
+    268816: "Ho Chi Minh City",
+    268821: "Ho Chi Minh City",
+    268929: "Ho Chi Minh City",
+    268935: "Ho Chi Minh City",
+    268937: "Ho Chi Minh City",
+    3276359: "Ho Chi Minh City",
+    4743591: "Ho Chi Minh City",
+    6068138: "Ho Chi Minh City",
+}
 
 
 def locations_to_df(spark: SparkSession, records: list[dict]) -> DataFrame:

@@ -72,6 +72,76 @@ class TestGeo:
         assert len(got) > 0
 
 
+class TestAntimeridianWrap:
+    def _frames(self, spark):
+        """One probe just west of lon +180, stations on BOTH sides of
+        the seam: the cross-seam station is physically nearer."""
+        pr = spark.createDataFrame(
+            [(1, 0, 179_900_000)], "c_custkey int, p_lat long, p_lon long"
+        )
+        st = spark.createDataFrame(
+            [
+                # 0.2 deg across the seam (true dlon 0.2 deg wrapped)
+                (10, 0, -179_900_000),
+                # 9 deg away on the same side
+                (20, 0, 170_900_000),
+            ],
+            "s_suppkey int, s_lat long, s_lon long",
+        )
+
+        def cells(df, prefix):
+            from openaq_data_pipeline_engineering_spark.operators.geo import (
+                cell_of,
+            )
+
+            clat, clon = cell_of(
+                F.col(f"{prefix}_lat"), F.col(f"{prefix}_lon")
+            )
+            return df.withColumn(f"{prefix}_cell_lat", clat).withColumn(
+                f"{prefix}_cell_lon", clon
+            )
+
+        return cells(pr, "p"), cells(st, "s")
+
+    def test_no_wrap_misses_cross_seam_station(self, spark):
+        pr, st = self._frames(spark)
+        got = nearest_in_neighborhood(
+            pr, st, "c_custkey", "s_suppkey"
+        ).collect()
+        # default grid: seam station invisible, same-side one wins
+        assert [r["s_suppkey"] for r in got] == [20]
+
+    def test_wrap_finds_cross_seam_station(self, spark):
+        pr, st = self._frames(spark)
+        got = nearest_in_neighborhood(
+            pr, st, "c_custkey", "s_suppkey", wrap_lon=True
+        ).collect()
+        assert [r["s_suppkey"] for r in got] == [10]
+        # wrapped distance uses the short-way lon delta: 0.2 deg
+        assert got[0]["dist_sq"] == 200_000 * 200_000
+
+    def test_wrap_preserves_interior_results(self, spark):
+        """Away from the seam, wrap_lon must not change the answer."""
+        pr, st = _points(spark)
+        base = {
+            (r["c_custkey"], r["s_suppkey"], r["dist_sq"])
+            for r in nearest_in_neighborhood(
+                pr, st, "c_custkey", "s_suppkey"
+            ).collect()
+        }
+        wrapped = {
+            (r["c_custkey"], r["s_suppkey"], r["dist_sq"])
+            for r in nearest_in_neighborhood(
+                pr, st, "c_custkey", "s_suppkey", wrap_lon=True
+            ).collect()
+        }
+        # wrapped may only ADD/IMPROVE matches near the seam; on this
+        # derived data the interior dominates, so require near-total
+        # agreement and no lost probes
+        assert {k for k, *_ in base} <= {k for k, *_ in wrapped}
+        assert len(base & wrapped) >= len(base) - max(2, len(base) // 50)
+
+
 class TestHaversine:
     def test_geodesic_agrees_with_planar_at_city_scale(self, spark):
         """Within a small neighborhood the haversine ranking matches the

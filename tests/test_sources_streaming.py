@@ -88,6 +88,55 @@ def test_sensor_dim_and_enrichment(spark):
     assert got[21] == "Saigon"    # null locality → static map fallback
 
 
+def test_enrichment_uses_shipped_default_city_map(spark):
+    """Module-default LOCATION_CITY_MAP (reference extract_api.py:355-372
+    shape) is exercised when no override is passed: a known station id
+    with null locality resolves to its mapped city; an unknown one
+    falls through to 'Unknown'."""
+    from openaq_data_pipeline_engineering_spark.sources.api_source import (
+        LOCATION_CITY_MAP,
+        api_measurements_to_df,
+    )
+
+    assert LOCATION_CITY_MAP[2539] == "Hanoi"
+    recs = [
+        {
+            "id": 2539, "name": "US Diplomatic Post: Hanoi", "locality": None,
+            "timezone": "Asia/Bangkok",
+            "country": {"id": 56, "code": "VN", "name": "Vietnam"},
+            "coordinates": {"latitude": 21.0, "longitude": 105.8},
+            "sensors": [{"id": 91, "name": "s", "parameter": {"id": 2, "name": "pm25", "units": "µg/m³", "displayName": "PM2.5"}}],
+            "datetimeLast": {"utc": "2025-12-20T10:00:00Z", "local": "x"},
+            "isMobile": False, "isMonitor": True,
+        },
+        {
+            "id": 999999, "name": "Unmapped", "locality": None,
+            "timezone": "Asia/Bangkok",
+            "country": {"id": 56, "code": "VN", "name": "Vietnam"},
+            "coordinates": {"latitude": 16.0, "longitude": 106.0},
+            "sensors": [{"id": 92, "name": "s", "parameter": {"id": 2, "name": "pm25", "units": "µg/m³", "displayName": "PM2.5"}}],
+            "datetimeLast": {"utc": "2025-12-20T10:00:00Z", "local": "x"},
+            "isMobile": False, "isMonitor": True,
+        },
+    ]
+    locs = locations_to_df(spark, recs)
+    api_rows = [
+        {"value": 12.0, "parameter": {"id": 2, "name": "pm25", "units": "µg/m³"},
+         "period": {"datetimeFrom": {"utc": "2025-12-20T10:00:00Z", "local": "x"},
+                    "datetimeTo": {"utc": "2025-12-20T11:00:00Z", "local": "x"}},
+         "sensor_id": 91},
+        {"value": 7.0, "parameter": {"id": 2, "name": "pm25", "units": "µg/m³"},
+         "period": {"datetimeFrom": {"utc": "2025-12-20T10:00:00Z", "local": "x"},
+                    "datetimeTo": {"utc": "2025-12-20T11:00:00Z", "local": "x"}},
+         "sensor_id": 92},
+    ]
+    meas = normalize_measurements(api_measurements_to_df(spark, api_rows))
+    enriched = enrich_from_locations(meas, locs)  # no override: module default
+    got = {r.sensor_id: r.city for r in enriched.select("sensor_id", "city").collect()}
+    assert got[91] == "Hanoi"      # shipped default map hit
+    assert got[92] == "Unknown"    # unmapped id → terminal fallback
+
+
 def test_ndjson_roundtrip(spark, tmp_path):
     from openaq_data_pipeline_engineering_spark.schemas import MEASUREMENT_SCHEMA
 

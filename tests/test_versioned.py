@@ -46,6 +46,40 @@ class TestVersionedSnapshots:
         with pytest.raises(ValueError):
             read_snapshot(spark, root, version=99)
 
+    def test_writer_skips_orphaned_uncommitted_version(self, spark, tmp_path):
+        """A crashed writer leaves an uncommitted v=N dir; the next
+        write_snapshot must skip past it (max of manifest and on-disk
+        dirs), not wedge on errorifexists forever."""
+        root = str(tmp_path / "mart")
+        nation = load_table(spark, SF_DIR, "nation")
+        write_snapshot(nation, root)  # v1 committed
+        # crash: v2 data written, manifest never updated
+        nation.limit(1).write.parquet(os.path.join(root, "v=2"))
+        assert snapshot_versions(root) == [1]
+        v = write_snapshot(nation.limit(3), root)  # must not collide
+        assert v == 3
+        assert snapshot_versions(root) == [1, 3]
+        assert read_snapshot(spark, root).count() == 3
+
+    def test_vacuum_reclaims_orphans_and_honors_grace(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            vacuum_snapshots,
+        )
+
+        root = str(tmp_path / "mart")
+        nation = load_table(spark, SF_DIR, "nation")
+        for i in range(3):
+            write_snapshot(nation.limit(2 + i), root)
+        nation.limit(1).write.parquet(os.path.join(root, "v=9"))  # orphan
+        # everything is seconds old: a 1-hour grace keeps all versions
+        assert vacuum_snapshots(root, keep_last=1, min_age_seconds=3600) == []
+        assert snapshot_versions(root) == [1, 2, 3]
+        assert os.path.isdir(os.path.join(root, "v=9"))
+        # no grace: old committed versions drop AND the orphan is gone
+        assert vacuum_snapshots(root, keep_last=1) == [1, 2]
+        assert snapshot_versions(root) == [3]
+        assert not os.path.isdir(os.path.join(root, "v=9"))
+
 
 class TestStreamingSnapshotSink:
     def test_foreach_batch_commits_versions(self, spark, tmp_path):

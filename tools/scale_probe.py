@@ -62,6 +62,9 @@ def build_replica(spark) -> None:
                 )
                 out = part if out is None else out.unionByName(part)
             out.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+        elif os.path.isdir(src_file):
+            # Spark-written parquet is a directory per table
+            shutil.copytree(src_file, f"{DST}/{t}.parquet")
         else:
             shutil.copyfile(src_file, f"{DST}/{t}.parquet")
 
