@@ -197,13 +197,27 @@ def nested_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Incremental ingest (Structured Streaming, availableNow) — non-SQL-
-# expressible: no oracle; driver records a rows-only check.
+# Incremental ingest (Structured Streaming, availableNow). The FINAL
+# table (post dedup-in-watermark counts, complete mode) IS batch-
+# expressible: availableNow drains every file, so the result equals
+# dedup-by-(user_id, ts) + count per event_type over the same parquet.
+# The oracle replays that with a grouped min(event_type) survivor —
+# exact because no (user_id, ts) key carries two event types in this
+# data (asserted by tests/test_streaming.py); with ambiguous keys the
+# streaming survivor would be arrival-order-dependent and this would
+# revert to rows-only.
 # --------------------------------------------------------------------------
 @query(
     "streaming_incremental_ingest",
     "streaming: file-source readStream + watermarked dedup + availableNow catch-up",
-    oracle=None,
+    oracle="""
+    WITH dedup AS (
+        SELECT user_id, ts, min(event_type) AS event_type
+        FROM events GROUP BY user_id, ts
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM dedup GROUP BY event_type
+    """,
 )
 def streaming_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs

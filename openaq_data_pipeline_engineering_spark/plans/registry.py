@@ -56,6 +56,9 @@ def query(name: str, doc: str, oracle: str | None = None):
 
 def _load_all() -> None:
     # Import for side effects: modules register their queries on import.
+    # queries_sinks first: its roundtrip witnesses are the newest
+    # never-driver-sampled queries, so they lead the fresh group.
+    from openaq_data_pipeline_engineering_spark.plans import queries_sinks  # noqa: F401
     from openaq_data_pipeline_engineering_spark.plans import queries_core  # noqa: F401
     from openaq_data_pipeline_engineering_spark.plans import queries_mart  # noqa: F401
     from openaq_data_pipeline_engineering_spark.plans import queries_text  # noqa: F401
@@ -107,7 +110,6 @@ def _latest_correctness() -> dict:
 # other not-yet-green queries and before greens, so they surface first
 # in the round AFTER the current backlog clears.
 _DEFER_ONE_ROTATION = (
-    "streaming_incremental_ingest",  # rows-only by design; has its r02 row
     "quantized_ann_topk",  # strict subset of quantized_rerank_topk stage 1
     "sequence_packing",  # same packing window as pretraining_funnel stage 8
     "doc_chunks",  # chunk math mirrored in funnel stage 7; TestChunking

@@ -215,6 +215,25 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     assert len([f for f in os.listdir(ckpt) if f]) > 0
 
 
+def test_ingest_dedup_key_is_unambiguous_in_testdata(spark):
+    """Precondition of streaming_incremental_ingest's DuckDB oracle
+    (plans/queries_ext.py): every (user_id, ts) dedup key maps to ONE
+    event_type, so the stream's arrival-order survivor equals the
+    oracle's grouped min(event_type). If the testdata ever regenerates
+    with ambiguous keys this fails and the oracle must revert to
+    rows-only."""
+    from openaq_data_pipeline_engineering_spark.sources.star import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ambiguous = (
+        ev.groupBy("user_id", "ts")
+        .agg(F.countDistinct("event_type").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert ambiguous == 0
+
+
 def test_streaming_windowed_agg_with_late_data(spark, tmp_path):
     """Tumbling-window agg with watermark: a late-but-within-watermark
     event lands in its original window; an event older than the
