@@ -2,10 +2,12 @@
 
 Images/audio/video ride as opaque ``binary`` columns with typed metadata
 alongside. The Spark-side machinery here is REAL and tested — schema,
-Arrow batch shape, ``mapInPandas`` signature, partition behavior; only
-the media decode itself is stubbed (the decode libs aren't in this
-container) behind ``decode_fn``, with a deterministic arithmetic fake as
-the default so results are oracle-checkable.
+Arrow batch shape, ``mapInPandas`` signature, partition behavior.
+``resize_images`` is a REAL image op end-to-end (pure-Python PNG codec
+in functions/png.py, stdlib zlib — no external media library needed);
+``decode_metadata``/``extract_features`` default to deterministic
+arithmetic fakes so their declared queries stay oracle-checkable, with
+the real decoder injectable via ``decode_fn``/``feature_fn``.
 
 Scale notes: mapInPandas streams Arrow batches (no per-row Python
 overhead); binary payloads never hit the driver; metadata-only queries
@@ -168,10 +170,57 @@ def sample_frames(
     return df.select(id_col, payload_col).mapInPandas(_sample, FRAMES_SCHEMA)
 
 
-def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image-resize stub: real implementation is mapInPandas payload →
-    resized payload (same schema). Raises until a decoder exists."""
-    raise NotImplementedError(
-        "resize requires an image decoder not present in this container; "
-        "decode_metadata/extract_features show the intended batch shape"
-    )
+RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, payload binary, error string"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize PNG payloads to ``width x height`` via mapInPandas.
+
+    Real decode: functions/png.py — a pure-Python (stdlib zlib) PNG
+    codec + nearest-neighbor resample, so this container needs no
+    external media library. Support envelope: 8-bit gray/RGB/RGBA
+    baseline PNG; an unsupported payload yields a NULL ``payload`` and
+    the reason in ``error`` (per-item, never failing the batch — at
+    100 TB one corrupt file must not kill the job; filter
+    ``error IS NULL`` downstream, count the rest for the DLQ).
+    ``resize_fn`` swaps in another codec (e.g. PIL) over identical
+    plumbing.
+    """
+    if resize_fn is None:
+        from openaq_data_pipeline_engineering_spark.functions.png import resize_png
+
+        resize_fn = resize_png
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            payloads: list[bytes | None] = []
+            errors: list[str | None] = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(int(doc_id))
+                try:
+                    payloads.append(resize_fn(bytes(payload), width, height))
+                    errors.append(None)
+                except ValueError as exc:  # UnsupportedImage et al.
+                    payloads.append(None)
+                    errors.append(str(exc))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": width,
+                    "height": height,
+                    "payload": payloads,
+                    "error": errors,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_resize, RESIZE_SCHEMA)

@@ -11,7 +11,7 @@ from openaq_data_pipeline_engineering_spark.operators.asof import asof_join
 from openaq_data_pipeline_engineering_spark.operators.multimodal import (
     extract_features,
     md5_features,
-    resize_stub,
+    resize_images,
     with_binary_payload,
 )
 from openaq_data_pipeline_engineering_spark.operators.sessionize import (
@@ -130,10 +130,10 @@ class TestFeatureExtraction:
         got = [by_id[1][f"f{i}"] for i in range(8)]
         assert got == expect
 
-    def test_resize_stub_raises(self, spark):
+    def test_resize_flags_undecodable_payload(self, spark):
         df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
-        with pytest.raises(NotImplementedError):
-            resize_stub(df, 64, 64)
+        row = resize_images(df, 64, 64).first()
+        assert row.payload is None and row.error is not None
 
 
 class TestRollupPlan:
