@@ -23,6 +23,12 @@ Coverage map:
                           + partition-pruned SQL over the registered
                           table (sources/catalog.register_partitioned_
                           table; reference utils/glue_utils.py:24-55)
+- observe_stage_metrics   A3 single-pass pipeline metrics via observe
+                          (operators/validate.observe_counts; reference
+                          process_openaq_raw.py:101,137,161,200 eager
+                          count() stages) — the Observation values ARE
+                          the result set, so the metrics themselves are
+                          value-hash-checked
 
 Scratch dirs are ``tempfile.mkdtemp`` per invocation (the established
 pattern of the streaming declared queries) so repeated runs never
@@ -249,4 +255,49 @@ def sink_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE month = '01'
         GROUP BY month
         """
+    )
+
+
+@query(
+    "observe_stage_metrics",
+    "A3 witness: two pipeline stages instrumented with observe (row "
+    "count + derived-null count at ingest, row count after the value "
+    "gate), ONE noop action drives the whole chain, and the Observation "
+    "payloads themselves form the result row — zero extra scans, the "
+    "engine's replacement for the reference's four eager count() jobs",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS ingested,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS click_nulls,
+           CAST(sum(CASE WHEN value >= 0.5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS gated
+    FROM events
+    """,
+)
+def observe_stage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.operators.validate import (
+        observe_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "maybe_click", F.expr("nullif(event_type, 'click')")
+    )
+    ingested, obs_ingest = observe_counts(
+        ev, "ingest", null_check_cols=["maybe_click"]
+    )
+    gated, obs_gate = observe_counts(
+        ingested.filter(F.col("value") >= 0.5), "gate"
+    )
+    # One action drives both observations (metrics ride the same job).
+    gated.write.format("noop").mode("overwrite").save()
+    m_in, m_gate = obs_ingest.get, obs_gate.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m_in["row_count"]),
+                int(m_in["maybe_click_nulls"]),
+                int(m_gate["row_count"]),
+            )
+        ],
+        "ingested bigint, click_nulls bigint, gated bigint",
     )

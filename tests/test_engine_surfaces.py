@@ -73,10 +73,21 @@ def test_aqe_splits_skewed_join_partitions(spark):
 def test_pandas_on_spark_api(spark):
     """pyspark.pandas: the pandas-API layer compiles to the same engine
     (group counts match the SQL path)."""
+    import warnings
+
     import pyspark.pandas as ps
 
-    psdf = ps.read_parquet(f"{SF_DIR}/events.parquet")
-    got = psdf.groupby("event_type").size().sort_index().to_dict()
+    with warnings.catch_warnings():
+        # pyspark.pandas internals, not ours: np.character deprecation
+        # (typehints.py) and the default-index advice for read_parquet.
+        warnings.filterwarnings(
+            "ignore", message=".*np\\.character.*", category=DeprecationWarning
+        )
+        warnings.filterwarnings(
+            "ignore", message=".*index_col.*", module=r"pyspark\.pandas.*"
+        )
+        psdf = ps.read_parquet(f"{SF_DIR}/events.parquet")
+        got = psdf.groupby("event_type").size().sort_index().to_dict()
     want = {
         r["event_type"]: r["n"]
         for r in load_table(spark, SF_DIR, "events")
