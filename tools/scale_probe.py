@@ -33,13 +33,19 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
-# key column + id stride per replicated table (stride >> max key)
+# key column + id stride per replicated table (stride >> max key).
+# orders+lineitem share the orderkey stride so the o_orderkey ==
+# l_orderkey join stays consistent across replicas (each replica is a
+# self-contained order set; o_custkey/l_partkey are NOT shifted, so
+# per-customer/per-part density multiplies — documented per-case).
 REPLICATE = {
     "supplier": ("s_suppkey", 10_000),
     "customer": ("c_custkey", 10_000_000),
     "documents": ("doc_id", 10_000_000),
     "embeddings": ("vec_id", 10_000_000),
     "events": ("event_id", 100_000_000),
+    "orders": ("o_orderkey", 100_000_000),
+    "lineitem": ("l_orderkey", 100_000_000),
 }
 
 
