@@ -91,13 +91,17 @@ def main() -> None:
     is_eval = F.col("doc_id") < 20
     grams = docs.select(
         "doc_id", F.explode(word_shingles("text", 3)).alias("g")
-    )
+    ).distinct()
     eval_grams = grams.filter(is_eval).select("g").distinct()
+    # contamination rule: >= 3 distinct shared trigrams (a single shared
+    # collocation is noise; a run of shared grams is leaked eval text)
     contaminated = (
         grams.filter(~is_eval)
         .join(F.broadcast(eval_grams), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
         .select("doc_id")
-        .distinct()
     )
     evald = docs.filter(is_eval).select("doc_id")
     curated = curated.join(
