@@ -8,6 +8,14 @@
 Timings are end-to-end per query (plan + execute + collect-to-count),
 after a JVM/session warmup query, so they measure steady-state engine
 throughput rather than session startup.
+
+The final stdout JSON line carries the HEADLINE subset of per-query
+timings plus suite-level aggregates; it is deliberately kept under
+~1,900 characters because the round driver captures only the tail of
+stdout (2,000 chars) when recording BENCH_r{N}.json — a full 230-query
+dict overflows that window and the line is never parsed (observed in
+rounds 1-3). The complete per-query map is written to
+``BENCH_DETAIL.json`` next to this script and printed to stderr.
 """
 
 from __future__ import annotations
@@ -24,6 +32,28 @@ from openaq_data_pipeline_engineering_spark.plans.registry import get_queries  #
 
 # Headline set: every declared query (correctness surface == bench surface).
 SKIP: set[str] = set()
+
+# Per-query timings carried on the final stdout JSON line (the full map
+# goes to BENCH_DETAIL.json). One representative per major capability
+# family so the parsed artifact still profiles the engine end-to-end.
+HEADLINE: tuple[str, ...] = (
+    "flagship_daily_topk",  # reference flagship: multi-agg + filter + top-k
+    "mart_wide_pipeline",  # full reference ETL chain (parse→dedup→pivot→enrich)
+    "pivot_mean",  # A1 pivot
+    "dedup_window",  # W1 ranked-window dedup
+    "pricing_summary",  # TPC-H Q1 analogue (wide agg scan)
+    "market_share_q8",  # TPC-H Q8 (8-table join tree)
+    "dedup_exact",  # corpus exact dedup
+    "minhash_lsh_candidates",  # near-dup LSH
+    "ann_cosine_topk",  # vector similarity
+    "pretraining_funnel",  # composed LLM-data pipeline
+    "bpe_merge_training",  # iterative trainer
+    "triangle_count",  # graph
+    "sessionization",  # event-time gap sessionize
+    "streaming_windowed_counts",  # structured streaming
+    "asof_join_lastclick",  # as-of join
+    "geo_density_clusters",  # geospatial grid
+)
 
 
 def main() -> None:
@@ -91,19 +121,44 @@ def main() -> None:
         print(f"# {name}: {n} rows in {best:.3f}s", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_suite_wall_clock",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "runs_per_query": RUNS,
-                "cpus": int(cpus),
-                "sf": sf,
-            }
-        )
+    detail = {
+        "metric": "declared_query_suite_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "runs_per_query": RUNS,
+        "cpus": int(cpus),
+        "sf": sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(json.dumps(detail), file=sys.stderr)
+
+    ordered = sorted(timings.values())
+    n_q = len(ordered)
+    median = ordered[n_q // 2] if n_q else 0.0
+    summary = {
+        "metric": "declared_query_suite_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: timings[k] for k in HEADLINE if k in timings},
+        "n_queries": n_q,
+        "median_sec": round(median, 3),
+        "p95_sec": round(ordered[int(n_q * 0.95)], 3) if n_q else 0.0,
+        "runs_per_query": RUNS,
+        "cpus": int(cpus),
+        "sf": sf,
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(summary)
+    # Hard guard for the driver's 2,000-char stdout-tail capture.
+    while len(line) > 1900 and summary["queries"]:
+        summary["queries"].popitem()
+        line = json.dumps(summary)
+    print(line)
     spark.stop()
 
 

@@ -1,0 +1,493 @@
+"""Round-4 declared queries: retrieval fusion, drift detection, CSV
+format roundtrip, sketch-accuracy readout, and nucleus sampling stats.
+
+Registered LAST in registry._load_all so these new names sort after the
+existing never-driver-sampled backlog (they carry local differential
+evidence immediately; driver rows arrive on a later rotation).
+
+Float policy per plans/registry.py: every ranking/score here is integer
+(scaled div) or a single IEEE division of bit-identical inputs.
+
+Reference provenance: these extend the engine beyond the reference
+surface (SURVEY.md §2 extensions); the CSV roundtrip mirrors the
+reference's sink-witness pattern (process_openaq_raw.py:249-256 — same
+write→read-back→aggregate shape as queries_sinks.py, different format).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from openaq_data_pipeline_engineering_spark.functions.text import (
+    minhash_sql_exprs,
+    word_shingles,
+)
+from openaq_data_pipeline_engineering_spark.functions.vectors import cosine, dot
+from openaq_data_pipeline_engineering_spark.plans.registry import query
+from openaq_data_pipeline_engineering_spark.sources.star import fan_out, load_table
+
+_COS_SQL = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+_DOT_SQL = "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+
+
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion of two retrieval rankings (cosine + raw dot).
+# The standard multi-retriever merge for RAG / hard-negative mining:
+# each method contributes 1/(60+rank); we scale to integer ppb so the
+# fused score is exact in both engines (no float-sum order sensitivity).
+# Scale: the query side is a bounded broadcast set; candidate ranking is
+# one window per method over the same (query_id) partitioning, so Spark
+# reuses a single exchange. At 100 TB the per-method candidate lists
+# would come from the ANN indexes (IVF/LSH queries above) — the fusion
+# stage itself is rank-bounded and tiny.
+# --------------------------------------------------------------------------
+@query(
+    "rrf_fusion_topk",
+    "retrieval: reciprocal-rank fusion (integer ppb) of cosine + dot "
+    "rankings, top-5 per query",
+    oracle=f"""
+    WITH scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY a.vec_id ORDER BY {_COS_SQL} DESC, b.vec_id
+               ) AS r_cos,
+               row_number() OVER (
+                   PARTITION BY a.vec_id ORDER BY {_DOT_SQL} DESC, b.vec_id
+               ) AS r_dot
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id < 5 AND b.vec_id <> a.vec_id
+    ), fused AS (
+        SELECT query_id, neighbor_id, r_cos, r_dot,
+               CAST(1000000000 // (60 + r_cos)
+                    + 1000000000 // (60 + r_dot) AS BIGINT) AS rrf_ppb
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(r_cos AS BIGINT) AS r_cos,
+           CAST(r_dot AS BIGINT) AS r_dot, rrf_ppb,
+           CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf_ppb DESC, neighbor_id
+        ) AS fused_rank
+        FROM fused
+    ) WHERE fused_rank <= 5
+    """,
+)
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    joined = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine("embedding", "qvec").alias("cos_raw"),
+        dot("embedding", "qvec").alias("dot_raw"),
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), "neighbor_id"
+    )
+    w_dot = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_raw"), "neighbor_id"
+    )
+    ranked = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(w_cos).alias("r_cos"),
+        F.row_number().over(w_dot).alias("r_dot"),
+    ).withColumn(
+        "rrf_ppb",
+        F.expr(
+            "CAST(1000000000 AS BIGINT) div (60 + r_cos) "
+            "+ CAST(1000000000 AS BIGINT) div (60 + r_dot)"
+        ),
+    )
+    w_fused = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_ppb"), "neighbor_id"
+    )
+    return (
+        ranked.withColumn("fused_rank", F.row_number().over(w_fused))
+        .filter(F.col("fused_rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("r_cos").cast("bigint").alias("r_cos"),
+            F.col("r_dot").cast("bigint").alias("r_dot"),
+            "rrf_ppb",
+            F.col("fused_rank").cast("bigint").alias("fused_rank"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# CUSUM change-point detection on daily event volumes. The sequential
+# recurrence max(0, S_{t-1} + dev_t) reduces to S_t - min(S_0..S_t)
+# (cumulative sum minus running minimum) — BOTH plain window functions,
+# so the "inherently sequential" detector runs as two codegen'd window
+# passes instead of a per-key loop. Deviations are integer-scaled
+# (n*D - total avoids the float mean), so the statistic is exact.
+# Scale: the window partitions by event_type over |days| rows — the
+# daily rollup upstream is the only data-sized shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "cusum_changepoint",
+    "monitoring: CUSUM drawup (cumsum - running min, integer-scaled) "
+    "→ argmax change day per event type",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(n) AS BIGINT) AS total
+        FROM daily GROUP BY 1
+    ), walk AS (
+        SELECT d.event_type, d.d, s.n_days,
+               sum(d.n * s.n_days - s.total) OVER (
+                   PARTITION BY d.event_type ORDER BY d.d
+                   ROWS UNBOUNDED PRECEDING
+               ) AS s_t
+        FROM daily d JOIN stats s USING (event_type)
+    ), drawup AS (
+        SELECT event_type, d, n_days,
+               CAST(s_t - min(s_t) OVER (
+                   PARTITION BY event_type ORDER BY d
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS drawup
+        FROM walk
+    )
+    SELECT event_type, d AS change_day, drawup, n_days
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY event_type ORDER BY drawup DESC, d
+        ) AS rn
+        FROM drawup
+    ) WHERE rn = 1
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("n").alias("total")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walk = daily.join(stats, on="event_type").withColumn(
+        "s_t", F.sum(F.col("n") * F.col("n_days") - F.col("total")).over(w_cum)
+    )
+    drawup = walk.withColumn(
+        "drawup", (F.col("s_t") - F.min("s_t").over(w_cum)).cast("bigint")
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(F.desc("drawup"), "d")
+    return (
+        drawup.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("change_day"),
+            "drawup",
+            F.col("n_days").cast("bigint").alias("n_days"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# CSV sink + source roundtrip — format-breadth witness in the
+# queries_sinks.py pattern: write events through the CSV writer
+# (header, explicit timestamp format), read back cold with an explicit
+# schema, aggregate; the oracle aggregates the original parquet.
+# Timestamps go through a fixed 'yyyy-MM-dd HH:mm:ss.SSSSSS' text form
+# (microsecond-lossless both ways); doubles rely on Java shortest-repr
+# round-trip, then are snapped to the DECIMAL(18,2) grid for the hash.
+# --------------------------------------------------------------------------
+@query(
+    "csv_source_roundtrip",
+    "sink/source: CSV write → explicit-schema read-back → per-type "
+    "aggregate equals the source-table aggregate",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           min(ts) AS first_ts, max(ts) AS last_ts
+    FROM events GROUP BY event_type
+    """,
+)
+def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    (
+        ev.select(
+            "event_id",
+            F.date_format("ts", ts_fmt).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .coalesce(4)
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(out)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .csv(out)
+        .withColumn("ts", F.to_timestamp("ts", ts_fmt))
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash sketch accuracy readout: for every LSH candidate pair, the
+# signature-agreement estimate (n_agree of 8 components) next to the
+# EXACT distinct-shingle Jaccard (integer intersection/union sizes).
+# This is the verification stage of production MinHash dedup — LSH
+# proposes, exact Jaccard disposes — plus the accuracy evidence that
+# the sketch tracks the true statistic. All-integer output.
+# Scale: exact verification joins shingle sets ONLY for candidate
+# pairs (|candidates| ≪ |docs|²); the shingle-set join is keyed on
+# doc_id — co-partitioned with the shingle-size agg.
+# --------------------------------------------------------------------------
+_NUM_HASHES = 8
+_BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]
+
+
+def _mh_estimate_oracle() -> str:
+    mins = ",\n               ".join(minhash_sql_exprs("sh", _NUM_HASHES))
+    bands = ", ".join(f"md5(h{a} || h{b})" for a, b in _BANDS)
+    agree = " + ".join(
+        f"CASE WHEN ma.h{i} = mb.h{i} THEN 1 ELSE 0 END"
+        for i in range(_NUM_HASHES)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       for i in range(1, len(t) - 1)]) AS sh
+        FROM toks WHERE len(t) >= 3
+    ), mh AS (
+        SELECT doc_id, {mins}
+        FROM sh GROUP BY doc_id
+    ), bands AS (
+        SELECT doc_id, unnest([{bands}]) AS band FROM mh
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    ), dsh AS (
+        SELECT DISTINCT doc_id, sh FROM sh
+    ), sz AS (
+        SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id
+    ), inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS i
+        FROM cand c
+        JOIN dsh x ON x.doc_id = c.doc_a
+        JOIN dsh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+        GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST({agree} AS BIGINT) AS n_agree,
+           CAST(coalesce(i.i, 0) AS BIGINT) AS inter_size,
+           CAST(sa.n + sb.n - coalesce(i.i, 0) AS BIGINT) AS union_size
+    FROM cand c
+    JOIN mh ma ON ma.doc_id = c.doc_a
+    JOIN mh mb ON mb.doc_id = c.doc_b
+    JOIN sz sa ON sa.doc_id = c.doc_a
+    JOIN sz sb ON sb.doc_id = c.doc_b
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    """
+
+
+@query(
+    "minhash_estimate_error",
+    "near-dup QA: per LSH candidate pair, signature agreement (of 8) "
+    "vs exact distinct-shingle Jaccard (integer sizes)",
+    oracle=_mh_estimate_oracle(),
+)
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.functions.text import (
+        minhash_agg_exprs,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles("text", k=3)).alias("sh")
+    )
+    mh = sh.groupBy("doc_id").agg(*minhash_agg_exprs("sh", _NUM_HASHES))
+    band_exprs = [
+        F.md5(F.concat(F.col(f"h{a}"), F.col(f"h{b}"))) for a, b in _BANDS
+    ]
+    bands = mh.select("doc_id", F.explode(F.array(*band_exprs)).alias("band"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    dsh = sh.distinct()
+    sz = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = dsh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = dsh.select(F.col("doc_id").alias("yb"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(x, on="doc_a")
+        .join(
+            y,
+            (F.col("doc_b") == F.col("yb")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    agree = sum(
+        F.when(F.col(f"ma.h{i}") == F.col(f"mb.h{i}"), 1).otherwise(0)
+        for i in range(_NUM_HASHES)
+    )
+    ma, mb = mh.alias("ma"), mh.alias("mb")
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        cand.join(ma, F.col("ma.doc_id") == F.col("doc_a"))
+        .join(mb, F.col("mb.doc_id") == F.col("doc_b"))
+        .join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .join(inter, on=["doc_a", "doc_b"], how="left")
+        .select(
+            "doc_a",
+            "doc_b",
+            agree.cast("bigint").alias("n_agree"),
+            F.coalesce(F.col("i"), F.lit(0)).cast("bigint").alias("inter_size"),
+            (F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0)))
+            .cast("bigint")
+            .alias("union_size"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Nucleus (top-p) next-token cutoff from the bigram LM: per prefix
+# word, how many highest-count continuations cover ≥90% of its mass —
+# the vocabulary-truncation statistic behind nucleus sampling and
+# speculative-decoding draft tables. Integer test (10*cum ≥ 9*total),
+# deterministic ordering (count desc, word asc). Prefixes bounded to
+# total ≥ 50 to keep the declared result stable across SFs.
+# --------------------------------------------------------------------------
+@query(
+    "nucleus_vocab_cutoff",
+    "LM: per-prefix nucleus (p=0.9) continuation-set size from bigram "
+    "counts — integer cumulative-mass cutoff",
+    oracle="""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    bg AS (
+        SELECT t[i] AS w1, t[i+1] AS w2
+        FROM toks, unnest(range(1, greatest(len(t), 1))) AS r(i)
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+    cum AS (
+        SELECT w1, w2, c12,
+               sum(c12) OVER (
+                   PARTITION BY w1 ORDER BY c12 DESC, w2
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum,
+               sum(c12) OVER (PARTITION BY w1) AS total,
+               row_number() OVER (
+                   PARTITION BY w1 ORDER BY c12 DESC, w2
+               ) AS rn,
+               count(*) OVER (PARTITION BY w1) AS n_next
+        FROM c12
+    )
+    SELECT w1, CAST(total AS BIGINT) AS total,
+           CAST(n_next AS BIGINT) AS n_next,
+           CAST(min(CASE WHEN 10 * cum >= 9 * total THEN rn END)
+                AS BIGINT) AS nucleus_size
+    FROM cum
+    WHERE total >= 50
+    GROUP BY w1, total, n_next
+    """,
+)
+def nucleus_vocab_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    t = F.split("text", " ")
+    pairs = (
+        docs.select(t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(element_at(t, i) AS w1, "
+                    "element_at(t, i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    w_order = Window.partitionBy("w1").orderBy(F.desc("c12"), "w2")
+    w_all = Window.partitionBy("w1")
+    cum = c12.select(
+        "w1",
+        F.sum("c12")
+        .over(w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("c12").over(w_all).alias("total"),
+        F.row_number().over(w_order).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_next"),
+    )
+    return (
+        cum.filter(F.col("total") >= 50)
+        .groupBy("w1", "total", "n_next")
+        .agg(
+            F.min(
+                F.when(10 * F.col("cum") >= 9 * F.col("total"), F.col("rn"))
+            )
+            .cast("bigint")
+            .alias("nucleus_size")
+        )
+        .select(
+            "w1",
+            F.col("total").cast("bigint").alias("total"),
+            F.col("n_next").cast("bigint").alias("n_next"),
+            "nucleus_size",
+        )
+    )

@@ -67,6 +67,9 @@ NLJ_ALLOWED = {
     # quota allocation: 1-row corpus-total broadcast onto the
     # per-source table.
     "quota_allocation",
+    # RRF fusion: 5 query vectors broadcast, `!=` is the only condition
+    # (same shape as quantized_ann_topk).
+    "rrf_fusion_topk",
 }
 
 # Streaming plans can't be built with a batch explain.
