@@ -405,6 +405,266 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Priority sampling (Duffield/Lund/Thorup): weighted sample of orders
+# where item i gets priority w_i / u_i for a deterministic uniform
+# u_i = md5-derived 32-bit int — layout-independent (same sample on any
+# cluster/partitioning), one scan + TakeOrderedAndProject, and the
+# priority is a single IEEE division of bit-identical integers so the
+# double ordering is engine-exact. The standard weighted-subset
+# estimator for corpus mixing / debugging slices at 100 TB.
+# --------------------------------------------------------------------------
+@query(
+    "priority_sample_topk",
+    "sampling: deterministic priority sample (weight/md5-uniform) "
+    "top-20 orders — layout-independent weighted subset",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS weight_cents,
+           CAST(floor(o_totalprice * 100) AS DOUBLE) /
+             (CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                   1, 8)) AS BIGINT) + 1) AS priority
+    FROM orders
+    ORDER BY priority DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = fan_out(load_table(spark, sf_dir, "orders"))
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    )
+    w = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        o.select(
+            "o_orderkey",
+            w.alias("weight_cents"),
+            (w.cast("double") / u).alias("priority"),
+        )
+        .orderBy(F.desc("priority"), "o_orderkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Audience overlap matrix: pairwise user-set intersection/union between
+# event types. The self-join is keyed on user_id (co-partitioned with
+# the distinct), pair space is |types|² — output-bounded. This is the
+# source-overlap diagnostic run before mixing training corpora.
+# --------------------------------------------------------------------------
+@query(
+    "audience_overlap_matrix",
+    "warehouse: pairwise user-audience intersection/union between "
+    "event types (integer sizes, user-keyed self-join)",
+    oracle="""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    sz AS (SELECT event_type, count(*) AS n FROM du GROUP BY 1),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS i
+        FROM du a JOIN du b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, CAST(i.i AS BIGINT) AS inter_size,
+           CAST(sa.n + sb.n - i.i AS BIGINT) AS union_size
+    FROM inter i
+    JOIN sz sa ON sa.event_type = i.type_a
+    JOIN sz sb ON sb.event_type = i.type_b
+    """,
+)
+def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    du = ev.select("event_type", "user_id").distinct()
+    sz = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = du.select(F.col("event_type").alias("type_a"), "user_id")
+    b = du.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, on="user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), on="type_a")
+        .join(F.broadcast(sb), on="type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("i").cast("bigint").alias("inter_size"),
+            (F.col("na") + F.col("nb") - F.col("i"))
+            .cast("bigint")
+            .alias("union_size"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Lexical diversity per document: type/token counts + Gini-Simpson
+# index. Simpson's Σc² is exact integer arithmetic (unlike entropy's
+# Σ p·log p, whose libm log differs across engines), so the diversity
+# score is hash-stable: gini_ppm = 1e6 - (1e6·Σc²) // n². A repetition
+# /templated-text screen for pretraining quality filtering.
+# --------------------------------------------------------------------------
+@query(
+    "unigram_diversity_gini",
+    "text quality: per-doc type/token counts + integer Gini-Simpson "
+    "diversity (ppm) — repetition screen without float logs",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ), c AS (
+        SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(1000000 - (1000000 * sum(cnt * cnt))
+                // (sum(cnt) * sum(cnt)) AS BIGINT) AS gini_ppm
+    FROM c GROUP BY doc_id
+    """,
+)
+def unigram_diversity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    c = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        c.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("sum_sq"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_types").cast("bigint").alias("n_types"),
+            F.expr(
+                "CAST(1000000 - (1000000 * sum_sq) "
+                "div (n_tokens * n_tokens) AS BIGINT)"
+            ).alias("gini_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Group-wise OLS trend: per event type, the least-squares slope of
+# daily volume over day index. Closed form from exact integer moment
+# sums (Σx, Σy, Σxy, Σx²) with x = days since the type's first day;
+# the slope is ONE division of bit-identical integers → engine-exact
+# double. Emits the integer numerator/denominator too, so the result
+# is auditable without float comparison at all.
+# --------------------------------------------------------------------------
+@query(
+    "groupwise_ols_slopes",
+    "analytics: per-type OLS daily-volume slope from integer moment "
+    "sums (single exact division)",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+        FROM events GROUP BY 1, 2
+    ), idx AS (
+        SELECT event_type,
+               date_diff('day', min(d) OVER (PARTITION BY event_type), d)
+                 AS x,
+               y
+        FROM daily
+    ), m AS (
+        SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM idx GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+    FROM m
+    """,
+)
+def groupwise_ols_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        F.datediff(F.col("d"), F.min("d").over(w)).alias("x"),
+        "y",
+    )
+    m = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        num.cast("bigint").alias("slope_num"),
+        den.cast("bigint").alias("slope_den"),
+        (num.cast("double") / den.cast("double")).alias("slope"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Shard-balance report: row distribution over B=32 md5-derived hash
+# buckets of the write-partitioning key. THE pre-write diagnostic for
+# picking bucket counts / detecting key skew before a 100 TB write —
+# a balanced report here means the bucketed writer produces uniform
+# files. md5-bucketing (not engine hash()) keeps the bucket function
+# identical across engines and clusters.
+# --------------------------------------------------------------------------
+@query(
+    "shard_balance_report",
+    "engine control: lineitem row distribution over 32 md5 hash "
+    "buckets of l_orderkey + integer ppm shares (skew diagnostic)",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)),
+                    1, 8)) AS BIGINT) % 32 AS bucket
+        FROM lineitem
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST((count(*) * 1000000)
+                // sum(count(*)) OVER () AS BIGINT) AS share_ppm
+    FROM b GROUP BY bucket
+    """,
+)
+def shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 32
+    )
+    counts = li.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    return counts.select(
+        "bucket",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.expr(
+            "CAST((n_rows * 1000000) div sum(n_rows) OVER () AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Nucleus (top-p) next-token cutoff from the bigram LM: per prefix
 # word, how many highest-count continuations cover ≥90% of its mass —
 # the vocabulary-truncation statistic behind nucleus sampling and
