@@ -751,3 +751,211 @@ def nucleus_vocab_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nucleus_size",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility by language: BPE-ish pretokens per whitespace
+# word, per lang (ppm). The standard tokenizer-evaluation readout —
+# high fertility on a language means the vocab under-serves it and its
+# effective context shrinks. Integer ratio, one scan, map-combined.
+# --------------------------------------------------------------------------
+@query(
+    "tokenizer_fertility_by_lang",
+    "LM eval: BPE-ish pretokens per whitespace word by language "
+    "(integer ppm fertility)",
+    oracle=f"""
+    SELECT lang,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '{{pat}}'))) AS BIGINT)
+             AS pretokens,
+           CAST(1000000 * sum(len(regexp_extract_all(text, '{{pat}}')))
+                // sum(len(string_split(text, ' '))) AS BIGINT)
+             AS fertility_ppm
+    FROM documents GROUP BY lang
+    """.replace("{pat}", "[A-Za-z0-9]+|[^A-Za-z0-9 ]"),
+)
+def tokenizer_fertility_by_lang(spark, sf_dir):
+    from openaq_data_pipeline_engineering_spark.functions.text import (
+        regex_token_count,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    per_doc = docs.select(
+        "lang",
+        F.size(F.split("text", " ")).alias("ws"),
+        regex_token_count("text").alias("pre"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.sum("ws").cast("bigint").alias("ws_tokens"),
+        F.sum("pre").cast("bigint").alias("pretokens"),
+        F.expr(
+            "CAST((1000000 * sum(pre)) div sum(ws) AS BIGINT)"
+        ).alias("fertility_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Near-dup cluster-size histogram: distribution of connected-component
+# sizes from the MinHash-LSH duplicate graph — the dedup AUDIT view
+# (how much of the corpus sits in 2-clusters vs mega-clusters; a
+# mega-cluster usually means boilerplate, not true duplication).
+# Oracle replays the CC transitive closure with a recursive CTE over
+# the identical candidate SQL, then aggregates the same histogram.
+# --------------------------------------------------------------------------
+def _cluster_hist_oracle() -> str:
+    from openaq_data_pipeline_engineering_spark.plans.queries_text import (
+        _minhash_oracle,
+    )
+
+    return f"""
+    WITH RECURSIVE cand AS ({_minhash_oracle()}),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM cand
+        UNION ALL
+        SELECT doc_b AS s, doc_a AS d FROM cand
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.d, r.r FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    clusters AS (
+        SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+    ),
+    sizes AS (
+        SELECT cluster_id, count(*) AS cluster_size
+        FROM clusters GROUP BY cluster_id
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """
+
+
+@query(
+    "neardup_cluster_size_histogram",
+    "dedup audit: histogram of MinHash-LSH duplicate-cluster sizes "
+    "(CC components → size distribution)",
+    oracle=_cluster_hist_oracle(),
+)
+def neardup_cluster_size_histogram(spark, sf_dir):
+    from openaq_data_pipeline_engineering_spark.operators.cluster import (
+        dedup_clusters,
+    )
+    from openaq_data_pipeline_engineering_spark.plans.queries_text import (
+        minhash_lsh_candidates,
+    )
+
+    pairs = minhash_lsh_candidates(spark, sf_dir)
+    labels = dedup_clusters(pairs, src="doc_a", dst="doc_b")
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    ).select(
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        F.col("n_clusters").cast("bigint").alias("n_clusters"),
+        (F.col("cluster_size") * F.col("n_clusters"))
+        .cast("bigint")
+        .alias("n_docs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Weighted median (lower) of line price by return flag, weighted by
+# quantity: collapse to (flag, cents) partials first (dedup the window
+# input), then the median is the smallest cents whose running weight
+# reaches half the total — window cumsum + one aggregate, no sort of
+# raw rows, all integer.
+# --------------------------------------------------------------------------
+@query(
+    "weighted_median_price",
+    "analytics: quantity-weighted lower median of extendedprice cents "
+    "per return flag (integer cumsum cutoff)",
+    oracle="""
+    WITH partials AS (
+        SELECT l_returnflag AS flag,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(sum(l_quantity) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2
+    ), walk AS (
+        SELECT flag, cents, w,
+               sum(w) OVER (
+                   PARTITION BY flag ORDER BY cents
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum,
+               sum(w) OVER (PARTITION BY flag) AS total
+        FROM partials
+    )
+    SELECT flag, CAST(min(total) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN 2 * cum >= total THEN cents END) AS BIGINT)
+             AS median_cents
+    FROM walk GROUP BY flag
+    """,
+)
+def weighted_median_price(spark, sf_dir):
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
+    partials = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    ).agg(F.sum("l_quantity").cast("bigint").alias("w"))
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("flag")
+    walk = partials.select(
+        "flag",
+        "cents",
+        F.sum("w").over(w_cum).alias("cum"),
+        F.sum("w").over(w_all).alias("total"),
+    )
+    return walk.groupBy("flag").agg(
+        F.min("total").cast("bigint").alias("total_weight"),
+        F.min(
+            F.when(2 * F.col("cum") >= F.col("total"), F.col("cents"))
+        )
+        .cast("bigint")
+        .alias("median_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Ordered LISTAGG surface (Spark 4 WITHIN GROUP): deterministic
+# string aggregation — the report-formatting shape (denormalized
+# member lists) that previously required the collect_list+array_sort
+# workaround. Both plain and DISTINCT forms.
+# --------------------------------------------------------------------------
+@query(
+    "listagg_ordered_regions",
+    "SQL surface: LISTAGG ... WITHIN GROUP (ORDER BY) per region — "
+    "ordered + DISTINCT-ordered member lists",
+    oracle="""
+    SELECT r.r_name AS region,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           string_agg(DISTINCT substr(n.n_name, 1, 1), ''
+                      ORDER BY substr(n.n_name, 1, 1)) AS initials
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def listagg_ordered_regions(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.expr(
+                "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)"
+            ).alias("nations"),
+            F.expr(
+                "listagg(DISTINCT substr(n_name, 1, 1), '') "
+                "WITHIN GROUP (ORDER BY substr(n_name, 1, 1))"
+            ).alias("initials"),
+        )
+    )
