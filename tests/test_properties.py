@@ -486,3 +486,60 @@ def test_bloom_has_no_false_negatives(spark, keys):
     hits = bloom_probe(bloom, df.select("key").distinct(), "key")
     missed = hits.filter(~F.col("hit")).count()
     assert missed == 0
+
+
+@given(
+    items=st.lists(
+        st.tuples(
+            st.integers(0, 2),          # flag
+            st.integers(1, 50),         # cents (small domain → ties)
+            st.integers(1, 9),          # weight
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@settings(**_SETTINGS)
+def test_weighted_median_matches_bruteforce(spark, items):
+    """The (flag, cents)-partial + cumsum-cutoff weighted median equals
+    the brute-force lower weighted median on randomized inputs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(items, "flag int, cents long, w long")
+    partials = df.groupBy("flag", "cents").agg(F.sum("w").alias("w"))
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("flag")
+    walk = partials.select(
+        "flag",
+        "cents",
+        F.sum("w").over(w_cum).alias("cum"),
+        F.sum("w").over(w_all).alias("total"),
+    )
+    got = {
+        r["flag"]: r["median"]
+        for r in walk.groupBy("flag")
+        .agg(
+            F.min(
+                F.when(2 * F.col("cum") >= F.col("total"), F.col("cents"))
+            ).alias("median")
+        )
+        .collect()
+    }
+    by_flag: dict[int, list[tuple[int, int]]] = {}
+    for flag, cents, w in items:
+        by_flag.setdefault(flag, []).append((cents, w))
+    for flag, vals in by_flag.items():
+        total = sum(w for _, w in vals)
+        cum = 0
+        expect = None
+        for cents, w in sorted(vals):
+            cum += w
+            if 2 * cum >= total:
+                expect = cents
+                break
+        assert got[flag] == expect, (flag, vals)
