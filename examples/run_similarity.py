@@ -34,6 +34,14 @@ def main(sf_dir: str) -> None:
     print("-- curated corpus stats (lang+quality gates, dedup, near-dup) --")
     qs["corpus_curation"](spark, sf_dir).orderBy("source").show(5, False)
 
+    print("-- reciprocal-rank fusion of cosine + dot rankings (top-5/query) --")
+    qs["rrf_fusion_topk"](spark, sf_dir).orderBy("query_id", "fused_rank").show(
+        10, False
+    )
+
+    print("-- ANN method agreement: overlap@5 of PQ/ADC vs exact --")
+    qs["ann_methods_agreement"](spark, sf_dir).show(5, False)
+
     print("-- deterministic train/val/test split by source --")
     qs["train_test_split"](spark, sf_dir).orderBy("source", "split").show(9, False)
 
