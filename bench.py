@@ -53,6 +53,8 @@ HEADLINE: tuple[str, ...] = (
     "streaming_windowed_counts",  # structured streaming
     "asof_join_lastclick",  # as-of join
     "geo_density_clusters",  # geospatial grid
+    "rrf_fusion_topk",  # round-4: retrieval fusion
+    "priority_sample_topk",  # round-4: weighted sampling
 )
 
 
