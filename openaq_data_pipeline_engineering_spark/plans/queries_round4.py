@@ -959,3 +959,185 @@ def listagg_ordered_regions(spark, sf_dir):
             ).alias("initials"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Two-pass exact median WITHOUT a global sort — the 100 TB technique
+# for exact order statistics: pass 1 builds a coarse value histogram
+# (map-combined, |buckets| rows shuffled), locates the bucket holding
+# the k-th value; pass 2 touches only that bucket's rows. Spark's
+# percentile()/median aggregate buffers per-group values; this shape
+# keeps memory at |buckets| regardless of row count. Oracle computes
+# the same lower median directly via the cumsum cutoff.
+# --------------------------------------------------------------------------
+@query(
+    "two_pass_exact_median",
+    "scale technique: exact lower median of price cents via coarse "
+    "histogram + single-bucket refinement (no global sort)",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ), g AS (
+        SELECT cents, count(*) AS n FROM c GROUP BY cents
+    ), walk AS (
+        SELECT cents,
+               sum(n) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+                 AS cum,
+               sum(n) OVER () AS total
+        FROM g
+    )
+    SELECT CAST(min(total) AS BIGINT) AS n_rows,
+           CAST(min(CASE WHEN 2 * cum >= total + 1 THEN cents END)
+                AS BIGINT) AS median_cents
+    FROM walk
+    """,
+)
+def two_pass_exact_median(spark, sf_dir):
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
+    cents = li.select(
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents")
+    )
+    # Pass 1: 64Ki-cent coarse buckets -> locate the median bucket and
+    # the rank offset it owes (all on a |buckets|-row frame).
+    b = cents.groupBy(
+        F.expr("cents div 65536").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    walk = b.select(
+        "bucket",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(Window.partitionBy()).alias("total"),
+        "n",
+    )
+    picked = (
+        walk.filter(2 * F.col("cum") >= F.col("total") + 1)
+        .orderBy("bucket")
+        .limit(1)
+        .select(
+            "bucket",
+            (F.col("cum") - F.col("n")).alias("rank_before"),
+            "total",
+        )
+    )
+    # Pass 2: refine INSIDE the one bucket (k-th smallest within it).
+    k_in = (
+        (F.col("total") + 1) - F.lit(2) * F.col("rank_before")
+    )  # 2*cum_in >= this
+    in_bucket = (
+        cents.join(F.broadcast(picked))
+        .filter(F.expr("cents div 65536") == F.col("bucket"))
+        .groupBy("cents", "rank_before", "total")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_in = Window.partitionBy("bucket_total").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    refined = in_bucket.withColumn(
+        "bucket_total", F.col("total")
+    ).withColumn("cum_in", F.sum("n").over(w_in))
+    return refined.filter(2 * F.col("cum_in") >= k_in).groupBy().agg(
+        F.min("total").cast("bigint").alias("n_rows"),
+        F.min("cents").cast("bigint").alias("median_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# FIFO lot matching: per part, align cumulative supply intervals
+# ('N' lines, shipdate order) against cumulative demand intervals
+# ('R' lines) — each demand consumes supply lots first-in-first-out,
+# and the match table is the interval OVERLAP join of the two cumsum
+# ranges: [cum-qty, cum). The inventory/cost-allocation primitive
+# (FIFO COGS, capacity netting) that naive SQL does with per-row
+# loops; here it is two windows + one partkey-equi join (linear
+# output: a FIFO chain has ≤ |supply|+|demand| overlaps per part).
+# --------------------------------------------------------------------------
+@query(
+    "fifo_lot_matching",
+    "inventory: FIFO supply→demand lot matching via cumsum-interval "
+    "overlap join per part (integer quantities)",
+    oracle="""
+    WITH s AS (
+        SELECT l_partkey AS part, l_orderkey AS s_order,
+               l_linenumber AS s_line,
+               CAST(l_quantity AS BIGINT) AS q,
+               sum(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM lineitem
+        WHERE l_returnflag = 'N' AND l_partkey % 10 = 0
+    ), d AS (
+        SELECT l_partkey AS part, l_orderkey AS d_order,
+               l_linenumber AS d_line,
+               CAST(l_quantity AS BIGINT) AS q,
+               sum(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM lineitem
+        WHERE l_returnflag = 'R' AND l_partkey % 10 = 0
+    )
+    SELECT s.part, s.s_order, s.s_line, d.d_order, d.d_line,
+           CAST(least(s.cum, d.cum)
+                - greatest(s.cum - s.q, d.cum - d.q) AS BIGINT)
+             AS matched_qty
+    FROM s JOIN d ON s.part = d.part
+    WHERE s.cum - s.q < d.cum AND d.cum - d.q < s.cum
+    """,
+)
+def fifo_lot_matching(spark, sf_dir):
+    li = fan_out(load_table(spark, sf_dir, "lineitem")).filter(
+        F.col("l_partkey") % 10 == 0
+    )
+
+    def side(flag, order_col, line_col):
+        w = (
+            Window.partitionBy("part")
+            .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            li.filter(F.col("l_returnflag") == flag)
+            .select(
+                F.col("l_partkey").alias("part"),
+                "l_shipdate",
+                "l_orderkey",
+                "l_linenumber",
+                F.col("l_quantity").cast("bigint").alias("q"),
+            )
+            .withColumn("cum", F.sum("q").over(w))
+            .select(
+                "part",
+                F.col("l_orderkey").alias(order_col),
+                F.col("l_linenumber").alias(line_col),
+                F.col("q").alias(f"{order_col}_q"),
+                F.col("cum").alias(f"{order_col}_cum"),
+            )
+        )
+
+    s = side("N", "s_order", "s_line")
+    d = side("R", "d_order", "d_line")
+    lo_s = F.col("s_order_cum") - F.col("s_order_q")
+    lo_d = F.col("d_order_cum") - F.col("d_order_q")
+    return (
+        s.join(d, on="part")
+        .filter((lo_s < F.col("d_order_cum")) & (lo_d < F.col("s_order_cum")))
+        .select(
+            "part",
+            "s_order",
+            "s_line",
+            "d_order",
+            "d_line",
+            (
+                F.least(F.col("s_order_cum"), F.col("d_order_cum"))
+                - F.greatest(lo_s, lo_d)
+            )
+            .cast("bigint")
+            .alias("matched_qty"),
+        )
+    )

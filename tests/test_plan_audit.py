@@ -70,6 +70,9 @@ NLJ_ALLOWED = {
     # RRF fusion: 5 query vectors broadcast, `!=` is the only condition
     # (same shape as quantized_ann_topk).
     "rrf_fusion_topk",
+    # two-pass median: the 1-row picked-bucket descriptor broadcast
+    # onto the cents scan (pass-2 restriction).
+    "two_pass_exact_median",
 }
 
 # Streaming plans can't be built with a batch explain.
