@@ -1141,3 +1141,138 @@ def fifo_lot_matching(spark, sf_dir):
             .alias("matched_qty"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exact distinct counting via mergeable bitmaps: per (type, day) build
+# user-id bitmaps (32 ids per BIGINT word, bit_or partial agg), then
+# OR-merge the day bitmaps per type and popcount. This is the exact
+# MERGEABLE distinct — the scale alternative when count_distinct's
+# re-shuffle of raw ids is too expensive and HLL's error is not
+# acceptable: daily bitmap partials are tiny, re-aggregations (day →
+# month → total) never touch the fact again. The declared result
+# asserts bitmap-merge distinct == plain count(DISTINCT).
+# Shifts stay in [0,32) so every word is positive in both engines
+# (DuckDB range-checks 1<<63).
+# --------------------------------------------------------------------------
+@query(
+    "bitmap_exact_distinct",
+    "scale technique: mergeable exact distinct users per type "
+    "(bit_or word bitmaps, popcount merge) == COUNT(DISTINCT)",
+    oracle="""
+    WITH words AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               user_id // 32 AS widx,
+               bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS word
+        FROM events GROUP BY 1, 2, 3
+    ), merged AS (
+        SELECT event_type, widx, bit_or(word) AS word
+        FROM words GROUP BY 1, 2
+    )
+    SELECT m.event_type,
+           CAST(sum(bit_count(m.word)) AS BIGINT) AS bitmap_distinct,
+           CAST(min(x.exact) AS BIGINT) AS exact_distinct
+    FROM merged m
+    JOIN (
+        SELECT event_type, count(DISTINCT user_id) AS exact
+        FROM events GROUP BY 1
+    ) x ON x.event_type = m.event_type
+    GROUP BY m.event_type
+    """,
+)
+def bitmap_exact_distinct(spark, sf_dir):
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    words = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        F.expr("user_id div 32").alias("widx"),
+    ).agg(
+        F.bit_or(
+            # F.shiftleft only takes a literal bit count; the per-row
+            # shift needs the SQL form.
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
+            )
+        ).alias("word")
+    )
+    merged = words.groupBy("event_type", "widx").agg(
+        F.bit_or("word").alias("word")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact")
+    )
+    return (
+        merged.groupBy("event_type")
+        .agg(F.sum(F.bit_count("word")).alias("bitmap_distinct"))
+        .join(F.broadcast(exact), on="event_type")
+        .select(
+            "event_type",
+            F.col("bitmap_distinct").cast("bigint").alias("bitmap_distinct"),
+            F.col("exact").cast("bigint").alias("exact_distinct"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit screen on order totals: observed leading-digit
+# distribution (ppm) next to the Benford expectation (ppm, a fixed
+# 9-row literal) — the classic bulk-data fraud/corruption smell test.
+# Leading digit from the STRING form (no float logs); all integers.
+# --------------------------------------------------------------------------
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910,
+    5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def _benford_values_sql() -> str:
+    return ", ".join(f"({d}, {p})" for d, p in sorted(_BENFORD_PPM.items()))
+
+
+@query(
+    "benford_first_digit",
+    "data QA: first-significant-digit distribution of order totals "
+    "(ppm) vs Benford expectation (fixed integer table)",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders
+    ), obs AS (
+        SELECT digit, count(*) AS n FROM digits GROUP BY digit
+    )
+    SELECT b.digit, CAST(coalesce(o.n, 0) AS BIGINT) AS n,
+           CAST(coalesce(o.n, 0) * 1000000
+                // sum(coalesce(o.n, 0)) OVER () AS BIGINT)
+             AS observed_ppm,
+           CAST(b.ppm AS BIGINT) AS benford_ppm
+    FROM (VALUES {_benford_values_sql()}) b(digit, ppm)
+    LEFT JOIN obs o ON o.digit = b.digit
+    """,
+)
+def benford_first_digit(spark, sf_dir):
+    o = fan_out(load_table(spark, sf_dir, "orders"))
+    digits = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    bench = spark.createDataFrame(
+        sorted(_BENFORD_PPM.items()), "digit long, ppm long"
+    )
+    joined = bench.join(obs, on="digit", how="left").select(
+        "digit", F.coalesce(F.col("n"), F.lit(0)).alias("n"), "ppm"
+    )
+    return joined.select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            "CAST((n * 1000000) div sum(n) OVER () AS BIGINT)"
+        ).alias("observed_ppm"),
+        F.col("ppm").cast("bigint").alias("benford_ppm"),
+    )
