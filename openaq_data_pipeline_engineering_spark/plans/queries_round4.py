@@ -1,5 +1,10 @@
-"""Round-4 declared queries: retrieval fusion, drift detection, CSV
-format roundtrip, sketch-accuracy readout, and nucleus sampling stats.
+"""Round-4 declared queries (18): retrieval fusion (RRF), CUSUM drift
+detection, CSV roundtrip witness, MinHash sketch-accuracy QA, nucleus
+sampling stats, priority sampling, audience overlap, Gini lexical
+diversity, group-wise OLS, shard balance, tokenizer fertility, dedup
+cluster histogram, weighted median, ordered LISTAGG, two-pass exact
+median, FIFO lot matching, mergeable exact-distinct bitmaps, and a
+Benford first-digit screen.
 
 Registered LAST in registry._load_all so these new names sort after the
 existing never-driver-sampled backlog (they carry local differential
