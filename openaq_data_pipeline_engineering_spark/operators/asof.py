@@ -45,6 +45,7 @@ def asof_join(
     tiebreaker: str,
     suffix: str = "_asof",
     direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """For each probe row, attach the nearest ``quotes`` row with the
     same ``on`` keys in the given time ``direction``.
@@ -55,6 +56,9 @@ def asof_join(
     value_cols: quote columns to carry onto the probe (renamed +suffix).
     tiebreaker: quote column ordering equal-timestamp quotes (max wins).
     direction:  'backward' (<=), 'forward' (>), or 'nearest'.
+    tolerance_us: max |probe_ts - quote_ts| in microseconds (pandas
+                merge_asof ``tolerance``); matches farther than this
+                come back NULL. None = unbounded.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown asof direction: {direction!r}")
@@ -124,6 +128,15 @@ def asof_join(
             .when(delta_b <= delta_f, b)  # ties prefer backward
             .otherwise(f)
         )
+    if tolerance_us is not None:
+        # Tolerance gate AFTER direction choice: the nearest-side pick is
+        # unchanged, but a pick farther than the window comes back NULL
+        # (pandas merge_asof semantics).
+        delta = F.abs(
+            F.unix_micros(F.col(ts_col))
+            - F.unix_micros(chosen.getField("__qts"))
+        )
+        chosen = F.when(delta <= F.lit(int(tolerance_us)), chosen)
     out = carried.filter(F.col("__side") == 1).select(
         *on,
         ts_col,

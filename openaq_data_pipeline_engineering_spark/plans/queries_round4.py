@@ -1281,3 +1281,51 @@ def benford_first_digit(spark, sf_dir):
         ).alias("observed_ppm"),
         F.col("ppm").cast("bigint").alias("benford_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# As-of join with a tolerance window (pandas merge_asof parity): the
+# last click at-or-before each error, but only if it happened within
+# the last hour — staler matches come back NULL. Same union+window
+# plan as the unbounded as-of (no pair explosion); the tolerance is a
+# post-choice filter on the struct-carried quote timestamp.
+# --------------------------------------------------------------------------
+@query(
+    "asof_join_tolerance",
+    "as-of join with 1h tolerance: latest click at-or-before each "
+    "error, NULL when staler than an hour (merge_asof semantics)",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, ts, value, event_id FROM events
+        WHERE event_type = 'click'
+    ), e AS (
+        SELECT user_id, ts, event_id, value FROM events
+        WHERE event_type = 'error'
+    )
+    SELECT e.user_id, e.ts, e.event_id, e.value,
+           (SELECT c.value FROM c
+            WHERE c.user_id = e.user_id AND c.ts <= e.ts
+              AND epoch_us(e.ts) - epoch_us(c.ts) <= 3600000000
+            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS value_asof
+    FROM e
+    """,
+)
+def asof_join_tolerance(spark, sf_dir):
+    from openaq_data_pipeline_engineering_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(
+        probes=errors,
+        quotes=clicks,
+        on=["user_id"],
+        ts_col="ts",
+        value_cols=["value"],
+        tiebreaker="event_id",
+        tolerance_us=3_600_000_000,
+    )

@@ -543,3 +543,46 @@ def test_weighted_median_matches_bruteforce(spark, items):
                 expect = cents
                 break
         assert got[flag] == expect, (flag, vals)
+
+
+@given(
+    quotes=st.lists(
+        st.tuples(st.integers(1, 3), _ts_strategy, st.floats(0, 100, allow_nan=False)),
+        min_size=0,
+        max_size=12,
+    ),
+    probes=st.lists(
+        st.tuples(st.integers(1, 3), _ts_strategy),
+        min_size=1,
+        max_size=12,
+    ),
+    tol_hours=st.integers(0, 6),
+)
+@settings(**_SETTINGS)
+def test_asof_tolerance_matches_bruteforce(spark, quotes, probes, tol_hours):
+    """tolerance_us nulls matches farther than the window (pandas
+    merge_asof semantics), leaving in-window picks identical to the
+    unbounded backward as-of."""
+    qrows = [(k, _t(h), float(v), i) for i, (k, h, v) in enumerate(quotes)]
+    prows = [(k, _t(h), 1000 + i) for i, (k, h) in enumerate(probes)]
+    qdf = spark.createDataFrame(
+        qrows or [(0, _t(0), 0.0, -1)],
+        "user_id int, ts timestamp, value double, event_id int",
+    )
+    if not qrows:
+        qdf = qdf.filter("event_id >= 0")
+    pdf = spark.createDataFrame(prows, "user_id int, ts timestamp, event_id int")
+    tol_us = tol_hours * 3_600_000_000
+    out = asof_join(
+        pdf, qdf, on=["user_id"], ts_col="ts", value_cols=["value"],
+        tiebreaker="event_id", tolerance_us=tol_us,
+    )
+    got = {r["event_id"]: r["value_asof"] for r in out.collect()}
+    for k, h, pid in prows:
+        cands = [
+            (qh, v, i)
+            for (qk, qh, v, i) in [(a, _t(b), c, j) for j, (a, b, c) in enumerate(quotes)]
+            if qk == k and qh <= h and (h - qh).total_seconds() * 1e6 <= tol_us
+        ]
+        expect = max(cands, key=lambda t: (t[0], t[2]))[1] if cands else None
+        assert got[pid] == expect, (pid, cands)
