@@ -1329,3 +1329,77 @@ def asof_join_tolerance(spark, sf_dir):
         tiebreaker="event_id",
         tolerance_us=3_600_000_000,
     )
+
+
+# --------------------------------------------------------------------------
+# DECLARED witness for the custom-stateful streaming path
+# (applyInPandasWithState): per-type running (count, sum) accumulated
+# across THREE forced micro-batches (3 drop files, maxFilesPerTrigger=1)
+# in update mode. The read-back takes the max-n emission per key — it
+# equals the batch aggregate ONLY if GroupState carried across batches
+# (a state reset would cap each emission at one slice's count). Sums are
+# integer cents inside a double (exact ≤ 2^53). This makes the arbitrary
+# -state operator oracle-checked, not just pytest-exercised.
+# --------------------------------------------------------------------------
+@query(
+    "streaming_stateful_running_counts",
+    "streaming: applyInPandasWithState running count/sum across 3 "
+    "forced micro-batches == batch aggregate (state-carry witness)",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE)
+             AS total_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_stateful_running_counts(spark, sf_dir):
+    import os
+
+    from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
+    from openaq_data_pipeline_engineering_spark.streaming.ingest import (
+        scoped_shuffle_partitions,
+    )
+    from openaq_data_pipeline_engineering_spark.streaming.stateful import (
+        running_stats,
+    )
+
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("double").alias("cents"),
+    )
+    drop = tempfile.mkdtemp(prefix="openaq_stateful_drop_")
+    for i in range(3):
+        (
+            ev.filter(F.col("event_id") % 3 == i)
+            .select("event_type", "cents")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(drop, f"slice_{i}"))
+        )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("event_type string, cents double")
+        .option("recursiveFileLookup", True)
+        .option("maxFilesPerTrigger", 1)
+        .load(drop)
+    )
+    stats = running_stats(stream, key_col="event_type", value_col="cents")
+    checkpoint = tempfile.mkdtemp(prefix="openaq_stateful_ckpt_")
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            stats.writeStream.format("memory")
+            .queryName("stateful_running_result")
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.sql(
+        "SELECT key AS event_type, CAST(max(n) AS BIGINT) AS n, "
+        "max_by(sum, n) AS total_cents "
+        "FROM stateful_running_result GROUP BY key"
+    )
