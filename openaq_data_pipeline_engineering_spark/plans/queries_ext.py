@@ -8,7 +8,7 @@ embedding-cosine near-dup are here.
 
 from __future__ import annotations
 
-import tempfile
+from openaq_data_pipeline_engineering_spark.scratch import fresh_scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -233,7 +233,7 @@ def streaming_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # or nanos-as-long); transform normalizes to TimestampType.
     schema, to_event_time = events_stream_spec(spark, sf_dir)
 
-    checkpoint = tempfile.mkdtemp(prefix="openaq_stream_ckpt_")
+    checkpoint = fresh_scratch_dir("stream_ckpt")
     deduped, starter = incremental_ingest(
         spark,
         source_dir=sf_dir,
@@ -362,7 +362,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = windowed_counts(stream, "ts", "1 hour", watermark="2 hours",
                           group_cols=["event_type"])
-    checkpoint = tempfile.mkdtemp(prefix="openaq_streamwin_ckpt_")
+    checkpoint = fresh_scratch_dir("streamwin_ckpt")
     with scoped_shuffle_partitions(spark, 8):
         q = (
             agg.writeStream.format("memory")
@@ -431,7 +431,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, "ts", "1 hour", watermark="2 hours",
         group_cols=["event_type"], slide="30 minutes",
     )
-    checkpoint = tempfile.mkdtemp(prefix="openaq_streamslide_ckpt_")
+    checkpoint = fresh_scratch_dir("streamslide_ckpt")
     with scoped_shuffle_partitions(spark, 8):
         q = (
             agg.writeStream.format("memory")
@@ -518,7 +518,7 @@ def streaming_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("click_user").alias("user_id"),
         (F.col("purchase_us") - F.col("click_us")).alias("delay_us"),
     )
-    checkpoint = tempfile.mkdtemp(prefix="openaq_streamjoin_ckpt_")
+    checkpoint = fresh_scratch_dir("streamjoin_ckpt")
     # A stream-stream join maintains 4 state stores PER partition; size
     # partitioning to join-state volume (see scoped_shuffle_partitions:
     # 32 partitions measured ~5× slower than 8 on the same input).
@@ -598,7 +598,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", "4 hours"), F.col("user_id"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    checkpoint = tempfile.mkdtemp(prefix="openaq_streamsess_ckpt_")
+    checkpoint = fresh_scratch_dir("streamsess_ckpt")
     with scoped_shuffle_partitions(spark, 8):
         q = (
             sessions.writeStream.format("memory")
@@ -669,7 +669,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    checkpoint = tempfile.mkdtemp(prefix="openaq_streamenrich_ckpt_")
+    checkpoint = fresh_scratch_dir("streamenrich_ckpt")
     with scoped_shuffle_partitions(spark, 8):
         q = (
             rollup.writeStream.format("memory")
@@ -929,7 +929,7 @@ def streaming_topk_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(sf_dir)
     )
     agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    checkpoint = tempfile.mkdtemp(prefix="openaq_streamtopk_ckpt_")
+    checkpoint = fresh_scratch_dir("streamtopk_ckpt")
     with scoped_shuffle_partitions(spark, 8):
         q = (
             agg.writeStream.format("memory")
@@ -1163,7 +1163,7 @@ def streaming_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_ts",
         F.col("purchase_id").isNotNull().alias("matched"),
     )
-    checkpoint = tempfile.mkdtemp(prefix="openaq_streamouter_ckpt_")
+    checkpoint = fresh_scratch_dir("streamouter_ckpt")
     with scoped_shuffle_partitions(spark, 8):
         q = (
             joined.writeStream.format("memory")
@@ -1224,7 +1224,7 @@ def streaming_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(sf_dir)
     )
     agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    checkpoint = tempfile.mkdtemp(prefix="openaq_streamupd_ckpt_")
+    checkpoint = fresh_scratch_dir("streamupd_ckpt")
     with scoped_shuffle_partitions(spark, 8):
         q = (
             agg.writeStream.format("memory")

@@ -21,7 +21,7 @@ write→read-back→aggregate shape as queries_sinks.py, different format).
 
 from __future__ import annotations
 
-import tempfile
+from openaq_data_pipeline_engineering_spark.scratch import fresh_scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -136,8 +136,10 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # CUSUM change-point detection on daily event volumes. The sequential
-# recurrence max(0, S_{t-1} + dev_t) reduces to S_t - min(S_0..S_t)
-# (cumulative sum minus running minimum) — BOTH plain window functions,
+# recurrence max(0, S_{t-1} + dev_t) reduces to C_t - min(0, C_0..C_t)
+# (cumulative sum minus the running minimum CLAMPED AT ZERO — the
+# virtual S_0 = 0 start; without the clamp, a series whose first
+# deviations are positive underreports) — BOTH plain window functions,
 # so the "inherently sequential" detector runs as two codegen'd window
 # passes instead of a per-key loop. Deviations are integer-scaled
 # (n*D - total avoids the float mean), so the statistic is exact.
@@ -165,10 +167,10 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM daily d JOIN stats s USING (event_type)
     ), drawup AS (
         SELECT event_type, d, n_days,
-               CAST(s_t - min(s_t) OVER (
+               CAST(s_t - least(0, min(s_t) OVER (
                    PARTITION BY event_type ORDER BY d
                    ROWS UNBOUNDED PRECEDING
-               ) AS BIGINT) AS drawup
+               )) AS BIGINT) AS drawup
         FROM walk
     )
     SELECT event_type, d AS change_day, drawup, n_days
@@ -197,7 +199,10 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_t", F.sum(F.col("n") * F.col("n_days") - F.col("total")).over(w_cum)
     )
     drawup = walk.withColumn(
-        "drawup", (F.col("s_t") - F.min("s_t").over(w_cum)).cast("bigint")
+        "drawup",
+        (
+            F.col("s_t") - F.least(F.lit(0), F.min("s_t").over(w_cum))
+        ).cast("bigint"),
     )
     w_pick = Window.partitionBy("event_type").orderBy(F.desc("drawup"), "d")
     return (
@@ -236,7 +241,7 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    out = fresh_scratch_dir("csv_roundtrip")
     ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     (
         ev.select(
@@ -993,7 +998,7 @@ def listagg_ordered_regions(spark, sf_dir):
         FROM g
     )
     SELECT CAST(min(total) AS BIGINT) AS n_rows,
-           CAST(min(CASE WHEN 2 * cum >= total + 1 THEN cents END)
+           CAST(min(CASE WHEN 2 * cum >= total THEN cents END)
                 AS BIGINT) AS median_cents
     FROM walk
     """,
@@ -1018,7 +1023,7 @@ def two_pass_exact_median(spark, sf_dir):
         "n",
     )
     picked = (
-        walk.filter(2 * F.col("cum") >= F.col("total") + 1)
+        walk.filter(2 * F.col("cum") >= F.col("total"))
         .orderBy("bucket")
         .limit(1)
         .select(
@@ -1027,10 +1032,9 @@ def two_pass_exact_median(spark, sf_dir):
             "total",
         )
     )
-    # Pass 2: refine INSIDE the one bucket (k-th smallest within it).
-    k_in = (
-        (F.col("total") + 1) - F.lit(2) * F.col("rank_before")
-    )  # 2*cum_in >= this
+    # Pass 2: refine INSIDE the one bucket. Lower-median rank is
+    # ceil(total/2): 2*(rank_before + cum_in) >= total.
+    k_in = F.col("total") - F.lit(2) * F.col("rank_before")
     in_bucket = (
         cents.join(F.broadcast(picked))
         .filter(F.expr("cents div 65536") == F.col("bucket"))
@@ -1370,7 +1374,7 @@ def streaming_stateful_running_counts(spark, sf_dir):
         "event_type",
         F.floor(F.col("value") * 100).cast("double").alias("cents"),
     )
-    drop = tempfile.mkdtemp(prefix="openaq_stateful_drop_")
+    drop = fresh_scratch_dir("stateful_drop")
     for i in range(3):
         (
             ev.filter(F.col("event_id") % 3 == i)
@@ -1387,7 +1391,7 @@ def streaming_stateful_running_counts(spark, sf_dir):
         .load(drop)
     )
     stats = running_stats(stream, key_col="event_type", value_col="cents")
-    checkpoint = tempfile.mkdtemp(prefix="openaq_stateful_ckpt_")
+    checkpoint = fresh_scratch_dir("stateful_ckpt")
     with scoped_shuffle_partitions(spark, 8):
         q = (
             stats.writeStream.format("memory")

@@ -30,10 +30,11 @@ Coverage map:
                           the result set, so the metrics themselves are
                           value-hash-checked
 
-Scratch dirs are ``tempfile.mkdtemp`` per invocation (the established
-pattern of the streaming declared queries) so repeated runs never
-collide; data volumes are one mart / one dimension slice, so the write
-cost is bounded at any SF the harness runs.
+Scratch dirs come from ``scratch.fresh_scratch_dir`` — deterministic
+per-process paths wiped on every invocation, so repeated runs overwrite
+in place instead of accumulating temp copies; data volumes are one
+mart / one dimension slice, so the write cost is bounded at any SF the
+harness runs.
 
 Float policy per plans/registry.py: aggregates are BIGINT counts/sums,
 DECIMAL-grid money sums, or dates — nothing hash-fragile.
@@ -42,7 +43,8 @@ DECIMAL-grid money sums, or dates — nothing hash-fragile.
 from __future__ import annotations
 
 import os
-import tempfile
+
+from openaq_data_pipeline_engineering_spark.scratch import fresh_scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -119,7 +121,7 @@ _MART_AGG_ORACLE = """
 )
 def sink_roundtrip_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = _wide_mart(spark, sf_dir)
-    out = os.path.join(tempfile.mkdtemp(prefix="openaq_sink_mart_"), "mart")
+    out = os.path.join(fresh_scratch_dir("sink_mart"), "mart")
     write_mart(wide, out)
     # Cold read-back: pinned schema keeps the Hive partition values as
     # the writer's zero-padded strings (inference would coerce '01'→1).
@@ -151,7 +153,7 @@ def sink_roundtrip_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sink_roundtrip_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    root = tempfile.mkdtemp(prefix="openaq_sink_ndjson_")
+    root = fresh_scratch_dir("sink_ndjson")
     # two drops in nested dirs — the aq_raw/YYYY/MM/DD layout shape
     write_ndjson(o.filter(F.col("o_orderkey") % 2 == 0), f"{root}/d1/h1")
     write_ndjson(o.filter(F.col("o_orderkey") % 2 == 1), f"{root}/d2/h2")
@@ -187,7 +189,7 @@ def sink_roundtrip_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "purchase"
     )
     sel = ev.select("event_id", "user_id", "value")
-    root = tempfile.mkdtemp(prefix="openaq_sink_archive_")
+    root = fresh_scratch_dir("sink_archive")
     write_wrapped_archive(sel, root, meta={"source": "archive-v1"})
     schema = T.StructType(
         [
@@ -237,7 +239,7 @@ def sink_roundtrip_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sink_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = _wide_mart(spark, sf_dir)
-    out = os.path.join(tempfile.mkdtemp(prefix="openaq_sink_cat_"), "mart")
+    out = os.path.join(fresh_scratch_dir("sink_cat"), "mart")
     write_mart(wide, out)
     register_partitioned_table(
         spark,

@@ -17,14 +17,18 @@ _load_all()
 
 
 class TestCusum:
-    def test_detects_planted_level_shift(self, spark):
-        # 30 days at 10 events/day, then 30 days at 50/day: the CUSUM
-        # drawup must peak at (or after) the shift day, and the mechanism
-        # (cumsum - running min) must equal the clamped recurrence.
+    def _planted(self, spark, low_first: bool):
+        # Two shapes: low→high (deviations start NEGATIVE — running min
+        # moves below 0) and high→low (deviations start POSITIVE — the
+        # running min of s_t never goes below 0, so only the
+        # least(0, min) clamp reproduces max(0, S+dev) on early days).
         rows = []
         eid = 0
         for day in range(60):
-            n = 10 if day < 30 else 50
+            if low_first:
+                n = 10 if day < 30 else 50
+            else:
+                n = 50 if day < 30 else 10
             for _ in range(n):
                 rows.append((eid, f"2024-01-{1:02d}", day, "probe"))
                 eid += 1
@@ -55,28 +59,32 @@ class TestCusum:
             "s_t",
             F.sum(F.col("n") * F.col("n_days") - F.col("total")).over(w),
         )
-        top = (
-            walk.withColumn(
-                "drawup", F.col("s_t") - F.min("s_t").over(w)
-            )
-            .orderBy(F.desc("drawup"), "d")
-            .first()
-        )
-        # The drawup-maximizing day is the last day (monotone rise after
-        # the shift); the running-min day is the shift boundary.
-        last_day = daily.agg(F.max("d")).first()[0]
+        zero_clamped_min = F.least(F.lit(0), F.min("s_t").over(w))
+        return walk.withColumn("drawup", F.col("s_t") - zero_clamped_min)
+
+    def test_detects_planted_level_shift(self, spark):
+        # 30 days at 10 events/day, then 30 at 50/day: the CUSUM drawup
+        # must peak at the last day (monotone rise after the shift).
+        walk = self._planted(spark, low_first=True)
+        top = walk.orderBy(F.desc("drawup"), "d").first()
+        last_day = walk.agg(F.max("d")).first()[0]
         assert top["d"] == last_day and top["drawup"] > 0
-        # Clamped-recurrence equivalence on the same series:
-        pdf = (
-            walk.withColumn("drawup", F.col("s_t") - F.min("s_t").over(w))
-            .orderBy("d")
-            .toPandas()
-        )
-        clamped = 0
-        for _, r in pdf.iterrows():
-            dev = r["n"] * r["n_days"] - r["total"]
-            clamped = max(0, clamped + dev)
-            assert clamped == r["drawup"], str(r["d"])
+
+    def test_clamped_recurrence_equivalence_both_shapes(self, spark):
+        # C_t - min(0, min C_k) == the sequential max(0, S+dev) walk, on
+        # BOTH planted shapes — the high→low shape (positive first
+        # deviations) fails without the virtual-0 in the running min.
+        for low_first in (True, False):
+            pdf = (
+                self._planted(spark, low_first=low_first)
+                .orderBy("d")
+                .toPandas()
+            )
+            clamped = 0
+            for _, r in pdf.iterrows():
+                dev = r["n"] * r["n_days"] - r["total"]
+                clamped = max(0, clamped + dev)
+                assert clamped == r["drawup"], f"{low_first} {r['d']}"
 
 
 class TestPrioritySample:
