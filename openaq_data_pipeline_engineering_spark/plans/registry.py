@@ -74,10 +74,11 @@ def _load_all() -> None:
     from openaq_data_pipeline_engineering_spark.plans import queries_sql4  # noqa: F401
     from openaq_data_pipeline_engineering_spark.plans import queries_geo  # noqa: F401
     from openaq_data_pipeline_engineering_spark.plans import queries_index  # noqa: F401
-    # Round-4 additions import LAST: their fresh (no-green-row) names
+    # Newest rounds import LAST: their fresh (no-green-row) names
     # must sort after the existing never-driver-sampled backlog so the
     # driver's 50-query prefix drains the backlog first.
     from openaq_data_pipeline_engineering_spark.plans import queries_round4  # noqa: F401
+    from openaq_data_pipeline_engineering_spark.plans import queries_round5  # noqa: F401
 
 
 def _latest_correctness() -> dict:
