@@ -2,7 +2,15 @@ from __future__ import annotations
 
 import pytest
 
-from openaq_data_pipeline_engineering_spark.engine import get_spark
+# Must run at import time — BEFORE any SparkSession starts — so the
+# PYTHONPATH export reaches the JVM environment and, through it, the
+# Python worker processes (transformWithStateInPandas imports
+# google.protobuf inside workers). No-op where protobuf is installed.
+from openaq_data_pipeline_engineering_spark.streaming.pbvendor import ensure_protobuf
+
+ensure_protobuf()
+
+from openaq_data_pipeline_engineering_spark.engine import get_spark  # noqa: E402
 
 
 @pytest.fixture(scope="session")

@@ -110,26 +110,6 @@ def test_stateful_sessionizer_emits_closed_sessions(spark, tmp_path):
     assert rows[0]["end_us"] - rows[0]["start_us"] == 600 * 1_000_000
 
 
-def _has_protobuf() -> bool:
-    # transformWithStateInPandas speaks protobuf to the JVM; the
-    # container lacks google.protobuf (and installs are off-limits),
-    # so the v2 path can only run where a full pyspark env exists.
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
-import pytest as _pytest
-
-
-@_pytest.mark.skipif(
-    not _has_protobuf(),
-    reason="transformWithStateInPandas requires google.protobuf "
-    "(absent in this container; no installs)",
-)
 def test_transform_with_state_v2_accumulates_and_restarts(spark, tmp_path):
     """Spark 4 arbitrary-state v2 (transformWithStateInPandas, typed
     ValueState, RocksDB provider): totals accumulate across
