@@ -29,12 +29,43 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 def _manifest_path(root: str) -> str:
     return os.path.join(root, "_VERSIONS.json")
+
+
+@contextmanager
+def _manifest_lock(root: str):
+    """Exclusive lock serializing manifest read-modify-write sections.
+
+    ``flock`` on a sidecar lockfile: blocks across processes AND across
+    separate file descriptors within one process (so threaded writers
+    serialize too). On an object store the equivalent is a conditional
+    PUT (If-Match on the manifest ETag) with retry — the lock scope here
+    is the commit only, never the data write, so holding it is O(one
+    small file rewrite)."""
+    import fcntl
+
+    fd = os.open(
+        os.path.join(root, "_VERSIONS.lock"), os.O_CREAT | os.O_RDWR, 0o644
+    )
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
+def _write_manifest(root: str, versions: list[int]) -> None:
+    fd, tmp = tempfile.mkstemp(dir=root, prefix="_VERSIONS.", suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"versions": sorted(versions)}, f)
+    os.replace(tmp, _manifest_path(root))
 
 
 def _read_manifest(root: str) -> list[int]:
@@ -62,31 +93,71 @@ def _existing_version_dirs(root: str) -> list[int]:
     return sorted(out)
 
 
-def write_snapshot(df: DataFrame, root: str) -> int:
+def write_snapshot(df: DataFrame, root: str, _max_retries: int = 16) -> int:
     """Commit ``df`` as the next version; returns the version number.
 
-    Data is written fully before the manifest references it (rename of
-    a same-directory temp file — atomic on POSIX; on object stores the
-    equivalent is a conditional PUT of the manifest key).
+    Data is written fully before the manifest references it; the
+    manifest advances by an atomic same-directory rename (POSIX; on
+    object stores the equivalent is a conditional PUT of the manifest
+    key).
 
-    The next version is ``max(manifest versions, on-disk v=* dirs)+1``:
-    an orphaned uncommitted directory left by a crashed writer is
-    skipped, not reused, so the write path can never wedge on it (the
-    orphan stays invisible — it is never added to the manifest — and is
-    reclaimed by :func:`vacuum_snapshots`).
+    Concurrency protocol (two writers racing the same root, or a
+    crashed writer's leftovers):
+
+    1. *Allocation*: next version = ``max(manifest, on-disk v=*)+1`` —
+       an orphaned uncommitted directory left by a crashed writer is
+       skipped, not reused (it stays invisible until
+       :func:`vacuum_snapshots` reclaims it). The ``errorifexists``
+       parquet write is the allocation claim: if a concurrent writer
+       created the same ``v=N`` first, this writer RETRIES at the new
+       max instead of failing or clobbering.
+    2. *Commit*: under :func:`_manifest_lock`, RE-READ the manifest and
+       append. The re-read is what makes commits linear: a writer that
+       allocated before another writer's commit would otherwise publish
+       a manifest missing that commit (lost update).
     """
-    os.makedirs(root, exist_ok=True)
-    versions = _read_manifest(root)
-    on_disk = _existing_version_dirs(root)
-    version = max(versions + on_disk, default=0) + 1
-    df.write.mode("errorifexists").parquet(
-        os.path.join(root, f"v={version}")
-    )
-    fd, tmp = tempfile.mkstemp(dir=root, prefix="_VERSIONS.", suffix=".tmp")
-    with os.fdopen(fd, "w") as f:
-        json.dump({"versions": versions + [version]}, f)
-    os.replace(tmp, _manifest_path(root))
+    version = _allocate_and_write(df, root, _max_retries)
+    _commit_version(root, version)
     return version
+
+
+def _allocate_and_write(df: DataFrame, root: str, max_retries: int = 16) -> int:
+    """Phase 1 of the commit protocol: claim the next ``v=<N>`` dir and
+    write the data into it. The directory is invisible to readers until
+    :func:`_commit_version` publishes it.
+
+    The claim is ``os.mkdir`` — ATOMIC under concurrency, unlike
+    Spark's ``errorifexists`` (a check-then-write: two simultaneous
+    writers both pass the check, then collide in the output
+    committer). Exactly one contender wins each candidate number;
+    losers retry at the new max. On an object store the equivalent
+    claim is a conditional PUT of a ``v=<N>/_CLAIM`` key."""
+    os.makedirs(root, exist_ok=True)
+    for _ in range(max_retries):
+        candidate = (
+            max(_read_manifest(root) + _existing_version_dirs(root), default=0)
+            + 1
+        )
+        path = os.path.join(root, f"v={candidate}")
+        try:
+            os.mkdir(path)
+        except FileExistsError:  # claimed by a concurrent writer
+            continue
+        # Overwrite is safe: this writer owns the claimed (empty) dir.
+        df.write.mode("overwrite").parquet(path)
+        return candidate
+    raise RuntimeError(
+        f"could not allocate a version under {root} after "
+        f"{max_retries} attempts"
+    )
+
+
+def _commit_version(root: str, version: int) -> None:
+    """Phase 2: publish ``version`` in the manifest (locked re-read)."""
+    with _manifest_lock(root):
+        versions = _read_manifest(root)
+        if version not in versions:
+            _write_manifest(root, versions + [version])
 
 
 def read_snapshot(
@@ -131,7 +202,8 @@ def vacuum_snapshots(
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
-    versions = _read_manifest(root)
+    if not os.path.isdir(root):
+        return []
     now = time.time()
 
     def _old_enough(v: int) -> bool:
@@ -143,22 +215,22 @@ def vacuum_snapshots(
             return True
         return age >= min_age_seconds
 
-    drop = [v for v in versions[:-keep_last] if _old_enough(v)]
-    keep = [v for v in versions if v not in drop]
-    orphans = [
-        v
-        for v in _existing_version_dirs(root)
-        if v not in versions and _old_enough(v)
-    ]
-    if not drop and not orphans:
-        return []
-    if drop:
-        fd, tmp = tempfile.mkstemp(
-            dir=root, prefix="_VERSIONS.", suffix=".tmp"
-        )
-        with os.fdopen(fd, "w") as f:
-            json.dump({"versions": keep}, f)
-        os.replace(tmp, _manifest_path(root))
+    # The manifest rewrite shares the writer's commit lock so a vacuum
+    # interleaved with a concurrent write_snapshot can't drop its
+    # freshly-appended version from the manifest.
+    with _manifest_lock(root):
+        versions = _read_manifest(root)
+        drop = [v for v in versions[:-keep_last] if _old_enough(v)]
+        keep = [v for v in versions if v not in drop]
+        orphans = [
+            v
+            for v in _existing_version_dirs(root)
+            if v not in versions and _old_enough(v)
+        ]
+        if not drop and not orphans:
+            return []
+        if drop:
+            _write_manifest(root, keep)
     for v in drop + orphans:
         shutil.rmtree(os.path.join(root, f"v={v}"), ignore_errors=True)
     return drop

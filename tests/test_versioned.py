@@ -81,6 +81,89 @@ class TestVersionedSnapshots:
         assert not os.path.isdir(os.path.join(root, "v=9"))
 
 
+class TestConcurrentWriters:
+    def test_interleaved_writers_commit_linear_history(self, spark, tmp_path):
+        """The lost-update interleaving: A allocates, B allocates+commits,
+        then A commits. A's commit must RE-READ the manifest (it holds a
+        stale snapshot from before B's commit) — publishing
+        stale + [vA] would silently drop B's version."""
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            _allocate_and_write,
+            _commit_version,
+        )
+
+        root = str(tmp_path / "mart")
+        nation = load_table(spark, SF_DIR, "nation")
+        write_snapshot(nation.limit(1), root)  # v1: base history
+        # crashed writer's leftover, never committed
+        nation.limit(1).write.parquet(os.path.join(root, "v=2"))
+
+        va = _allocate_and_write(nation.limit(3), root)  # A: claims v3
+        vb = _allocate_and_write(nation.limit(4), root)  # B: sees v3 -> v4
+        assert (va, vb) == (3, 4)
+        _commit_version(root, vb)  # B commits first
+        _commit_version(root, va)  # A commits from a pre-B manifest view
+        # Linear history: both commits present, orphan still invisible
+        assert snapshot_versions(root) == [1, 3, 4]
+        assert read_snapshot(spark, root).count() == 4
+        assert read_snapshot(spark, root, version=va).count() == 3
+        with pytest.raises(ValueError):
+            read_snapshot(spark, root, version=2)
+
+    def test_parallel_writers_threads(self, spark, tmp_path):
+        """Four fully-concurrent write_snapshot calls on one root: all
+        must land on distinct versions and ALL must survive in the
+        manifest (no lost update), with readable data per version."""
+        import threading
+
+        root = str(tmp_path / "mart")
+        nation = load_table(spark, SF_DIR, "nation")
+        got: dict[int, int] = {}
+        errs: list[Exception] = []
+
+        def writer(i: int) -> None:
+            try:
+                got[i] = write_snapshot(nation.limit(i + 1), root)
+            except Exception as e:  # pragma: no cover - surfaced below
+                errs.append(e)
+
+        threads = [
+            threading.Thread(target=writer, args=(i,)) for i in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs
+        versions = sorted(got.values())
+        assert len(set(versions)) == 4  # distinct allocations
+        assert snapshot_versions(root) == versions  # nothing lost
+        for i, v in got.items():
+            assert read_snapshot(spark, root, version=v).count() == i + 1
+
+    def test_vacuum_racing_writer_keeps_fresh_commit(self, spark, tmp_path):
+        """vacuum's manifest rewrite holds the same lock as commits, so
+        a version committed between vacuum's read and write can't be
+        dropped. Simulated at the protocol level: commit lands first,
+        vacuum (keep_last=1) then must keep it."""
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            _allocate_and_write,
+            _commit_version,
+            vacuum_snapshots,
+        )
+
+        root = str(tmp_path / "mart")
+        nation = load_table(spark, SF_DIR, "nation")
+        for i in range(2):
+            write_snapshot(nation.limit(i + 1), root)
+        v3 = _allocate_and_write(nation.limit(3), root)
+        _commit_version(root, v3)
+        dropped = vacuum_snapshots(root, keep_last=1)
+        assert dropped == [1, 2]
+        assert snapshot_versions(root) == [v3]
+        assert read_snapshot(spark, root).count() == 3
+
+
 class TestStreamingSnapshotSink:
     def test_foreach_batch_commits_versions(self, spark, tmp_path):
         """Streaming sink integration: each micro-batch commits one
