@@ -158,3 +158,287 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT CAST(key AS BIGINT) AS user_id, n_events, start_us, end_us "
         "FROM streaming_sessions_result WHERE key <> '__flush__'"
     )
+
+
+# --------------------------------------------------------------------------
+# Spark-native BATCH session windows (F.session_window in groupBy) — the
+# built-in the manual gaps-and-islands sessionization family composes by
+# hand. Semantics pinned by the oracle AND by
+# TestSessionWindowBatch's planted boundary case: sessions MERGE when
+# the next event is at-or-before last + gap (an event at EXACTLY
+# last + gap joins the session — verified empirically; a naive
+# "window end exclusive" reading would split it), and the reported
+# window is [min ts, max ts + gap]. So the boundary test is `> gap`,
+# matching the lag-based `sessionization` query, and the windows add
+# the +gap end.
+# Scale: one key+window shuffle; state never materializes pairs.
+# --------------------------------------------------------------------------
+@query(
+    "session_window_batch",
+    "built-in F.session_window batch aggregate == gaps-and-islands "
+    "(merge at exactly last+gap) with window end = last + gap",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               CAST(sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, new_s DESC
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+           CAST(epoch_us(max(ts)) + 1800000000 AS BIGINT) AS end_us
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.sources.star import fan_out
+
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            F.unix_micros("session_window.start").alias("start_us"),
+            F.unix_micros("session_window.end").alias("end_us"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling"): hashed-unigram bag-of-words LMs
+# for a TARGET distribution (here: source 'src0') and the RAW pool
+# (everything else); each raw doc scores sum of per-token
+# log p_target(bucket) - log p_raw(bucket). The standard
+# pretraining-data selection op when you want raw web data reweighted
+# toward a trusted target domain.
+# Scale: tokens map to 256 hashed buckets (fixed-size LM state →
+# broadcast join); per-doc score is one map-combined sum. Floats are
+# log-ratio sums rounded to 6 (registry fold policy).
+# --------------------------------------------------------------------------
+_DSIR_BUCKET_SPARK = (
+    lambda col: F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("int"), F.lit(256)
+    )
+)
+_DSIR_BUCKET_SQL = "CAST(concat('0x', substr(md5(w), 1, 4)) AS INTEGER) % 256"
+
+
+@query(
+    "dsir_importance_weights",
+    "LLM data selection: DSIR hashed-unigram log-importance weights of "
+    "raw docs against the src0 target distribution, top-20",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ), b AS (
+        SELECT doc_id, source, {_DSIR_BUCKET_SQL} AS bkt FROM tok
+    ), lm AS (
+        SELECT bkt,
+               sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c_t,
+               sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS c_r
+        FROM b GROUP BY bkt
+    ), z AS (
+        SELECT sum(c_t) AS z_t, sum(c_r) AS z_r FROM lm
+    ), scored AS (
+        SELECT b.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tok,
+               sum(ln((lm.c_t + 1.0) / (z.z_t + 256.0))
+                   - ln((lm.c_r + 1.0) / (z.z_r + 256.0))) AS s
+        FROM b JOIN lm USING (bkt) CROSS JOIN z
+        WHERE b.source <> 'src0'
+        GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_tok, round(s, 6) AS log_weight
+    FROM scored ORDER BY s DESC, doc_id LIMIT 20
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.sources.star import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    ).select("doc_id", "source", _DSIR_BUCKET_SPARK(F.col("w")).alias("bkt"))
+    lm = tok.groupBy("bkt").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("c_t"),
+        F.sum(F.when(F.col("source") != "src0", 1).otherwise(0)).alias("c_r"),
+    )
+    z = lm.agg(
+        F.sum("c_t").alias("z_t"), F.sum("c_r").alias("z_r")
+    )
+    # 256-row LM × 1-row totals: broadcast both; the token stream joins
+    # on bkt map-side and collapses per doc with a map-combined sum.
+    rate = F.log((F.col("c_t") + 1.0) / (F.col("z_t") + 256.0)) - F.log(
+        (F.col("c_r") + 1.0) / (F.col("z_r") + 256.0)
+    )
+    lm_rates = F.broadcast(lm.crossJoin(F.broadcast(z)).select("bkt", rate.alias("r")))
+    scored = (
+        tok.filter(F.col("source") != "src0")
+        .join(lm_rates, "bkt")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tok"), F.sum("r").alias("s"))
+    )
+    return (
+        scored.orderBy(F.desc("s"), "doc_id")
+        .limit(20)
+        .select("doc_id", "n_tok", F.round("s", 6).alias("log_weight"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-document unigram-LM perplexity scoring — the classic CCNet-style
+# quality filter: train unigram counts on the whole corpus, score each
+# doc's average negative log-likelihood; atypical (high-perplexity)
+# docs surface for pruning. In-corpus words all have c(w) >= 1, so no
+# smoothing term: avg_nll = (n·ln T - Σ ln c(w)) / n.
+# Scale: the LM is the word-count table (co-partitioned join on w);
+# per-doc score is one map-combined sum. Distinct from
+# bigram_lm_topnext (next-token ranking), which shares no scoring path.
+# --------------------------------------------------------------------------
+@query(
+    "doc_perplexity_filter",
+    "quality filter: per-doc unigram avg negative log-likelihood, "
+    "top-15 most atypical docs",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ), lm AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w
+    ), t AS (
+        SELECT sum(c) AS total FROM lm
+    ), scored AS (
+        SELECT tok.doc_id,
+               any_value(tok.source) AS source,
+               CAST(count(*) AS BIGINT) AS n_tok,
+               (count(*) * ln(t.total) - sum(ln(lm.c))) / count(*) AS nll
+        FROM tok JOIN lm USING (w) CROSS JOIN t
+        GROUP BY tok.doc_id, t.total
+    )
+    SELECT doc_id, source, n_tok, round(nll, 6) AS avg_nll
+    FROM scored ORDER BY nll DESC, doc_id LIMIT 15
+    """,
+)
+def doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.sources.star import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    lm = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = lm.agg(F.sum("c").alias("total"))
+    scored = (
+        tok.join(lm, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("source").alias("source"),
+            F.count(F.lit(1)).alias("n_tok"),
+            (
+                (
+                    F.count(F.lit(1)) * F.log(F.any_value("total"))
+                    - F.sum(F.log("c"))
+                )
+                / F.count(F.lit(1))
+            ).alias("nll"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("nll"), "doc_id")
+        .limit(15)
+        .select("doc_id", "source", "n_tok", F.round("nll", 6).alias("avg_nll"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup-style semantic prune (Abbas et al. 2023): embeddings bucket
+# by the deterministic sign-projection LSH, and within each bucket a
+# vector is PRUNED when a lower-id vector with cosine >= 0.95 exists
+# (greedy canonical-survivor rule — the scalable simplification of
+# keep-one-per-cluster). Complements embedding_neardup_pairs (which
+# lists pairs): this one materializes the keep/prune decision.
+# Scale: pairwise cosine only within LSH buckets, never all-pairs; the
+# prune rule is an EXISTS semi-join, so no pair list is retained.
+# --------------------------------------------------------------------------
+@query(
+    "semdedup_prune",
+    "embedding dedup: per-LSH-bucket greedy semantic prune "
+    "(cos >= 0.95 to a lower id) — kept/pruned counts per bucket",
+    oracle="""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               {bucket} AS bucket
+        FROM embeddings
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(CASE WHEN EXISTS (
+               SELECT 1 FROM bucketed b
+               WHERE b.bucket = a.bucket AND b.vec_id < a.vec_id
+                 AND list_dot_product(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                            a.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[])))
+                     >= 0.95
+           ) THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned
+    FROM bucketed a GROUP BY bucket
+    """.replace(
+        "{bucket}",
+        " || ".join(
+            f"CASE WHEN embeddings.embedding[{i + 1}]::DOUBLE >= "
+            f"embeddings.embedding[{i + 33}]::DOUBLE THEN '1' ELSE '0' END"
+            for i in range(8)
+        ),
+    ),
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.functions.vectors import (
+        cosine,
+        lsh_bucket,
+    )
+    from openaq_data_pipeline_engineering_spark.sources.star import fan_out
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    bucketed = emb.select(
+        "vec_id", "embedding", lsh_bucket("embedding", 8, 32).alias("bucket")
+    )
+    lower = bucketed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    pruned_ids = (
+        bucketed.join(
+            lower,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_b") < F.col("vec_id")),
+        )
+        .filter(cosine("embedding", "emb_b") >= 0.95)
+        .select("vec_id")
+        .distinct()
+    )
+    flagged = bucketed.join(
+        pruned_ids.withColumn("is_pruned", F.lit(1)), "vec_id", "left"
+    )
+    return flagged.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.coalesce("is_pruned", F.lit(0))).cast("bigint").alias("n_pruned"),
+    )

@@ -49,6 +49,12 @@ NLJ_ALLOWED = {
     "triangle_count",
     # basket rules: 1-row basket-count aggregate broadcast for lift.
     "basket_rules",
+    # DSIR: the 256-row hashed-bucket LM × 1-row totals cross (both
+    # broadcast) before the bucket-equi join onto the token stream.
+    "dsir_importance_weights",
+    # perplexity filter: 1-row corpus-total aggregate broadcast onto
+    # the per-doc scores.
+    "doc_perplexity_filter",
     # funnel summary: three 1-row stage counts combined into one row.
     "event_funnel",
     # bloom probe: 20 probe keys crossed with the |sources| (5) group

@@ -233,3 +233,29 @@ class TestMinhashEstimate:
         est = sum(r["n_agree"] / 8 for r in rows) / len(rows)
         exact = sum(r["inter_size"] / r["union_size"] for r in rows) / len(rows)
         assert abs(est - exact) < 0.35
+
+
+class TestSessionWindowBatch:
+    def test_exact_gap_boundary_merges(self, spark):
+        # Planted boundary semantics for the round-5 oracle: an event
+        # at EXACTLY last + gap MERGES into the session (so the
+        # gaps-and-islands boundary is `> gap`, not `>= gap`); one
+        # microsecond past the gap splits. The reported window end is
+        # last event + gap.
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("2024-01-01 00:00:00",),
+             ("2024-01-01 00:30:00",),          # exactly 1800s later
+             ("2024-01-01 01:00:00.000001",)],  # 1800s + 1us after
+            "ts string",
+        ).select(F.lit(7).alias("uid"), F.col("ts").cast("timestamp").alias("ts"))
+        sessions = (
+            df.groupBy("uid", F.session_window("ts", "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("session_window.start")
+            .collect()
+        )
+        assert [r["n"] for r in sessions] == [2, 1]
+        first = sessions[0]["session_window"]
+        assert str(first.end) == "2024-01-01 01:00:00"  # last + gap
