@@ -56,6 +56,8 @@ HEADLINE: tuple[str, ...] = (
     "geo_density_clusters",  # geospatial grid
     "rrf_fusion_topk",  # round-4: retrieval fusion
     "priority_sample_topk",  # round-4: weighted sampling
+    "streaming_sessionization",  # round-5: stateful sessionizer witness (suite max)
+    "dsir_importance_weights",  # round-5: DSIR data selection
 )
 
 
