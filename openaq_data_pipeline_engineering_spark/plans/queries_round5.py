@@ -375,6 +375,11 @@ def doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lists pairs): this one materializes the keep/prune decision.
 # Scale: pairwise cosine only within LSH buckets, never all-pairs; the
 # prune rule is an EXISTS semi-join, so no pair list is retained.
+# SIZING RULE (PLANS.md round-5 probe): within-bucket work is
+# quadratic in occupancy, so the 8-bit projection (256 buckets, sized
+# for this testdata) must scale with log2(N) in production — pass a
+# larger n_bits to lsh_bucket, or use k-means cells
+# (operators/kmeans.py) with k ~ N / target_occupancy.
 # --------------------------------------------------------------------------
 @query(
     "semdedup_prune",
