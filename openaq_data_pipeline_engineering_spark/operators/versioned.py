@@ -107,10 +107,10 @@ def write_snapshot(df: DataFrame, root: str, _max_retries: int = 16) -> int:
     1. *Allocation*: next version = ``max(manifest, on-disk v=*)+1`` —
        an orphaned uncommitted directory left by a crashed writer is
        skipped, not reused (it stays invisible until
-       :func:`vacuum_snapshots` reclaims it). The ``errorifexists``
-       parquet write is the allocation claim: if a concurrent writer
-       created the same ``v=N`` first, this writer RETRIES at the new
-       max instead of failing or clobbering.
+       :func:`vacuum_snapshots` reclaims it). The atomic ``os.mkdir``
+       claim (see :func:`_allocate_and_write`) means a concurrent
+       writer racing the same ``v=N`` loses the mkdir and RETRIES at
+       the new max instead of failing or clobbering.
     2. *Commit*: under :func:`_manifest_lock`, RE-READ the manifest and
        append. The re-read is what makes commits linear: a writer that
        allocated before another writer's commit would otherwise publish

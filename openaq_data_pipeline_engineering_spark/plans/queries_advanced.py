@@ -82,7 +82,7 @@ def asof_join_lastclick(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sess AS (
         SELECT user_id, ts,
                CAST(sum(new_s) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, new_s DESC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS BIGINT) AS session_idx
         FROM flagged

@@ -560,7 +560,8 @@ def streaming_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), sess AS (
         SELECT user_id, ts,
-               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_s) OVER (PARTITION BY user_id
+                                ORDER BY ts, new_s DESC
                                 ROWS UNBOUNDED PRECEDING) AS sid
         FROM flag
     ), agg AS (
