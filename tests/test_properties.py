@@ -586,3 +586,76 @@ def test_asof_tolerance_matches_bruteforce(spark, quotes, probes, tol_hours):
         ]
         expect = max(cands, key=lambda t: (t[0], t[2]))[1] if cands else None
         assert got[pid] == expect, (pid, cands)
+
+
+@given(
+    events=st.lists(
+        # (user, minute) WITHOUT uniqueness: duplicate timestamps per
+        # user are the point — including duplicates sitting exactly at
+        # a session boundary. Minutes cluster near multiples of the
+        # 30-min gap so exact-boundary and boundary±1 cases are common.
+        st.tuples(
+            st.integers(1, 2),
+            st.sampled_from([0, 1, 29, 30, 31, 59, 60, 61, 90, 120]),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+)
+@settings(**_SETTINGS)
+def test_session_islands_match_duckdb_under_ties(spark, events):
+    """Cross-engine property: Spark session_stats == the DuckDB
+    gaps-and-islands oracle template (with the `ts, new_s DESC` tie
+    ordering) on inputs engineered to hit duplicate timestamps at
+    session boundaries — the layout where an `ORDER BY ts`-only
+    cumulative sum is nondeterministic."""
+    import duckdb
+
+    from openaq_data_pipeline_engineering_spark.operators.sessionize import (
+        session_stats,
+    )
+
+    rows = [
+        (u, dt.datetime(2026, 1, 1) + dt.timedelta(minutes=m), i)
+        for i, (u, m) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int")
+    got = sorted(
+        (r["user_id"], r["n_events"], r["session_start"], r["session_end"])
+        for r in session_stats(
+            df, "user_id", "ts", gap_seconds=1800, order_tiebreaker="event_id"
+        ).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev (user_id INT, ts TIMESTAMP, event_id INT)"
+    )
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                    > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, ts,
+                       sum(new_s) OVER (
+                           PARTITION BY user_id ORDER BY ts, new_s DESC
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS sid
+                FROM flagged
+            )
+            SELECT user_id, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM sess GROUP BY user_id, sid
+            """
+        ).fetchall()
+    )
+    assert got == want
