@@ -119,12 +119,41 @@ def sessionizer_stateful(
                 out.append(
                     {"key": key[0], "n_events": n, "start_us": start_us, "end_us": last_us}
                 )
-                start_us, n = t, 0
-            last_us = t
+                start_us, last_us, n = t, t, 1
+                continue
+            # Within the gap of the session's last event. A LATE event
+            # (t <= last: re-delivery or cross-batch disorder inside the
+            # watermark) must not move `last` backward — that would
+            # corrupt the session end and mis-split on the next event.
+            # It folds into the current session, extending `start`
+            # earlier if needed (a merge of pre-start late data into an
+            # already-open session is the one approximation here; exact
+            # retro-sessionization would need retraction semantics).
             n += 1
-        state.update((start_us, last_us, n))
-        # close the open session when the watermark passes last + gap
-        state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+            if t < start_us:
+                start_us = t
+            if t > last_us:
+                last_us = t
+        timeout_ms = last_us // 1000 + gap_seconds * 1000
+        if timeout_ms <= state.getCurrentWatermarkMs():
+            # The watermark already passed last + gap (a straggler key
+            # whose events arrived after other sources advanced the
+            # watermark): the session is closed by definition — emit it
+            # NOW. Registering the timer instead would throw
+            # INVALID_TIMEOUT_TIMESTAMP (timers must be > watermark).
+            out.append(
+                {
+                    "key": key[0],
+                    "n_events": n,
+                    "start_us": start_us,
+                    "end_us": last_us,
+                }
+            )
+            state.remove()
+        else:
+            state.update((start_us, last_us, n))
+            # close the open session when the watermark passes last+gap
+            state.setTimeoutTimestamp(timeout_ms)
         if out:
             yield pd.DataFrame(out)
 

@@ -59,3 +59,10 @@ def test_run_similarity_smoke():
         "train/val/test split",
     ):
         assert marker in out, marker
+
+
+def test_run_streaming_smoke(tmp_path):
+    out = _run("run_streaming.py", str(tmp_path / "work"))
+    assert "ingested 7 raw rows -> 6 after in-stream dedup" in out
+    assert "closed sessions" in out
+    assert "upserted per-user latest state" in out
