@@ -163,3 +163,98 @@ def test_transform_with_state_v2_accumulates_and_restarts(spark, tmp_path):
             spark.conf.set(prov_key, prev)
         else:
             spark.conf.unset(prov_key)
+
+
+def _run_sessionizer(spark, src: str, ckpt: str, out_dir: str, **kw) -> list:
+    from openaq_data_pipeline_engineering_spark.streaming.stateful import (
+        sessionizer_stateful,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    out = sessionizer_stateful(stream, "k", "ts", gap_seconds=1800, **kw)
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).collect()
+
+
+def _pin_order(src: str) -> None:
+    import time
+
+    base = time.time() - 600
+    for i, name in enumerate(sorted(os.listdir(src))):
+        os.utime(os.path.join(src, name), (base + i * 30, base + i * 30))
+
+
+def test_sessionizer_late_duplicate_does_not_corrupt_session_end(
+    spark, tmp_path
+):
+    """A re-delivered (late, in-watermark) event must fold into the open
+    session WITHOUT pulling last_us backward — the pre-fix walk set
+    last=t for late t, reporting end_us == the late duplicate's time
+    and mis-splitting the next event."""
+    src = str(tmp_path / "src_late")
+    ckpt = str(tmp_path / "ckpt_late")
+    os.makedirs(src)
+    _write_batch(src, "b1.json", [
+        {"k": "u1", "v": 0.0, "ts": "2026-01-01T09:00:00"},
+        {"k": "u1", "v": 0.0, "ts": "2026-01-01T09:10:00"},
+    ])
+    _write_batch(src, "b2.json", [
+        {"k": "u1", "v": 0.0, "ts": "2026-01-01T09:00:00"},  # re-delivery
+        {"k": "u1", "v": 0.0, "ts": "2026-01-01T11:00:00"},  # closes s1
+    ])
+    _pin_order(src)
+    rows = _run_sessionizer(spark, src, ckpt, str(tmp_path / "out_late"))
+    assert len(rows) == 1
+    s = rows[0]
+    assert s["n_events"] == 3  # 09:00, 09:00(dup), 09:10
+    assert s["end_us"] - s["start_us"] == 600 * 1_000_000  # end stays 09:10
+
+
+def test_sessionizer_straggler_behind_watermark_closes_without_crash(
+    spark, tmp_path
+):
+    """A key first seen AFTER the watermark already passed its
+    last+gap (another key's far-future event advanced the watermark)
+    must emit its closed session immediately — the pre-fix code
+    registered a timer at last+gap <= watermark and crashed the query
+    with INVALID_TIMEOUT_TIMESTAMP."""
+    src = str(tmp_path / "src_strag")
+    ckpt = str(tmp_path / "ckpt_strag")
+    os.makedirs(src)
+    # batch 1: far-future event on another key -> watermark jumps ahead
+    _write_batch(src, "b1.json", [
+        {"k": "wm", "v": 0.0, "ts": "2026-02-01T00:00:00"},
+    ])
+    # batch 2: straggler key, hours behind the watermark
+    _write_batch(src, "b2.json", [
+        {"k": "u9", "v": 0.0, "ts": "2026-01-01T09:00:00"},
+        {"k": "u9", "v": 0.0, "ts": "2026-01-01T09:05:00"},
+    ])
+    _pin_order(src)
+    rows = _run_sessionizer(spark, src, ckpt, str(tmp_path / "out_strag"))
+    got = {r["key"]: r for r in rows if r["key"] == "u9"}
+    assert got["u9"]["n_events"] == 2
+    assert got["u9"]["end_us"] - got["u9"]["start_us"] == 300 * 1_000_000
