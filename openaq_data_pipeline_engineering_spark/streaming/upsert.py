@@ -53,10 +53,13 @@ def read_snapshot(spark: SparkSession, target_dir: str) -> DataFrame | None:
 
 
 def collapse_batch(batch: DataFrame, keys: list[str], ts_col: str) -> DataFrame:
-    """One row per key: greatest ts wins; md5-of-key breaks exact ties
-    deterministically (layout-independent, unlike first())."""
+    """One row per key: greatest ts wins; md5 of the WHOLE ROW breaks
+    exact (key, ts) ties deterministically (layout-independent, unlike
+    first() — and unlike an md5 of the key columns, which is constant
+    within the partition and therefore discriminates nothing when two
+    deliveries share the key AND timestamp but differ in payload)."""
     w = Window.partitionBy(*keys).orderBy(
-        F.desc(ts_col), F.md5(F.concat_ws("\x1f", *keys))
+        F.desc(ts_col), F.md5(F.to_json(F.struct(*batch.columns)))
     )
     return (
         batch.withColumn("__rn", F.row_number().over(w))

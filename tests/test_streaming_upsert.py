@@ -38,6 +38,23 @@ def test_collapse_batch_last_writer_wins(spark):
     assert got == {1: "new", 2: "only"}
 
 
+def test_collapse_batch_exact_ts_tie_is_layout_independent(spark):
+    """Two deliveries sharing (key, ts) but differing payloads must
+    collapse to the SAME winner on any partition layout — the row-hash
+    tiebreak discriminates payloads (an md5 of the key columns alone is
+    constant within the partition and picks an arbitrary row)."""
+    rows = [(1, "alpha", 20), (1, "beta", 20), (1, "old", 10), (2, "x", 5)]
+    winners = set()
+    for parts in (1, 3, 7):
+        df = spark.createDataFrame(rows, SCHEMA).repartition(parts)
+        got = {
+            r["k"]: r["v"] for r in collapse_batch(df, ["k"], "ts").collect()
+        }
+        assert got[2] == "x" and got[1] in ("alpha", "beta")
+        winners.add(got[1])
+    assert len(winners) == 1  # same winner on every layout
+
+
 def test_stream_upsert_converges_and_is_exactly_once(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
