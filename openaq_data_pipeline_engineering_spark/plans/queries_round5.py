@@ -447,3 +447,176 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum(F.coalesce("is_pruned", F.lit(0))).cast("bigint").alias("n_pruned"),
     )
+
+
+# --------------------------------------------------------------------------
+# Population Stability Index between the month's two halves — the
+# standard production drift monitor for a continuous feature (here:
+# event value, 25-unit bins). Add-1 smoothing on bin counts keeps
+# ln() defined on bins observed in only one half. Per-type PSI is a
+# sum of log-ratio terms → round(6) (registry fold policy).
+# Scale: one map-combined (type, half, bin) count agg; everything
+# after is a ~20-row-per-type frame.
+# --------------------------------------------------------------------------
+@query(
+    "psi_value_drift",
+    "monitoring: Population Stability Index of the value distribution, "
+    "first vs second half of month, per event type",
+    oracle="""
+    WITH binned AS (
+        SELECT event_type,
+               CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                    THEN 1 ELSE 2 END AS half,
+               CAST(floor(value / 25) AS BIGINT) AS bin
+        FROM events
+    ), c AS (
+        SELECT event_type, bin,
+               sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1,
+               sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS c2
+        FROM binned GROUP BY 1, 2
+    ), t AS (
+        SELECT event_type, sum(c1) AS t1, sum(c2) AS t2,
+               count(*) AS nbins
+        FROM c GROUP BY 1
+    )
+    SELECT c.event_type,
+           CAST(min(t.nbins) AS BIGINT) AS n_bins,
+           round(sum(
+               ((c.c2 + 1.0) / (t.t2 + t.nbins)
+                - (c.c1 + 1.0) / (t.t1 + t.nbins))
+               * ln(((c.c2 + 1.0) / (t.t2 + t.nbins))
+                    / ((c.c1 + 1.0) / (t.t1 + t.nbins)))
+           ), 6) AS psi
+    FROM c JOIN t USING (event_type)
+    GROUP BY c.event_type
+    """,
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.sources.star import fan_out
+
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    binned = ev.select(
+        "event_type",
+        F.when(
+            F.col("ts").cast("date") < F.lit("2024-01-16").cast("date"), 1
+        )
+        .otherwise(2)
+        .alias("half"),
+        F.floor(F.col("value") / 25).cast("bigint").alias("bin"),
+    )
+    c = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0)).alias("c2"),
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("c1").alias("t1"),
+        F.sum("c2").alias("t2"),
+        F.count(F.lit(1)).alias("nbins"),
+    )
+    p1 = (F.col("c1") + 1.0) / (F.col("t1") + F.col("nbins"))
+    p2 = (F.col("c2") + 1.0) / (F.col("t2") + F.col("nbins"))
+    return (
+        c.join(F.broadcast(t), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("nbins").cast("bigint").alias("n_bins"),
+            F.round(F.sum((p2 - p1) * F.log(p2 / p1)), 6).alias("psi"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov statistic over the same split — the
+# nonparametric companion to PSI (no binning assumptions beyond the
+# shared grid; here the exact distinct-cent value grid). ALL-INTEGER:
+# the max |CDF1 - CDF2| is computed as max |cum1*t2 - cum2*t1| and
+# reported in parts-per-million by integer division — bit-exact
+# cross-engine, no float CDFs.
+# Scale: one count agg on (type, cent value) + one window cumsum over
+# the per-type distinct-value frame (≪ rows).
+# --------------------------------------------------------------------------
+@query(
+    "ks_value_drift",
+    "monitoring: exact-integer two-sample KS statistic (ppm) of the "
+    "value distribution, first vs second half of month, per event type",
+    oracle="""
+    WITH binned AS (
+        SELECT event_type,
+               CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                    THEN 1 ELSE 2 END AS half,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), c AS (
+        SELECT event_type, cents,
+               sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1,
+               sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS c2
+        FROM binned GROUP BY 1, 2
+    ), w AS (
+        SELECT event_type, cents,
+               sum(c1) OVER (PARTITION BY event_type ORDER BY cents
+                             ROWS UNBOUNDED PRECEDING) AS cum1,
+               sum(c2) OVER (PARTITION BY event_type ORDER BY cents
+                             ROWS UNBOUNDED PRECEDING) AS cum2,
+               sum(c1) OVER (PARTITION BY event_type) AS t1,
+               sum(c2) OVER (PARTITION BY event_type) AS t2
+        FROM c
+    )
+    SELECT event_type,
+           CAST(min(t1) AS BIGINT) AS n_first,
+           CAST(min(t2) AS BIGINT) AS n_second,
+           CAST(max(abs(cum1 * t2 - cum2 * t1)) * 1000000
+                // (min(t1) * min(t2)) AS BIGINT) AS ks_ppm
+    FROM w GROUP BY event_type
+    """,
+)
+def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from openaq_data_pipeline_engineering_spark.sources.star import fan_out
+
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    binned = ev.select(
+        "event_type",
+        F.when(
+            F.col("ts").cast("date") < F.lit("2024-01-16").cast("date"), 1
+        )
+        .otherwise(2)
+        .alias("half"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    c = binned.groupBy("event_type", "cents").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0)).alias("c2"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    w = c.select(
+        "event_type",
+        F.sum("c1").over(w_cum).alias("cum1"),
+        F.sum("c2").over(w_cum).alias("cum2"),
+        F.sum("c1").over(w_all).alias("t1"),
+        F.sum("c2").over(w_all).alias("t2"),
+    )
+    agg = w.groupBy("event_type").agg(
+        F.min("t1").cast("bigint").alias("n_first"),
+        F.min("t2").cast("bigint").alias("n_second"),
+        F.max(
+            F.abs(F.col("cum1") * F.col("t2") - F.col("cum2") * F.col("t1"))
+        )
+        .cast("bigint")
+        .alias("max_diff"),
+    )
+    # 64-bit integer division (`div`): exact — a double round-trip
+    # would lose bits once max_diff*1e6 exceeds 2^53.
+    return agg.select(
+        "event_type",
+        "n_first",
+        "n_second",
+        F.expr(
+            "CAST((max_diff * 1000000) div (n_first * n_second) AS BIGINT)"
+        ).alias("ks_ppm"),
+    )
