@@ -620,3 +620,46 @@ def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((max_diff * 1000000) div (n_first * n_second) AS BIGINT)"
         ).alias("ks_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# ORC sink + source roundtrip — the third columnar format next to
+# Parquet (native) and CSV (queries_round4.csv_source_roundtrip):
+# write events through Spark's built-in ORC writer (zlib, dictionary
+# encoding), read the directory back cold, aggregate; the oracle
+# aggregates the original parquet. Timestamps survive natively (ORC
+# stores micros); doubles are snapped to the DECIMAL(18,2) grid for
+# the hash like every money sum.
+# --------------------------------------------------------------------------
+@query(
+    "orc_source_roundtrip",
+    "sink/source: ORC write → cold read-back → per-type aggregate "
+    "equals the source-table aggregate",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           min(ts) AS first_ts, max(ts) AS last_ts
+    FROM events GROUP BY event_type
+    """,
+)
+def orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = fresh_scratch_dir("orc_roundtrip")
+    (
+        ev.select("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(4)
+        .write.mode("overwrite")
+        .orc(out)
+    )
+    back = spark.read.orc(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
