@@ -97,7 +97,12 @@ def main() -> int:
     from openaq_data_pipeline_engineering_spark.engine import get_spark
     from openaq_data_pipeline_engineering_spark.plans.registry import get_oracles, get_queries
 
-    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    # Layout knobs: a run at an unusual parallelism (e.g. CPUS=3,
+    # SHUFFLE=5) is the layout-independence check — any query whose
+    # values depend on partition count/order fails against the oracle.
+    cpus = int(os.environ.get("SPARK_GRAFT_DIFF_CPUS", "8"))
+    shuffle = int(os.environ.get("SPARK_GRAFT_DIFF_SHUFFLE", str(cpus)))
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=shuffle)
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
