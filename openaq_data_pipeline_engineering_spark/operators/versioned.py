@@ -179,12 +179,25 @@ def snapshot_versions(root: str) -> list[int]:
     return _read_manifest(root)
 
 
+# Default grace before an uncommitted v=<N> dir may be reclaimed as an
+# orphan. A "fresh orphan" is indistinguishable from a CONCURRENT
+# writer's claimed-but-uncommitted directory (write_snapshot writes data
+# outside the manifest lock by design), so deleting it immediately would
+# corrupt an in-flight write. 24h mirrors Delta VACUUM's default
+# retention check; any real crashed-writer leftover is reclaimed on the
+# next day's vacuum.
+ORPHAN_GRACE_SECONDS: float = 24 * 3600.0
+
+
 def vacuum_snapshots(
-    root: str, keep_last: int = 2, min_age_seconds: float = 0.0
+    root: str,
+    keep_last: int = 2,
+    min_age_seconds: float = 0.0,
+    orphan_min_age_seconds: float = ORPHAN_GRACE_SECONDS,
 ) -> list[int]:
     """Retention: drop all but the newest ``keep_last`` committed
     versions, plus any orphaned uncommitted ``v=*`` dirs older than the
-    grace period. Returns the committed versions removed.
+    orphan grace period. Returns the committed versions removed.
 
     Manifest-first (the inverse of the write path): the manifest stops
     referencing old versions BEFORE their data directories are removed,
@@ -196,6 +209,16 @@ def vacuum_snapshots(
     outlives the retention window. Pass ``min_age_seconds`` (grace
     period, à la Delta's retention check) so versions written within
     the window survive even when they exceed ``keep_last``.
+
+    Orphans (on-disk ``v=*`` dirs absent from the manifest) get their
+    OWN grace period, defaulting to :data:`ORPHAN_GRACE_SECONDS` and
+    never below ``min_age_seconds``: a dir that looks orphaned may be a
+    concurrent ``write_snapshot``'s claimed-but-not-yet-committed
+    directory (the data write is deliberately outside the manifest
+    lock), and reclaiming it mid-write would delete that writer's data.
+    The dir's mtime is refreshed by the in-progress write itself, so a
+    genuinely in-flight write always looks recent. Pass
+    ``orphan_min_age_seconds=0`` only when no writer can be live.
     """
     import shutil
     import time
@@ -206,26 +229,29 @@ def vacuum_snapshots(
         return []
     now = time.time()
 
-    def _old_enough(v: int) -> bool:
-        if min_age_seconds <= 0:
+    def _old_enough(v: int, min_age: float) -> bool:
+        if min_age <= 0:
             return True
         try:
             age = now - os.path.getmtime(os.path.join(root, f"v={v}"))
         except OSError:
             return True
-        return age >= min_age_seconds
+        return age >= min_age
 
+    orphan_grace = max(orphan_min_age_seconds, min_age_seconds)
     # The manifest rewrite shares the writer's commit lock so a vacuum
     # interleaved with a concurrent write_snapshot can't drop its
     # freshly-appended version from the manifest.
     with _manifest_lock(root):
         versions = _read_manifest(root)
-        drop = [v for v in versions[:-keep_last] if _old_enough(v)]
+        drop = [
+            v for v in versions[:-keep_last] if _old_enough(v, min_age_seconds)
+        ]
         keep = [v for v in versions if v not in drop]
         orphans = [
             v
             for v in _existing_version_dirs(root)
-            if v not in versions and _old_enough(v)
+            if v not in versions and _old_enough(v, orphan_grace)
         ]
         if not drop and not orphans:
             return []

@@ -264,7 +264,7 @@ _DSIR_BUCKET_SQL = "CAST(concat('0x', substr(md5(w), 1, 4)) AS INTEGER) % 256"
         GROUP BY b.doc_id
     )
     SELECT doc_id, n_tok, round(s, 6) AS log_weight
-    FROM scored ORDER BY s DESC, doc_id LIMIT 20
+    FROM scored ORDER BY round(s, 6) DESC, doc_id LIMIT 20
     """,
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,10 +293,15 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_tok"), F.sum("r").alias("s"))
     )
+    # LIMIT boundary uses the ROUNDED value (plus doc_id) on both
+    # engines: ordering by the raw float sum would make membership at
+    # the cut ULP-sensitive to partition fold order (round-5 advice).
     return (
-        scored.orderBy(F.desc("s"), "doc_id")
+        scored.select(
+            "doc_id", "n_tok", F.round("s", 6).alias("log_weight")
+        )
+        .orderBy(F.desc("log_weight"), "doc_id")
         .limit(20)
-        .select("doc_id", "n_tok", F.round("s", 6).alias("log_weight"))
     )
 
 
@@ -331,7 +336,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY tok.doc_id, t.total
     )
     SELECT doc_id, source, n_tok, round(nll, 6) AS avg_nll
-    FROM scored ORDER BY nll DESC, doc_id LIMIT 15
+    FROM scored ORDER BY round(nll, 6) DESC, doc_id LIMIT 15
     """,
 )
 def doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,10 +364,14 @@ def doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nll"),
         )
     )
+    # Rounded-value ordering at the LIMIT boundary (see
+    # dsir_importance_weights).
     return (
-        scored.orderBy(F.desc("nll"), "doc_id")
+        scored.select(
+            "doc_id", "source", "n_tok", F.round("nll", 6).alias("avg_nll")
+        )
+        .orderBy(F.desc("avg_nll"), "doc_id")
         .limit(15)
-        .select("doc_id", "source", "n_tok", F.round("nll", 6).alias("avg_nll"))
     )
 
 
@@ -531,7 +540,10 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared grid; here the exact distinct-cent value grid). ALL-INTEGER:
 # the max |CDF1 - CDF2| is computed as max |cum1*t2 - cum2*t1| and
 # reported in parts-per-million by integer division — bit-exact
-# cross-engine, no float CDFs.
+# cross-engine, no float CDFs. The cross products run in DECIMAL(29,0)
+# (inputs cast to DECIMAL(14,0)), matching DuckDB's HUGEINT promotion
+# of sum(): exact up to 1e14 rows per half per type, where int64 would
+# silently wrap past t1*t2 > 2^63 (~3e9 rows per half).
 # Scale: one count agg on (type, cent value) + one window cumsum over
 # the per-type distinct-value frame (≪ rows).
 # --------------------------------------------------------------------------
@@ -594,30 +606,36 @@ def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_all = Window.partitionBy("event_type")
+    # DECIMAL(14,0) inputs → DECIMAL(29,0) cross products: exact (no
+    # int64 wrap) for up to 1e14 rows per half, like the oracle's
+    # HUGEINT-promoted sums.
+    dec = "decimal(14,0)"
     w = c.select(
         "event_type",
-        F.sum("c1").over(w_cum).alias("cum1"),
-        F.sum("c2").over(w_cum).alias("cum2"),
-        F.sum("c1").over(w_all).alias("t1"),
-        F.sum("c2").over(w_all).alias("t2"),
+        F.sum("c1").over(w_cum).cast(dec).alias("cum1"),
+        F.sum("c2").over(w_cum).cast(dec).alias("cum2"),
+        F.sum("c1").over(w_all).cast(dec).alias("t1"),
+        F.sum("c2").over(w_all).cast(dec).alias("t2"),
     )
     agg = w.groupBy("event_type").agg(
         F.min("t1").cast("bigint").alias("n_first"),
         F.min("t2").cast("bigint").alias("n_second"),
         F.max(
             F.abs(F.col("cum1") * F.col("t2") - F.col("cum2") * F.col("t1"))
-        )
-        .cast("bigint")
-        .alias("max_diff"),
+        ).alias("max_diff"),
     )
-    # 64-bit integer division (`div`): exact — a double round-trip
-    # would lose bits once max_diff*1e6 exceeds 2^53.
+    # Integral division (`div`) on decimals: exact — a double
+    # round-trip would lose bits once max_diff*1e6 exceeds 2^53.
+    # Operand precisions stay under 38: DECIMAL(29,0) * DECIMAL(7,0)
+    # → DECIMAL(37,0); the denominator is DECIMAL(29,0).
     return agg.select(
         "event_type",
         "n_first",
         "n_second",
         F.expr(
-            "CAST((max_diff * 1000000) div (n_first * n_second) AS BIGINT)"
+            "CAST((max_diff * CAST(1000000 AS DECIMAL(7,0))) div "
+            "(CAST(n_first AS DECIMAL(14,0)) * "
+            "CAST(n_second AS DECIMAL(14,0))) AS BIGINT)"
         ).alias("ks_ppm"),
     )
 

@@ -75,10 +75,49 @@ class TestVersionedSnapshots:
         assert vacuum_snapshots(root, keep_last=1, min_age_seconds=3600) == []
         assert snapshot_versions(root) == [1, 2, 3]
         assert os.path.isdir(os.path.join(root, "v=9"))
-        # no grace: old committed versions drop AND the orphan is gone
+        # default vacuum: old committed versions drop, but the orphan
+        # SURVIVES its 24h grace (it could be a live writer's dir)
         assert vacuum_snapshots(root, keep_last=1) == [1, 2]
         assert snapshot_versions(root) == [3]
+        assert os.path.isdir(os.path.join(root, "v=9"))
+        # backdate the orphan past the grace: now it is reclaimed
+        old = os.path.getmtime(os.path.join(root, "v=9")) - 48 * 3600
+        os.utime(os.path.join(root, "v=9"), (old, old))
+        assert vacuum_snapshots(root, keep_last=1) == []
         assert not os.path.isdir(os.path.join(root, "v=9"))
+
+    def test_vacuum_never_reclaims_fresh_uncommitted_dir(
+        self, spark, tmp_path
+    ):
+        """The data-dir race (round-5 advice): a concurrent
+        write_snapshot has CLAIMED v=N and is writing data outside the
+        manifest lock; to a racing vacuum the dir looks orphaned. The
+        default orphan grace must keep it — deleting it would corrupt
+        the in-flight write."""
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            _allocate_and_write,
+            _commit_version,
+            vacuum_snapshots,
+        )
+
+        root = str(tmp_path / "mart")
+        nation = load_table(spark, SF_DIR, "nation")
+        for i in range(2):
+            write_snapshot(nation.limit(i + 1), root)
+        # concurrent writer mid-flight: claimed + data written, commit
+        # not yet published
+        v3 = _allocate_and_write(nation.limit(3), root)
+        dropped = vacuum_snapshots(root, keep_last=1)  # racing vacuum
+        assert dropped == [1]
+        assert os.path.isdir(os.path.join(root, f"v={v3}"))
+        _commit_version(root, v3)  # the writer's commit still lands
+        assert snapshot_versions(root) == [2, v3]
+        assert read_snapshot(spark, root, version=v3).count() == 3
+        # explicit zero grace restores immediate reclamation for
+        # maintenance windows with no live writers
+        nation.limit(1).write.parquet(os.path.join(root, "v=50"))
+        vacuum_snapshots(root, keep_last=2, orphan_min_age_seconds=0)
+        assert not os.path.isdir(os.path.join(root, "v=50"))
 
 
 class TestConcurrentWriters:
