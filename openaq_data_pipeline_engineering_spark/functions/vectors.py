@@ -37,6 +37,53 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def auto_bits(
+    n_rows: int,
+    target_occupancy: int = 32,
+    min_bits: int = 4,
+    max_bits: int = 16,
+) -> int:
+    """Projection width for :func:`lsh_bucket` sized to the corpus.
+
+    Smallest ``b`` with ``n_rows <= target_occupancy * 2**b``, clamped
+    to [min_bits, max_bits] — expected bucket occupancy then sits in
+    (target_occupancy/2, target_occupancy], CONSTANT as the corpus
+    grows (the round-5 probe showed a fixed 8-bit projection is
+    quadratic-in-occupancy once N outgrows 256·target: within-bucket
+    candidate work is Σ occupancy², so doubling N without adding bits
+    quadruples it). All-integer, so :func:`auto_bits_sql` reproduces it
+    bit-identically in the DuckDB oracle.
+
+    At 10¹⁰ vectors, b = log2(1e10/32) ≈ 28 — raise ``max_bits`` (the
+    stride-window cap is dim - stride bits) or switch to k-means cells
+    (operators/kmeans.py) with k ≈ N / target_occupancy.
+    """
+    if target_occupancy < 1:
+        raise ValueError("target_occupancy must be >= 1")
+    need = -(-max(n_rows, 1) // target_occupancy)  # ceil(n/target)
+    return max(min_bits, min(max_bits, (need - 1).bit_length()))
+
+
+def auto_bits_sql(
+    count_sql: str,
+    target_occupancy: int = 32,
+    min_bits: int = 4,
+    max_bits: int = 16,
+) -> str:
+    """DuckDB scalar-subquery twin of :func:`auto_bits`.
+
+    ``count_sql`` is a SQL expression for the row count (e.g.
+    ``(SELECT count(*) FROM embeddings)``). Exact integer comparisons
+    only — no float log2, so it can never disagree with the Python
+    side at a power-of-two boundary.
+    """
+    return (
+        f"(SELECT coalesce(min(b), {max_bits}) "
+        f"FROM range({min_bits}, {max_bits + 1}) t(b) "
+        f"WHERE {count_sql} <= {target_occupancy} * (1::BIGINT << b))"
+    )
+
+
 def lsh_bucket(a: Column | str, n_bits: int = 8, stride: int = 32) -> Column:
     """Deterministic sign-projection LSH bucket id.
 

@@ -100,12 +100,22 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding-cosine near-duplicate pairs, LSH-bucket prefiltered (scale path)
 # --------------------------------------------------------------------------
 def _bucket_sql(alias: str) -> str:
-    bits = [
+    """Auto-width sign-projection bucket for ``alias``: the
+    auto_bits-length prefix of the widest (16-bit) bit string, with the
+    width derived from count(*) by the same exact-integer rule the
+    Spark side uses (functions.vectors.auto_bits) — constant expected
+    occupancy at any corpus size."""
+    from openaq_data_pipeline_engineering_spark.functions.vectors import (
+        auto_bits_sql,
+    )
+
+    bits = " || ".join(
         f"CASE WHEN {alias}.embedding[{i + 1}]::DOUBLE >= {alias}.embedding[{i + 33}]::DOUBLE "
         f"THEN '1' ELSE '0' END"
-        for i in range(8)
-    ]
-    return " || ".join(bits)
+        for i in range(16)
+    )
+    nb = auto_bits_sql("(SELECT count(*) FROM embeddings)")
+    return f"substr({bits}, 1, {nb})"
 
 
 _COS_SQL = (
@@ -131,9 +141,17 @@ _COS_SQL = (
     """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    from openaq_data_pipeline_engineering_spark.functions.vectors import (
+        auto_bits,
+    )
+
+    base = load_table(spark, sf_dir, "embeddings")
+    n_bits = auto_bits(base.count())  # occupancy-constant projection
+    emb = fan_out(base)
     bucketed = emb.select(
-        "vec_id", "embedding", lsh_bucket("embedding", 8, 32).alias("bucket")
+        "vec_id",
+        "embedding",
+        lsh_bucket("embedding", n_bits, 32).alias("bucket"),
     )
     b = bucketed.select(
         F.col("vec_id").alias("vec_b"),

@@ -384,20 +384,43 @@ def doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lists pairs): this one materializes the keep/prune decision.
 # Scale: pairwise cosine only within LSH buckets, never all-pairs; the
 # prune rule is an EXISTS semi-join, so no pair list is retained.
-# SIZING RULE (PLANS.md round-5 probe): within-bucket work is
-# quadratic in occupancy, so the 8-bit projection (256 buckets, sized
-# for this testdata) must scale with log2(N) in production — pass a
-# larger n_bits to lsh_bucket, or use k-means cells
-# (operators/kmeans.py) with k ~ N / target_occupancy.
+# SIZING RULE (executable since round 6): the projection width comes
+# from functions.vectors.auto_bits(count, target_occupancy=32) — the
+# all-integer log2(N) rule from the round-5 x32 probe — so expected
+# bucket occupancy stays ~constant as the corpus grows instead of the
+# within-bucket quadratic blow-up of a fixed width. The oracle derives
+# the SAME width from count(*) via auto_bits_sql (exact integer
+# comparisons, never float-boundary-divergent).
 # --------------------------------------------------------------------------
+def _bits16_sql(alias: str) -> str:
+    """Widest (16-bit) sign-projection bit string for ``alias``; the
+    bucket is its auto_bits-length prefix — identical to lsh_bucket's
+    bit order (bit i: v[i] >= v[i+32])."""
+    return " || ".join(
+        f"CASE WHEN {alias}.embedding[{i + 1}]::DOUBLE >= "
+        f"{alias}.embedding[{i + 33}]::DOUBLE THEN '1' ELSE '0' END"
+        for i in range(16)
+    )
+
+
+def _auto_bits_sql_embeddings() -> str:
+    from openaq_data_pipeline_engineering_spark.functions.vectors import (
+        auto_bits_sql,
+    )
+
+    return auto_bits_sql("(SELECT count(*) FROM embeddings)")
+
+
 @query(
     "semdedup_prune",
     "embedding dedup: per-LSH-bucket greedy semantic prune "
-    "(cos >= 0.95 to a lower id) — kept/pruned counts per bucket",
-    oracle="""
+    "(cos >= 0.95 to a lower id) — kept/pruned counts per bucket, "
+    "auto-sized projection width",
+    oracle=f"""
     WITH bucketed AS (
         SELECT vec_id, embedding,
-               {bucket} AS bucket
+               substr({_bits16_sql('embeddings')},
+                      1, {_auto_bits_sql_embeddings()}) AS bucket
         FROM embeddings
     )
     SELECT bucket,
@@ -414,25 +437,25 @@ def doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                      >= 0.95
            ) THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned
     FROM bucketed a GROUP BY bucket
-    """.replace(
-        "{bucket}",
-        " || ".join(
-            f"CASE WHEN embeddings.embedding[{i + 1}]::DOUBLE >= "
-            f"embeddings.embedding[{i + 33}]::DOUBLE THEN '1' ELSE '0' END"
-            for i in range(8)
-        ),
-    ),
+    """,
 )
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openaq_data_pipeline_engineering_spark.functions.vectors import (
+        auto_bits,
         cosine,
         lsh_bucket,
     )
     from openaq_data_pipeline_engineering_spark.sources.star import fan_out
 
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    base = load_table(spark, sf_dir, "embeddings")
+    # Metadata-cheap count sizes the projection; occupancy stays
+    # ~target (32) at any corpus size.
+    n_bits = auto_bits(base.count())
+    emb = fan_out(base)
     bucketed = emb.select(
-        "vec_id", "embedding", lsh_bucket("embedding", 8, 32).alias("bucket")
+        "vec_id",
+        "embedding",
+        lsh_bucket("embedding", n_bits, 32).alias("bucket"),
     )
     lower = bucketed.select(
         F.col("vec_id").alias("vec_b"),
