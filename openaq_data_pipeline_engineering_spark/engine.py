@@ -143,7 +143,23 @@ class Engine:
 
     # -- query surface -----------------------------------------------------
     def sql(self, query: str) -> DataFrame:
-        """Athena-equivalent SQL entry point — synchronous, typed results."""
+        """Athena-equivalent SQL entry point — synchronous, typed results.
+
+        MERGE INTO statements route to the engine's parquet-native
+        lowering (operators/sqlmerge.py): Spark's parser accepts the
+        syntax but plain-parquet tables lack row-level-operation
+        support, so the statement is planned here as one full-outer
+        join + CASE projection and returns the post-merge target frame
+        (publish it via operators/versioned.write_snapshot for an
+        atomic commit)."""
+        import re as _re
+
+        if _re.match(r"\s*MERGE\s+INTO\b", query, _re.IGNORECASE):
+            from openaq_data_pipeline_engineering_spark.operators.sqlmerge import (
+                execute_merge,
+            )
+
+            return execute_merge(self.spark, query)
         return self.spark.sql(query)
 
     def table(self, name: str) -> DataFrame:

@@ -1,0 +1,339 @@
+"""MERGE INTO — the SQL statement form of the keyed-upsert operators.
+
+The reference pipeline is append-only (etls/glue_etl.py writes a fresh
+date partition per run) and its SQL surface (Athena,
+utils/athena_utils.py) has no row-level mutation; SURVEY §2.9 maps
+late-data correction to "Delta MERGE". operators/merge.py already
+carries the DataFrame semantics (merge_upsert / cdc_apply / scd2);
+this module adds the DECLARATIVE statement form so `Engine.sql()`
+accepts the standard warehouse syntax:
+
+    MERGE INTO target [AS] t
+    USING source_view_or_(subquery) [AS] s
+    ON <condition>
+    [WHEN MATCHED [AND <cond>] THEN UPDATE SET c = expr, ... | SET *]
+    [WHEN MATCHED [AND <cond>] THEN DELETE]
+    [WHEN NOT MATCHED [AND <cond>] THEN INSERT (cols) VALUES (exprs)
+                                        | INSERT *]
+
+Semantics (Delta/SQL:2003 compatible):
+- Clauses are evaluated IN ORDER; the first applicable clause per row
+  wins.
+- A target row matching NO source row passes through unchanged; a
+  source row matching no target row is inserted only if a WHEN NOT
+  MATCHED clause applies.
+- A target row matching MORE THAN ONE source row is ambiguous: with
+  ``strict=True`` (default) the merge raises, like Delta's
+  "multiple source rows matched" error.
+
+Execution is Spark-first: ONE full-outer join on the ON condition
+(broadcast or shuffle — Catalyst/AQE choose; the source side of a
+merge is normally a small delta) followed by a CASE projection per
+column and a filter dropping DELETE rows. No per-row Python, no
+driver loop. The strict cardinality check is one aggregation over the
+matched side, planned from the same join.
+
+Spark's own ``MERGE INTO`` parses but requires a v2 table with
+row-level-operation support (Delta/Iceberg); plain parquet tables get
+``UnsupportedOperationException`` — this module is the engine's
+parquet-native lowering, composed with operators/versioned.py
+snapshots for atomic publication (see plans/queries_round6.py
+``sql_merge_into``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class MergeError(ValueError):
+    """Malformed MERGE statement or ambiguous (multi-match) merge."""
+
+
+@dataclass
+class _MatchedClause:
+    cond: str | None  # extra AND condition, None = unconditional
+    assignments: dict[str, str] | None  # None = DELETE; {} = UPDATE SET *
+
+
+@dataclass
+class _NotMatchedClause:
+    cond: str | None
+    cols: list[str] | None  # None = INSERT *
+    vals: list[str] | None
+
+
+@dataclass
+class _MergeStatement:
+    target: str
+    t_alias: str
+    source: str  # view name or (subquery)
+    s_alias: str
+    on: str
+    matched: list[tuple[int, _MatchedClause]]  # (clause order index, clause)
+    not_matched: list[tuple[int, _NotMatchedClause]]
+
+
+_HEAD_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<target>[\w.]+)"
+    r"(?:\s+(?:AS\s+)?(?P<talias>(?!USING\b)\w+))?"
+    r"\s+USING\s+(?P<source>[\w.]+|\((?:[^()]|\([^()]*\))*\))"
+    r"(?:\s+(?:AS\s+)?(?P<salias>(?!ON\b)\w+))?"
+    r"\s+ON\s+(?P<on>.+?)"
+    r"\s+(?P<clauses>WHEN\s+.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_CLAUSE_RE = re.compile(
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED"
+    r"(?:\s+AND\s+(?P<cond>.+?))?"
+    r"\s+THEN\s+(?P<action>.+?)"
+    r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED|\s*$)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_top(text: str) -> list[str]:
+    """Split on commas at paren depth 0 (assignment / value lists)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(text):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(text[start:i].strip())
+            start = i + 1
+    tail = text[start:].strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def _unqualify(col: str, aliases: tuple[str, str]) -> str:
+    """Strip a `t.` / `s.` qualifier from an assignment LHS."""
+    name = col.strip()
+    for a in aliases:
+        prefix = f"{a}."
+        if name.lower().startswith(prefix.lower()):
+            return name[len(prefix):]
+    return name
+
+
+def parse_merge(sql: str) -> _MergeStatement:
+    m = _HEAD_RE.match(sql)
+    if not m:
+        raise MergeError(
+            "unparseable MERGE statement; expected MERGE INTO <t> USING "
+            "<s|(subquery)> ON <cond> WHEN ... THEN ..."
+        )
+    target = m.group("target")
+    source = m.group("source")
+    t_alias = m.group("talias") or target
+    s_alias = m.group("salias") or (
+        source if not source.startswith("(") else "__src"
+    )
+    aliases = (t_alias, s_alias)
+    matched: list[tuple[int, _MatchedClause]] = []
+    not_matched: list[tuple[int, _NotMatchedClause]] = []
+    clause_text = m.group("clauses")
+    order = 0
+    consumed = 0
+    for cm in _CLAUSE_RE.finditer(clause_text):
+        consumed += 1
+        action = cm.group("action").strip()
+        cond = cm.group("cond")
+        cond = cond.strip() if cond else None
+        if cm.group("not"):
+            am = re.match(
+                r"INSERT\s*(?:\*|\((?P<cols>[^)]*)\)\s*VALUES\s*"
+                r"\((?P<vals>.*)\))\s*$",
+                action,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not am:
+                raise MergeError(
+                    f"WHEN NOT MATCHED supports INSERT only, got: {action!r}"
+                )
+            if am.group("cols") is None:
+                nm = _NotMatchedClause(cond=cond, cols=None, vals=None)
+            else:
+                cols = [
+                    _unqualify(c, aliases)
+                    for c in _split_top(am.group("cols"))
+                ]
+                vals = _split_top(am.group("vals"))
+                if len(cols) != len(vals):
+                    raise MergeError(
+                        f"INSERT column/value arity mismatch: {cols} vs "
+                        f"{vals}"
+                    )
+                nm = _NotMatchedClause(cond=cond, cols=cols, vals=vals)
+            not_matched.append((order, nm))
+        elif re.fullmatch(r"DELETE", action, re.IGNORECASE):
+            matched.append(
+                (order, _MatchedClause(cond=cond, assignments=None))
+            )
+        else:
+            am = re.match(
+                r"UPDATE\s+SET\s+(?P<sets>.+)$",
+                action,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not am:
+                raise MergeError(
+                    f"WHEN MATCHED supports UPDATE SET / DELETE, got: "
+                    f"{action!r}"
+                )
+            sets = am.group("sets").strip()
+            if sets == "*":
+                assignments: dict[str, str] = {}
+            else:
+                assignments = {}
+                for part in _split_top(sets):
+                    if "=" not in part:
+                        raise MergeError(f"bad assignment: {part!r}")
+                    lhs, rhs = part.split("=", 1)
+                    assignments[_unqualify(lhs, aliases)] = rhs.strip()
+            matched.append(
+                (order, _MatchedClause(cond=cond, assignments=assignments))
+            )
+        order += 1
+    if not consumed:
+        raise MergeError("MERGE needs at least one WHEN clause")
+    return _MergeStatement(
+        target=target,
+        t_alias=t_alias,
+        source=source,
+        s_alias=s_alias,
+        on=m.group("on").strip(),
+        matched=matched,
+        not_matched=not_matched,
+    )
+
+
+_T_MARK = "__merge_t_mark"
+_S_MARK = "__merge_s_mark"
+_ACTION = "__merge_action"
+
+
+def execute_merge(
+    spark: SparkSession,
+    sql: str,
+    target_df: DataFrame | None = None,
+    source_df: DataFrame | None = None,
+    strict: bool = True,
+) -> DataFrame:
+    """Plan a MERGE statement; returns the POST-MERGE target DataFrame.
+
+    ``target_df`` / ``source_df`` default to the named temp views /
+    tables in the statement; pass them explicitly to merge frames that
+    are not registered. The caller decides how to publish the result
+    (e.g. operators/versioned.write_snapshot for an atomic commit —
+    plain parquet cannot be mutated in place, and that is the point:
+    MERGE output is a new immutable version).
+
+    ``strict=True`` adds Delta's ambiguity check: if any target row
+    matches more than one source row, raise :class:`MergeError`. The
+    check is one COUNT aggregation planned off the same join (the
+    matched side only); disable for pre-deduplicated sources where the
+    extra job matters.
+    """
+    st = parse_merge(sql)
+    if target_df is None:
+        target_df = spark.table(st.target)
+    if source_df is None:
+        source_df = (
+            spark.sql(st.source[1:-1])
+            if st.source.startswith("(")
+            else spark.table(st.source)
+        )
+    out_cols = list(target_df.columns)
+
+    # The row id exists only to make the within-plan ambiguity check
+    # exact for duplicate target rows; its values never reach output.
+    t = (
+        target_df.withColumn(_T_MARK, F.monotonically_increasing_id())
+        .alias(st.t_alias)
+    )
+    s = source_df.withColumn(_S_MARK, F.lit(1)).alias(st.s_alias)
+    joined = t.join(s, F.expr(st.on), "full_outer")
+    is_matched = F.col(_T_MARK).isNotNull() & F.col(_S_MARK).isNotNull()
+    t_only = F.col(_T_MARK).isNotNull() & F.col(_S_MARK).isNull()
+
+    if strict and st.matched:
+        # Delta's "multiple source rows matched" error: a target row
+        # with >1 matched source row makes UPDATE/DELETE ambiguous.
+        # One COUNT aggregation keyed by the target row id, planned
+        # off the same join (the join recomputes for the result —
+        # acceptable for delta-sized sources; pass strict=False to
+        # skip).
+        dup = (
+            joined.filter(is_matched)
+            .groupBy(_T_MARK)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+        )
+        if dup.count() > 0:
+            raise MergeError(
+                "MERGE is ambiguous: a target row matches multiple "
+                "source rows (deduplicate the source, or pass "
+                "strict=False to let the first clause match win "
+                "per joined row)"
+            )
+
+    # Row action: first applicable clause in statement order.
+    action: Column = F.lit(None).cast("string")
+    chain = F.when(t_only, F.lit("KEEP"))
+    clauses: list[tuple[int, str, object]] = [
+        (i, "M", c) for i, c in st.matched
+    ] + [(i, "N", c) for i, c in st.not_matched]
+    for i, kind, c in sorted(clauses):
+        base = is_matched if kind == "M" else F.col(_T_MARK).isNull()
+        cond = base if c.cond is None else base & F.expr(c.cond)
+        chain = chain.when(cond, F.lit(f"{kind}{i}"))
+    # matched rows with no applicable clause keep the target row;
+    # source-only rows with no applicable clause are dropped.
+    action = chain.when(is_matched, F.lit("KEEP")).otherwise(F.lit("DROP"))
+
+    delete_actions = [
+        f"M{i}" for i, c in st.matched if c.assignments is None
+    ]
+    projected = joined.withColumn(_ACTION, action).filter(
+        ~F.col(_ACTION).isin(["DROP", *delete_actions])
+    )
+
+    def add_when(chain: Column | None, cond: Column, rhs: Column) -> Column:
+        return F.when(cond, rhs) if chain is None else chain.when(cond, rhs)
+
+    def col_value(cname: str) -> Column:
+        expr = F.col(f"{st.t_alias}.{cname}")
+        chain: Column | None = None
+        for i, c in st.matched:
+            if c.assignments is None:
+                continue  # DELETE rows never reach the projection
+            if c.assignments == {}:  # UPDATE SET *
+                rhs = F.col(f"{st.s_alias}.{cname}")
+            elif cname in c.assignments:
+                rhs = F.expr(c.assignments[cname])
+            else:
+                rhs = expr
+            chain = add_when(chain, F.col(_ACTION) == f"M{i}", rhs)
+        for i, c in st.not_matched:
+            if c.cols is None:  # INSERT *
+                rhs = F.col(f"{st.s_alias}.{cname}")
+            elif cname in c.cols:
+                rhs = F.expr(c.vals[c.cols.index(cname)])
+            else:
+                rhs = F.lit(None)
+            chain = add_when(chain, F.col(_ACTION) == f"N{i}", rhs)
+        return (chain.otherwise(expr) if chain is not None else expr).alias(
+            cname
+        )
+
+    return projected.select(*[col_value(c) for c in out_cols])

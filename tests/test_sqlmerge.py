@@ -1,0 +1,197 @@
+"""MERGE INTO statement lowering (operators/sqlmerge.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_engineering_spark.engine import Engine
+from openaq_data_pipeline_engineering_spark.operators.sqlmerge import (
+    MergeError,
+    execute_merge,
+    parse_merge,
+)
+
+
+def _frames(spark):
+    base = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 20.0), (3, "C", 30.0)],
+        "k int, seg string, bal double",
+    )
+    upd = spark.createDataFrame(
+        [(2, "B2", 5.0), (3, "C2", -1.0), (4, "D", 40.0)],
+        "k int, seg string, bal double",
+    )
+    return base, upd
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+class TestParse:
+    def test_full_grammar(self):
+        st = parse_merge(
+            "MERGE INTO tgt AS t USING (SELECT 1 AS k) s ON t.k = s.k "
+            "WHEN MATCHED AND s.bal < 0 THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET seg = s.seg, bal = t.bal + s.bal "
+            "WHEN NOT MATCHED THEN INSERT (k, seg, bal) "
+            "VALUES (s.k, s.seg, s.bal)"
+        )
+        assert (st.target, st.t_alias, st.s_alias) == ("tgt", "t", "s")
+        assert st.source.startswith("(")
+        assert len(st.matched) == 2 and len(st.not_matched) == 1
+        assert st.matched[0][1].assignments is None  # DELETE first
+        assert st.matched[1][1].assignments == {
+            "seg": "s.seg",
+            "bal": "t.bal + s.bal",
+        }
+        assert st.not_matched[0][1].cols == ["k", "seg", "bal"]
+
+    def test_rejects_garbage(self):
+        with pytest.raises(MergeError):
+            parse_merge("MERGE INTO t USING s ON t.k = s.k")  # no WHEN
+        with pytest.raises(MergeError):
+            parse_merge(
+                "MERGE INTO t USING s ON t.k = s.k "
+                "WHEN NOT MATCHED THEN UPDATE SET a = 1"
+            )
+        with pytest.raises(MergeError):
+            parse_merge("SELECT 1")
+
+
+class TestExecute:
+    def test_upsert_update_and_insert(self, spark):
+        base, upd = _frames(spark)
+        out = execute_merge(
+            spark,
+            "MERGE INTO tgt t USING src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET seg = s.seg, "
+            "bal = t.bal + s.bal "
+            "WHEN NOT MATCHED THEN INSERT (k, seg, bal) "
+            "VALUES (s.k, s.seg, s.bal)",
+            target_df=base,
+            source_df=upd,
+        )
+        assert _rows(out) == {
+            (1, "A", 10.0),  # untouched
+            (2, "B2", 25.0),  # updated: 20 + 5
+            (3, "C2", 29.0),  # updated: 30 - 1
+            (4, "D", 40.0),  # inserted
+        }
+
+    def test_clause_order_delete_shadows_update(self, spark):
+        base, upd = _frames(spark)
+        out = execute_merge(
+            spark,
+            "MERGE INTO tgt t USING src s ON t.k = s.k "
+            "WHEN MATCHED AND s.bal < 0 THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET seg = s.seg "
+            "WHEN NOT MATCHED THEN INSERT *",
+            target_df=base,
+            source_df=upd,
+        )
+        assert _rows(out) == {
+            (1, "A", 10.0),
+            (2, "B2", 20.0),  # update keeps unassigned bal
+            # k=3 deleted (s.bal = -1 < 0)
+            (4, "D", 40.0),  # INSERT * copies source row
+        }
+
+    def test_update_star_and_conditional_insert(self, spark):
+        base, upd = _frames(spark)
+        out = execute_merge(
+            spark,
+            "MERGE INTO tgt t USING src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED AND s.bal > 100 THEN INSERT *",
+            target_df=base,
+            source_df=upd,
+        )
+        assert _rows(out) == {
+            (1, "A", 10.0),
+            (2, "B2", 5.0),  # SET * takes the whole source row
+            (3, "C2", -1.0),
+            # k=4 NOT inserted (bal 40 <= 100)
+        }
+
+    def test_matched_condition_falls_through_to_keep(self, spark):
+        base, upd = _frames(spark)
+        out = execute_merge(
+            spark,
+            "MERGE INTO tgt t USING src s ON t.k = s.k "
+            "WHEN MATCHED AND s.bal < 0 THEN UPDATE SET seg = 'NEG'",
+            target_df=base,
+            source_df=upd,
+        )
+        assert _rows(out) == {
+            (1, "A", 10.0),
+            (2, "B", 20.0),  # matched, condition false -> keep as-is
+            (3, "NEG", 30.0),
+        }
+
+    def test_subquery_source_and_views(self, spark):
+        base, upd = _frames(spark)
+        base.createOrReplaceTempView("merge_tgt")
+        upd.createOrReplaceTempView("merge_src")
+        out = execute_merge(
+            spark,
+            "MERGE INTO merge_tgt t USING "
+            "(SELECT k, seg, bal * 2 AS bal FROM merge_src WHERE k = 2) s "
+            "ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET bal = s.bal",
+        )
+        assert _rows(out) == {
+            (1, "A", 10.0),
+            (2, "B", 10.0),  # 5 * 2
+            (3, "C", 30.0),
+        }
+
+    def test_ambiguous_multi_match_raises(self, spark):
+        base, _ = _frames(spark)
+        dup_src = spark.createDataFrame(
+            [(2, "X", 1.0), (2, "Y", 2.0)], "k int, seg string, bal double"
+        )
+        stmt = (
+            "MERGE INTO tgt t USING src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET seg = s.seg"
+        )
+        with pytest.raises(MergeError, match="ambiguous"):
+            execute_merge(spark, stmt, target_df=base, source_df=dup_src)
+        # strict=False: both joined rows flow through the CASE; the
+        # merge degrades to per-joined-row semantics (documented)
+        out = execute_merge(
+            spark, stmt, target_df=base, source_df=dup_src, strict=False
+        )
+        assert out.filter(F.col("k") == 2).count() == 2
+
+    def test_engine_sql_routes_merge(self, spark):
+        base, upd = _frames(spark)
+        eng = Engine(spark)
+        eng.register("etgt", base)
+        eng.register("esrc", upd)
+        out = eng.sql(
+            "MERGE INTO etgt t USING esrc s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        assert out.count() == 4
+        assert eng.sql("SELECT 41 + 1 AS x").first()[0] == 42  # passthrough
+
+    def test_plan_is_one_join_no_python(self, spark):
+        """Scale shape: the lowering is a single join + projection —
+        no cartesian product, no Python eval in the plan."""
+        base, upd = _frames(spark)
+        out = execute_merge(
+            spark,
+            "MERGE INTO tgt t USING src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+            target_df=base,
+            source_df=upd,
+            strict=False,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert plan.count("Join") <= 2  # one logical join (AQE may wrap)
