@@ -61,6 +61,48 @@ HEADLINE: tuple[str, ...] = (
 )
 
 
+def build_summary_line(
+    timings: dict[str, float],
+    total: float,
+    runs: int,
+    cpus: int,
+    sf: str,
+) -> str:
+    """The ONE stdout JSON line the driver parses from its 2,000-char
+    stdout-tail capture. Headline queries are dropped (never suite
+    aggregates) until the line fits the 1,900-char budget; the result
+    is asserted < 1,900 so a drift in query-name length or aggregate
+    fields fails HERE, not silently in the driver's parse
+    (tests/test_bench_contract.py pins this for a full-size suite)."""
+    ordered = sorted(timings.values())
+    n_q = len(ordered)
+    median = ordered[n_q // 2] if n_q else 0.0
+    summary = {
+        "metric": "declared_query_suite_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: timings[k] for k in HEADLINE if k in timings},
+        "n_queries": n_q,
+        "median_sec": round(median, 3),
+        "p95_sec": round(ordered[int(n_q * 0.95)], 3) if n_q else 0.0,
+        "runs_per_query": runs,
+        "cpus": cpus,
+        "sf": sf,
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(summary)
+    # Hard guard for the driver's 2,000-char stdout-tail capture.
+    while len(line) > 1900 and summary["queries"]:
+        summary["queries"].popitem()
+        line = json.dumps(summary)
+    assert len(line) <= 1900, (
+        f"bench summary line is {len(line)} chars even with all "
+        "per-query timings dropped — the driver's stdout-tail capture "
+        "would truncate it; shrink the aggregate fields"
+    )
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -161,28 +203,7 @@ def main() -> None:
         json.dump(detail, f, indent=1, sort_keys=True)
     print(json.dumps(detail), file=sys.stderr)
 
-    ordered = sorted(timings.values())
-    n_q = len(ordered)
-    median = ordered[n_q // 2] if n_q else 0.0
-    summary = {
-        "metric": "declared_query_suite_wall_clock",
-        "value": round(total, 3),
-        "unit": "sec",
-        "queries": {k: timings[k] for k in HEADLINE if k in timings},
-        "n_queries": n_q,
-        "median_sec": round(median, 3),
-        "p95_sec": round(ordered[int(n_q * 0.95)], 3) if n_q else 0.0,
-        "runs_per_query": RUNS,
-        "cpus": int(cpus),
-        "sf": sf,
-        "detail": "BENCH_DETAIL.json",
-    }
-    line = json.dumps(summary)
-    # Hard guard for the driver's 2,000-char stdout-tail capture.
-    while len(line) > 1900 and summary["queries"]:
-        summary["queries"].popitem()
-        line = json.dumps(summary)
-    print(line)
+    print(build_summary_line(timings, total, RUNS, int(cpus), sf))
     spark.stop()
 
 

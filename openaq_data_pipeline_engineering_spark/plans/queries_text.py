@@ -741,37 +741,72 @@ def minhash_incremental_candidates(spark: SparkSession, sf_dir: str) -> DataFram
     """,
 )
 def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-scan structure (round 6): the naive composition — calling
+    # minhash_lsh_candidates() and rebuilding shingles for the
+    # intersection — planned SIX parquet scans + four shingle
+    # explode/distinct passes, because Spark's exchange reuse does not
+    # canonicalize across the separately-built subtrees. Instead the
+    # distinct-shingle relation is materialized ONCE (localCheckpoint,
+    # the repo's standard multi-use-frame idiom), the per-doc profile
+    # (minhash signature + shingle count) comes from ONE aggregation
+    # (minhash over distinct shingles == minhash over raw shingles:
+    # min() is duplicate-blind), and n_sh rides along through the band
+    # join so no post-hoc size lookup joins are needed. At 100 TB this
+    # is the difference between 1× and 6× corpus reads.
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    sh = docs.select(
-        "doc_id", F.explode(word_shingles("text", k=3)).alias("sh")
-    ).distinct()
-    sizes = sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    sh = (
+        docs.select(
+            "doc_id", F.explode(word_shingles("text", k=3)).alias("sh")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # reused: profile agg + both pair sides
     )
-    cand = minhash_lsh_candidates(spark, sf_dir)
+    prof = (
+        sh.groupBy("doc_id")
+        .agg(
+            *minhash_agg_exprs("sh", _NUM_HASHES),
+            F.count(F.lit(1)).cast("bigint").alias("n_sh"),
+        )
+        .localCheckpoint(eager=True)  # tiny (1 row/doc); both band sides
+    )
+    band_exprs = [
+        F.md5(F.concat(F.col(f"h{a}"), F.col(f"h{b}"))) for a, b in _BANDS
+    ]
+    bands = prof.select(
+        "doc_id", "n_sh", F.explode(F.array(*band_exprs)).alias("band")
+    )
+    ba, bb = bands.alias("a"), bands.alias("b")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .distinct()  # same cardinality as (doc_a, doc_b): n_sh is functional
+    )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
     inter = (
         cand.join(a, on="doc_a")
-        .join(b, "doc_b")
-        .filter(F.col("sa") == F.col("sb"))
-        .groupBy("doc_a", "doc_b")
+        .join(b, (F.col("sa") == F.col("sb")) & (cand["doc_b"] == b["doc_b"]))
+        .drop(b["doc_b"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb2 = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    return (
-        inter.join(F.broadcast(sa), on="doc_a")
-        .join(F.broadcast(sb2), on="doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_common",
-            F.expr("(1000000 * n_common) div na")
-            .cast("bigint")
-            .alias("containment_a_ppm"),
-            F.expr("(1000000 * n_common) div nb")
-            .cast("bigint")
-            .alias("containment_b_ppm"),
-        )
+    return inter.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        F.expr("(1000000 * n_common) div na")
+        .cast("bigint")
+        .alias("containment_a_ppm"),
+        F.expr("(1000000 * n_common) div nb")
+        .cast("bigint")
+        .alias("containment_b_ppm"),
     )

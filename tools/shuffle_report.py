@@ -7,6 +7,15 @@ swings with co-tenancy, but bytes-through-the-exchange is
 deterministic for a given SF and directly predicts cluster network
 cost at scale.
 
+Streaming queries execute inside their builders, so their batch
+read-back plan carries no exchange metrics; their cost lives in
+StreamingQueryProgress instead. A session-level StreamingQueryListener
+captures every micro-batch's progress while each streaming_* witness
+runs, and the report records a per-query streaming section: micro-batch
+count, input rows, and each stateful operator's rows/memory — the
+state-store footprint that predicts cluster memory at scale the same
+way shuffle bytes predict network.
+
 Usage: python tools/shuffle_report.py [sf_dir] [out.json] [query ...]
 """
 
@@ -15,8 +24,11 @@ from __future__ import annotations
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql.streaming import StreamingQueryListener  # noqa: E402
 
 from openaq_data_pipeline_engineering_spark.engine import get_spark  # noqa: E402
 from openaq_data_pipeline_engineering_spark.observability import (  # noqa: E402
@@ -26,9 +38,74 @@ from openaq_data_pipeline_engineering_spark.observability import (  # noqa: E402
 )
 from openaq_data_pipeline_engineering_spark.plans.registry import get_queries  # noqa: E402
 
-# Streaming queries execute inside their builder; their batch read-back
-# plan carries no meaningful exchange metrics.
 SKIP_PREFIX = "streaming_"
+
+
+class _ProgressCollector(StreamingQueryListener):
+    """Accumulates StreamingQueryProgress JSON for every micro-batch of
+    every stream started while attached (builders may run >1 stream)."""
+
+    def __init__(self) -> None:
+        self.progress: list[dict] = []
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        self.progress.append(json.loads(event.progress.json))
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+    def drain(self, settle_sec: float = 2.0) -> list[dict]:
+        """Listener delivery is async; wait until no new events land."""
+        n = -1
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            if len(self.progress) == n:
+                break
+            n = len(self.progress)
+            time.sleep(settle_sec)
+        return self.progress
+
+
+def _summarize_streaming(progress: list[dict], result_rows: int) -> dict:
+    """One row per streaming witness: batch/input totals plus per-
+    stateful-operator peaks (state rows + store memory) and totals
+    (rows updated/removed) across all micro-batches of all streams."""
+    ops: dict[str, dict] = {}
+    n_input = 0
+    for p in progress:
+        n_input += int(p.get("numInputRows", 0) or 0)
+        for so in p.get("stateOperators", []):
+            name = so.get("operatorName") or "state"
+            agg = ops.setdefault(
+                name,
+                {
+                    "max_state_rows": 0,
+                    "rows_updated": 0,
+                    "rows_removed": 0,
+                    "max_memory_used_bytes": 0,
+                },
+            )
+            agg["max_state_rows"] = max(
+                agg["max_state_rows"], int(so.get("numRowsTotal", 0) or 0)
+            )
+            agg["rows_updated"] += int(so.get("numRowsUpdated", 0) or 0)
+            agg["rows_removed"] += int(so.get("numRowsRemoved", 0) or 0)
+            agg["max_memory_used_bytes"] = max(
+                agg["max_memory_used_bytes"],
+                int(so.get("memoryUsedBytes", 0) or 0),
+            )
+    return {
+        "micro_batches": len(progress),
+        "input_rows": n_input,
+        "state_operators": ops,
+        "result_rows": result_rows,
+    }
 
 
 def main() -> None:
@@ -40,8 +117,29 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     report: dict[str, dict] = {}
+    streaming: dict[str, dict] = {}
     for name, fn in sorted(get_queries().items()):
-        if name.startswith(SKIP_PREFIX) or (only and name not in only):
+        if only and name not in only:
+            continue
+        if name.startswith(SKIP_PREFIX):
+            collector = _ProgressCollector()
+            spark.streams.addListener(collector)
+            try:
+                n = fn(spark, sf_dir).count()
+                streaming[name] = _summarize_streaming(
+                    collector.drain(), n
+                )
+                print(
+                    f"{name}: {streaming[name]['micro_batches']} "
+                    f"micro-batches, "
+                    f"{streaming[name]['input_rows']:,} input rows",
+                    flush=True,
+                )
+            except Exception as e:  # noqa: BLE001 - report, don't abort
+                streaming[name] = {"error": str(e)[:200]}
+                print(f"{name}: ERROR {str(e)[:120]}", flush=True)
+            finally:
+                spark.streams.removeListener(collector)
             continue
         try:
             df = fn(spark, sf_dir).limit(100_000)
@@ -59,13 +157,23 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - report, don't abort
             report[name] = {"error": str(e)[:200]}
             print(f"{name}: ERROR {str(e)[:120]}", flush=True)
+    out = {"sf_dir": sf_dir, "queries": report, "streaming": streaming}
+    if only:  # partial run: merge over the existing full report
+        try:
+            with open(out_path) as f:
+                prev = json.load(f)
+            prev.setdefault("queries", {}).update(report)
+            prev.setdefault("streaming", {}).update(streaming)
+            out = prev
+        except OSError:
+            pass
     with open(out_path, "w") as f:
-        json.dump({"sf_dir": sf_dir, "queries": report}, f, indent=1,
-                  sort_keys=True)
-    total = sum(
-        q.get("shuffle_bytes", 0) for q in report.values()
+        json.dump(out, f, indent=1, sort_keys=True)
+    total = sum(q.get("shuffle_bytes", 0) for q in report.values())
+    print(
+        f"\n{len(report)} batch queries ({total:,} shuffle bytes) + "
+        f"{len(streaming)} streaming -> {out_path}"
     )
-    print(f"\n{len(report)} queries, total shuffle {total:,} bytes -> {out_path}")
 
 
 if __name__ == "__main__":
