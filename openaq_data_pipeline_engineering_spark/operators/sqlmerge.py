@@ -13,15 +13,22 @@ accepts the standard warehouse syntax:
     ON <condition>
     [WHEN MATCHED [AND <cond>] THEN UPDATE SET c = expr, ... | SET *]
     [WHEN MATCHED [AND <cond>] THEN DELETE]
-    [WHEN NOT MATCHED [AND <cond>] THEN INSERT (cols) VALUES (exprs)
-                                        | INSERT *]
+    [WHEN NOT MATCHED [BY TARGET] [AND <cond>]
+        THEN INSERT (cols) VALUES (exprs) | INSERT *]
+    [WHEN NOT MATCHED BY SOURCE [AND <cond>]
+        THEN UPDATE SET c = expr, ... | DELETE]
 
 Semantics (Delta/SQL:2003 compatible):
 - Clauses are evaluated IN ORDER; the first applicable clause per row
-  wins.
-- A target row matching NO source row passes through unchanged; a
-  source row matching no target row is inserted only if a WHEN NOT
-  MATCHED clause applies.
+  wins (within the row's family: MATCHED / NOT MATCHED [BY TARGET] /
+  NOT MATCHED BY SOURCE).
+- A target row matching NO source row passes through unchanged unless
+  a WHEN NOT MATCHED BY SOURCE clause applies (the Delta form for
+  "full-sync" merges: delete or flag target rows absent from the
+  source); a source row matching no target row is inserted only if a
+  WHEN NOT MATCHED [BY TARGET] clause applies. BY SOURCE conditions
+  and UPDATE expressions may reference only target columns — source
+  columns are all NULL on those rows.
 - A target row matching MORE THAN ONE source row is ambiguous: with
   ``strict=True`` (default) the merge raises, like Delta's
   "multiple source rows matched" error.
@@ -76,6 +83,9 @@ class _MergeStatement:
     on: str
     matched: list[tuple[int, _MatchedClause]]  # (clause order index, clause)
     not_matched: list[tuple[int, _NotMatchedClause]]
+    # WHEN NOT MATCHED BY SOURCE: target rows with no source match;
+    # UPDATE/DELETE shape, so _MatchedClause is reused.
+    by_source: list[tuple[int, _MatchedClause]]
 
 
 _HEAD_RE = re.compile(
@@ -90,6 +100,7 @@ _HEAD_RE = re.compile(
 
 _CLAUSE_RE = re.compile(
     r"WHEN\s+(?P<not>NOT\s+)?MATCHED"
+    r"(?:\s+BY\s+(?P<by>TARGET|SOURCE))?"
     r"(?:\s+AND\s+(?P<cond>.+?))?"
     r"\s+THEN\s+(?P<action>.+?)"
     r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED|\s*$)",
@@ -140,15 +151,58 @@ def parse_merge(sql: str) -> _MergeStatement:
     aliases = (t_alias, s_alias)
     matched: list[tuple[int, _MatchedClause]] = []
     not_matched: list[tuple[int, _NotMatchedClause]] = []
+    by_source: list[tuple[int, _MatchedClause]] = []
     clause_text = m.group("clauses")
     order = 0
     consumed = 0
+
+    def update_or_delete(action: str, family: str) -> _MatchedClause:
+        if re.fullmatch(r"DELETE", action, re.IGNORECASE):
+            return _MatchedClause(cond=None, assignments=None)
+        am = re.match(
+            r"UPDATE\s+SET\s+(?P<sets>.+)$",
+            action,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not am:
+            raise MergeError(
+                f"{family} supports UPDATE SET / DELETE, got: {action!r}"
+            )
+        sets = am.group("sets").strip()
+        if sets == "*":
+            return _MatchedClause(cond=None, assignments={})
+        assignments: dict[str, str] = {}
+        for part in _split_top(sets):
+            if "=" not in part:
+                raise MergeError(f"bad assignment: {part!r}")
+            lhs, rhs = part.split("=", 1)
+            assignments[_unqualify(lhs, aliases)] = rhs.strip()
+        return _MatchedClause(cond=None, assignments=assignments)
+
     for cm in _CLAUSE_RE.finditer(clause_text):
         consumed += 1
         action = cm.group("action").strip()
         cond = cm.group("cond")
         cond = cond.strip() if cond else None
-        if cm.group("not"):
+        by = (cm.group("by") or "").upper()
+        if by and not cm.group("not"):
+            raise MergeError(
+                f"WHEN MATCHED BY {by} is not a MERGE clause (BY TARGET/"
+                "BY SOURCE qualify NOT MATCHED only)"
+            )
+        if cm.group("not") and by == "SOURCE":
+            # Target rows absent from the source: UPDATE/DELETE shape.
+            # SET * is meaningless here (all source columns are NULL).
+            c = update_or_delete(action, "WHEN NOT MATCHED BY SOURCE")
+            if c.assignments == {}:
+                raise MergeError(
+                    "WHEN NOT MATCHED BY SOURCE cannot UPDATE SET * "
+                    "(source columns are NULL on those rows)"
+                )
+            by_source.append(
+                (order, _MatchedClause(cond=cond, assignments=c.assignments))
+            )
+        elif cm.group("not"):
             am = re.match(
                 r"INSERT\s*(?:\*|\((?P<cols>[^)]*)\)\s*VALUES\s*"
                 r"\((?P<vals>.*)\))\s*$",
@@ -174,33 +228,10 @@ def parse_merge(sql: str) -> _MergeStatement:
                     )
                 nm = _NotMatchedClause(cond=cond, cols=cols, vals=vals)
             not_matched.append((order, nm))
-        elif re.fullmatch(r"DELETE", action, re.IGNORECASE):
-            matched.append(
-                (order, _MatchedClause(cond=cond, assignments=None))
-            )
         else:
-            am = re.match(
-                r"UPDATE\s+SET\s+(?P<sets>.+)$",
-                action,
-                re.IGNORECASE | re.DOTALL,
-            )
-            if not am:
-                raise MergeError(
-                    f"WHEN MATCHED supports UPDATE SET / DELETE, got: "
-                    f"{action!r}"
-                )
-            sets = am.group("sets").strip()
-            if sets == "*":
-                assignments: dict[str, str] = {}
-            else:
-                assignments = {}
-                for part in _split_top(sets):
-                    if "=" not in part:
-                        raise MergeError(f"bad assignment: {part!r}")
-                    lhs, rhs = part.split("=", 1)
-                    assignments[_unqualify(lhs, aliases)] = rhs.strip()
+            c = update_or_delete(action, "WHEN MATCHED")
             matched.append(
-                (order, _MatchedClause(cond=cond, assignments=assignments))
+                (order, _MatchedClause(cond=cond, assignments=c.assignments))
             )
         order += 1
     if not consumed:
@@ -213,6 +244,7 @@ def parse_merge(sql: str) -> _MergeStatement:
         on=m.group("on").strip(),
         matched=matched,
         not_matched=not_matched,
+        by_source=by_source,
     )
 
 
@@ -287,23 +319,35 @@ def execute_merge(
                 "per joined row)"
             )
 
-    # Row action: first applicable clause in statement order.
-    action: Column = F.lit(None).cast("string")
-    chain = F.when(t_only, F.lit("KEEP"))
-    clauses: list[tuple[int, str, object]] = [
-        (i, "M", c) for i, c in st.matched
-    ] + [(i, "N", c) for i, c in st.not_matched]
+    # Row action: first applicable clause in statement order. The three
+    # families partition the joined rows (matched / source-only /
+    # target-only), so one CASE chain in global clause order implements
+    # per-family first-match-wins exactly.
+    chain: Column | None = None
+    clauses: list[tuple[int, str, object]] = (
+        [(i, "M", c) for i, c in st.matched]
+        + [(i, "N", c) for i, c in st.not_matched]
+        + [(i, "S", c) for i, c in st.by_source]
+    )
     for i, kind, c in sorted(clauses):
-        base = is_matched if kind == "M" else F.col(_T_MARK).isNull()
+        base = {
+            "M": is_matched,
+            "N": F.col(_T_MARK).isNull(),
+            "S": t_only,
+        }[kind]
         cond = base if c.cond is None else base & F.expr(c.cond)
-        chain = chain.when(cond, F.lit(f"{kind}{i}"))
-    # matched rows with no applicable clause keep the target row;
-    # source-only rows with no applicable clause are dropped.
-    action = chain.when(is_matched, F.lit("KEEP")).otherwise(F.lit("DROP"))
+        lit = F.lit(f"{kind}{i}")
+        chain = F.when(cond, lit) if chain is None else chain.when(cond, lit)
+    # target rows (matched or source-absent) with no applicable clause
+    # keep the target row; source-only rows with no applicable clause
+    # are dropped.
+    action = chain.when(
+        is_matched | t_only, F.lit("KEEP")
+    ).otherwise(F.lit("DROP"))
 
     delete_actions = [
         f"M{i}" for i, c in st.matched if c.assignments is None
-    ]
+    ] + [f"S{i}" for i, c in st.by_source if c.assignments is None]
     projected = joined.withColumn(_ACTION, action).filter(
         ~F.col(_ACTION).isin(["DROP", *delete_actions])
     )
@@ -332,6 +376,15 @@ def execute_merge(
             else:
                 rhs = F.lit(None)
             chain = add_when(chain, F.col(_ACTION) == f"N{i}", rhs)
+        for i, c in st.by_source:
+            if c.assignments is None:
+                continue  # DELETE rows never reach the projection
+            rhs = (
+                F.expr(c.assignments[cname])
+                if cname in c.assignments
+                else expr
+            )
+            chain = add_when(chain, F.col(_ACTION) == f"S{i}", rhs)
         return (chain.otherwise(expr) if chain is not None else expr).alias(
             cname
         )

@@ -244,3 +244,65 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# MERGE full-sync shape (WHEN NOT MATCHED BY SOURCE): the source is the
+# complete desired state for its key range — matched rows take the
+# source version, new keys insert, and target rows the source no longer
+# contains are deleted (negative balance) or flagged STALE. This is the
+# Delta/SQL:2003 BY SOURCE clause family over the same parquet-native
+# lowering (still ONE full-outer join + CASE projection — the clause
+# family only adds WHEN branches, never another join or shuffle).
+# --------------------------------------------------------------------------
+@query(
+    "sql_merge_full_sync",
+    "MERGE with WHEN NOT MATCHED BY SOURCE (update/insert/delete-or-"
+    "flag absent targets) — the full-sync statement shape",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        FROM customer WHERE c_custkey <= 1200
+    ), src AS (
+        SELECT c_custkey, 'SYNC' AS c_mktsegment,
+               CAST(c_acctbal AS DOUBLE) + 1.0 AS c_acctbal
+        FROM customer WHERE c_custkey > 1000 AND c_custkey <= 1400
+    )
+    SELECT s.c_custkey, s.c_mktsegment, s.c_acctbal
+    FROM src s JOIN base b ON b.c_custkey = s.c_custkey
+    UNION ALL
+    SELECT s.c_custkey, s.c_mktsegment, s.c_acctbal
+    FROM src s ANTI JOIN base b ON b.c_custkey = s.c_custkey
+    UNION ALL
+    SELECT b.c_custkey, 'STALE' AS c_mktsegment, b.c_acctbal
+    FROM base b ANTI JOIN src s ON s.c_custkey = b.c_custkey
+    WHERE b.c_acctbal >= 0
+    """,
+)
+def sql_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.engine import Engine
+
+    cust = fan_out(load_table(spark, sf_dir, "customer"))
+    base = cust.filter(F.col("c_custkey") <= 1200).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+    src = cust.filter(
+        (F.col("c_custkey") > 1000) & (F.col("c_custkey") <= 1400)
+    ).select(
+        "c_custkey",
+        F.lit("SYNC").alias("c_mktsegment"),
+        (F.col("c_acctbal").cast("double") + F.lit(1.0)).alias("c_acctbal"),
+    )
+    eng = Engine(spark)
+    eng.register("full_sync_tgt", base)
+    eng.register("full_sync_src", src)
+    return eng.sql(
+        "MERGE INTO full_sync_tgt t USING full_sync_src s "
+        "ON t.c_custkey = s.c_custkey "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY TARGET THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND t.c_acctbal < 0 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET c_mktsegment = 'STALE'"
+    )

@@ -48,6 +48,37 @@ class TestParse:
         }
         assert st.not_matched[0][1].cols == ["k", "seg", "bal"]
 
+    def test_by_source_grammar(self):
+        st = parse_merge(
+            "MERGE INTO tgt t USING src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED BY TARGET THEN INSERT * "
+            "WHEN NOT MATCHED BY SOURCE AND t.bal < 0 THEN DELETE "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET seg = 'STALE'"
+        )
+        assert len(st.matched) == 1 and len(st.not_matched) == 1
+        assert len(st.by_source) == 2
+        assert st.by_source[0][1].assignments is None  # DELETE
+        assert st.by_source[0][1].cond == "t.bal < 0"
+        assert st.by_source[1][1].assignments == {"seg": "'STALE'"}
+
+    def test_by_source_rejections(self):
+        with pytest.raises(MergeError, match="BY TARGET"):
+            parse_merge(
+                "MERGE INTO t USING s ON t.k = s.k "
+                "WHEN MATCHED BY TARGET THEN DELETE"
+            )
+        with pytest.raises(MergeError, match="SET \\*"):
+            parse_merge(
+                "MERGE INTO t USING s ON t.k = s.k "
+                "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *"
+            )
+        with pytest.raises(MergeError, match="UPDATE SET / DELETE"):
+            parse_merge(
+                "MERGE INTO t USING s ON t.k = s.k "
+                "WHEN NOT MATCHED BY SOURCE THEN INSERT *"
+            )
+
     def test_rejects_garbage(self):
         with pytest.raises(MergeError):
             parse_merge("MERGE INTO t USING s ON t.k = s.k")  # no WHEN
@@ -164,6 +195,59 @@ class TestExecute:
             spark, stmt, target_df=base, source_df=dup_src, strict=False
         )
         assert out.filter(F.col("k") == 2).count() == 2
+
+    def test_by_source_full_sync(self, spark):
+        """The Delta 'full sync' shape: source is the complete desired
+        state — update matches, insert new, delete target rows the
+        source no longer contains."""
+        base, upd = _frames(spark)
+        out = execute_merge(
+            spark,
+            "MERGE INTO tgt t USING src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT * "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+            target_df=base,
+            source_df=upd,
+        )
+        # k=1 exists only in target -> deleted; 2,3 updated; 4 inserted
+        assert _rows(out) == {
+            (2, "B2", 5.0),
+            (3, "C2", -1.0),
+            (4, "D", 40.0),
+        }
+
+    def test_by_source_conditional_flag_then_keep(self, spark):
+        base, upd = _frames(spark)
+        out = execute_merge(
+            spark,
+            "MERGE INTO tgt t USING src s ON t.k = s.k "
+            "WHEN NOT MATCHED BY SOURCE AND t.bal >= 5 "
+            "THEN UPDATE SET seg = 'STALE'",
+            target_df=base.union(
+                spark.createDataFrame([(9, "Z", 1.0)], base.schema)
+            ),
+            source_df=upd,
+        )
+        assert _rows(out) == {
+            (1, "STALE", 10.0),  # source-absent, bal >= 5 -> flagged
+            (2, "B", 20.0),  # matched, no MATCHED clause -> kept
+            (3, "C", 30.0),
+            (9, "Z", 1.0),  # source-absent, bal < 5 -> kept as-is
+        }
+
+    def test_by_source_clause_order_first_wins(self, spark):
+        base, upd = _frames(spark)
+        out = execute_merge(
+            spark,
+            "MERGE INTO tgt t USING src s ON t.k = s.k "
+            "WHEN NOT MATCHED BY SOURCE AND t.bal > 5 THEN DELETE "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET seg = 'KEPT'",
+            target_df=base,
+            source_df=upd,
+        )
+        # k=1 (bal 10 > 5) hits the DELETE first, never the UPDATE
+        assert _rows(out) == {(2, "B", 20.0), (3, "C", 30.0)}
 
     def test_engine_sql_routes_merge(self, spark):
         base, upd = _frames(spark)
