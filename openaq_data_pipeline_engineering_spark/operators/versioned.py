@@ -260,3 +260,92 @@ def vacuum_snapshots(
     for v in drop + orphans:
         shutil.rmtree(os.path.join(root, f"v={v}"), ignore_errors=True)
     return drop
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    root: str,
+    keys: list[str],
+    v_from: int,
+    v_to: int | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Change data feed between two committed versions (Delta CDF shape).
+
+    Returns every data column of the snapshots plus ``_change_type`` ∈
+    {insert, delete, update_preimage, update_postimage[, unchanged]}:
+    a key present only in ``v_to`` is an insert, only in ``v_from`` a
+    delete, and a key whose non-key columns differ emits BOTH the
+    pre- and post-image row, exactly like Delta's
+    ``table_changes``/readChangeFeed output. The reference pipeline has
+    no row-level history at all (its mart is overwritten in place);
+    composed with write_snapshot/MERGE this gives downstream consumers
+    an incremental diff instead of a full re-read.
+
+    Plan shape (scale posture): ONE full-outer join on the key columns
+    (shuffle ∝ the two snapshots, broadcast if one side is small under
+    AQE), then a single CASE → array-of-struct → ``explode`` pass — the
+    update pre/post pair is produced WITHOUT a second join or a union
+    re-reading the join (a union of two filtered projections would plan
+    the join twice). No window, no driver collect; at 100 TB the cost
+    is the join shuffle, which is the floor for any diff.
+
+    ``keys`` must uniquely identify a row within each snapshot (the
+    usual primary-key contract for CDC); duplicate keys produce a
+    many-to-many join and are the caller's modeling error. Key columns
+    are compared with null-safe equality, so NULL keys pair instead of
+    cartesian-leaking.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    old = read_snapshot(spark, root, version=v_from)
+    new = read_snapshot(spark, root, version=v_to)
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"snapshot schemas differ: {sorted(old.columns)} vs "
+            f"{sorted(new.columns)} — change feed needs a stable schema"
+        )
+    cols = list(old.columns)
+    non_keys = [c for c in cols if c not in keys]
+    missing = [k for k in keys if k not in cols]
+    if missing:
+        raise ValueError(f"key columns not in snapshot: {missing}")
+
+    o = old.withColumn("__o_mark", F.lit(1)).alias("o")
+    n = new.withColumn("__n_mark", F.lit(1)).alias("n")
+    on = reduce(
+        lambda a, b: a & b, [o[k].eqNullSafe(n[k]) for k in keys]
+    )
+    j = o.join(n, on, "full_outer")
+    in_old = F.col("__o_mark").isNotNull()
+    in_new = F.col("__n_mark").isNotNull()
+    same = (
+        reduce(lambda a, b: a & b, [o[c].eqNullSafe(n[c]) for c in non_keys])
+        if non_keys
+        else F.lit(True)
+    )
+
+    def row(side, tag: str):
+        return F.struct(
+            *[side[c].alias(c) for c in cols],
+            F.lit(tag).alias("_change_type"),
+        )
+
+    unchanged = (
+        F.array(row(n, "unchanged")) if include_unchanged else F.array()
+    )
+    changes = (
+        F.when(in_new & ~in_old, F.array(row(n, "insert")))
+        .when(in_old & ~in_new, F.array(row(o, "delete")))
+        .when(
+            in_old & in_new & ~same,
+            F.array(row(o, "update_preimage"), row(n, "update_postimage")),
+        )
+        .otherwise(unchanged)
+    )
+    out = j.select(F.explode(changes).alias("__c")).select("__c.*")
+    # array<struct> unifies branch types, so nothing is VOID-typed here;
+    # explode of the empty array drops unchanged rows in the same pass.
+    return out

@@ -306,3 +306,99 @@ def sql_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHEN NOT MATCHED BY SOURCE AND t.c_acctbal < 0 THEN DELETE "
         "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET c_mktsegment = 'STALE'"
     )
+
+
+# --------------------------------------------------------------------------
+# Change data feed between committed versions (Delta CDF shape):
+# v1 = first half of the month; v2 = the next day's desired state
+# (purchases retracted, clicks repriced +1 cent, second half arrives).
+# snapshot_changes diffs the two pinned versions with ONE full-outer
+# join + explode (pre/post images in the same pass); the witness
+# aggregates the feed by change type. The oracle recomputes the same
+# diff from the source table — an insert/delete/update row set that a
+# manifest bug, version clobber, or mis-classified change would break.
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_change_feed",
+    "versioned CDF: insert/delete/update_pre/update_post feed between "
+    "two snapshot versions, aggregated by change type",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, event_type,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), firsthalf AS (
+        SELECT b.* FROM base b
+        JOIN events e USING (event_id)
+        WHERE CAST(e.ts AS DATE) < DATE '2024-01-16'
+    ), v1 AS (
+        SELECT * FROM firsthalf
+    ), v2 AS (
+        SELECT event_id, event_type,
+               cents + CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                 AS cents
+        FROM firsthalf WHERE event_type <> 'purchase'
+        UNION ALL
+        SELECT b.* FROM base b
+        JOIN events e USING (event_id)
+        WHERE CAST(e.ts AS DATE) >= DATE '2024-01-16'
+    ), feed AS (
+        SELECT v2.event_id, v2.event_type, v2.cents,
+               'insert' AS change_type
+        FROM v2 ANTI JOIN v1 USING (event_id)
+        UNION ALL
+        SELECT v1.event_id, v1.event_type, v1.cents, 'delete'
+        FROM v1 ANTI JOIN v2 USING (event_id)
+        UNION ALL
+        SELECT v1.event_id, v1.event_type, v1.cents, 'update_preimage'
+        FROM v1 JOIN v2 USING (event_id)
+        WHERE v1.cents <> v2.cents OR v1.event_type <> v2.event_type
+        UNION ALL
+        SELECT v2.event_id, v2.event_type, v2.cents, 'update_postimage'
+        FROM v1 JOIN v2 USING (event_id)
+        WHERE v1.cents <> v2.cents OR v1.event_type <> v2.event_type
+    )
+    SELECT change_type, event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM feed GROUP BY change_type, event_type
+    """,
+)
+def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        snapshot_changes,
+        write_snapshot,
+    )
+
+    ev = fan_out(load_table(spark, sf_dir, "events")).select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    first = ev.filter(
+        F.col("ts").cast("date") < F.lit("2024-01-16").cast("date")
+    ).drop("ts")
+    v2_state = first.filter(F.col("event_type") != "purchase").withColumn(
+        "cents",
+        F.col("cents")
+        + F.when(F.col("event_type") == "click", F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).unionByName(
+        ev.filter(
+            F.col("ts").cast("date") >= F.lit("2024-01-16").cast("date")
+        ).drop("ts")
+    )
+    root = fresh_scratch_dir("cdf_root")
+    write_snapshot(first, root)  # v1
+    write_snapshot(v2_state, root)  # v2
+    feed = snapshot_changes(
+        spark, root, keys=["event_id"], v_from=1, v_to=2
+    )
+    return feed.groupBy(
+        F.col("_change_type").alias("change_type"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )

@@ -317,3 +317,87 @@ class TestIncrementalMV:
         got = {tuple(r) for r in merged.collect()}
         want = {tuple(r) for r in full.collect()}
         assert got == want and len(got) == 5
+
+
+class TestSnapshotChanges:
+    """Change data feed (snapshot_changes): Delta CDF semantics."""
+
+    def _mk(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            snapshot_changes,
+        )
+
+        root = str(tmp_path / "cdf")
+        v1 = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+            "k int, seg string, val int",
+        )
+        v2 = spark.createDataFrame(
+            # k=1 unchanged, k=2 updated, k=3 deleted, k=4 inserted
+            [(1, "a", 10), (2, "B", 21), (4, "d", 40)],
+            "k int, seg string, val int",
+        )
+        write_snapshot(v1, root)
+        write_snapshot(v2, root)
+        return snapshot_changes, root
+
+    def test_all_change_types(self, spark, tmp_path):
+        snapshot_changes, root = self._mk(spark, tmp_path)
+        feed = snapshot_changes(spark, root, keys=["k"], v_from=1, v_to=2)
+        rows = {tuple(r) for r in feed.collect()}
+        assert rows == {
+            (2, "b", 20, "update_preimage"),
+            (2, "B", 21, "update_postimage"),
+            (3, "c", 30, "delete"),
+            (4, "d", 40, "insert"),
+        }
+        assert feed.columns == ["k", "seg", "val", "_change_type"]
+
+    def test_include_unchanged(self, spark, tmp_path):
+        snapshot_changes, root = self._mk(spark, tmp_path)
+        feed = snapshot_changes(
+            spark, root, keys=["k"], v_from=1, v_to=2,
+            include_unchanged=True,
+        )
+        assert feed.filter(
+            F.col("_change_type") == "unchanged"
+        ).collect()[0][0] == 1
+        assert feed.count() == 5
+
+    def test_identical_versions_empty_feed(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            snapshot_changes,
+        )
+
+        root = str(tmp_path / "cdf2")
+        df = load_table(spark, SF_DIR, "nation")
+        write_snapshot(df, root)
+        write_snapshot(df, root)
+        feed = snapshot_changes(
+            spark, root, keys=["n_nationkey"], v_from=1, v_to=2
+        )
+        assert feed.count() == 0
+
+    def test_schema_drift_rejected(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            snapshot_changes,
+        )
+
+        root = str(tmp_path / "cdf3")
+        write_snapshot(
+            spark.createDataFrame([(1, "a")], "k int, x string"), root
+        )
+        write_snapshot(
+            spark.createDataFrame([(1, "a", 2)], "k int, x string, y int"),
+            root,
+        )
+        with pytest.raises(ValueError, match="schemas differ"):
+            snapshot_changes(spark, root, keys=["k"], v_from=1, v_to=2)
+
+    def test_single_join_no_python_plan(self, spark, tmp_path):
+        snapshot_changes, root = self._mk(spark, tmp_path)
+        feed = snapshot_changes(spark, root, keys=["k"], v_from=1, v_to=2)
+        plan = feed._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert plan.count("Join") <= 2  # one logical full-outer join
