@@ -72,6 +72,11 @@ def cdc_apply(
             ).alias("__w")
         )
         .select(*keys, "__w.*")
+        # The collapsed change set (∝ distinct changed keys, small by
+        # CDC contract) feeds both the anti-join and the survivor
+        # slice; materialize once so the change stream's derivation is
+        # planned once, not per consumer.
+        .localCheckpoint(eager=True)
     )
     untouched = base.join(latest.select(*keys), list(keys), "left_anti")
     survivors = latest.filter(F.col("__op") == "U").select(*cols)
@@ -91,32 +96,53 @@ def scd2_apply(
     unmatched update rows are inserted as current.
 
     Output = base columns + (version INT, is_current BOOLEAN).
+
+    Plan: ONE full-outer join on the keys, then a CASE →
+    array-of-struct → ``explode`` pass emitting the closed + current
+    pair for matched keys (the same single-pass pattern as
+    versioned.snapshot_changes / sqlmerge) — each input is scanned
+    exactly once. The earlier semi/anti/left three-slice union scanned
+    ``base`` three times and ``updates`` twice for identical output.
+    ``keys`` must uniquely identify a row on each side (the usual SCD
+    contract); duplicate update keys multiply matched pairs.
     """
     cols = base.columns
     k = list(keys)
-    changed_keys = updates.select(*k)
-    closed = (
-        base.join(changed_keys, k, "left_semi")
-        .select(*cols)
-        .withColumn("version", F.lit(from_version))
-        .withColumn("is_current", F.lit(False))
+    # Rename-prefix both sides BEFORE the join: base and updates are
+    # routinely derived from the SAME source frame (self-join), where
+    # frame-qualified refs (b[col] / u[col]) silently mis-resolve on
+    # colliding expression ids — prefixed names are unambiguous by
+    # construction.
+    b = base.select(
+        *[F.col(c).alias(f"__b_{c}") for c in cols], F.lit(1).alias("__b_mark")
     )
-    untouched = (
-        base.join(changed_keys, k, "left_anti")
-        .select(*cols)
-        .withColumn("version", F.lit(from_version))
-        .withColumn("is_current", F.lit(True))
+    u = updates.select(
+        *[F.col(c).alias(f"__u_{c}") for c in cols], F.lit(1).alias("__u_mark")
     )
-    fresh = (
-        updates.select(*cols)
-        .join(base.select(*k).withColumn("__had", F.lit(1)), k, "left")
-        .select(
-            *cols,
-            (
-                F.when(F.col("__had").isNotNull(), F.lit(from_version + 1))
-                .otherwise(F.lit(from_version))
-            ).alias("version"),
-            F.lit(True).alias("is_current"),
+    on = None
+    for key in k:
+        c = F.col(f"__b_{key}").eqNullSafe(F.col(f"__u_{key}"))
+        on = c if on is None else on & c
+    j = b.join(u, on, "full_outer")
+    in_b = F.col("__b_mark").isNotNull()
+    in_u = F.col("__u_mark").isNotNull()
+
+    def row(prefix, version, is_current):
+        return F.struct(
+            *[F.col(f"{prefix}{c}").alias(c) for c in cols],
+            F.lit(version).cast("int").alias("version"),
+            F.lit(is_current).alias("is_current"),
         )
+
+    slices = (
+        F.when(
+            in_b & in_u,
+            F.array(
+                row("__b_", from_version, False),  # closed-out old version
+                row("__u_", from_version + 1, True),  # update -> new current
+            ),
+        )
+        .when(in_b, F.array(row("__b_", from_version, True)))  # untouched
+        .otherwise(F.array(row("__u_", from_version, True)))  # insert
     )
-    return closed.unionByName(untouched).unionByName(fresh)
+    return j.select(F.explode(slices).alias("__s")).select("__s.*")

@@ -246,6 +246,12 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", F.col("cid").alias("cell"))
+        # The built IVF index, materialized once (it feeds the probe
+        # lookup AND the in-cell scan; re-deriving it re-scans the
+        # corpus — exchange reuse does not fire across aliased
+        # subtrees on this Spark build). In production this frame IS
+        # the persisted index.
+        .localCheckpoint(eager=True)
     )
     q = assigned.filter(F.col("vec_id") == _PROBE_ID).select(
         F.col("cell").alias("qcell"), F.col("embedding").alias("qvec")
@@ -662,8 +668,16 @@ def small_quantity_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def intersect_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    err = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
-    buy = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    # Each distinct user set feeds both set operations; materialize
+    # once per side so the witness is 2 pruned scans, not 4.
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id").distinct().localCheckpoint(eager=True)
+    )
+    buy = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id").distinct().localCheckpoint(eager=True)
+    )
     both = err.intersect(buy).select(F.lit("both").alias("cohort"), "user_id")
     only = err.exceptAll(buy).select(F.lit("error_only").alias("cohort"), "user_id")
     return both.unionByName(only)

@@ -98,7 +98,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("term") != "")
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # The materialized TF relation (production inverted-index shape):
+    # feeds both the DF aggregation and the scored join; re-deriving it
+    # re-tokenizes the corpus per use on this Spark build (no exchange
+    # reuse across aliased subtrees).
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=True)
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (

@@ -1051,6 +1051,9 @@ def hll_register_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.withColumn("rho", rho)
         .groupBy("event_type", "idx")
         .agg(F.max("rho").alias("rho"))
+        # The register table (types x m, tiny) feeds both the merged
+        # union branch and the per-type branch; materialize once.
+        .localCheckpoint(eager=True)
     )
     merged = (
         per_type.groupBy("idx")

@@ -355,11 +355,26 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_agg_exprs,
     )
 
+    # Shared frames materialize ONCE (localCheckpoint): this witness
+    # reuses the distinct shingles 3x (sizes + both intersection
+    # sides), the signatures 3x (bands + both agreement sides), and
+    # the candidates 2x — without materialization the multiplicative
+    # re-derivation planned TEN scans of the corpus (exchange reuse
+    # does not fire across aliased subtrees on this Spark build).
+    # MinHash over distinct shingles == over raw (min is dup-blind).
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    sh = docs.select(
-        "doc_id", F.explode(word_shingles("text", k=3)).alias("sh")
+    dsh = (
+        docs.select(
+            "doc_id", F.explode(word_shingles("text", k=3)).alias("sh")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    mh = sh.groupBy("doc_id").agg(*minhash_agg_exprs("sh", _NUM_HASHES))
+    mh = (
+        dsh.groupBy("doc_id")
+        .agg(*minhash_agg_exprs("sh", _NUM_HASHES))
+        .localCheckpoint(eager=True)
+    )
     band_exprs = [
         F.md5(F.concat(F.col(f"h{a}"), F.col(f"h{b}"))) for a, b in _BANDS
     ]
@@ -375,8 +390,8 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    dsh = sh.distinct()
     sz = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x = dsh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     y = dsh.select(F.col("doc_id").alias("yb"), F.col("sh").alias("sh_b"))
@@ -489,7 +504,12 @@ def priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = fan_out(load_table(spark, sf_dir, "events"))
-    du = ev.select("event_type", "user_id").distinct()
+    # Collapsed audience relation, reused 3x (sizes + both pair
+    # sides); materialized once (no exchange reuse across aliased
+    # subtrees on this Spark build).
+    du = ev.select("event_type", "user_id").distinct().localCheckpoint(
+        eager=True
+    )
     sz = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     a = du.select(F.col("event_type").alias("type_a"), "user_id")
     b = du.select(F.col("event_type").alias("type_b"), "user_id")

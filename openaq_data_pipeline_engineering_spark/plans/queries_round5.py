@@ -277,7 +277,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = tok.groupBy("bkt").agg(
         F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("c_t"),
         F.sum(F.when(F.col("source") != "src0", 1).otherwise(0)).alias("c_r"),
-    )
+    ).localCheckpoint(eager=True)  # 256 rows; feeds totals AND rates
     z = lm.agg(
         F.sum("c_t").alias("z_t"), F.sum("c_r").alias("z_r")
     )
@@ -346,7 +346,11 @@ def doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
     )
-    lm = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # Vocab-sized LM table, reused by the totals agg and the scoring
+    # join; materialized once (the classic train-then-score two-pass).
+    lm = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(
+        eager=True
+    )
     total = lm.agg(F.sum("c").alias("total"))
     scored = (
         tok.join(lm, "w")
@@ -456,7 +460,9 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         lsh_bucket("embedding", n_bits, 32).alias("bucket"),
-    )
+        # The bucketed index feeds both self-join sides; materialized
+        # once (in production this frame IS the persisted LSH index).
+    ).localCheckpoint(eager=True)
     lower = bucketed.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),

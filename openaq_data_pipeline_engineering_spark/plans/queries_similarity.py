@@ -306,7 +306,13 @@ def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    flat = flatten_quantized(emb, _PQ_SUB_DIMS)
+    # Materialized once: every downstream stage (centroids, codes,
+    # ADC tables, candidate lists) re-reads this frame, and exchange
+    # reuse does not fire across aliased subtrees on this Spark
+    # build — without it the witness planned 4-8 scans of the corpus.
+    flat = flatten_quantized(emb, _PQ_SUB_DIMS).localCheckpoint(
+        eager=True
+    )
     cb = seed_codebook(flat, _PQ_K)
     codes = pq_encode(flat, cb)
     dtab = adc_table(flat.filter(F.col("vec_id") < _PQ_PROBES), cb)
@@ -402,7 +408,13 @@ def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    flat = flatten_quantized(emb, _PQ_SUB_DIMS)
+    # Materialized once: every downstream stage (centroids, codes,
+    # ADC tables, candidate lists) re-reads this frame, and exchange
+    # reuse does not fire across aliased subtrees on this Spark
+    # build — without it the witness planned 4-8 scans of the corpus.
+    flat = flatten_quantized(emb, _PQ_SUB_DIMS).localCheckpoint(
+        eager=True
+    )
 
     # IVF layer: full-dim integer L2 to the K_ivf seed centroids.
     cent = flat.filter(F.col("vec_id") < _IVFPQ_K_IVF).select(
@@ -539,7 +551,13 @@ def ann_methods_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    flat = flatten_quantized(emb, _PQ_SUB_DIMS)
+    # Materialized once: every downstream stage (centroids, codes,
+    # ADC tables, candidate lists) re-reads this frame, and exchange
+    # reuse does not fire across aliased subtrees on this Spark
+    # build — without it the witness planned 4-8 scans of the corpus.
+    flat = flatten_quantized(emb, _PQ_SUB_DIMS).localCheckpoint(
+        eager=True
+    )
 
     # exact integer-dot top-5 (same grid as quantized_ann_topk)
     q, b = flat.alias("q"), flat.alias("b")
@@ -654,6 +672,9 @@ def linear_scoring_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - 32768
             ).alias("wv"),
         )
+        # 64-row weight vector; derived from the corpus dims once, not
+        # re-planned per consumer.
+        .localCheckpoint(eager=True)
     )
     margins = (
         flat.join(F.broadcast(weights), on="i")
@@ -751,6 +772,9 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - 32768
             ).alias("wv"),
         )
+        # 64-row weight vector; derived from the corpus dims once, not
+        # re-planned per consumer.
+        .localCheckpoint(eager=True)
     )
     margins = (
         flat.join(F.broadcast(weights), on="i")

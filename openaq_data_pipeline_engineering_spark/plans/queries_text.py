@@ -243,7 +243,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
-    )
+    ).localCheckpoint(eager=True)  # reused 3x: sizes + both join sides
     sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = tok.alias("a"), tok.alias("b")
     inter = (
@@ -300,17 +300,23 @@ def _minhash_oracle() -> str:
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    # explode + groupBy, NOT a per-row array fold: the groupBy's
-    # exchange is ReusedExchange'd across both sides of the band
-    # self-join (signature computed once), and 8 chained array-HOF
+    # explode + groupBy, NOT a per-row array fold: 8 chained array-HOF
     # expressions in one projection overflow whole-stage codegen into
-    # interpreted evaluation (measured 3.5x slower end-to-end).
+    # interpreted evaluation (measured 3.5x slower end-to-end). The
+    # tiny band frame (4 rows/doc of (doc_id, 32-hex band)) is
+    # materialized once (localCheckpoint) before the self-join —
+    # measured on this Spark build, exchange reuse does NOT fire
+    # across the two aliased sides (0 ReusedExchange even for a
+    # minimal identical-subtree self-join), so without it the scan +
+    # shingle explode + minhash agg would run twice.
     sh = docs.select(
         "doc_id", F.explode(word_shingles("text", k=3)).alias("sh")
     )
     mh = sh.groupBy("doc_id").agg(*minhash_agg_exprs("sh", _NUM_HASHES))
     band_exprs = [F.md5(F.concat(F.col(f"h{a}"), F.col(f"h{b}"))) for a, b in _BANDS]
-    bands = mh.select("doc_id", F.explode(F.array(*band_exprs)).alias("band"))
+    bands = mh.select(
+        "doc_id", F.explode(F.array(*band_exprs)).alias("band")
+    ).localCheckpoint(eager=True)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -454,12 +460,16 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     keepers = exact_dedup(docs, content_col="text", id_col="doc_id").select("doc_id")
 
-    # agg form for ReusedExchange across the band self-join (see
-    # minhash_lsh_candidates).
+    # band table materialized once before the self-join — exchange
+    # reuse does not fire across aliased subtrees on this Spark build
+    # (see minhash_lsh_candidates), so without it the scan + shingle
+    # explode + minhash agg runs on both sides.
     sh = docs.select("doc_id", F.explode(word_shingles("text", k=3)).alias("sh"))
     mh = sh.groupBy("doc_id").agg(*minhash_agg_exprs("sh", _NUM_HASHES))
     band_exprs = [F.md5(F.concat(F.col(f"h{a}"), F.col(f"h{b}"))) for a, b in _BANDS]
-    bandtab = mh.select("doc_id", F.explode(F.array(*band_exprs)).alias("band"))
+    bandtab = mh.select(
+        "doc_id", F.explode(F.array(*band_exprs)).alias("band")
+    ).localCheckpoint(eager=True)
     a, b = bandtab.alias("a"), bandtab.alias("b")
     near_b = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -672,7 +682,7 @@ def minhash_incremental_candidates(spark: SparkSession, sf_dir: str) -> DataFram
     ]
     bands = mh.select(
         "doc_id", F.explode(F.array(*band_exprs)).alias("band")
-    )
+    ).localCheckpoint(eager=True)  # reused 4x: index + new, both joins
     idx = bands.filter(F.col("doc_id") < _INCR_SPLIT)
     new = bands.filter(F.col("doc_id") >= _INCR_SPLIT)
     vs_index = (

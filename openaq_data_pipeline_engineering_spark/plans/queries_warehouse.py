@@ -297,6 +297,11 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         fan_out(load_table(spark, sf_dir, "lineitem"))
         .select(F.col("l_orderkey").alias("bid"), F.col("l_partkey").alias("item"))
         .distinct()
+        # The collapsed basket relation feeds 4 consumers (count, item
+        # supports, both pair-join sides); materialize once or each
+        # re-plans the scan+distinct (no exchange reuse across aliased
+        # subtrees on this Spark build).
+        .localCheckpoint(eager=True)
     )
     n = baskets.agg(
         F.countDistinct("bid").cast("bigint").alias("n_baskets")
@@ -375,10 +380,14 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = fan_out(load_table(spark, sf_dir, "events")).select(
         "user_id", "event_type", "ts"
     )
+    # Each stage frame is a small per-user aggregate consumed twice
+    # (next stage + its own count); materialized once so the funnel is
+    # 3 pruned scans, not a 6-scan re-derivation cascade.
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("vt"))
+        .localCheckpoint(eager=True)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -386,6 +395,7 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") >= F.col("vt"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("ct"))
+        .localCheckpoint(eager=True)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -497,7 +507,9 @@ def outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "med",
         F.abs(F.col("value") - F.col("med")).alias("adev"),
-    )
+        # Materialized once: dev feeds the MAD pass AND the final
+        # screen; re-deriving it re-scans the fact per consumer.
+    ).localCheckpoint(eager=True)
     mad = dev.groupBy("event_type").agg(
         F.percentile("adev", 0.5).alias("mad")
     )

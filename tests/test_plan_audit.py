@@ -81,6 +81,28 @@ NLJ_ALLOWED = {
     "two_pass_exact_median",
 }
 
+# Queries whose plans legitimately scan the same input file THREE
+# times — each is N distinct one-pass derivations (different filters /
+# projections, pushed to the scan), never a re-planned shared subtree.
+# Anything above 3, or a new 3-scan entrant, fails the gate: the
+# round-6 scan-amplification audit found multiplicative re-derivation
+# (up to 52 scans) precisely because exchange reuse does not fire
+# across aliased subtrees on this Spark build; shared frames must be
+# localCheckpoint'd once instead (see PLANS.md §Round-6).
+TRIPLE_SCAN_ALLOWED = {
+    "bloom_index_probe",  # build pass + probe pass + verify control
+    "bloom_join_pruning",  # build + pruned probe + unpruned control
+    "join_strategy_control",  # deliberately compares 3 join strategies
+    "merge_upsert_customers",  # base + delta keys + delta payload
+    "table_diff",  # version A + version B's two synthetic-drift slices
+    "corpus_curation",  # 3 independent gates (lang/quality, dedup, LSH)
+    "decile_lift_table",  # dim-discovery + margins + label slice
+    "linear_scoring_confusion",  # same shape as decile_lift_table
+    "semdedup_prune",  # metadata count + index build + kept-side scan
+    "dsir_importance_weights",  # LM train pass + score pass + totals
+    "doc_perplexity_filter",  # LM train pass + score pass + totals
+}
+
 # Streaming plans can't be built with a batch explain.
 SKIP = {"streaming_incremental_ingest"}
 
@@ -128,6 +150,32 @@ def test_scans_prune_columns(plans):
         assert m, f"{name}: no ReadSchema found"
         ncols = len([c for c in m.group(1).split(",") if c])
         assert ncols <= 6, f"{name}: scan reads {ncols} columns"
+
+
+def test_no_scan_amplification(plans):
+    """No query may scan the same input file more than 3 times, and
+    3-scan plans need an allowlist entry explaining why each scan is a
+    distinct one-pass derivation. A shared expensive subtree referenced
+    by several consumers re-plans per consumer on this Spark build
+    (exchange reuse never fires across aliased subtrees) — at 100 TB
+    that turns one corpus read into many. The fix is one
+    localCheckpoint at the natural materialization point."""
+    import os
+    import re
+    from collections import Counter
+
+    bad = []
+    for name, plan in plans.items():
+        paths = re.findall(
+            r"InMemoryFileIndex\(\d+ paths?\)\[([^\]]+)\]", plan
+        )
+        counts = Counter(
+            p.split(",")[0] for p in paths if "/testdata/" in p
+        )
+        for path, n in counts.items():
+            if n > 3 or (n == 3 and name not in TRIPLE_SCAN_ALLOWED):
+                bad.append((name, os.path.basename(path), n))
+    assert not bad, f"scan amplification (file scanned 3+/4+ times): {bad}"
 
 
 def test_aqe_coalesces_shuffle_partitions(spark):
