@@ -109,16 +109,30 @@ _CLAUSE_RE = re.compile(
 
 
 def _split_top(text: str) -> list[str]:
-    """Split on commas at paren depth 0 (assignment / value lists)."""
+    """Split on commas at paren depth 0, outside string literals
+    (assignment / value lists — `VALUES (s.k, 'a,b')` must not split
+    inside the quoted string; '' is the SQL escape for a quote)."""
     parts, depth, start = [], 0, 0
-    for i, ch in enumerate(text):
-        if ch == "(":
+    in_str = False
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < n and text[i + 1] == "'":  # escaped quote
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
         elif ch == "," and depth == 0:
             parts.append(text[start:i].strip())
             start = i + 1
+        i += 1
     tail = text[start:].strip()
     if tail:
         parts.append(tail)

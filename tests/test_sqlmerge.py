@@ -79,6 +79,19 @@ class TestParse:
                 "WHEN NOT MATCHED BY SOURCE THEN INSERT *"
             )
 
+    def test_commas_inside_string_literals(self):
+        st = parse_merge(
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET a = 'x,y', b = concat(s.b, ',') "
+            "WHEN NOT MATCHED THEN INSERT (k, a) VALUES (s.k, 'p,''q')"
+        )
+        assert st.matched[0][1].assignments == {
+            "a": "'x,y'",
+            "b": "concat(s.b, ',')",
+        }
+        nm = st.not_matched[0][1]
+        assert nm.cols == ["k", "a"] and nm.vals == ["s.k", "'p,''q'"]
+
     def test_rejects_garbage(self):
         with pytest.raises(MergeError):
             parse_merge("MERGE INTO t USING s ON t.k = s.k")  # no WHEN
