@@ -58,6 +58,8 @@ HEADLINE: tuple[str, ...] = (
     "priority_sample_topk",  # round-4: weighted sampling
     "streaming_sessionization",  # round-5: stateful sessionizer witness (suite max)
     "dsir_importance_weights",  # round-5: DSIR data selection
+    "sql_merge_into",  # round-6: MERGE statement over versioned snapshots
+    "snapshot_change_feed",  # round-6: CDF between snapshot versions
 )
 
 

@@ -1,0 +1,130 @@
+"""Lakehouse walkthrough: versioned snapshots, MERGE INTO, time
+travel, and the change data feed — the engine's late-data correction
+story.
+
+The reference pipeline is append-only (a failed or corrected day means
+manually rewriting an S3 prefix); here the same mart becomes a
+versioned table where corrections are declarative MERGE statements and
+every prior state stays queryable.
+
+Flow:
+
+1. commit v1: the first half-month of events, aggregated per (day,
+   event_type),
+2. late + corrected data arrives: a MERGE INTO with UPDATE / INSERT /
+   DELETE clauses (the parquet-native lowering — one join, no table
+   format dependency) produces the corrected state, committed as v2,
+3. time travel: v1 is still readable, pinned by version,
+4. change data feed: snapshot_changes(v1, v2) emits the
+   insert/delete/update_pre/update_post audit rows downstream
+   consumers replay instead of re-reading the table,
+5. vacuum dry-run shows retention policy (nothing eligible: both
+   versions are fresh).
+
+Run:  python examples/run_lakehouse.py [sf_dir] [workdir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_engineering_spark.engine import Engine, get_spark
+from openaq_data_pipeline_engineering_spark.operators.versioned import (
+    read_snapshot,
+    snapshot_changes,
+    snapshot_versions,
+    vacuum_snapshots,
+    write_snapshot,
+)
+from openaq_data_pipeline_engineering_spark.sources.star import load_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    root = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else tempfile.mkdtemp(prefix="lakehouse_demo_")
+    )
+    root = os.path.join(root, "daily_mart")
+    spark = get_spark(app_name="lakehouse-demo", master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+    eng = Engine(spark)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    daily = ev.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents")
+    )
+
+    # -- 1. v1: the first half-month ------------------------------------
+    v1_state = daily.filter(F.col("day") < F.lit("2024-01-16").cast("date"))
+    v1 = write_snapshot(v1_state, root)
+    print(f"committed v{v1}: {read_snapshot(spark, root).count()} rows")
+
+    # -- 2. late data + corrections as one MERGE ------------------------
+    # Second half-month arrives (inserts); 'click' rows from the first
+    # half get re-counted (updates); 'error' rows are retracted
+    # entirely (deletes).
+    late = daily.filter(F.col("day") >= F.lit("2024-01-16").cast("date"))
+    corrections = (
+        v1_state.filter(F.col("event_type").isin("click", "error"))
+        .withColumn("n", F.col("n") + 1)
+        .withColumn("cents", F.col("cents") + 100)
+        .unionByName(late)
+    )
+    eng.register("mart", read_snapshot(spark, root, version=v1))
+    eng.register("fix", corrections)
+    merged = eng.sql(
+        "MERGE INTO mart t USING fix s "
+        "ON t.day = s.day AND t.event_type = s.event_type "
+        "WHEN MATCHED AND s.event_type = 'error' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET n = s.n, cents = s.cents "
+        "WHEN NOT MATCHED THEN INSERT (day, event_type, n, cents) "
+        "VALUES (s.day, s.event_type, s.n, s.cents)"
+    )
+    v2 = write_snapshot(merged, root)
+    print(
+        f"merged late+corrected data -> v{v2}: "
+        f"{read_snapshot(spark, root).count()} rows"
+    )
+
+    # -- 3. time travel -------------------------------------------------
+    n_v1 = read_snapshot(spark, root, version=v1).count()
+    print(f"time travel: v{v1} still readable with {n_v1} rows")
+
+    # -- 4. change data feed --------------------------------------------
+    feed = snapshot_changes(
+        spark, root, keys=["day", "event_type"], v_from=v1, v_to=v2
+    )
+    summary = {
+        r["_change_type"]: r["cnt"]
+        for r in feed.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    print(
+        "change data feed v1->v2: "
+        + ", ".join(f"{k}={summary[k]}" for k in sorted(summary))
+    )
+
+    # -- 5. retention ---------------------------------------------------
+    dropped = vacuum_snapshots(root, keep_last=2)
+    print(
+        f"vacuum(keep_last=2): dropped {dropped or 'nothing'}; "
+        f"versions on disk: {snapshot_versions(root)}"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

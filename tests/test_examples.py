@@ -66,3 +66,14 @@ def test_run_streaming_smoke(tmp_path):
     assert "ingested 7 raw rows -> 6 after in-stream dedup" in out
     assert "closed sessions" in out
     assert "upserted per-user latest state" in out
+
+
+def test_run_lakehouse_smoke(tmp_path):
+    out = _run("run_lakehouse.py", SF_DIR, str(tmp_path / "work"))
+    assert "committed v1:" in out
+    assert "merged late+corrected data -> v2:" in out
+    assert "time travel: v1 still readable" in out
+    # all four CDF change types present in the feed summary
+    for marker in ("delete=", "insert=", "update_postimage=", "update_preimage="):
+        assert marker in out, marker
+    assert "versions on disk: [1, 2]" in out
