@@ -145,13 +145,14 @@ class Engine:
     def sql(self, query: str) -> DataFrame:
         """Athena-equivalent SQL entry point — synchronous, typed results.
 
-        MERGE INTO statements route to the engine's parquet-native
-        lowering (operators/sqlmerge.py): Spark's parser accepts the
-        syntax but plain-parquet tables lack row-level-operation
-        support, so the statement is planned here as one full-outer
-        join + CASE projection and returns the post-merge target frame
-        (publish it via operators/versioned.write_snapshot for an
-        atomic commit)."""
+        MERGE INTO / UPDATE / DELETE statements route to the engine's
+        parquet-native lowerings (operators/sqlmerge.py,
+        operators/sqldml.py): Spark's parser accepts the syntax but
+        plain-parquet tables lack row-level-operation support, so each
+        statement is planned here (MERGE = one full-outer join + CASE
+        projection; UPDATE = one CASE projection; DELETE = one filter)
+        and returns the post-statement target frame (publish it via
+        operators/versioned.write_snapshot for an atomic commit)."""
         import re as _re
 
         if _re.match(r"\s*MERGE\s+INTO\b", query, _re.IGNORECASE):
@@ -160,6 +161,18 @@ class Engine:
             )
 
             return execute_merge(self.spark, query)
+        if _re.match(r"\s*UPDATE\b", query, _re.IGNORECASE):
+            from openaq_data_pipeline_engineering_spark.operators.sqldml import (
+                execute_update,
+            )
+
+            return execute_update(self.spark, query)
+        if _re.match(r"\s*DELETE\s+FROM\b", query, _re.IGNORECASE):
+            from openaq_data_pipeline_engineering_spark.operators.sqldml import (
+                execute_delete,
+            )
+
+            return execute_delete(self.spark, query)
         return self.spark.sql(query)
 
     def table(self, name: str) -> DataFrame:

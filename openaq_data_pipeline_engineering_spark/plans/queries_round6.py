@@ -402,3 +402,57 @@ def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("cents").cast("bigint").alias("cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# UPDATE + DELETE statement forms (operators/sqldml.py) over a
+# versioned snapshot: the single-table DML companions to MERGE. v1
+# commits the base state, Engine.sql applies an UPDATE (clicks
+# repriced) then a DELETE (errors retracted) — each a join-free
+# single-pass lowering — and the composed result commits as v2, read
+# back COLD. The oracle recomputes both mutations from the source.
+# --------------------------------------------------------------------------
+@query(
+    "sql_update_delete_roundtrip",
+    "UPDATE + DELETE statements lowered join-free, composed, committed "
+    "as snapshot v2, cold read-back",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)
+                    + CASE WHEN event_type = 'click' THEN 7 ELSE 0 END)
+                AS BIGINT) AS cents
+    FROM events
+    WHERE event_type <> 'error'
+    GROUP BY event_type
+    """,
+)
+def sql_update_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.engine import Engine
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    ev = fan_out(load_table(spark, sf_dir, "events")).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    root = fresh_scratch_dir("sql_dml_root")
+    write_snapshot(ev, root)  # v1
+    eng = Engine(spark)
+    eng.register("dml_events", read_snapshot(spark, root, version=1))
+    updated = eng.sql(
+        "UPDATE dml_events SET cents = cents + 7 WHERE event_type = 'click'"
+    )
+    eng.register("dml_events_updated", updated)
+    final = eng.sql(
+        "DELETE FROM dml_events_updated WHERE event_type = 'error'"
+    )
+    v2 = write_snapshot(final, root)
+    back = read_snapshot(spark, root, version=v2)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
