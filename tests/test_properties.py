@@ -659,3 +659,95 @@ def test_session_islands_match_duckdb_under_ties(spark, events):
         ).fetchall()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO statement semantics vs a brute-force Python model: random
+# unique-keyed target/source tables, a random subset of the five clause
+# families with random integer thresholds — first-applicable-clause-
+# wins, per family, exactly as operators/sqlmerge.py documents.
+# ---------------------------------------------------------------------------
+_row = st.tuples(
+    st.integers(0, 9),  # key
+    st.sampled_from(["A", "B", "C"]),  # seg
+    st.integers(-50, 50),  # bal (integers: exact cross-model compare)
+)
+
+
+@given(
+    base=st.lists(_row, max_size=10),
+    src=st.lists(_row, max_size=10),
+    use=st.tuples(*[st.booleans()] * 5),
+    d1=st.integers(-40, 40),
+    d2=st.integers(-40, 40),
+    d3=st.integers(-40, 40),
+)
+@settings(**_SETTINGS)
+def test_merge_statement_matches_python_model(spark, base, src, use, d1, d2, d3):
+    from openaq_data_pipeline_engineering_spark.operators.sqlmerge import (
+        execute_merge,
+    )
+
+    base = list({r[0]: r for r in base}.values())  # unique keys
+    src = list({r[0]: r for r in src}.values())
+    m_del, m_upd, nm_ins, bs_del, bs_upd = use
+    if not any(use):
+        m_upd = True
+    clauses, model = [], []
+    if m_del:
+        clauses.append(f"WHEN MATCHED AND s.bal < {d1} THEN DELETE")
+        model.append(("M", lambda t, s: s[2] < d1, None))
+    if m_upd:
+        clauses.append(
+            "WHEN MATCHED THEN UPDATE SET seg = s.seg, bal = t.bal + s.bal"
+        )
+        model.append(
+            ("M", lambda t, s: True, lambda t, s: (t[0], s[1], t[2] + s[2]))
+        )
+    if nm_ins:
+        clauses.append(f"WHEN NOT MATCHED AND s.bal >= {d2} THEN INSERT *")
+        model.append(("N", lambda t, s: s[2] >= d2, lambda t, s: s))
+    if bs_del:
+        clauses.append(
+            f"WHEN NOT MATCHED BY SOURCE AND t.bal < {d3} THEN DELETE"
+        )
+        model.append(("S", lambda t, s: t[2] < d3, None))
+    if bs_upd:
+        clauses.append(
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET seg = 'Z'"
+        )
+        model.append(("S", lambda t, s: True, lambda t, s: (t[0], "Z", t[2])))
+
+    # brute-force reference
+    smap = {r[0]: r for r in src}
+    bkeys = {r[0] for r in base}
+    expected = set()
+    for t in base:
+        s = smap.get(t[0])
+        fam = "M" if s is not None else "S"
+        for kind, cond, action in model:
+            if kind == fam and cond(t, s):
+                if action is not None:
+                    expected.add(action(t, s))
+                break  # first applicable clause wins (DELETE adds nothing)
+        else:
+            expected.add(t)  # no applicable clause -> row unchanged
+    for s in src:
+        if s[0] in bkeys:
+            continue
+        for kind, cond, action in model:
+            if kind == "N" and cond(None, s):
+                expected.add(action(None, s))
+                break
+
+    schema = "k int, seg string, bal int"
+    tdf = spark.createDataFrame(base or [(99, "X", 0)], schema)
+    if not base:
+        tdf = tdf.filter("k < 99")
+    sdf = spark.createDataFrame(src or [(99, "X", 0)], schema)
+    if not src:
+        sdf = sdf.filter("k < 99")
+    stmt = "MERGE INTO tgt t USING src s ON t.k = s.k " + " ".join(clauses)
+    out = execute_merge(spark, stmt, target_df=tdf, source_df=sdf)
+    got = {tuple(r) for r in out.collect()}
+    assert got == expected, f"\nstmt: {stmt}\ngot:  {got}\nwant: {expected}"
