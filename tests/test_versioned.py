@@ -401,3 +401,30 @@ class TestSnapshotChanges:
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
         assert plan.count("Join") <= 2  # one logical full-outer join
+
+    def test_feed_replay_reproduces_v2(self, spark, tmp_path):
+        """Algebraic inverse: applying the change feed as a CDC stream
+        onto v1 reproduces v2 exactly — ties snapshot_changes,
+        cdc_apply, and the snapshot layer together."""
+        from openaq_data_pipeline_engineering_spark.operators.merge import (
+            cdc_apply,
+        )
+
+        snapshot_changes, root = self._mk(spark, tmp_path)
+        feed = snapshot_changes(spark, root, keys=["k"], v_from=1, v_to=2)
+        changes = (
+            feed.filter(F.col("_change_type") != "update_preimage")
+            .withColumn(
+                "op",
+                F.when(F.col("_change_type") == "delete", "D").otherwise("U"),
+            )
+            .withColumn("seq", F.lit(1))
+            .drop("_change_type")
+        )
+        replayed = cdc_apply(
+            read_snapshot(spark, root, version=1), changes, keys=["k"]
+        )
+        v2 = read_snapshot(spark, root, version=2)
+        assert {tuple(r) for r in replayed.collect()} == {
+            tuple(r) for r in v2.collect()
+        }
