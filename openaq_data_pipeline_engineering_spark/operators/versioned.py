@@ -61,19 +61,28 @@ def _manifest_lock(root: str):
         os.close(fd)
 
 
-def _write_manifest(root: str, versions: list[int]) -> None:
+def _write_manifest(
+    root: str, versions: list[int], txns: dict[str, int] | None = None
+) -> None:
     fd, tmp = tempfile.mkstemp(dir=root, prefix="_VERSIONS.", suffix=".tmp")
     with os.fdopen(fd, "w") as f:
-        json.dump({"versions": sorted(versions)}, f)
+        json.dump({"versions": sorted(versions), "txns": txns or {}}, f)
     os.replace(tmp, _manifest_path(root))
 
 
-def _read_manifest(root: str) -> list[int]:
+def _read_manifest_full(root: str) -> tuple[list[int], dict[str, int]]:
+    """(committed versions, txn_id -> version map). Manifests written
+    before txn support lack the key — treated as empty."""
     try:
         with open(_manifest_path(root)) as f:
-            return sorted(json.load(f)["versions"])
+            doc = json.load(f)
+        return sorted(doc["versions"]), dict(doc.get("txns") or {})
     except (OSError, ValueError, KeyError):
-        return []
+        return [], {}
+
+
+def _read_manifest(root: str) -> list[int]:
+    return _read_manifest_full(root)[0]
 
 
 def _existing_version_dirs(root: str) -> list[int]:
@@ -93,7 +102,12 @@ def _existing_version_dirs(root: str) -> list[int]:
     return sorted(out)
 
 
-def write_snapshot(df: DataFrame, root: str, _max_retries: int = 16) -> int:
+def write_snapshot(
+    df: DataFrame,
+    root: str,
+    _max_retries: int = 16,
+    txn_id: str | None = None,
+) -> int:
     """Commit ``df`` as the next version; returns the version number.
 
     Data is written fully before the manifest references it; the
@@ -115,10 +129,22 @@ def write_snapshot(df: DataFrame, root: str, _max_retries: int = 16) -> int:
        append. The re-read is what makes commits linear: a writer that
        allocated before another writer's commit would otherwise publish
        a manifest missing that commit (lost update).
+
+    ``txn_id`` makes the commit IDEMPOTENT (Delta's
+    ``txnAppId``/``txnVersion`` dedupe, the contract an at-least-once
+    streaming sink needs): a txn_id already recorded in the manifest
+    returns its committed version WITHOUT writing — including when the
+    duplicate is detected only at commit time after losing a race to a
+    concurrent replay of the same txn (the loser's just-written
+    directory is abandoned as an orphan for vacuum; the manifest stays
+    single-writer-per-txn).
     """
+    if txn_id is not None:
+        versions, txns = _read_manifest_full(root)
+        if txn_id in txns and txns[txn_id] in versions:
+            return txns[txn_id]  # replay: already committed, no write
     version = _allocate_and_write(df, root, _max_retries)
-    _commit_version(root, version)
-    return version
+    return _commit_version(root, version, txn_id)
 
 
 def _allocate_and_write(df: DataFrame, root: str, max_retries: int = 16) -> int:
@@ -152,12 +178,20 @@ def _allocate_and_write(df: DataFrame, root: str, max_retries: int = 16) -> int:
     )
 
 
-def _commit_version(root: str, version: int) -> None:
-    """Phase 2: publish ``version`` in the manifest (locked re-read)."""
+def _commit_version(root: str, version: int, txn_id: str | None = None) -> int:
+    """Phase 2: publish ``version`` in the manifest (locked re-read).
+    Returns the committed version — for an idempotent ``txn_id`` that
+    lost a race to a concurrent replay, that is the WINNER's version
+    (this writer's directory is abandoned to vacuum)."""
     with _manifest_lock(root):
-        versions = _read_manifest(root)
+        versions, txns = _read_manifest_full(root)
+        if txn_id is not None and txn_id in txns and txns[txn_id] in versions:
+            return txns[txn_id]
         if version not in versions:
-            _write_manifest(root, versions + [version])
+            if txn_id is not None:
+                txns[txn_id] = version
+            _write_manifest(root, versions + [version], txns)
+    return version
 
 
 def read_snapshot(
@@ -243,7 +277,7 @@ def vacuum_snapshots(
     # interleaved with a concurrent write_snapshot can't drop its
     # freshly-appended version from the manifest.
     with _manifest_lock(root):
-        versions = _read_manifest(root)
+        versions, txns = _read_manifest_full(root)
         drop = [
             v for v in versions[:-keep_last] if _old_enough(v, min_age_seconds)
         ]
@@ -256,7 +290,11 @@ def vacuum_snapshots(
         if not drop and not orphans:
             return []
         if drop:
-            _write_manifest(root, keep)
+            # Txn dedupe entries for vacuumed versions are retired with
+            # them: a replay THAT old is outside the retention window,
+            # exactly like Delta's txn retention.
+            kept_txns = {t: v for t, v in txns.items() if v in keep}
+            _write_manifest(root, keep, kept_txns)
     for v in drop + orphans:
         shutil.rmtree(os.path.join(root, f"v={v}"), ignore_errors=True)
     return drop

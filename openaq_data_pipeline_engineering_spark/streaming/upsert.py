@@ -11,11 +11,17 @@ DataFrame; the batch is first reduced to one row per key (greatest
 ``ts_col``, deterministic tiebreak on the key hash), then MERGEd over
 the current snapshot with :func:`operators.merge.merge_upsert`.
 
-Snapshot storage is a versioned parquet directory (``v{batch_id}``)
-because plain parquet cannot be atomically rewritten in place — a
-Delta/Iceberg table would replace this with a real transactional MERGE;
-the operator logic (batch-collapse + keyed merge) is identical. Old
-versions are pruned to keep two (current + previous for readers mid-swap).
+Snapshot storage is the engine's versioned table layer
+(operators/versioned.py — manifest-committed immutable ``v=<N>``
+directories), so the streaming table gets the SAME guarantees as the
+batch marts: atomic manifest publication, pinned-version time travel,
+and a change data feed between any two committed versions
+(``snapshot_changes``). foreachBatch is at-least-once, so each commit
+carries ``txn_id=f"batch-{batch_id}"`` — the manifest's idempotent-txn
+dedupe (Delta's txnAppId/txnVersion contract) makes a replayed
+micro-batch a no-op instead of a duplicate version. Old versions are
+vacuumed down to the last two (current + previous for readers
+mid-swap).
 
 Scale: per batch this is ONE window shuffle over the micro-batch (small)
 plus ONE merge join against the snapshot; the snapshot never shuffles
@@ -25,31 +31,18 @@ memory — unbounded key cardinality is fine.
 
 from __future__ import annotations
 
-import shutil
-from pathlib import Path
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from openaq_data_pipeline_engineering_spark.operators.merge import merge_upsert
-
-
-def _latest_version(target_dir: str) -> int | None:
-    p = Path(target_dir)
-    if not p.exists():
-        return None
-    versions = [
-        int(d.name[1:]) for d in p.iterdir() if d.is_dir() and d.name[1:].isdigit()
-    ]
-    return max(versions) if versions else None
-
+from openaq_data_pipeline_engineering_spark.operators import versioned
 
 def read_snapshot(spark: SparkSession, target_dir: str) -> DataFrame | None:
     """Current keyed snapshot, or None before the first batch."""
-    v = _latest_version(target_dir)
-    if v is None:
+    try:
+        return versioned.read_snapshot(spark, target_dir)
+    except FileNotFoundError:
         return None
-    return spark.read.parquet(f"{target_dir}/v{v}")
 
 
 def collapse_batch(batch: DataFrame, keys: list[str], ts_col: str) -> DataFrame:
@@ -71,20 +64,18 @@ def collapse_batch(batch: DataFrame, keys: list[str], ts_col: str) -> DataFrame:
 def upsert_batch(
     batch: DataFrame, batch_id: int, target_dir: str, keys: list[str], ts_col: str
 ) -> None:
-    """foreachBatch body: collapse, merge over snapshot, write v{id}."""
+    """foreachBatch body: collapse, merge over snapshot, commit the
+    next version (idempotent per batch_id), vacuum to the last two."""
     spark = batch.sparkSession
     delta = collapse_batch(batch, keys, ts_col)
     base = read_snapshot(spark, target_dir)
     merged = merge_upsert(base, delta, keys) if base is not None else delta
-    merged.write.mode("overwrite").parquet(f"{target_dir}/v{batch_id}")
-    # prune all but the two newest versions
-    versions = sorted(
-        int(d.name[1:])
-        for d in Path(target_dir).iterdir()
-        if d.is_dir() and d.name[1:].isdigit()
+    versioned.write_snapshot(
+        merged, target_dir, txn_id=f"batch-{batch_id}"
     )
-    for old in versions[:-2]:
-        shutil.rmtree(f"{target_dir}/v{old}", ignore_errors=True)
+    # Committed-version retention only; orphan reclamation keeps its
+    # 24h grace (a concurrent writer may own a fresh uncommitted dir).
+    versioned.vacuum_snapshots(target_dir, keep_last=2)
 
 
 def run_stream_upsert(

@@ -84,3 +84,36 @@ def test_stream_upsert_converges_and_is_exactly_once(spark, tmp_path):
     run_stream_upsert(_stream(spark, src), ckpt, tgt, ["k"], "ts")
     snap3 = {r["k"]: r["v"] for r in read_snapshot(spark, tgt).collect()}
     assert snap3 == snap2
+
+
+def test_replayed_batch_is_idempotent_and_cdf_works(spark, tmp_path):
+    """At-least-once contract: re-running upsert_batch with the SAME
+    batch_id is a no-op (txn dedupe), and the streaming table now
+    supports the versioned layer's change data feed."""
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        snapshot_changes,
+        snapshot_versions,
+    )
+    from openaq_data_pipeline_engineering_spark.streaming.upsert import (
+        upsert_batch,
+    )
+
+    tgt = str(tmp_path / "tgt")
+    b0 = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 10, 2.0)], "k int, ts int, v double"
+    )
+    b1 = spark.createDataFrame(
+        [(2, 20, 9.0), (3, 20, 3.0)], "k int, ts int, v double"
+    )
+    upsert_batch(b0, 0, tgt, ["k"], "ts")
+    upsert_batch(b0, 0, tgt, ["k"], "ts")  # replay: must not add v2
+    assert snapshot_versions(tgt) == [1]
+    upsert_batch(b1, 1, tgt, ["k"], "ts")
+    assert snapshot_versions(tgt) == [1, 2]
+    feed = snapshot_changes(spark, tgt, keys=["k"], v_from=1, v_to=2)
+    got = {(r["k"], r["_change_type"]) for r in feed.collect()}
+    assert got == {
+        (2, "update_preimage"),
+        (2, "update_postimage"),
+        (3, "insert"),
+    }

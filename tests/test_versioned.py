@@ -428,3 +428,46 @@ class TestSnapshotChanges:
         assert {tuple(r) for r in replayed.collect()} == {
             tuple(r) for r in v2.collect()
         }
+
+
+class TestIdempotentTxn:
+    """write_snapshot(txn_id=...): Delta-style at-least-once dedupe."""
+
+    def test_replay_returns_same_version_without_write(self, spark, tmp_path):
+        root = str(tmp_path / "txn")
+        df = spark.createDataFrame([(1, "a")], "k int, v string")
+        v1 = write_snapshot(df, root, txn_id="batch-0")
+        v_replay = write_snapshot(
+            spark.createDataFrame([(9, "Z")], "k int, v string"),
+            root,
+            txn_id="batch-0",  # replayed batch: payload ignored
+        )
+        assert (v1, v_replay) == (1, 1)
+        assert snapshot_versions(root) == [1]
+        assert read_snapshot(spark, root).collect()[0]["v"] == "a"
+
+    def test_distinct_txns_advance(self, spark, tmp_path):
+        root = str(tmp_path / "txn2")
+        df = spark.createDataFrame([(1, "a")], "k int, v string")
+        assert write_snapshot(df, root, txn_id="b0") == 1
+        assert write_snapshot(df, root, txn_id="b1") == 2
+        assert write_snapshot(df, root) == 3  # untagged never dedupes
+        assert write_snapshot(df, root, txn_id="b1") == 2  # still pinned
+
+    def test_vacuum_retires_txn_entries(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            _read_manifest_full,
+            vacuum_snapshots,
+        )
+
+        root = str(tmp_path / "txn3")
+        df = spark.createDataFrame([(1, "a")], "k int, v string")
+        for i in range(4):
+            write_snapshot(df, root, txn_id=f"b{i}")
+        vacuum_snapshots(root, keep_last=2)
+        versions, txns = _read_manifest_full(root)
+        assert versions == [3, 4]
+        assert set(txns) == {"b2", "b3"}
+        # a replay of a RETIRED txn writes a fresh version (outside the
+        # retention window, same as Delta)
+        assert write_snapshot(df, root, txn_id="b0") == 5
