@@ -75,8 +75,11 @@ def cdc_apply(
         # The collapsed change set (∝ distinct changed keys, small by
         # CDC contract) feeds both the anti-join and the survivor
         # slice; materialize once so the change stream's derivation is
-        # planned once, not per consumer.
-        .localCheckpoint(eager=True)
+        # planned once, not per consumer. LAZY (eager would execute a
+        # Spark job at plan-BUILD time — this is a library operator,
+        # callers may compose/explain without running it); within the
+        # first action the block is computed once and shared.
+        .localCheckpoint(eager=False)
     )
     untouched = base.join(latest.select(*keys), list(keys), "left_anti")
     survivors = latest.filter(F.col("__op") == "U").select(*cols)

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from openaq_data_pipeline_engineering_spark.operators.sqlmerge import (
     MergeError,
+    _mask_literals,
     _split_top,
     _unqualify,
 )
@@ -54,26 +55,37 @@ def execute_update(
     spark: SparkSession, sql: str, target_df: DataFrame | None = None
 ) -> DataFrame:
     """Plan an UPDATE statement; returns the post-update DataFrame."""
-    m = _UPDATE_RE.match(sql)
+    # Regexes run on the literal-masked text (keywords inside string
+    # literals must not split the statement); group spans slice the
+    # original. Dotted table names alias to their last segment so
+    # generated column refs stay 2-part.
+    masked = _mask_literals(sql)
+    m = _UPDATE_RE.match(masked)
     if not m:
         raise MergeError(
             "unparseable UPDATE; expected UPDATE <t> SET c = expr, ... "
             "[WHERE cond]"
         )
-    alias = m.group("alias") or m.group("table")
+    alias = m.group("alias") or m.group("table").split(".")[-1]
     df = (
         spark.table(m.group("table")) if target_df is None else target_df
     ).alias(alias)
     assignments: dict[str, str] = {}
-    for part in _split_top(m.group("sets")):
+    sets = sql[m.start("sets"):m.end("sets")]
+    for part in _split_top(sets):
         if "=" not in part:
             raise MergeError(f"bad assignment: {part!r}")
         lhs, rhs = part.split("=", 1)
         assignments[_unqualify(lhs, (alias,))] = rhs.strip()
-    unknown = [c for c in assignments if c not in df.columns]
+    canon = {c.lower(): c for c in df.columns}
+    unknown = [c for c in assignments if c.lower() not in canon]
     if unknown:
         raise MergeError(f"UPDATE SET references unknown columns: {unknown}")
-    cond = F.expr(m.group("where")) if m.group("where") else F.lit(True)
+    assignments = {canon[c.lower()]: v for c, v in assignments.items()}
+    where = (
+        sql[m.start("where"):m.end("where")] if m.group("where") else None
+    )
+    cond = F.expr(where) if where else F.lit(True)
     return df.select(
         *[
             (
@@ -92,12 +104,13 @@ def execute_delete(
     spark: SparkSession, sql: str, target_df: DataFrame | None = None
 ) -> DataFrame:
     """Plan a DELETE statement; returns the post-delete DataFrame."""
-    m = _DELETE_RE.match(sql)
+    masked = _mask_literals(sql)
+    m = _DELETE_RE.match(masked)
     if not m:
         raise MergeError(
             "unparseable DELETE; expected DELETE FROM <t> [WHERE cond]"
         )
-    alias = m.group("alias") or m.group("table")
+    alias = m.group("alias") or m.group("table").split(".")[-1]
     df = (
         spark.table(m.group("table")) if target_df is None else target_df
     ).alias(alias)
@@ -105,5 +118,5 @@ def execute_delete(
         return df.filter(F.lit(False))  # DELETE all rows
     # NULL-condition rows are NOT deleted (SQL semantics: DELETE keeps
     # rows where the predicate is not TRUE).
-    cond = F.expr(m.group("where"))
+    cond = F.expr(sql[m.start("where"):m.end("where")])
     return df.filter(~F.coalesce(cond, F.lit(False)))

@@ -108,6 +108,33 @@ _CLAUSE_RE = re.compile(
 )
 
 
+def _mask_literals(sql: str) -> str:
+    """Same-length copy of ``sql`` with string-literal CONTENT replaced
+    by underscores ('' escapes masked too, outer quotes kept). The
+    statement regexes run on the MASKED text so SQL keywords inside
+    literals (WHERE/WHEN/THEN/ON/,) can never mis-split the statement;
+    group spans are then sliced from the ORIGINAL text."""
+    out = list(sql)
+    in_str = False
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < n and sql[i + 1] == "'":  # escaped quote
+                    out[i] = "_"
+                    out[i + 1] = "_"
+                    i += 1
+                else:
+                    in_str = False
+            else:
+                out[i] = "_"
+        elif ch == "'":
+            in_str = True
+        i += 1
+    return "".join(out)
+
+
 def _split_top(text: str) -> list[str]:
     """Split on commas at paren depth 0, outside string literals
     (assignment / value lists — `VALUES (s.k, 'a,b')` must not split
@@ -150,39 +177,50 @@ def _unqualify(col: str, aliases: tuple[str, str]) -> str:
 
 
 def parse_merge(sql: str) -> _MergeStatement:
-    m = _HEAD_RE.match(sql)
+    masked = _mask_literals(sql)
+    m = _HEAD_RE.match(masked)
     if not m:
         raise MergeError(
             "unparseable MERGE statement; expected MERGE INTO <t> USING "
             "<s|(subquery)> ON <cond> WHEN ... THEN ..."
         )
-    target = m.group("target")
-    source = m.group("source")
-    t_alias = m.group("talias") or target
+
+    def orig(span_or_name) -> str:
+        s, e = m.span(span_or_name)
+        return sql[s:e]
+
+    target = m.group("target")  # identifier: masked == original
+    source = orig("source")  # subqueries may contain literals
+    # Dotted names get their LAST segment as the implicit alias —
+    # `F.col("db.tbl.c")` would parse as a 3-part reference and fail.
+    t_alias = m.group("talias") or target.split(".")[-1]
     s_alias = m.group("salias") or (
-        source if not source.startswith("(") else "__src"
+        source.split(".")[-1] if not source.startswith("(") else "__src"
     )
     aliases = (t_alias, s_alias)
     matched: list[tuple[int, _MatchedClause]] = []
     not_matched: list[tuple[int, _NotMatchedClause]] = []
     by_source: list[tuple[int, _MatchedClause]] = []
-    clause_text = m.group("clauses")
+    cstart, cend = m.span("clauses")
+    clause_orig = sql[cstart:cend]
+    clause_masked = masked[cstart:cend]
     order = 0
-    consumed = 0
 
-    def update_or_delete(action: str, family: str) -> _MatchedClause:
-        if re.fullmatch(r"DELETE", action, re.IGNORECASE):
+    def update_or_delete(
+        action_orig: str, action_masked: str, family: str
+    ) -> _MatchedClause:
+        if re.fullmatch(r"DELETE", action_masked, re.IGNORECASE):
             return _MatchedClause(cond=None, assignments=None)
         am = re.match(
             r"UPDATE\s+SET\s+(?P<sets>.+)$",
-            action,
+            action_masked,
             re.IGNORECASE | re.DOTALL,
         )
         if not am:
             raise MergeError(
-                f"{family} supports UPDATE SET / DELETE, got: {action!r}"
+                f"{family} supports UPDATE SET / DELETE, got: {action_orig!r}"
             )
-        sets = am.group("sets").strip()
+        sets = action_orig[am.start("sets"):am.end("sets")].strip()
         if sets == "*":
             return _MatchedClause(cond=None, assignments={})
         assignments: dict[str, str] = {}
@@ -193,11 +231,20 @@ def parse_merge(sql: str) -> _MergeStatement:
             assignments[_unqualify(lhs, aliases)] = rhs.strip()
         return _MatchedClause(cond=None, assignments=assignments)
 
-    for cm in _CLAUSE_RE.finditer(clause_text):
-        consumed += 1
-        action = cm.group("action").strip()
-        cond = cm.group("cond")
-        cond = cond.strip() if cond else None
+    covered_to = 0
+    residue: list[str] = []
+    for cm in _CLAUSE_RE.finditer(clause_masked):
+        residue.append(clause_masked[covered_to:cm.start()])
+        covered_to = cm.end()
+        action_orig = clause_orig[cm.start("action"):cm.end("action")].strip()
+        action_masked = clause_masked[
+            cm.start("action"):cm.end("action")
+        ].strip()
+        cond = (
+            clause_orig[cm.start("cond"):cm.end("cond")].strip()
+            if cm.group("cond")
+            else None
+        )
         by = (cm.group("by") or "").upper()
         if by and not cm.group("not"):
             raise MergeError(
@@ -207,7 +254,9 @@ def parse_merge(sql: str) -> _MergeStatement:
         if cm.group("not") and by == "SOURCE":
             # Target rows absent from the source: UPDATE/DELETE shape.
             # SET * is meaningless here (all source columns are NULL).
-            c = update_or_delete(action, "WHEN NOT MATCHED BY SOURCE")
+            c = update_or_delete(
+                action_orig, action_masked, "WHEN NOT MATCHED BY SOURCE"
+            )
             if c.assignments == {}:
                 raise MergeError(
                     "WHEN NOT MATCHED BY SOURCE cannot UPDATE SET * "
@@ -220,21 +269,27 @@ def parse_merge(sql: str) -> _MergeStatement:
             am = re.match(
                 r"INSERT\s*(?:\*|\((?P<cols>[^)]*)\)\s*VALUES\s*"
                 r"\((?P<vals>.*)\))\s*$",
-                action,
+                action_masked,
                 re.IGNORECASE | re.DOTALL,
             )
             if not am:
                 raise MergeError(
-                    f"WHEN NOT MATCHED supports INSERT only, got: {action!r}"
+                    f"WHEN NOT MATCHED supports INSERT only, got: "
+                    f"{action_orig!r}"
                 )
             if am.group("cols") is None:
-                nm = _NotMatchedClause(cond=cond, cols=None, vals=None)
+                nm = _NotMatchedClause(cond=None, cols=None, vals=None)
+                nm.cond = cond
             else:
                 cols = [
                     _unqualify(c, aliases)
-                    for c in _split_top(am.group("cols"))
+                    for c in _split_top(
+                        action_orig[am.start("cols"):am.end("cols")]
+                    )
                 ]
-                vals = _split_top(am.group("vals"))
+                vals = _split_top(
+                    action_orig[am.start("vals"):am.end("vals")]
+                )
                 if len(cols) != len(vals):
                     raise MergeError(
                         f"INSERT column/value arity mismatch: {cols} vs "
@@ -243,23 +298,35 @@ def parse_merge(sql: str) -> _MergeStatement:
                 nm = _NotMatchedClause(cond=cond, cols=cols, vals=vals)
             not_matched.append((order, nm))
         else:
-            c = update_or_delete(action, "WHEN MATCHED")
+            c = update_or_delete(action_orig, action_masked, "WHEN MATCHED")
             matched.append(
                 (order, _MatchedClause(cond=cond, assignments=c.assignments))
             )
         order += 1
-    if not consumed:
+    residue.append(clause_masked[covered_to:])
+    leftover = "".join(residue).strip()
+    if leftover:
+        # A clause the grammar could not match must FAIL the whole
+        # statement — silently skipping it would execute the merge
+        # without that clause (e.g. a missing THEN dropping the INSERT).
+        at = clause_masked.find(leftover[:20])
+        raise MergeError(
+            "unparseable text inside WHEN clauses near: "
+            f"{clause_orig[at:at + 60]!r}"
+        )
+    if order == 0:
         raise MergeError("MERGE needs at least one WHEN clause")
     return _MergeStatement(
         target=target,
         t_alias=t_alias,
         source=source,
         s_alias=s_alias,
-        on=m.group("on").strip(),
+        on=orig("on").strip(),
         matched=matched,
         not_matched=not_matched,
         by_source=by_source,
     )
+
 
 
 _T_MARK = "__merge_t_mark"
@@ -300,6 +367,30 @@ def execute_merge(
         )
     out_cols = list(target_df.columns)
 
+    # Every assignment target / INSERT column must name a REAL target
+    # column (case-insensitive, canonicalized to the schema's case) —
+    # a typo'd column would otherwise be silently dropped by the
+    # per-column projection, and a mis-named INSERT column would leave
+    # its real column NULL while passing the arity check.
+    canon = {c.lower(): c for c in out_cols}
+
+    def canon_cols(names: list[str], where: str) -> list[str]:
+        unknown = [n for n in names if n.lower() not in canon]
+        if unknown:
+            raise MergeError(
+                f"{where} references columns not in the target schema "
+                f"{out_cols}: {unknown}"
+            )
+        return [canon[n.lower()] for n in names]
+
+    for _, c in [*st.matched, *st.by_source]:
+        if c.assignments:
+            keys = canon_cols(list(c.assignments), "UPDATE SET")
+            c.assignments = dict(zip(keys, c.assignments.values()))
+    for _, nm in st.not_matched:
+        if nm.cols is not None:
+            nm.cols = canon_cols(nm.cols, "INSERT")
+
     # The row id exists only to make the within-plan ambiguity check
     # exact for duplicate target rows; its values never reach output.
     t = (
@@ -311,13 +402,16 @@ def execute_merge(
     is_matched = F.col(_T_MARK).isNotNull() & F.col(_S_MARK).isNotNull()
     t_only = F.col(_T_MARK).isNotNull() & F.col(_S_MARK).isNull()
 
-    if strict and st.matched:
+    if strict:
         # Delta's "multiple source rows matched" error: a target row
-        # with >1 matched source row makes UPDATE/DELETE ambiguous.
-        # One COUNT aggregation keyed by the target row id, planned
-        # off the same join (the join recomputes for the result —
-        # acceptable for delta-sized sources; pass strict=False to
-        # skip).
+        # with >1 matched source row is ambiguous for EVERY statement
+        # shape — with UPDATE/DELETE clauses the action is ill-defined,
+        # and with none (insert-only / BY-SOURCE-only merges) each
+        # extra joined copy would fall through to KEEP and silently
+        # DUPLICATE the target row in the output. One COUNT aggregation
+        # keyed by the target row id, planned off the same join (the
+        # join recomputes for the result — acceptable for delta-sized
+        # sources; pass strict=False to skip).
         dup = (
             joined.filter(is_matched)
             .groupBy(_T_MARK)

@@ -37,12 +37,44 @@ from pyspark.sql import functions as F
 from openaq_data_pipeline_engineering_spark.operators.merge import merge_upsert
 from openaq_data_pipeline_engineering_spark.operators import versioned
 
+def _migrate_legacy_layout(spark: SparkSession, target_dir: str) -> None:
+    """One-time upgrade from the pre-round-6 ``v{N}``-directory scheme
+    (no manifest) to the versioned layer. Without this, a resumed
+    stream would see no manifest, read None, and silently REBUILD the
+    snapshot from the next micro-batch alone — losing all accumulated
+    keyed state. The newest legacy directory is committed as version 1
+    (idempotent txn, so concurrent resumers migrate once); legacy dirs
+    are left in place and harmless."""
+    import os
+    import re as _re
+
+    try:
+        entries = os.listdir(target_dir)
+    except OSError:
+        return
+    legacy = sorted(
+        int(m.group(1))
+        for m in (_re.fullmatch(r"v(\d+)", e) for e in entries)
+        if m and os.path.isdir(os.path.join(target_dir, m.group(0)))
+    )
+    if not legacy or versioned.snapshot_versions(target_dir):
+        return
+    latest = spark.read.parquet(os.path.join(target_dir, f"v{legacy[-1]}"))
+    versioned.write_snapshot(
+        latest, target_dir, txn_id=f"legacy-migrate-v{legacy[-1]}"
+    )
+
+
 def read_snapshot(spark: SparkSession, target_dir: str) -> DataFrame | None:
     """Current keyed snapshot, or None before the first batch."""
     try:
         return versioned.read_snapshot(spark, target_dir)
     except FileNotFoundError:
-        return None
+        _migrate_legacy_layout(spark, target_dir)
+        try:
+            return versioned.read_snapshot(spark, target_dir)
+        except FileNotFoundError:
+            return None
 
 
 def collapse_batch(batch: DataFrame, keys: list[str], ts_col: str) -> DataFrame:

@@ -91,3 +91,34 @@ class TestEngineRouting:
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in plan and "Exchange" not in plan
+
+
+class TestReviewHardening:
+    def test_keywords_inside_literals(self, spark):
+        out = execute_update(
+            spark,
+            "UPDATE t SET seg = 'a WHERE b' WHERE k = 1",
+            target_df=_t(spark),
+        )
+        assert (1, "a WHERE b", 10.0) in _rows(out)
+        out = execute_delete(
+            spark,
+            "DELETE FROM t WHERE seg <> 'X WHERE Y'",
+            target_df=_t(spark),
+        )
+        assert out.count() == 0  # all segs differ from the literal
+
+    def test_dotted_table_name_aliases_last_segment(self, spark):
+        out = execute_update(
+            spark,
+            "UPDATE db.t SET bal = t.bal + 1 WHERE t.k = 1",
+            target_df=_t(spark),
+        )
+        assert (1, "A", 11.0) in _rows(out)
+
+    def test_case_insensitive_set_column(self, spark):
+        out = execute_update(
+            spark, "UPDATE t SET BAL = 0.0", target_df=_t(spark)
+        )
+        assert {r[2] for r in out.collect()} == {0.0}
+        assert out.columns == ["k", "seg", "bal"]

@@ -292,3 +292,95 @@ class TestExecute:
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
         assert plan.count("Join") <= 2  # one logical join (AQE may wrap)
+
+
+class TestReviewHardening:
+    """Round-6 review findings: each was a live-verified bug."""
+
+    def test_multi_match_raises_even_without_matched_clause(self, spark):
+        # insert-only merge: extra joined copies would silently
+        # DUPLICATE target rows if the strict check were skipped
+        base = spark.createDataFrame([(1, "A")], "k int, v string")
+        dup = spark.createDataFrame(
+            [(1, "x"), (1, "y"), (5, "z")], "k int, v string"
+        )
+        with pytest.raises(MergeError, match="ambiguous"):
+            execute_merge(
+                spark,
+                "MERGE INTO tgt t USING src s ON t.k = s.k "
+                "WHEN NOT MATCHED THEN INSERT *",
+                target_df=base,
+                source_df=dup,
+            )
+
+    def test_unknown_update_column_rejected(self, spark):
+        base = spark.createDataFrame([(1, "A")], "k int, seg string")
+        src = spark.createDataFrame([(1, "B")], "k int, seg string")
+        with pytest.raises(MergeError, match="not in the target schema"):
+            execute_merge(
+                spark,
+                "MERGE INTO t USING s ON t.k = s.k "
+                "WHEN MATCHED THEN UPDATE SET segg = s.seg",  # typo
+                target_df=base,
+                source_df=src,
+            )
+
+    def test_unknown_insert_column_rejected(self, spark):
+        base = spark.createDataFrame([(1, "A")], "k int, seg string")
+        src = spark.createDataFrame([(2, "B")], "k int, seg string")
+        with pytest.raises(MergeError, match="not in the target schema"):
+            execute_merge(
+                spark,
+                "MERGE INTO t USING s ON t.k = s.k "
+                "WHEN NOT MATCHED THEN INSERT (custkey, seg) "
+                "VALUES (s.k, s.seg)",  # custkey is not a target column
+                target_df=base,
+                source_df=src,
+            )
+
+    def test_case_insensitive_columns_canonicalized(self, spark):
+        base = spark.createDataFrame([(1, "A")], "k int, seg string")
+        src = spark.createDataFrame([(1, "B")], "k int, seg string")
+        out = execute_merge(
+            spark,
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET SEG = s.seg",
+            target_df=base,
+            source_df=src,
+        )
+        assert _rows(out) == {(1, "B")}
+
+    def test_malformed_clause_fails_whole_statement(self):
+        # missing THEN: silently dropping the INSERT clause would
+        # execute the merge without it
+        with pytest.raises(MergeError, match="unparseable text inside"):
+            parse_merge(
+                "MERGE INTO t USING s ON t.k = s.k "
+                "WHEN MATCHED THEN DELETE "
+                "WHEN NOT MATCHED INSERT (k) VALUES (s.k)"
+            )
+        with pytest.raises(MergeError, match="unparseable text inside"):
+            parse_merge(
+                "MERGE INTO t USING s ON t.k = s.k "
+                "WHEN NOT MATCHED BY TARGETX THEN INSERT *"
+            )
+
+    def test_keywords_inside_literals(self, spark):
+        base = spark.createDataFrame([(1, "A")], "k int, seg string")
+        src = spark.createDataFrame([(1, "B")], "k int, seg string")
+        out = execute_merge(
+            spark,
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN MATCHED AND s.seg <> 'WHEN MATCHED THEN' "
+            "THEN UPDATE SET seg = 'a THEN b WHERE c'",
+            target_df=base,
+            source_df=src,
+        )
+        assert _rows(out) == {(1, "a THEN b WHERE c")}
+
+    def test_dotted_target_gets_last_segment_alias(self):
+        st = parse_merge(
+            "MERGE INTO db.tbl USING src s ON tbl.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v"
+        )
+        assert st.t_alias == "tbl"

@@ -117,3 +117,31 @@ def test_replayed_batch_is_idempotent_and_cdf_works(spark, tmp_path):
         (2, "update_postimage"),
         (3, "insert"),
     }
+
+
+def test_legacy_layout_migrates_instead_of_data_loss(spark, tmp_path):
+    """Pre-round-6 targets used v{N} dirs with no manifest; resuming a
+    stream over one must MIGRATE that state, not silently rebuild the
+    snapshot from the next micro-batch alone."""
+    from openaq_data_pipeline_engineering_spark.streaming.upsert import (
+        read_snapshot,
+        upsert_batch,
+    )
+
+    tgt = str(tmp_path / "legacy")
+    old = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 10, 2.0)], "k int, ts int, v double"
+    )
+    old.write.parquet(f"{tgt}/v0")
+    old.selectExpr("k", "ts", "v * 10 AS v").write.parquet(f"{tgt}/v1")
+
+    snap = read_snapshot(spark, tgt)  # triggers one-time migration
+    assert snap is not None
+    assert {(r["k"], r["v"]) for r in snap.collect()} == {(1, 10.0), (2, 20.0)}
+
+    b = spark.createDataFrame([(3, 20, 3.0)], "k int, ts int, v double")
+    upsert_batch(b, 99, tgt, ["k"], "ts")
+    merged = read_snapshot(spark, tgt)
+    assert {(r["k"], r["v"]) for r in merged.collect()} == {
+        (1, 10.0), (2, 20.0), (3, 3.0),
+    }

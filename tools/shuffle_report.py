@@ -162,11 +162,19 @@ def main() -> None:
         try:
             with open(out_path) as f:
                 prev = json.load(f)
-            prev.setdefault("queries", {}).update(report)
-            prev.setdefault("streaming", {}).update(streaming)
-            out = prev
-        except OSError:
-            pass
+            if prev.get("sf_dir") == sf_dir:
+                prev.setdefault("queries", {}).update(report)
+                prev.setdefault("streaming", {}).update(streaming)
+                out = prev
+            else:
+                print(
+                    f"NOT merging into {out_path}: it was measured at "
+                    f"{prev.get('sf_dir')}, this run at {sf_dir}; "
+                    "writing the partial results fresh",
+                    file=sys.stderr,
+                )
+        except (OSError, ValueError):
+            pass  # missing or corrupt previous file: write fresh
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     total = sum(q.get("shuffle_bytes", 0) for q in report.values())
