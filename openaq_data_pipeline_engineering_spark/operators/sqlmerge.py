@@ -18,6 +18,15 @@ accepts the standard warehouse syntax:
     [WHEN NOT MATCHED BY SOURCE [AND <cond>]
         THEN UPDATE SET c = expr, ... | DELETE]
 
+Lexical surface: ``--`` line comments and (nested, as Spark allows)
+``/* */`` bracketed comments are stripped string-aware before parsing;
+string literals may escape quotes by doubling (``''``) or by
+backslash (``\'``, Spark's default parser behavior); ``CASE ... END``
+expressions — nesting included — are allowed anywhere an expression
+is (ON condition, clause AND-conditions, UPDATE/INSERT right-hand
+sides): the parser masks CASE blocks so their inner WHEN/THEN tokens
+never terminate a clause match.
+
 Semantics (Delta/SQL:2003 compatible):
 - Clauses are evaluated IN ORDER; the first applicable clause per row
   wins (within the row's family: MATCHED / NOT MATCHED [BY TARGET] /
@@ -108,18 +117,76 @@ _CLAUSE_RE = re.compile(
 )
 
 
-def _mask_literals(sql: str) -> str:
-    """Same-length copy of ``sql`` with string-literal CONTENT replaced
-    by underscores ('' escapes masked too, outer quotes kept). The
-    statement regexes run on the MASKED text so SQL keywords inside
-    literals (WHERE/WHEN/THEN/ON/,) can never mis-split the statement;
-    group spans are then sliced from the ORIGINAL text."""
+def _strip_comments(sql: str) -> str:
+    """Same-length copy of ``sql`` with ``-- line`` and (nested, as
+    Spark allows) ``/* bracketed */`` comments replaced by spaces,
+    string-aware: comment markers inside literals are content, not
+    comments. Runs BEFORE the literal masker so a quote inside a
+    comment can never flip the masker's in-string state; spans sliced
+    from the stripped text hand clean expression text to F.expr."""
     out = list(sql)
     in_str = False
     i, n = 0, len(sql)
     while i < n:
         ch = sql[i]
         if in_str:
+            if ch == "\\" and i + 1 < n:  # Spark-style backslash escape
+                i += 2
+                continue
+            if ch == "'":
+                if i + 1 < n and sql[i + 1] == "'":  # '' escape
+                    i += 2
+                    continue
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "-" and sql.startswith("--", i):
+            j = sql.find("\n", i)
+            j = n if j < 0 else j  # the newline itself survives
+            for k in range(i, j):
+                out[k] = " "
+            i = j
+            continue
+        elif ch == "/" and sql.startswith("/*", i):
+            depth, j = 1, i + 2
+            while j < n and depth:
+                if sql.startswith("/*", j):
+                    depth, j = depth + 1, j + 2
+                elif sql.startswith("*/", j):
+                    depth, j = depth - 1, j + 2
+                else:
+                    j += 1
+            if depth:
+                raise MergeError("unterminated /* comment in MERGE")
+            for k in range(i, j):
+                out[k] = " "
+            i = j
+            continue
+        i += 1
+    return "".join(out)
+
+
+def _mask_literals(sql: str) -> str:
+    """Same-length copy of ``sql`` with string-literal CONTENT replaced
+    by underscores ('' doubling AND Spark's backslash escapes masked,
+    outer quotes kept). The statement regexes run on the MASKED text so
+    SQL keywords inside literals (WHERE/WHEN/THEN/ON/,) can never
+    mis-split the statement; group spans are then sliced from the
+    ORIGINAL (comment-stripped) text."""
+    out = list(sql)
+    in_str = False
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            if ch == "\\" and i + 1 < n:
+                # Spark's default parser treats \' (and \\ etc.) as an
+                # escape inside literals; mask both chars so the quote
+                # cannot flip the in-string state.
+                out[i] = "_"
+                out[i + 1] = "_"
+                i += 2
+                continue
             if ch == "'":
                 if i + 1 < n and sql[i + 1] == "'":  # escaped quote
                     out[i] = "_"
@@ -135,6 +202,32 @@ def _mask_literals(sql: str) -> str:
     return "".join(out)
 
 
+def _mask_case_blocks(masked: str) -> str:
+    """Mask (already literal-masked) ``CASE ... END`` blocks, nesting
+    included, so the clause regexes — whose lazy ``cond`` / ``on``
+    matches terminate at the next WHEN/THEN keyword — never see the
+    WHEN/THEN tokens INSIDE a CASE expression. Spans are still sliced
+    from the original text, so the real CASE expression reaches
+    F.expr intact. Whitespace is preserved (the regexes split on it);
+    every other char in the block becomes '_'."""
+    out = list(masked)
+    depth, start = 0, 0
+    for m in re.finditer(r"\b(CASE|END)\b", masked, re.IGNORECASE):
+        if m.group().upper() == "CASE":
+            if depth == 0:
+                start = m.start()
+            depth += 1
+        elif depth:  # a bare END (e.g. a column named end) is ignored
+            depth -= 1
+            if depth == 0:
+                for j in range(start, m.end()):
+                    if not masked[j].isspace():
+                        out[j] = "_"
+    if depth:
+        raise MergeError("unbalanced CASE/END in MERGE statement")
+    return "".join(out)
+
+
 def _split_top(text: str) -> list[str]:
     """Split on commas at paren depth 0, outside string literals
     (assignment / value lists — `VALUES (s.k, 'a,b')` must not split
@@ -145,6 +238,9 @@ def _split_top(text: str) -> list[str]:
     while i < n:
         ch = text[i]
         if in_str:
+            if ch == "\\" and i + 1 < n:  # backslash escape
+                i += 2
+                continue
             if ch == "'":
                 if i + 1 < n and text[i + 1] == "'":  # escaped quote
                     i += 1
@@ -177,7 +273,8 @@ def _unqualify(col: str, aliases: tuple[str, str]) -> str:
 
 
 def parse_merge(sql: str) -> _MergeStatement:
-    masked = _mask_literals(sql)
+    sql = _strip_comments(sql)  # same length: spans still line up
+    masked = _mask_case_blocks(_mask_literals(sql))
     m = _HEAD_RE.match(masked)
     if not m:
         raise MergeError(
@@ -409,9 +506,14 @@ def execute_merge(
         # and with none (insert-only / BY-SOURCE-only merges) each
         # extra joined copy would fall through to KEEP and silently
         # DUPLICATE the target row in the output. One COUNT aggregation
-        # keyed by the target row id, planned off the same join (the
-        # join recomputes for the result — acceptable for delta-sized
-        # sources; pass strict=False to skip).
+        # keyed by the target row id. The joined relation materializes
+        # ONCE (lazy localCheckpoint — the repo's multi-consumer idiom):
+        # the dup check's count() triggers it and the returned
+        # projection reuses the blocks, so the join never executes
+        # twice. The check itself is necessarily eager (MergeError must
+        # raise before the caller publishes); pass strict=False for a
+        # fully-lazy plan over pre-deduplicated sources.
+        joined = joined.localCheckpoint(eager=False)
         dup = (
             joined.filter(is_matched)
             .groupBy(_T_MARK)

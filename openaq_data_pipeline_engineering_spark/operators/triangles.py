@@ -40,6 +40,14 @@ def count_triangles(pairs: DataFrame, src: str = "s", dst: str = "t") -> DataFra
     the caller's ``pairs`` derivation from the base scans — measured 52
     parquet scans for the declared co-order query, since exchange
     reuse does not fire across aliased subtrees on this Spark build.
+    The checkpoints are LAZY (``eager=False``): composing or explaining
+    this plan costs nothing, and the blocks materialize on the caller's
+    first action. Trade-off (shared with every localCheckpoint in the
+    repo): the blocks are non-replayable, so losing an executor between
+    materialization and the final action fails the job instead of
+    recomputing — acceptable for the bounded O(m) relations here; a
+    100 TB deployment that needs replayability swaps in a reliable
+    ``checkpoint()`` directory.
     The wedge COUNT comes from forward degrees (Σ d·(d−1)/2, one agg
     over the oriented edges — identical to counting the kv-ordered
     apex self-join) so the O(m^1.5) wedge relation is built exactly
@@ -47,7 +55,7 @@ def count_triangles(pairs: DataFrame, src: str = "s", dst: str = "t") -> DataFra
     """
     e0 = pairs.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     deg = (
         e0.select(F.col("a").alias("node"))
         .unionAll(e0.select(F.col("b").alias("node")))
@@ -66,7 +74,7 @@ def count_triangles(pairs: DataFrame, src: str = "s", dst: str = "t") -> DataFra
         F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("v"),
         F.greatest("ka", "kb").alias("kv"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     x, y = o.alias("x"), o.alias("y")
     wedges = x.join(
         y,

@@ -137,11 +137,18 @@ def write_snapshot(
     duplicate is detected only at commit time after losing a race to a
     concurrent replay of the same txn (the loser's just-written
     directory is abandoned as an orphan for vacuum; the manifest stays
-    single-writer-per-txn).
+    single-writer-per-txn). The dedupe outlives the DATA retention
+    window: a txn entry whose version was since vacuumed still dedupes
+    (the returned version number may no longer be readable — callers
+    use the return only as "already committed"), so a micro-batch
+    replay arriving arbitrarily late never re-merges stale data. Txn
+    entries are a few bytes each; :func:`vacuum_snapshots` keeps them
+    all by default and retires them only on an explicit, LONGER
+    ``txn_keep_last`` window.
     """
     if txn_id is not None:
-        versions, txns = _read_manifest_full(root)
-        if txn_id in txns and txns[txn_id] in versions:
+        _, txns = _read_manifest_full(root)
+        if txn_id in txns:
             return txns[txn_id]  # replay: already committed, no write
     version = _allocate_and_write(df, root, _max_retries)
     return _commit_version(root, version, txn_id)
@@ -185,7 +192,7 @@ def _commit_version(root: str, version: int, txn_id: str | None = None) -> int:
     (this writer's directory is abandoned to vacuum)."""
     with _manifest_lock(root):
         versions, txns = _read_manifest_full(root)
-        if txn_id is not None and txn_id in txns and txns[txn_id] in versions:
+        if txn_id is not None and txn_id in txns:
             return txns[txn_id]
         if version not in versions:
             if txn_id is not None:
@@ -228,6 +235,7 @@ def vacuum_snapshots(
     keep_last: int = 2,
     min_age_seconds: float = 0.0,
     orphan_min_age_seconds: float = ORPHAN_GRACE_SECONDS,
+    txn_keep_last: int | None = None,
 ) -> list[int]:
     """Retention: drop all but the newest ``keep_last`` committed
     versions, plus any orphaned uncommitted ``v=*`` dirs older than the
@@ -253,12 +261,23 @@ def vacuum_snapshots(
     The dir's mtime is refreshed by the in-progress write itself, so a
     genuinely in-flight write always looks recent. Pass
     ``orphan_min_age_seconds=0`` only when no writer can be live.
+
+    Txn dedupe entries deliberately OUTLIVE the data retention window
+    (they are a few bytes each, and retiring one re-opens the door to a
+    late micro-batch replay re-merging stale data as a new version —
+    the failure the txn_id exists to prevent). ``txn_keep_last=None``
+    (default) keeps every txn entry; pass an integer to retire entries
+    whose version trails the newest committed version by more than that
+    many versions — it must be >= ``keep_last``, i.e. the dedupe window
+    can only be WIDER than the data window.
     """
     import shutil
     import time
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    if txn_keep_last is not None and txn_keep_last < keep_last:
+        raise ValueError("txn_keep_last must be >= keep_last")
     if not os.path.isdir(root):
         return []
     now = time.time()
@@ -287,13 +306,17 @@ def vacuum_snapshots(
             for v in _existing_version_dirs(root)
             if v not in versions and _old_enough(v, orphan_grace)
         ]
-        if not drop and not orphans:
+        # Txn entries survive data vacuum by default (see docstring);
+        # an explicit txn_keep_last retires only entries trailing the
+        # newest commit by more than that many versions.
+        if txn_keep_last is not None and versions:
+            txn_floor = versions[-1] - txn_keep_last
+            kept_txns = {t: v for t, v in txns.items() if v > txn_floor}
+        else:
+            kept_txns = txns
+        if not drop and not orphans and kept_txns == txns:
             return []
-        if drop:
-            # Txn dedupe entries for vacuumed versions are retired with
-            # them: a replay THAT old is outside the retention window,
-            # exactly like Delta's txn retention.
-            kept_txns = {t: v for t, v in txns.items() if v in keep}
+        if drop or kept_txns != txns:
             _write_manifest(root, keep, kept_txns)
     for v in drop + orphans:
         shutil.rmtree(os.path.join(root, f"v={v}"), ignore_errors=True)

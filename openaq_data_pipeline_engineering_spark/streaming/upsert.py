@@ -107,6 +107,10 @@ def upsert_batch(
     )
     # Committed-version retention only; orphan reclamation keeps its
     # 24h grace (a concurrent writer may own a fresh uncommitted dir).
+    # Txn dedupe entries are NOT retired with the data (vacuum's
+    # default keeps them all): a micro-batch replay arriving later
+    # than keep_last commits still dedupes instead of re-merging
+    # stale data as a new version.
     versioned.vacuum_snapshots(target_dir, keep_last=2)
 
 

@@ -384,3 +384,115 @@ class TestReviewHardening:
             "WHEN MATCHED THEN UPDATE SET v = s.v"
         )
         assert st.t_alias == "tbl"
+
+
+class TestRound7Grammar:
+    """Round-7 advice fixes: comments, backslash escapes, nested CASE
+    in clause/ON conditions, and the single-execution strict check."""
+
+    def test_line_and_bracketed_comments_stripped(self, spark):
+        base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+        src = spark.createDataFrame([(1, "A"), (3, "C")], "k int, v string")
+        out = execute_merge(
+            spark,
+            "MERGE INTO t USING s ON t.k = s.k -- join on 'the' key\n"
+            "WHEN MATCHED /* a 'quoted WHEN' inside\n"
+            "   /* nested, as Spark allows */ a comment */\n"
+            "  THEN UPDATE SET v = s.v -- tail comment\n"
+            "WHEN NOT MATCHED THEN INSERT *",
+            target_df=base,
+            source_df=src,
+        )
+        assert _rows(out) == {(1, "A"), (2, "b"), (3, "C")}
+
+    def test_comment_markers_inside_literals_are_content(self, spark):
+        base = spark.createDataFrame([(1, "x")], "k int, v string")
+        src = spark.createDataFrame([(1, "y")], "k int, v string")
+        out = execute_merge(
+            spark,
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = 'a--b /* c */'",
+            target_df=base,
+            source_df=src,
+        )
+        assert _rows(out) == {(1, "a--b /* c */")}
+
+    def test_unterminated_bracketed_comment_rejected(self):
+        with pytest.raises(MergeError, match="unterminated"):
+            parse_merge(
+                "MERGE INTO t USING s ON t.k = s.k /* oops "
+                "WHEN MATCHED THEN DELETE"
+            )
+
+    def test_backslash_escaped_quote_in_literal(self, spark):
+        # Spark's default parser: \' is an escaped quote inside a
+        # literal. The masker must not flip its in-string state there.
+        base = spark.createDataFrame([(1, "x")], "k int, v string")
+        src = spark.createDataFrame([(1, "y")], "k int, v string")
+        out = execute_merge(
+            spark,
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN MATCHED AND s.v <> 'it\\'s THEN a trap' "
+            "THEN UPDATE SET v = 'it\\'s fine'",
+            target_df=base,
+            source_df=src,
+        )
+        assert _rows(out) == {(1, "it's fine")}
+
+    def test_nested_case_in_clause_condition_and_rhs(self, spark):
+        base = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k int, v string, n int"
+        )
+        src = spark.createDataFrame(
+            [(1, "A", 5), (2, "B", 99)], "k int, v string, n int"
+        )
+        out = execute_merge(
+            spark,
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN MATCHED AND CASE WHEN s.n > 50 THEN false ELSE true END "
+            "THEN UPDATE SET v = CASE WHEN s.n < t.n THEN s.v "
+            "ELSE t.v END, n = s.n + CASE WHEN s.n = 5 THEN 100 ELSE 0 END",
+            target_df=base,
+            source_df=src,
+        )
+        # k=1: cond true (5<=50), v := s.v ('A' since 5<10), n := 105
+        # k=2: cond false (99>50) -> KEEP
+        assert _rows(out) == {(1, "A", 105), (2, "b", 20)}
+
+    def test_case_in_on_condition(self, spark):
+        base = spark.createDataFrame([(1, "a")], "k int, v string")
+        src = spark.createDataFrame([(1, "z")], "k int, v string")
+        out = execute_merge(
+            spark,
+            "MERGE INTO t USING s "
+            "ON t.k = CASE WHEN s.k < 0 THEN -s.k ELSE s.k END "
+            "WHEN MATCHED THEN UPDATE SET v = s.v",
+            target_df=base,
+            source_df=src,
+        )
+        assert _rows(out) == {(1, "z")}
+
+    def test_unbalanced_case_rejected(self):
+        with pytest.raises(MergeError, match="unbalanced CASE"):
+            parse_merge(
+                "MERGE INTO t USING s ON t.k = s.k "
+                "WHEN MATCHED AND CASE WHEN 1=1 THEN true "
+                "THEN UPDATE SET v = s.v"
+            )
+
+    def test_strict_check_single_join_execution(self, spark):
+        # The strict path materializes the join once (lazy local
+        # checkpoint): the final plan must scan the checkpointed RDD,
+        # not re-plan the full-outer join.
+        base = spark.createDataFrame([(1, "a")], "k int, v string")
+        src = spark.createDataFrame([(1, "b")], "k int, v string")
+        out = execute_merge(
+            spark,
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v",
+            target_df=base,
+            source_df=src,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+        assert _rows(out) == {(1, "b")}

@@ -454,7 +454,12 @@ class TestIdempotentTxn:
         assert write_snapshot(df, root) == 3  # untagged never dedupes
         assert write_snapshot(df, root, txn_id="b1") == 2  # still pinned
 
-    def test_vacuum_retires_txn_entries(self, spark, tmp_path):
+    def test_vacuum_keeps_txn_entries_past_data_retention(
+        self, spark, tmp_path
+    ):
+        """The dedupe window outlives the data window by default: a
+        replay later than keep_last versions must still be a no-op
+        (re-merging stale data is the failure txn_id prevents)."""
         from openaq_data_pipeline_engineering_spark.operators.versioned import (
             _read_manifest_full,
             vacuum_snapshots,
@@ -467,7 +472,34 @@ class TestIdempotentTxn:
         vacuum_snapshots(root, keep_last=2)
         versions, txns = _read_manifest_full(root)
         assert versions == [3, 4]
-        assert set(txns) == {"b2", "b3"}
-        # a replay of a RETIRED txn writes a fresh version (outside the
-        # retention window, same as Delta)
-        assert write_snapshot(df, root, txn_id="b0") == 5
+        assert set(txns) == {"b0", "b1", "b2", "b3"}
+        # a VERY late replay of a vacuumed batch still dedupes — no new
+        # version, and the returned version is the original commit
+        # (possibly no longer readable; callers use it only as
+        # "already committed").
+        assert write_snapshot(df, root, txn_id="b0") == 1
+        assert _read_manifest_full(root)[0] == [3, 4]
+
+    def test_vacuum_explicit_txn_retention(self, spark, tmp_path):
+        """txn_keep_last retires only entries trailing the newest commit
+        by more than that many versions, and must be >= keep_last."""
+        import pytest
+
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            _read_manifest_full,
+            vacuum_snapshots,
+        )
+
+        root = str(tmp_path / "txn4")
+        df = spark.createDataFrame([(1, "a")], "k int, v string")
+        for i in range(5):
+            write_snapshot(df, root, txn_id=f"b{i}")
+        with pytest.raises(ValueError):
+            vacuum_snapshots(root, keep_last=2, txn_keep_last=1)
+        vacuum_snapshots(root, keep_last=2, txn_keep_last=3)
+        versions, txns = _read_manifest_full(root)
+        assert versions == [4, 5]
+        assert set(txns) == {"b2", "b3", "b4"}  # floor = 5 - 3 = 2
+        # a replay of a retired txn writes a fresh version (outside the
+        # EXPLICIT dedupe window, same as Delta's txn retention)
+        assert write_snapshot(df, root, txn_id="b0") == 6
