@@ -1,0 +1,239 @@
+"""Round-7 declared queries: oracle witnesses for the last pytest-only
+behavioral surfaces, plus the new declarative data-quality operator.
+
+- ``incremental_mart_merge``: plans/incremental.merge_into_mart — the
+  idempotent re-delivery/correction merge the reference's blind-append
+  job lacks (SURVEY §2.9; process_openaq_raw.py:253-255 appends, dup
+  shrink is within-batch only). Two overlapping batches merge into a
+  Hive-partitioned mart with dynamic partition overwrite; untouched
+  partitions must survive, re-delivered keys must take the corrected
+  values.
+- ``bucketed_join_colocated``: the 100 TB co-located join strategy —
+  both fact tables written ``bucketBy`` the join key, joined with NO
+  exchange on either side (pinned by tests/test_plan_audit.py); the
+  aggregate must match a plain DuckDB join.
+- ``expectations_quarantine``: operators/expectations.py — the
+  declarative form of the reference's QA predicates
+  (tests/test_glue_transformation.py:198-253, SURVEY §2.2 P9/P10):
+  named rules → one-pass per-rule violation report + quarantine split.
+
+Registered LAST in registry._load_all so these names sort after the
+existing never-driver-sampled backlog in the driver's ~50-query prefix.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_engineering_spark.plans.registry import query
+from openaq_data_pipeline_engineering_spark.scratch import fresh_scratch_dir
+from openaq_data_pipeline_engineering_spark.sources.star import (
+    fan_out,
+    load_table,
+)
+
+
+# --------------------------------------------------------------------------
+# Incremental mart maintenance: batch A covers Mar 1-4 1995, batch B
+# re-delivers Mar 3-4 with corrected quantities (+100) and extends to
+# Mar 5-6. After both merges the mart must hold A's rows on the
+# untouched partitions (01, 02) and B's corrected rows on 03-06 —
+# witnessing partition-pruned read, window dedup with the batch
+# tiebreaker, and dynamic partition overwrite in one artifact.
+# Scale: cost ∝ touched partitions (days), never the whole mart.
+# --------------------------------------------------------------------------
+_WIN_A = ("1995-03-01", "1995-03-05")
+_WIN_B = ("1995-03-03", "1995-03-07")
+
+
+def _mart_batch(
+    li: DataFrame, lo: str, hi: str, src_pri: int, qty_shift: float
+) -> DataFrame:
+    rows = li.filter(
+        (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+    )
+    return rows.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity") + F.lit(qty_shift)).alias("qty"),
+        F.lit(src_pri).alias("src_pri"),
+        F.year("l_shipdate").cast("string").alias("year"),
+        F.lpad(F.month("l_shipdate").cast("string"), 2, "0").alias("month"),
+        F.lpad(F.dayofmonth("l_shipdate").cast("string"), 2, "0").alias(
+            "day"
+        ),
+    )
+
+
+@query(
+    "incremental_mart_merge",
+    "idempotent incremental merge into a Hive-partitioned mart: "
+    "re-delivered keys corrected, untouched partitions preserved "
+    "(plans/incremental.merge_into_mart, dynamic partition overwrite)",
+    oracle="""
+    WITH a AS (
+        SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+               strftime(l_shipdate, '%d') AS day
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+          AND l_shipdate < TIMESTAMP '1995-03-05'
+    ), b AS (
+        SELECT l_orderkey, l_linenumber, l_quantity + 100 AS qty,
+               strftime(l_shipdate, '%d') AS day
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-03-03'
+          AND l_shipdate < TIMESTAMP '1995-03-07'
+    ), final AS (
+        SELECT * FROM a WHERE day IN ('01', '02')
+        UNION ALL
+        SELECT * FROM b
+    )
+    SELECT day, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(qty) AS DOUBLE) AS sum_qty
+    FROM final GROUP BY day
+    """,
+)
+def incremental_mart_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.plans.incremental import (
+        merge_into_mart,
+    )
+
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
+    batch_a = _mart_batch(li, *_WIN_A, src_pri=1, qty_shift=0.0)
+    batch_b = _mart_batch(li, *_WIN_B, src_pri=0, qty_shift=100.0)
+    mart = fresh_scratch_dir("incremental_mart")
+    keys = ["l_orderkey", "l_linenumber"]
+    # src_pri ascending: the lower-priority value wins the window
+    # dedup, i.e. batch B's corrections beat A's re-delivered originals
+    merge_into_mart(spark, mart, batch_a, keys, tiebreaker=["src_pri"])
+    merge_into_mart(spark, mart, batch_b, keys, tiebreaker=["src_pri"])
+    back = spark.read.schema(batch_a.schema).parquet(mart)
+    return back.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("qty").cast("double").alias("sum_qty"),  # integer-valued
+    )
+
+
+# --------------------------------------------------------------------------
+# Co-located join: both sides written bucketBy(8, join key) — the
+# bucketed scan satisfies the join's required distribution, so the
+# sort-merge join plans ZERO exchanges on either input (the strategy
+# that turns a 100 TB fact-fact join from a full network shuffle into
+# a local merge per bucket). tests/test_plan_audit.py pins the plan
+# shape; the value hash here pins the answer.
+# --------------------------------------------------------------------------
+@query(
+    "bucketed_join_colocated",
+    "fact-fact join over tables pre-bucketed on the join key: no "
+    "exchange on either join input (cluster co-location strategy)",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = fresh_scratch_dir("bucketed_join")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    for name, df, key in [
+        ("r7_orders_bkt", orders, "o_orderkey"),
+        ("r7_lineitem_bkt", lineitem, "l_orderkey"),
+    ]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", os.path.join(root, name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    o = spark.table("r7_orders_bkt")
+    li = spark.table("r7_lineitem_bkt")
+    # merge hint: deterministic SortMergeJoin at every SF (broadcast
+    # would also be exchange-free but proves nothing about bucketing)
+    joined = o.hint("merge").join(
+        li, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Declarative expectations over lineitem: five named rules with known
+# violation mass in the testdata, one-pass report, plus the
+# __any_failed__ / __all_valid__ summary rows that tie the report to
+# the quarantine split (operators/expectations.py keeps the two
+# consistent by construction; pytest asserts report == split counts).
+# --------------------------------------------------------------------------
+_RULES = {
+    "qty_le_45": "l_quantity <= 45",
+    "discount_le_008": "l_discount <= 0.08",
+    "tax_le_006": "l_tax <= 0.06",
+    "price_le_100k": "l_extendedprice <= 100000",
+    "ship_before_2001": "l_shipdate < TIMESTAMP '2001-01-01'",
+}
+
+
+@query(
+    "expectations_quarantine",
+    "declarative data-quality expectations: per-rule violation counts "
+    "+ quarantine summary in one aggregation pass "
+    "(operators/expectations.py)",
+    oracle="""
+    WITH t AS (
+        SELECT
+            CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(sum(CASE WHEN NOT coalesce(l_quantity <= 45, false)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS f0,
+            CAST(sum(CASE WHEN NOT coalesce(l_discount <= 0.08, false)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+            CAST(sum(CASE WHEN NOT coalesce(l_tax <= 0.06, false)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+            CAST(sum(CASE WHEN NOT coalesce(l_extendedprice <= 100000,
+                     false) THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+            CAST(sum(CASE WHEN NOT coalesce(
+                     l_shipdate < TIMESTAMP '2001-01-01', false)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS f4,
+            CAST(sum(CASE WHEN NOT (
+                     coalesce(l_quantity <= 45, false)
+                     AND coalesce(l_discount <= 0.08, false)
+                     AND coalesce(l_tax <= 0.06, false)
+                     AND coalesce(l_extendedprice <= 100000, false)
+                     AND coalesce(l_shipdate < TIMESTAMP '2001-01-01',
+                                  false))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS f_any
+        FROM lineitem
+    )
+    SELECT 'qty_le_45' AS rule, f0 AS n_fail, n_rows FROM t
+    UNION ALL SELECT 'discount_le_008', f1, n_rows FROM t
+    UNION ALL SELECT 'tax_le_006', f2, n_rows FROM t
+    UNION ALL SELECT 'price_le_100k', f3, n_rows FROM t
+    UNION ALL SELECT 'ship_before_2001', f4, n_rows FROM t
+    UNION ALL SELECT '__any_failed__', f_any, n_rows FROM t
+    UNION ALL SELECT '__all_valid__', n_rows - f_any, n_rows FROM t
+    """,
+)
+def expectations_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.operators.expectations import (
+        expectation_report,
+    )
+
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
+    return expectation_report(li, _RULES)

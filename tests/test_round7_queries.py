@@ -1,0 +1,149 @@
+"""Round-7 surfaces: expectations operator, bucketed co-located join
+plan shape, incremental mart merge idempotency."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_engineering_spark.operators.expectations import (
+    expectation_report,
+    split_expectations,
+)
+from openaq_data_pipeline_engineering_spark.plans.queries_round7 import (
+    bucketed_join_colocated,
+    incremental_mart_merge,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestExpectations:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, 10.0, "a"),
+                (2, 60.0, "b"),  # fails qty
+                (3, None, "a"),  # NULL -> fails qty (3VL trap)
+                (4, 20.0, None),  # fails seg
+                (5, 70.0, None),  # fails both
+            ],
+            "id int, qty double, seg string",
+        )
+
+    RULES = {
+        "qty_le_50": "qty <= 50",
+        "seg_present": "seg IS NOT NULL",
+    }
+
+    def test_split_tags_failed_rules(self, spark):
+        valid, quarantine = split_expectations(self._df(spark), self.RULES)
+        assert {r["id"] for r in valid.collect()} == {1}
+        got = {
+            r["id"]: tuple(r["failed_rules"]) for r in quarantine.collect()
+        }
+        assert got == {
+            2: ("qty_le_50",),
+            3: ("qty_le_50",),  # NULL comparison counts as failure
+            4: ("seg_present",),
+            5: ("qty_le_50", "seg_present"),
+        }
+
+    def test_report_matches_split_counts(self, spark):
+        df = self._df(spark)
+        rep = {
+            r["rule"]: (r["n_fail"], r["n_rows"])
+            for r in expectation_report(df, self.RULES).collect()
+        }
+        valid, quarantine = split_expectations(df, self.RULES)
+        assert rep["qty_le_50"] == (3, 5)
+        assert rep["seg_present"] == (2, 5)
+        assert rep["__any_failed__"] == (quarantine.count(), 5)
+        assert rep["__all_valid__"] == (valid.count(), 5)
+
+    def test_report_is_one_scan_no_python(self, spark):
+        df = self._df(spark)
+        plan = (
+            expectation_report(df, self.RULES)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan
+
+    def test_empty_rules_rejected(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError):
+            split_expectations(self._df(spark), {})
+
+
+class TestBucketedJoinDeclared:
+    def test_no_exchange_on_join_inputs(self, spark):
+        """The declared query's executed plan: SortMergeJoin fed by
+        bucketed scans — zero exchanges below the join (the final
+        aggregate's single exchange is the only one in the plan)."""
+        out = bucketed_join_colocated(spark, SF_DIR)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # AQE's toString appends the pre-adaptive "Initial Plan" —
+        # assert on the final plan section only
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in plan
+        # one exchange for the groupBy, none for the join inputs
+        assert plan.count("Exchange") <= 1
+        assert "Bucketed: true" in plan  # bucketed scan actually used
+
+
+class TestIncrementalMartDeclared:
+    def test_remerge_is_idempotent(self, spark):
+        """Running the declared query twice (same scratch name, wiped
+        per call) yields identical results — and re-merging the same
+        batch B again changes nothing (the re-delivery contract)."""
+        a = {
+            tuple(r)
+            for r in incremental_mart_merge(spark, SF_DIR).collect()
+        }
+        b = {
+            tuple(r)
+            for r in incremental_mart_merge(spark, SF_DIR).collect()
+        }
+        assert a == b
+        # days 01/02 (untouched partitions) must survive the B merge
+        days = {r[0] for r in a}
+        assert {"01", "02"} <= days
+
+    def test_corrections_win_on_overlap(self, spark):
+        from openaq_data_pipeline_engineering_spark.plans.incremental import (
+            merge_into_mart,
+        )
+        from openaq_data_pipeline_engineering_spark.plans.queries_round7 import (
+            _WIN_A,
+            _WIN_B,
+            _mart_batch,
+        )
+        from openaq_data_pipeline_engineering_spark.scratch import (
+            fresh_scratch_dir,
+        )
+        from openaq_data_pipeline_engineering_spark.sources.star import (
+            load_table,
+        )
+
+        li = load_table(spark, SF_DIR, "lineitem")
+        batch_a = _mart_batch(li, *_WIN_A, src_pri=1, qty_shift=0.0)
+        batch_b = _mart_batch(li, *_WIN_B, src_pri=0, qty_shift=100.0)
+        mart = fresh_scratch_dir("incr_mart_test")
+        keys = ["l_orderkey", "l_linenumber"]
+        merge_into_mart(spark, mart, batch_a, keys, ["src_pri"])
+        merge_into_mart(spark, mart, batch_b, keys, ["src_pri"])
+        back = spark.read.schema(batch_a.schema).parquet(mart)
+        # every key present in batch B carries B's corrected value
+        joined = back.join(
+            batch_b.select(
+                "l_orderkey", "l_linenumber", F.col("qty").alias("b_qty")
+            ),
+            keys,
+        )
+        assert joined.filter(F.col("qty") != F.col("b_qty")).count() == 0
+        # total rows = A's exclusive days + all of B
+        n_a_excl = batch_a.filter(F.col("day").isin("01", "02")).count()
+        assert back.count() == n_a_excl + batch_b.count()
