@@ -70,3 +70,45 @@ def pruned_read(
         .filter(F.col(key_col) == F.lit(value))
         .drop("__file")
     )
+
+
+def candidate_files_box(
+    stats: DataFrame, preds: dict[str, tuple]
+) -> DataFrame:
+    """Files whose per-column [min, max] ranges may intersect the box
+    ``{col: (lo, hi)}`` — the multi-column range form of
+    :func:`candidate_files`. A file survives only if EVERY predicate
+    column's range overlaps its bounds, so selectivity multiplies
+    across dimensions — the property a Z-ORDER clustered layout
+    (functions/zorder.morton_code) exists to exploit: interleaved-bit
+    clustering gives every file a tight bounding box in ALL clustered
+    dimensions, where single-key clustering bounds only the sort key.
+    """
+    if not preds:
+        raise ValueError("candidate_files_box needs at least one predicate")
+    cond = None
+    for c, (lo, hi) in preds.items():
+        this = (F.col(f"{c}_min") <= F.lit(hi)) & (
+            F.col(f"{c}_max") >= F.lit(lo)
+        )
+        cond = this if cond is None else cond & this
+    return stats.filter(cond).select("file_name")
+
+
+def pruned_read_box(
+    df: DataFrame, stats: DataFrame, preds: dict[str, tuple]
+) -> DataFrame:
+    """Box-predicate read through the manifest: constrain the scan to
+    files whose bounding boxes intersect the query box, then apply the
+    exact per-column range predicates. Same declarative shape as
+    :func:`pruned_read` (broadcast file-list semi-constraint; at scale
+    the candidate list feeds the reader as a path list)."""
+    cands = candidate_files_box(stats, preds)
+    out = df.withColumn("__file", F.col("_metadata.file_name")).join(
+        F.broadcast(cands.withColumnRenamed("file_name", "__file")),
+        on="__file",
+        how="inner",
+    )
+    for c, (lo, hi) in preds.items():
+        out = out.filter((F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi)))
+    return out.drop("__file")

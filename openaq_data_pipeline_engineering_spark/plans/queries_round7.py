@@ -16,6 +16,9 @@ behavioral surfaces, plus the new declarative data-quality operator.
   declarative form of the reference's QA predicates
   (tests/test_glue_transformation.py:198-253, SURVEY §2.2 P9/P10):
   named rules → one-pass per-rule violation report + quarantine split.
+- ``zorder_box_pruned_read``: OPTIMIZE ZORDER composed with data
+  skipping — Morton-clustered write, 2-D box query through the
+  min/max file manifest (operators/skipstats.candidate_files_box).
 
 Registered LAST in registry._load_all so these names sort after the
 existing never-driver-sampled backlog in the driver's ~50-query prefix.
@@ -237,3 +240,65 @@ def expectations_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = fan_out(load_table(spark, sf_dir, "lineitem"))
     return expectation_report(li, _RULES)
+
+
+# --------------------------------------------------------------------------
+# OPTIMIZE ZORDER composed with data skipping: events written clustered
+# by the Morton interleave of (user_id, floor(value)) — every file gets
+# a tight bounding box in BOTH dimensions — then a 2-D box query runs
+# through the min/max manifest (operators/skipstats.candidate_files_box)
+# and must equal a plain filter recomputed by the oracle. The pruning
+# effectiveness claim (a value-only predicate prunes files under
+# Z-order but NOT under single-key clustering) is pinned in
+# tests/test_round7_queries.py, where file counts are observable.
+# Scale: this is Delta's OPTIMIZE ZORDER BY + data skipping — at 100 TB
+# the manifest is |files| rows and the box read opens only intersecting
+# files; correctness never depends on WHERE the range partitioner put
+# each row.
+# --------------------------------------------------------------------------
+_BOX = {"user_id": (4, 11), "val_floor": (64, 255)}  # non-empty at all SFs
+
+
+@query(
+    "zorder_box_pruned_read",
+    "Z-order clustered write + file-skipping box read: 2-D manifest "
+    "pruning over Morton-interleaved layout equals a plain filter",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events
+    WHERE user_id BETWEEN 4 AND 11
+      AND CAST(floor(value) AS BIGINT) BETWEEN 64 AND 255
+    GROUP BY event_type
+    """,
+)
+def zorder_box_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.functions.zorder import (
+        morton_code,
+    )
+    from openaq_data_pipeline_engineering_spark.operators.skipstats import (
+        file_stats,
+        pruned_read_box,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.floor("value").cast("bigint").alias("val_floor"),
+    )
+    out = fresh_scratch_dir("zorder_table")
+    z = morton_code(F.col("user_id"), F.col("val_floor"), bits=16)
+    ev.repartitionByRange(16, z).write.mode("overwrite").parquet(out)
+    table = spark.read.parquet(out)
+    stats = file_stats(table, ["user_id", "val_floor"])
+    box = pruned_read_box(table, stats, _BOX)
+    return box.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )

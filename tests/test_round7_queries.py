@@ -147,3 +147,70 @@ class TestIncrementalMartDeclared:
         # total rows = A's exclusive days + all of B
         n_a_excl = batch_a.filter(F.col("day").isin("01", "02")).count()
         assert back.count() == n_a_excl + batch_b.count()
+
+
+class TestZorderSkipping:
+    def test_box_read_values_and_pruning(self, spark):
+        """Z-order layout: a predicate on the SECOND clustered dimension
+        prunes files; under single-key clustering it cannot (every file
+        spans the full range of the non-sort column) — the OPTIMIZE
+        ZORDER claim, measured on real manifests."""
+        from openaq_data_pipeline_engineering_spark.functions.zorder import (
+            morton_code,
+        )
+        from openaq_data_pipeline_engineering_spark.operators.skipstats import (
+            candidate_files_box,
+            file_stats,
+        )
+        from openaq_data_pipeline_engineering_spark.scratch import (
+            fresh_scratch_dir,
+        )
+        from openaq_data_pipeline_engineering_spark.sources.star import (
+            load_table,
+        )
+
+        ev = load_table(spark, SF_DIR, "events").select(
+            "event_id",
+            "user_id",
+            "value",
+            F.floor("value").cast("bigint").alias("val_floor"),
+        )
+        zdir = fresh_scratch_dir("ztest_z")
+        ldir = fresh_scratch_dir("ztest_linear")
+        z = morton_code(F.col("user_id"), F.col("val_floor"), bits=16)
+        ev.repartitionByRange(16, z).write.mode("overwrite").parquet(zdir)
+        ev.repartitionByRange(16, "user_id").write.mode("overwrite").parquet(
+            ldir
+        )
+        zt, lt = spark.read.parquet(zdir), spark.read.parquet(ldir)
+        cols = ["user_id", "val_floor"]
+        zstats, lstats = file_stats(zt, cols), file_stats(lt, cols)
+        n_files_z, n_files_l = zstats.count(), lstats.count()
+        # value-only box: the dimension the linear layout does NOT sort
+        box = {"val_floor": (64, 127)}
+        n_cand_z = candidate_files_box(zstats, box).count()
+        n_cand_l = candidate_files_box(lstats, box).count()
+        assert n_cand_l >= n_files_l - 1  # linear layout: ~no pruning
+        assert n_cand_z < n_files_z / 2  # z-order: real pruning
+        # and the pruned box read returns exactly the plain-filter rows
+        from openaq_data_pipeline_engineering_spark.operators.skipstats import (
+            pruned_read_box,
+        )
+
+        box2 = {"user_id": (4, 11), "val_floor": (64, 255)}
+        got = {
+            r["event_id"]
+            for r in pruned_read_box(zt, zstats, box2)
+            .select("event_id")
+            .collect()
+        }
+        want = {
+            r["event_id"]
+            for r in ev.filter(
+                F.col("user_id").between(4, 11)
+                & F.col("val_floor").between(64, 255)
+            )
+            .select("event_id")
+            .collect()
+        }
+        assert got == want and got
