@@ -19,6 +19,10 @@ behavioral surfaces, plus the new declarative data-quality operator.
 - ``zorder_box_pruned_read``: OPTIMIZE ZORDER composed with data
   skipping — Morton-clustered write, 2-D box query through the
   min/max file manifest (operators/skipstats.candidate_files_box).
+- ``streaming_quality_split``: the expectations split inside
+  foreachBatch (streaming/quality.py) — valid rows upsert into a keyed
+  versioned table, violations append to a versioned dead-letter table,
+  both idempotent per micro-batch.
 
 Registered LAST in registry._load_all so these names sort after the
 existing never-driver-sampled backlog in the driver's ~50-query prefix.
@@ -302,3 +306,121 @@ def zorder_box_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming quality routing: three forced micro-batches stream through
+# the expectations split (streaming/quality.py) — valid rows upsert
+# into a keyed versioned table, rule-violating rows append to a
+# versioned DEAD-LETTER table tagged with the rules they failed. The
+# witness reads BOTH tables back cold and aggregates; the oracle
+# recomputes the same routing as one batch CASE. Both commits are
+# idempotent per micro-batch (txn dedupe), pinned by pytest with an
+# explicit replay.
+# Scale: split adds no shuffle to the per-batch plan; dead-letter
+# volume ∝ violation mass, and both tables carry the versioned
+# lifecycle (time travel / CDF / vacuum) for triage.
+# --------------------------------------------------------------------------
+_Q_RULES = {
+    "value_le_100": "value <= 100",
+    "uid_not_mod7": "user_id % 7 <> 0",
+}
+
+
+@query(
+    "streaming_quality_split",
+    "streaming expectations routing: valid rows upsert, violations "
+    "append to a versioned dead-letter table (3 forced micro-batches, "
+    "idempotent per batch)",
+    oracle="""
+    WITH flags AS (
+        SELECT event_type,
+               CASE WHEN coalesce(value <= 100, false)
+                     AND coalesce(user_id % 7 <> 0, false)
+                    THEN 'valid' ELSE 'quarantine' END AS segment,
+               value
+        FROM events WHERE user_id % 5 = 0
+    )
+    SELECT segment, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM flags GROUP BY segment, event_type
+    """,
+)
+def streaming_quality_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.engine import (
+        apply_runtime_confs,
+    )
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        read_snapshot,
+    )
+    from openaq_data_pipeline_engineering_spark.streaming.ingest import (
+        scoped_shuffle_partitions,
+    )
+    from openaq_data_pipeline_engineering_spark.streaming.quality import (
+        run_stream_quality_split,
+    )
+
+    apply_runtime_confs(spark)
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    # 1-in-5 users: the routing semantics are volume-independent and
+    # the witness pays 3 micro-batches of snapshot writes either way
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 5 == 0)
+        .select(*cols)
+    )
+    # three drops by event_id range -> maxFilesPerTrigger=1 forces three
+    # micro-batches (routing must hold ACROSS batches, not just within)
+    n_max = ev.agg(F.max("event_id")).first()[0]
+    drop = fresh_scratch_dir("quality_drop")
+    for i in range(3):
+        lo, hi = i * (n_max + 1) // 3, (i + 1) * (n_max + 1) // 3
+        (
+            ev.filter(
+                (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(drop, f"slice_{i}"))
+        )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+        .option("recursiveFileLookup", True)
+        .option("maxFilesPerTrigger", 1)
+        .load(drop)
+    )
+    valid_dir = fresh_scratch_dir("quality_valid")
+    dead_dir = fresh_scratch_dir("quality_dead")
+    ckpt = fresh_scratch_dir("quality_ckpt")
+    with scoped_shuffle_partitions(spark, 8):
+        run_stream_quality_split(
+            stream,
+            ckpt,
+            _Q_RULES,
+            valid_dir,
+            dead_dir,
+            keys=["event_id"],
+            ts_col="ts",
+        )
+
+    def seg_agg(df: DataFrame, seg: str) -> DataFrame:
+        return (
+            df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("cents"),
+            )
+            .select(F.lit(seg).alias("segment"), "*")
+        )
+
+    valid = read_snapshot(spark, valid_dir)
+    dead = read_snapshot(spark, dead_dir)
+    return seg_agg(valid, "valid").unionByName(seg_agg(dead, "quarantine"))

@@ -1,0 +1,103 @@
+"""Streaming quality routing: expectations split inside foreachBatch.
+
+Composes the two quality/storage primitives the engine already carries
+into the streaming shape every production ingest needs (the reference
+has no bad-row path at all — a failed QA assertion fails the whole
+Glue run, tests/test_glue_transformation.py:198-253):
+
+- each micro-batch is split by :func:`operators.expectations.
+  split_expectations` (JVM-side rule Columns, no Python in the row
+  path);
+- VALID rows upsert into the keyed versioned table exactly like
+  streaming/upsert.py (collapse to one row per key, merge over the
+  snapshot, idempotent txn commit);
+- QUARANTINED rows — tagged with the rules they failed and the
+  micro-batch id — APPEND to their own versioned dead-letter table,
+  also under an idempotent txn, so a replayed micro-batch duplicates
+  neither the upsert nor the dead letters.
+
+Both tables get the versioned layer's full lifecycle (atomic manifest
+publication, time travel, change data feed, vacuum), so a triage job
+can time-travel the dead-letter table or diff two of its versions the
+same way it would the mart.
+
+Scale: the split adds a projection+filter to the per-batch plan — no
+extra shuffle; quarantine volume is the rule-violation mass only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_engineering_spark.operators import versioned
+from openaq_data_pipeline_engineering_spark.operators.expectations import (
+    split_expectations,
+)
+from openaq_data_pipeline_engineering_spark.operators.merge import merge_upsert
+from openaq_data_pipeline_engineering_spark.streaming.upsert import (
+    collapse_batch,
+    read_snapshot,
+)
+
+
+def quality_split_batch(
+    batch: DataFrame,
+    batch_id: int,
+    rules: dict[str, Column | str],
+    valid_dir: str,
+    quarantine_dir: str,
+    keys: list[str],
+    ts_col: str,
+) -> None:
+    """foreachBatch body: split, upsert valid, append quarantine.
+
+    Idempotent per ``batch_id`` on BOTH tables (versioned txn dedupe):
+    an at-least-once replay of the same micro-batch is a no-op.
+    """
+    spark = batch.sparkSession
+    valid, quarantine = split_expectations(batch, rules)
+
+    delta = collapse_batch(valid, keys, ts_col)
+    base = read_snapshot(spark, valid_dir)
+    merged = merge_upsert(base, delta, keys) if base is not None else delta
+    versioned.write_snapshot(merged, valid_dir, txn_id=f"batch-{batch_id}")
+    versioned.vacuum_snapshots(valid_dir, keep_last=2)
+
+    dead = quarantine.withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+    prior = None
+    try:
+        prior = versioned.read_snapshot(spark, quarantine_dir)
+    except FileNotFoundError:
+        pass
+    full = prior.unionByName(dead) if prior is not None else dead
+    versioned.write_snapshot(
+        full, quarantine_dir, txn_id=f"batch-{batch_id}"
+    )
+    versioned.vacuum_snapshots(quarantine_dir, keep_last=2)
+
+
+def run_stream_quality_split(
+    stream: DataFrame,
+    checkpoint_dir: str,
+    rules: dict[str, Column | str],
+    valid_dir: str,
+    quarantine_dir: str,
+    keys: list[str],
+    ts_col: str,
+):
+    """Run the stream to completion (AvailableNow), routing every
+    micro-batch through the expectations split. Returns the finished
+    StreamingQuery."""
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: quality_split_batch(
+                df, bid, rules, valid_dir, quarantine_dir, keys, ts_col
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -214,3 +214,59 @@ class TestZorderSkipping:
             .collect()
         }
         assert got == want and got
+
+
+class TestStreamingQualitySplit:
+    def test_routing_and_replay_idempotency(self, spark, tmp_path):
+        """Two micro-batches route valid/quarantine into versioned
+        tables; replaying a batch (same batch_id) changes NEITHER table
+        (txn dedupe on both commits)."""
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            read_snapshot,
+            snapshot_versions,
+        )
+        from openaq_data_pipeline_engineering_spark.streaming.quality import (
+            quality_split_batch,
+        )
+
+        rules = {"qty_le_50": "qty <= 50"}
+        valid_dir = str(tmp_path / "valid")
+        dead_dir = str(tmp_path / "dead")
+        b0 = spark.createDataFrame(
+            [(1, 10.0, 100), (2, 60.0, 100)], "id int, qty double, ts int"
+        )
+        b1 = spark.createDataFrame(
+            [(1, 20.0, 200), (3, 70.0, 200)], "id int, qty double, ts int"
+        )
+        quality_split_batch(
+            b0, 0, rules, valid_dir, dead_dir, keys=["id"], ts_col="ts"
+        )
+        quality_split_batch(
+            b1, 1, rules, valid_dir, dead_dir, keys=["id"], ts_col="ts"
+        )
+        valid = {
+            (r["id"], r["qty"])
+            for r in read_snapshot(spark, valid_dir).collect()
+        }
+        # id=1 upserted to the batch-1 value; 60/70 quarantined
+        assert valid == {(1, 20.0)}
+        dead = {
+            (r["id"], r["qty"], r["batch_id"], tuple(r["failed_rules"]))
+            for r in read_snapshot(spark, dead_dir).collect()
+        }
+        assert dead == {
+            (2, 60.0, 0, ("qty_le_50",)),
+            (3, 70.0, 1, ("qty_le_50",)),
+        }
+        # replay batch 1: no new versions, identical contents
+        v_valid = snapshot_versions(valid_dir)
+        v_dead = snapshot_versions(dead_dir)
+        quality_split_batch(
+            b1, 1, rules, valid_dir, dead_dir, keys=["id"], ts_col="ts"
+        )
+        assert snapshot_versions(valid_dir) == v_valid
+        assert snapshot_versions(dead_dir) == v_dead
+        assert {
+            (r["id"], r["qty"])
+            for r in read_snapshot(spark, valid_dir).collect()
+        } == {(1, 20.0)}
