@@ -23,6 +23,9 @@ behavioral surfaces, plus the new declarative data-quality operator.
   foreachBatch (streaming/quality.py) — valid rows upsert into a keyed
   versioned table, violations append to a versioned dead-letter table,
   both idempotent per micro-batch.
+- ``fuzzy_linkage_blocked``: entity resolution
+  (operators/linkage.py) — block-bounded Levenshtein linkage of a
+  corrupted feed back to the clean dimension, best match per record.
 
 Registered LAST in registry._load_all so these names sort after the
 existing never-driver-sampled backlog in the driver's ~50-query prefix.
@@ -424,3 +427,79 @@ def streaming_quality_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     valid = read_snapshot(spark, valid_dir)
     dead = read_snapshot(spark, dead_dir)
     return seg_agg(valid, "valid").unionByName(seg_agg(dead, "quarantine"))
+
+
+# --------------------------------------------------------------------------
+# Blocked fuzzy record linkage (operators/linkage.py): a "dirty" feed
+# of truncated customer names (deterministic corruption: last character
+# dropped) links back to the clean dimension. Blocking on the first 16
+# characters bounds candidates to <= 100 per block (the two trailing
+# digits vary) — comparisons never go all-pairs — then Levenshtein <= 1
+# verifies and a window keeps the best match per dirty record
+# (min distance, then min custkey: a truncated name legitimately sits
+# at distance 1 from up to ten donors, so the tiebreak IS the
+# contract). Edit distance is integer arithmetic — the DuckDB oracle
+# replays the linkage bit-exactly.
+# Scale: one shuffle on the block key + one window over matches;
+# block width is layout-controlled (like LSH band width), so candidate
+# mass stays bounded at any corpus size.
+# --------------------------------------------------------------------------
+@query(
+    "fuzzy_linkage_blocked",
+    "entity resolution: blocked Levenshtein linkage of truncated names "
+    "back to the clean dimension, best match per record",
+    oracle="""
+    WITH dirty AS (
+        SELECT c_custkey AS d_id,
+               substring(c_name, 1, length(c_name) - 1) AS d_name
+        FROM customer
+    ), pairs AS (
+        SELECT d.d_id, c.c_custkey, c.c_mktsegment,
+               levenshtein(d.d_name, c.c_name) AS edit_distance
+        FROM dirty d JOIN customer c
+          ON substring(d.d_name, 1, 16) = substring(c.c_name, 1, 16)
+        WHERE levenshtein(d.d_name, c.c_name) <= 1
+    ), best AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY d_id
+                ORDER BY edit_distance ASC, c_custkey ASC
+            ) AS rn FROM pairs
+        ) WHERE rn = 1
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_linked,
+           CAST(sum(CASE WHEN d_id = c_custkey THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_self,
+           CAST(sum(edit_distance) AS BIGINT) AS total_edits
+    FROM best GROUP BY c_mktsegment
+    """,
+)
+def fuzzy_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.operators.linkage import (
+        best_match,
+        blocked_fuzzy_join,
+        prefix_block,
+    )
+
+    cust = fan_out(load_table(spark, sf_dir, "customer"))
+    dirty = cust.select(
+        F.col("c_custkey").alias("d_id"),
+        F.expr(
+            "substring(c_name, 1, length(c_name) - 1)"
+        ).alias("d_name"),
+    )
+    clean = cust.select("c_custkey", "c_name", "c_mktsegment")
+    pairs = blocked_fuzzy_join(
+        dirty, clean, "d_name", "c_name", prefix_block(16), max_distance=1
+    )
+    best = best_match(pairs, "d_id", tiebreak="c_custkey")
+    return best.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_linked"),
+        F.sum(
+            F.when(F.col("d_id") == F.col("c_custkey"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_self"),
+        F.sum("edit_distance").cast("bigint").alias("total_edits"),
+    )

@@ -270,3 +270,60 @@ class TestStreamingQualitySplit:
             (r["id"], r["qty"])
             for r in read_snapshot(spark, valid_dir).collect()
         } == {(1, 20.0)}
+
+
+class TestFuzzyLinkage:
+    def test_blocked_join_and_best_match(self, spark):
+        from openaq_data_pipeline_engineering_spark.operators.linkage import (
+            best_match,
+            blocked_fuzzy_join,
+            prefix_block,
+        )
+
+        clean = spark.createDataFrame(
+            [(1, "acme corp"), (2, "acme corpse"), (3, "zenith ltd")],
+            "id int, name string",
+        )
+        dirty = spark.createDataFrame(
+            [(10, "acme corp"), (11, "acme cor"), (12, "zzz different")],
+            "d_id int, d_name string",
+        )
+        pairs = blocked_fuzzy_join(
+            dirty, clean, "d_name", "name", prefix_block(4), max_distance=2
+        )
+        got = {
+            (r["d_id"], r["id"], r["edit_distance"])
+            for r in pairs.collect()
+        }
+        # d=10 matches 1 (exact) and 2 (distance 2); d=11 matches 1
+        # (distance 1); d=12 blocks with nothing ("zzz " != "zeni")
+        assert got == {(10, 1, 0), (10, 2, 2), (11, 1, 1)}
+        best = {
+            (r["d_id"], r["id"])
+            for r in best_match(pairs, "d_id", tiebreak="id").collect()
+        }
+        assert best == {(10, 1), (11, 1)}
+
+    def test_blocking_bounds_comparisons(self, spark):
+        """The join must be an equi-join on the block key (shuffle/
+        broadcast hash), never a cartesian: blocking IS the scale
+        property."""
+        from openaq_data_pipeline_engineering_spark.operators.linkage import (
+            blocked_fuzzy_join,
+            prefix_block,
+        )
+
+        clean = spark.createDataFrame(
+            [(i, f"name{i:04d}") for i in range(100)], "id int, name string"
+        )
+        dirty = clean.selectExpr(
+            "id AS d_id", "substring(name, 1, 7) AS d_name"
+        )
+        pairs = blocked_fuzzy_join(
+            dirty, clean, "d_name", "name", prefix_block(7), max_distance=1
+        )
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # name0010 truncated -> distance 1 from each of name0010..0019
+        assert pairs.count() == 1000
