@@ -77,3 +77,10 @@ def test_run_lakehouse_smoke(tmp_path):
     for marker in ("delete=", "insert=", "update_postimage=", "update_preimage="):
         assert marker in out, marker
     assert "versions on disk: [1, 2]" in out
+
+
+def test_run_quality_smoke(tmp_path):
+    out = _run("run_quality.py", SF_DIR, str(tmp_path / "work"))
+    assert "report:" in out and "quarantine by mode:" in out
+    assert "streamed: valid table" in out
+    assert "quality pipeline complete" in out
