@@ -751,3 +751,66 @@ def test_merge_statement_matches_python_model(spark, base, src, use, d1, d2, d3)
     out = execute_merge(spark, stmt, target_df=tdf, source_df=sdf)
     got = {tuple(r) for r in out.collect()}
     assert got == expected, f"\nstmt: {stmt}\ngot:  {got}\nwant: {expected}"
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),  # qty (or None below)
+            st.sampled_from(["a", "b", None]),  # seg
+            st.booleans(),  # qty is NULL
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    qty_cut=st.integers(min_value=0, max_value=50),
+)
+@settings(**_SETTINGS)
+def test_expectations_match_python_model(spark, rows, qty_cut):
+    """Report and split agree with a plain-Python evaluation of the
+    same rules under SQL three-valued semantics (NULL -> fail)."""
+    from openaq_data_pipeline_engineering_spark.operators.expectations import (
+        expectation_report,
+        split_expectations,
+    )
+
+    data = [
+        (i, None if null_q else float(q), seg)
+        for i, (q, seg, null_q) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "id int, qty double, seg string")
+    rules = {
+        "qty_le_cut": f"qty <= {qty_cut}",
+        "seg_present": "seg IS NOT NULL",
+    }
+
+    def model(row):
+        failed = []
+        if not (row[1] is not None and row[1] <= qty_cut):
+            failed.append("qty_le_cut")
+        if row[2] is None:
+            failed.append("seg_present")
+        return failed
+
+    exp_fail = {r[0]: model(r) for r in data}
+    n = len(data)
+    rep = {
+        r["rule"]: (r["n_fail"], r["n_rows"])
+        for r in expectation_report(df, rules).collect()
+    }
+    n_q = sum(1 for f in exp_fail.values() if "qty_le_cut" in f)
+    n_s = sum(1 for f in exp_fail.values() if "seg_present" in f)
+    n_any = sum(1 for f in exp_fail.values() if f)
+    assert rep["qty_le_cut"] == (n_q, n)
+    assert rep["seg_present"] == (n_s, n)
+    assert rep["__any_failed__"] == (n_any, n)
+    assert rep["__all_valid__"] == (n - n_any, n)
+
+    valid, quarantine = split_expectations(df, rules)
+    assert {r["id"] for r in valid.collect()} == {
+        i for i, f in exp_fail.items() if not f
+    }
+    got = {
+        r["id"]: list(r["failed_rules"]) for r in quarantine.collect()
+    }
+    assert got == {i: f for i, f in exp_fail.items() if f}
