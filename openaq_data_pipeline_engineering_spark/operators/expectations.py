@@ -15,6 +15,11 @@ set,
 - :func:`expectation_report` — per-rule violation counts in ONE
   aggregation pass over the data.
 
+(The declared ``dq_expectations`` query — plans/queries_warehouse.py —
+is the complementary TABLE-level report: uniqueness / completeness /
+referential integrity across tables. This module is the ROW-level
+side: which rows fail which rules, and where they go.)
+
 Execution is Spark-first and scale-shaped:
 
 - every rule is a Column expression evaluated JVM-side inside
