@@ -152,7 +152,10 @@ class Engine:
         statement is planned here (MERGE = one full-outer join + CASE
         projection; UPDATE = one CASE projection; DELETE = one filter)
         and returns the post-statement target frame (publish it via
-        operators/versioned.write_snapshot for an atomic commit)."""
+        operators/versioned.write_snapshot for an atomic commit).
+        OPTIMIZE / VACUUM utility statements route to
+        operators/sqlutil.py (compaction / z-order rewrite / versioned
+        retention) and return their metrics frame."""
         import re as _re
 
         if _re.match(r"\s*MERGE\s+INTO\b", query, _re.IGNORECASE):
@@ -173,6 +176,18 @@ class Engine:
             )
 
             return execute_delete(self.spark, query)
+        if _re.match(r"\s*OPTIMIZE\b", query, _re.IGNORECASE):
+            from openaq_data_pipeline_engineering_spark.operators.sqlutil import (
+                execute_optimize,
+            )
+
+            return execute_optimize(self.spark, query)
+        if _re.match(r"\s*VACUUM\b", query, _re.IGNORECASE):
+            from openaq_data_pipeline_engineering_spark.operators.sqlutil import (
+                execute_vacuum,
+            )
+
+            return execute_vacuum(self.spark, query)
         return self.spark.sql(query)
 
     def table(self, name: str) -> DataFrame:

@@ -26,6 +26,9 @@ behavioral surfaces, plus the new declarative data-quality operator.
 - ``fuzzy_linkage_blocked``: entity resolution
   (operators/linkage.py) — block-bounded Levenshtein linkage of a
   corrupted feed back to the clean dimension, best match per record.
+- ``sql_optimize_compact`` / ``sql_vacuum_retain``: the OPTIMIZE and
+  VACUUM utility-statement forms (operators/sqlutil.py) over the
+  compaction and versioned-retention operators.
 
 Registered LAST in registry._load_all so these names sort after the
 existing never-driver-sampled backlog in the driver's ~50-query prefix.
@@ -502,4 +505,112 @@ def fuzzy_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_self"),
         F.sum("edit_distance").cast("bigint").alias("total_edits"),
+    )
+
+
+# --------------------------------------------------------------------------
+# OPTIMIZE statement form: a deliberately fragmented partitioned table
+# (16 files per event_type partition) compacted through
+# Engine.sql("OPTIMIZE '<path>'"), then read back COLD — the aggregate
+# must equal the source (the rewrite loses/duplicates nothing), and the
+# returned metrics row must show the file-count drop. The statement
+# auto-detects partition columns from the Hive layout.
+# Scale: work ∝ selected partitions (WHERE-filterable), dynamic
+# overwrite keeps concurrent readers consistent per partition.
+# --------------------------------------------------------------------------
+@query(
+    "sql_optimize_compact",
+    "OPTIMIZE statement: fragmented partitioned table compacted via "
+    "Engine.sql, cold read-back equals source, metrics row shows the "
+    "file drop",
+    oracle="""
+    WITH src AS (
+        SELECT event_type,
+               count(*) AS n_events,
+               sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(cents AS BIGINT) AS cents,
+           (SELECT CAST(count(DISTINCT event_type) AS BIGINT) FROM events)
+               AS n_parts_compacted
+    FROM src
+    """,
+)
+def sql_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.engine import Engine
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    out = fresh_scratch_dir("sql_optimize_table")
+    (
+        ev.repartition(16)  # fragment: 16 small files per partition
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    metrics = Engine(spark).sql(f"OPTIMIZE '{out}'").first()
+    if metrics["n_files_after"] >= metrics["n_files_before"]:
+        raise AssertionError(
+            f"OPTIMIZE did not reduce files: {metrics}"
+        )  # witness must FAIL loudly if compaction silently no-ops
+    back = spark.read.parquet(out)
+    n_parts = metrics["n_files_after"]  # tiny table -> 1 file/partition
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+        F.lit(n_parts).cast("bigint").alias("n_parts_compacted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# VACUUM statement form: four committed versions, RETAIN 2 drops the
+# oldest two (the returned frame names them), the latest version stays
+# intact on a cold read. Retention is version-count-based — the
+# versioned layer's native unit; txn entries survive per
+# operators/versioned.py's round-7 contract.
+# --------------------------------------------------------------------------
+@query(
+    "sql_vacuum_retain",
+    "VACUUM statement: RETAIN 2 VERSIONS drops the two oldest "
+    "snapshots, latest survives cold read-back",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS dropped_v1,
+           CAST(2 AS BIGINT) AS dropped_v2,
+           CAST(count(*) AS BIGINT) AS n_latest,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_latest
+    FROM events WHERE user_id % 4 = 3
+    """,
+)
+def sql_vacuum_retain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.engine import Engine
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    root = fresh_scratch_dir("sql_vacuum_root")
+    for k in range(4):  # v1..v4: distinct slices so versions differ
+        write_snapshot(ev.filter(F.col("user_id") % 4 == k), root)
+    dropped = Engine(spark).sql(
+        f"VACUUM '{root}' RETAIN 2 VERSIONS"
+    ).collect()
+    if [r["dropped_version"] for r in dropped] != [1, 2]:
+        raise AssertionError(f"unexpected vacuum result: {dropped}")
+    latest = read_snapshot(spark, root)  # v4 = user_id % 4 == 3
+    return latest.agg(
+        F.lit(1).cast("bigint").alias("dropped_v1"),
+        F.lit(2).cast("bigint").alias("dropped_v2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_latest"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents_latest"),
     )

@@ -327,3 +327,77 @@ class TestFuzzyLinkage:
         assert "BroadcastNestedLoopJoin" not in plan
         # name0010 truncated -> distance 1 from each of name0010..0019
         assert pairs.count() == 1000
+
+
+class TestSqlUtilStatements:
+    def test_optimize_zorder_statement_clusters(self, spark):
+        """OPTIMIZE ... ZORDER BY (a, b) through Engine.sql rewrites the
+        table Morton-clustered: the second dimension becomes prunable
+        (same manifests as TestZorderSkipping, via the statement)."""
+        from openaq_data_pipeline_engineering_spark.engine import Engine
+        from openaq_data_pipeline_engineering_spark.operators.skipstats import (
+            candidate_files_box,
+            file_stats,
+        )
+        from openaq_data_pipeline_engineering_spark.scratch import (
+            fresh_scratch_dir,
+        )
+        from openaq_data_pipeline_engineering_spark.sources.star import (
+            load_table,
+        )
+
+        ev = load_table(spark, SF_DIR, "events").select(
+            "event_id",
+            "user_id",
+            F.floor("value").cast("bigint").alias("val_floor"),
+            "value",
+        )
+        out = fresh_scratch_dir("sqlutil_zorder")
+        # start from a user_id-clustered layout (val_floor unprunable)
+        ev.repartitionByRange(16, "user_id").write.mode("overwrite").parquet(
+            out
+        )
+        n_rows = ev.count()
+        sum_before = spark.read.parquet(out).agg(F.sum("value")).first()[0]
+        m = Engine(spark).sql(
+            f"OPTIMIZE '{out}' ZORDER BY (user_id, val_floor)"
+        ).first()
+        assert m["n_rows"] == n_rows
+        t = spark.read.parquet(out)
+        assert t.agg(F.sum("value")).first()[0] == sum_before
+        stats = file_stats(t, ["val_floor"])
+        n_files = stats.count()
+        n_cand = candidate_files_box(
+            stats, {"val_floor": (64, 127)}
+        ).count()
+        assert n_cand < n_files / 2  # second dim now prunes
+
+    def test_optimize_statement_rejections(self, spark):
+        import pytest
+
+        from openaq_data_pipeline_engineering_spark.engine import Engine
+        from openaq_data_pipeline_engineering_spark.operators.sqlutil import (
+            UtilStatementError,
+        )
+
+        eng = Engine(spark)
+        with pytest.raises(UtilStatementError, match="one or two"):
+            eng.sql("OPTIMIZE '/tmp/x' ZORDER BY (a, b, c)")
+        with pytest.raises(UtilStatementError, match="WHERE applies"):
+            eng.sql("OPTIMIZE '/tmp/x' WHERE a = 1 ZORDER BY (a)")
+        with pytest.raises(UtilStatementError, match="unparseable VACUUM"):
+            eng.sql("VACUUM '/tmp/x' RETAIN 2 HOURS")
+
+    def test_vacuum_statement_noop_when_nothing_eligible(
+        self, spark, tmp_path
+    ):
+        from openaq_data_pipeline_engineering_spark.engine import Engine
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            write_snapshot,
+        )
+
+        root = str(tmp_path / "v")
+        df = spark.createDataFrame([(1,)], "k int")
+        write_snapshot(df, root)
+        out = Engine(spark).sql(f"VACUUM '{root}' RETAIN 2 VERSIONS")
+        assert out.count() == 0
