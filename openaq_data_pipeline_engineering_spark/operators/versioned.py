@@ -62,23 +62,44 @@ def _manifest_lock(root: str):
 
 
 def _write_manifest(
-    root: str, versions: list[int], txns: dict[str, int] | None = None
+    root: str,
+    versions: list[int],
+    txns: dict[str, int] | None = None,
+    commit_ts: dict[int, float] | None = None,
 ) -> None:
     fd, tmp = tempfile.mkstemp(dir=root, prefix="_VERSIONS.", suffix=".tmp")
     with os.fdopen(fd, "w") as f:
-        json.dump({"versions": sorted(versions), "txns": txns or {}}, f)
+        json.dump(
+            {
+                "versions": sorted(versions),
+                "txns": txns or {},
+                # JSON object keys are strings; parsed back to int
+                "ts": {str(v): t for v, t in (commit_ts or {}).items()},
+            },
+            f,
+        )
     os.replace(tmp, _manifest_path(root))
 
 
-def _read_manifest_full(root: str) -> tuple[list[int], dict[str, int]]:
-    """(committed versions, txn_id -> version map). Manifests written
-    before txn support lack the key — treated as empty."""
+def _read_manifest_doc(root: str) -> dict:
+    """Parsed manifest with defaults for keys older manifests lack
+    (pre-txn: no "txns"; pre-timestamp: no "ts")."""
     try:
         with open(_manifest_path(root)) as f:
             doc = json.load(f)
-        return sorted(doc["versions"]), dict(doc.get("txns") or {})
+        return {
+            "versions": sorted(doc["versions"]),
+            "txns": dict(doc.get("txns") or {}),
+            "ts": {int(k): float(v) for k, v in (doc.get("ts") or {}).items()},
+        }
     except (OSError, ValueError, KeyError):
-        return [], {}
+        return {"versions": [], "txns": {}, "ts": {}}
+
+
+def _read_manifest_full(root: str) -> tuple[list[int], dict[str, int]]:
+    """(committed versions, txn_id -> version map)."""
+    doc = _read_manifest_doc(root)
+    return doc["versions"], doc["txns"]
 
 
 def _read_manifest(root: str) -> list[int]:
@@ -190,24 +211,59 @@ def _commit_version(root: str, version: int, txn_id: str | None = None) -> int:
     Returns the committed version — for an idempotent ``txn_id`` that
     lost a race to a concurrent replay, that is the WINNER's version
     (this writer's directory is abandoned to vacuum)."""
+    import time
+
     with _manifest_lock(root):
-        versions, txns = _read_manifest_full(root)
+        doc = _read_manifest_doc(root)
+        versions, txns, ts = doc["versions"], doc["txns"], doc["ts"]
         if txn_id is not None and txn_id in txns:
             return txns[txn_id]
         if version not in versions:
             if txn_id is not None:
                 txns[txn_id] = version
-            _write_manifest(root, versions + [version], txns)
+            # Commit timestamps are forced STRICTLY increasing (clock
+            # ties bumped by 1 ms) so TIMESTAMP-AS-OF resolution is a
+            # total order even when commits land within one clock tick.
+            ts[version] = max(
+                time.time(), max(ts.values(), default=0.0) + 1e-3
+            )
+            _write_manifest(root, versions + [version], txns, ts)
     return version
 
 
 def read_snapshot(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    as_of_ts: float | None = None,
 ) -> DataFrame:
-    """Read a pinned version (time travel) or the latest committed one."""
+    """Read a pinned version (time travel), the newest version committed
+    at-or-before ``as_of_ts`` (TIMESTAMP AS OF — Delta semantics: the
+    latest commit whose timestamp <= the requested one), or the latest
+    committed version.
+
+    ``as_of_ts`` is epoch seconds, matched against
+    :func:`snapshot_commit_times`. Versions from manifests older than
+    timestamp support have no recorded time and are treated as
+    committed at -inf (always eligible). Mutually exclusive with
+    ``version``.
+    """
+    if version is not None and as_of_ts is not None:
+        raise ValueError("pass version OR as_of_ts, not both")
     versions = _read_manifest(root)
     if not versions:
         raise FileNotFoundError(f"no committed versions under {root}")
+    if as_of_ts is not None:
+        ts = _read_manifest_doc(root)["ts"]
+        eligible = [
+            v for v in versions if ts.get(v, float("-inf")) <= as_of_ts
+        ]
+        if not eligible:
+            raise ValueError(
+                f"no version committed at or before ts={as_of_ts}; "
+                f"earliest is {versions[0]} at {ts.get(versions[0])}"
+            )
+        version = eligible[-1]
     if version is None:
         version = versions[-1]
     if version not in versions:
@@ -218,6 +274,13 @@ def read_snapshot(
 def snapshot_versions(root: str) -> list[int]:
     """Committed versions, oldest first."""
     return _read_manifest(root)
+
+
+def snapshot_commit_times(root: str) -> dict[int, float]:
+    """version -> commit timestamp (epoch seconds), strictly increasing
+    across versions; versions committed before timestamp support are
+    absent."""
+    return _read_manifest_doc(root)["ts"]
 
 
 # Default grace before an uncommitted v=<N> dir may be reclaimed as an
@@ -296,7 +359,8 @@ def vacuum_snapshots(
     # interleaved with a concurrent write_snapshot can't drop its
     # freshly-appended version from the manifest.
     with _manifest_lock(root):
-        versions, txns = _read_manifest_full(root)
+        doc = _read_manifest_doc(root)
+        versions, txns, ts = doc["versions"], doc["txns"], doc["ts"]
         drop = [
             v for v in versions[:-keep_last] if _old_enough(v, min_age_seconds)
         ]
@@ -317,7 +381,8 @@ def vacuum_snapshots(
         if not drop and not orphans and kept_txns == txns:
             return []
         if drop or kept_txns != txns:
-            _write_manifest(root, keep, kept_txns)
+            kept_ts = {v: t for v, t in ts.items() if v in keep}
+            _write_manifest(root, keep, kept_txns, kept_ts)
     for v in drop + orphans:
         shutil.rmtree(os.path.join(root, f"v={v}"), ignore_errors=True)
     return drop
@@ -363,11 +428,43 @@ def snapshot_changes(
 
     old = read_snapshot(spark, root, version=v_from)
     new = read_snapshot(spark, root, version=v_to)
-    if set(old.columns) != set(new.columns):
+    # A column present on both sides with DIFFERENT types is a true
+    # type change — rejected regardless of whether columns were also
+    # added/removed (implicit casts in the null-safe compares would
+    # otherwise mis-classify rows silently).
+    old_t = {f.name: f.dataType for f in old.schema.fields}
+    new_t = {f.name: f.dataType for f in new.schema.fields}
+    clash = [c for c in set(old_t) & set(new_t) if old_t[c] != new_t[c]]
+    if clash:
         raise ValueError(
-            f"snapshot schemas differ: {sorted(old.columns)} vs "
-            f"{sorted(new.columns)} — change feed needs a stable schema"
+            f"snapshot column types differ for {sorted(clash)} — "
+            "the change feed supports added/removed columns, not "
+            "type changes"
         )
+    if set(old.columns) != set(new.columns):
+        # Schema evolution (added/removed columns): align BOTH sides to
+        # the union of columns — a column absent from one side reads as
+        # NULL there, exactly a Delta evolved read. A row whose only
+        # difference is a non-null value in an added column therefore
+        # emits an update pair (pre-image NULL), which is the correct
+        # evolved-CDF answer.
+        union_cols = list(new.columns) + [
+            c for c in old.columns if c not in new_t
+        ]
+        types = {**old_t, **new_t}
+
+        def _align(df: DataFrame) -> DataFrame:
+            have = set(df.columns)
+            return df.select(
+                *[
+                    df[c]
+                    if c in have
+                    else F.lit(None).cast(types[c]).alias(c)
+                    for c in union_cols
+                ]
+            )
+
+        old, new = _align(old), _align(new)
     cols = list(old.columns)
     non_keys = [c for c in cols if c not in keys]
     missing = [k for k in keys if k not in cols]

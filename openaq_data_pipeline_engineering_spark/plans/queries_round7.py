@@ -29,6 +29,10 @@ behavioral surfaces, plus the new declarative data-quality operator.
 - ``sql_optimize_compact`` / ``sql_vacuum_retain``: the OPTIMIZE and
   VACUUM utility-statement forms (operators/sqlutil.py) over the
   compaction and versioned-retention operators.
+- ``versioned_asof_timestamp``: TIMESTAMP AS OF time travel (commit
+  timestamps, strictly increasing, Delta resolution semantics).
+- ``snapshot_cdf_evolution``: change data feed across an added column
+  (schema evolution: NULL pre-images, populated post-images).
 
 Registered LAST in registry._load_all so these names sort after the
 existing never-driver-sampled backlog in the driver's ~50-query prefix.
@@ -613,4 +617,127 @@ def sql_vacuum_retain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(F.col("value") * 100).cast("bigint"))
         .cast("bigint")
         .alias("cents_latest"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TIMESTAMP AS OF time travel: two committed versions; a timestamp
+# strictly between the two commit times must resolve to v1 and the
+# exact second commit time to v2 (commit timestamps are forced
+# strictly increasing, so midpoint resolution is deterministic
+# regardless of wall-clock values). Cold read-back of both resolved
+# versions, aggregated; the oracle recomputes the two slices.
+# --------------------------------------------------------------------------
+@query(
+    "versioned_asof_timestamp",
+    "TIMESTAMP AS OF time travel: between-commits resolves to the "
+    "earlier version, at-commit to that version (versioned layer)",
+    oracle="""
+    SELECT 'v1' AS pin, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events WHERE user_id % 2 = 0
+    UNION ALL
+    SELECT 'v2', CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+    FROM events
+    """,
+)
+def versioned_asof_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        read_snapshot,
+        snapshot_commit_times,
+        write_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    root = fresh_scratch_dir("asof_root")
+    write_snapshot(ev.filter(F.col("user_id") % 2 == 0), root)
+    write_snapshot(ev, root)
+    ts = snapshot_commit_times(root)
+    mid = (ts[1] + ts[2]) / 2  # strictly < ts[2]: resolves to v1
+    v1 = read_snapshot(spark, root, as_of_ts=mid)
+    v2 = read_snapshot(spark, root, as_of_ts=ts[2])
+
+    def agg(df: DataFrame, pin: str) -> DataFrame:
+        return df.agg(
+            F.lit(pin).alias("pin"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+
+    return agg(v1, "v1").unionByName(agg(v2, "v2"))
+
+
+# --------------------------------------------------------------------------
+# Change data feed ACROSS a schema change (round-7 contract): v2 adds a
+# cents column, so every carried-over key emits an update pair whose
+# PRE-image has NULL cents (the Delta evolved-read semantics), and the
+# new keys insert with it populated. The witness aggregates the feed by
+# change type; the oracle recomputes the same routing from events.
+# --------------------------------------------------------------------------
+@query(
+    "snapshot_cdf_evolution",
+    "change data feed across an added column: update pre-images carry "
+    "NULL for the new column, post-images/inserts its value",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, count(*) AS n,
+               sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY user_id
+    )
+    SELECT 'update_preimage' AS change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n) AS BIGINT) AS sum_n,
+           CAST(0 AS BIGINT) AS sum_cents
+    FROM base WHERE user_id % 3 = 0
+    UNION ALL
+    SELECT 'update_postimage', CAST(count(*) AS BIGINT),
+           CAST(sum(n) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM base WHERE user_id % 3 = 0
+    UNION ALL
+    SELECT 'insert', CAST(count(*) AS BIGINT),
+           CAST(sum(n) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM base WHERE user_id % 3 = 1
+    """,
+)
+def snapshot_cdf_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        snapshot_changes,
+        write_snapshot,
+    )
+
+    base = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .localCheckpoint(eager=False)  # both versions derive from it
+    )
+    root = fresh_scratch_dir("cdf_evo_root")
+    write_snapshot(
+        base.filter(F.col("user_id") % 3 == 0).select("user_id", "n"), root
+    )
+    write_snapshot(
+        base.filter(F.col("user_id") % 3 <= 1).select(
+            "user_id", "n", "cents"
+        ),
+        root,
+    )
+    feed = snapshot_changes(spark, root, keys=["user_id"], v_from=1, v_to=2)
+    return feed.groupBy(
+        F.col("_change_type").alias("change_type")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("n").cast("bigint").alias("sum_n"),
+        F.sum(F.coalesce(F.col("cents"), F.lit(0)))
+        .cast("bigint")
+        .alias("sum_cents"),
     )

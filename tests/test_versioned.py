@@ -378,7 +378,11 @@ class TestSnapshotChanges:
         )
         assert feed.count() == 0
 
-    def test_schema_drift_rejected(self, spark, tmp_path):
+    def test_schema_drift_is_evolution_not_error(self, spark, tmp_path):
+        """Round-7 contract change: added columns are schema EVOLUTION
+        (aligned as NULL on the side missing them), no longer an error;
+        only a same-name type change is rejected
+        (TestCdfSchemaEvolution pins both behaviors in detail)."""
         from openaq_data_pipeline_engineering_spark.operators.versioned import (
             snapshot_changes,
         )
@@ -391,8 +395,12 @@ class TestSnapshotChanges:
             spark.createDataFrame([(1, "a", 2)], "k int, x string, y int"),
             root,
         )
-        with pytest.raises(ValueError, match="schemas differ"):
-            snapshot_changes(spark, root, keys=["k"], v_from=1, v_to=2)
+        feed = snapshot_changes(spark, root, keys=["k"], v_from=1, v_to=2)
+        got = {(r["k"], r["y"], r["_change_type"]) for r in feed.collect()}
+        assert got == {
+            (1, None, "update_preimage"),
+            (1, 2, "update_postimage"),
+        }
 
     def test_single_join_no_python_plan(self, spark, tmp_path):
         snapshot_changes, root = self._mk(spark, tmp_path)
@@ -503,3 +511,98 @@ class TestIdempotentTxn:
         # a replay of a retired txn writes a fresh version (outside the
         # EXPLICIT dedupe window, same as Delta's txn retention)
         assert write_snapshot(df, root, txn_id="b0") == 6
+
+
+class TestAsOfTimestamp:
+    """TIMESTAMP AS OF time travel: newest commit at-or-before ts."""
+
+    def test_resolution_between_and_at_commits(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            snapshot_commit_times,
+        )
+
+        root = str(tmp_path / "asof")
+        for k in (1, 2, 3):
+            write_snapshot(
+                spark.createDataFrame([(k,)], "v int"), root
+            )
+        ts = snapshot_commit_times(root)
+        assert sorted(ts) == [1, 2, 3]
+        assert ts[1] < ts[2] < ts[3]  # strictly increasing
+        mid = (ts[1] + ts[2]) / 2
+        assert read_snapshot(spark, root, as_of_ts=mid).first()["v"] == 1
+        assert read_snapshot(spark, root, as_of_ts=ts[2]).first()["v"] == 2
+        assert (
+            read_snapshot(spark, root, as_of_ts=ts[3] + 10).first()["v"] == 3
+        )
+
+    def test_before_first_commit_raises(self, spark, tmp_path):
+        import pytest
+
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            snapshot_commit_times,
+        )
+
+        root = str(tmp_path / "asof2")
+        write_snapshot(spark.createDataFrame([(1,)], "v int"), root)
+        ts = snapshot_commit_times(root)
+        with pytest.raises(ValueError, match="no version committed"):
+            read_snapshot(spark, root, as_of_ts=ts[1] - 1)
+        with pytest.raises(ValueError, match="not both"):
+            read_snapshot(spark, root, version=1, as_of_ts=ts[1])
+
+    def test_vacuum_retires_commit_times(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            snapshot_commit_times,
+            vacuum_snapshots,
+        )
+
+        root = str(tmp_path / "asof3")
+        df = spark.createDataFrame([(1,)], "v int")
+        for _ in range(4):
+            write_snapshot(df, root)
+        vacuum_snapshots(root, keep_last=2)
+        assert sorted(snapshot_commit_times(root)) == [3, 4]
+
+
+class TestCdfSchemaEvolution:
+    def test_added_column_emits_null_preimage_updates(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            snapshot_changes,
+        )
+
+        root = str(tmp_path / "cdf_evo")
+        v1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+        write_snapshot(v1, root)
+        v2 = spark.createDataFrame(
+            [(1, "a", 10), (3, "c", 30)], "k int, v string, w int"
+        )
+        write_snapshot(v2, root)
+        feed = snapshot_changes(spark, root, keys=["k"], v_from=1, v_to=2)
+        got = {
+            (r["k"], r["v"], r["w"], r["_change_type"])
+            for r in feed.collect()
+        }
+        assert got == {
+            (2, "b", None, "delete"),
+            (3, "c", 30, "insert"),
+            (1, "a", None, "update_preimage"),  # w added: pre is NULL
+            (1, "a", 10, "update_postimage"),
+        }
+
+    def test_type_change_still_rejected(self, spark, tmp_path):
+        import pytest
+
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            snapshot_changes,
+        )
+
+        root = str(tmp_path / "cdf_evo2")
+        write_snapshot(
+            spark.createDataFrame([(1, 1)], "k int, v int"), root
+        )
+        write_snapshot(
+            spark.createDataFrame([(1, "x")], "k int, v string"), root
+        )
+        with pytest.raises(ValueError, match="types differ"):
+            snapshot_changes(spark, root, keys=["k"], v_from=1, v_to=2)
