@@ -158,6 +158,17 @@ class Engine:
         retention) and return their metrics frame."""
         import re as _re
 
+        # Route on COMMENT-STRIPPED text (same-length, spans intact):
+        # a statement led by "-- comment\n" or "/* ... */" must still
+        # dispatch to the engine lowering — Spark's own parser would
+        # reject MERGE/OPTIMIZE/VACUUM on these path-based tables. The
+        # stripped text is what the handlers receive, so their spans
+        # and the routing agree.
+        from openaq_data_pipeline_engineering_spark.operators.sqlmerge import (
+            _strip_comments,
+        )
+
+        query = _strip_comments(query)
         if _re.match(r"\s*MERGE\s+INTO\b", query, _re.IGNORECASE):
             from openaq_data_pipeline_engineering_spark.operators.sqlmerge import (
                 execute_merge,

@@ -32,10 +32,30 @@ def compact_partitions(
     File count per partition = ceil(partition_bytes / target); data is
     read with the table's schema and written back with dynamic overwrite
     so untouched partitions are left alone.
+
+    ``partition_filter`` SELECTS PARTITIONS, never rows: the predicate
+    is evaluated only to find the distinct partition tuples it touches,
+    and every selected partition is rewritten WHOLE (a compaction must
+    be row-preserving — filtering rows under dynamic overwrite would
+    silently delete the non-matching rows of each touched partition).
+    A predicate on non-partition columns is therefore safe too: it
+    widens to the partitions containing any matching row. Requires a
+    partitioned table.
     """
+    from pyspark.sql import functions as F
+
     df = spark.read.parquet(path)
     if partition_filter:
-        df = df.filter(partition_filter)
+        if not partition_cols:
+            raise ValueError(
+                "partition_filter requires a partitioned table: on an "
+                "unpartitioned table the dynamic-overwrite write would "
+                "replace the WHOLE table with only the matching rows"
+            )
+        parts = (
+            df.filter(partition_filter).select(*partition_cols).distinct()
+        )
+        df = df.join(F.broadcast(parts), partition_cols, "left_semi")
 
     # size estimate per partition from the file system (cheap listing)
     sizes: dict[tuple, int] = {}

@@ -111,9 +111,16 @@ def expectation_report(
     aggs.append(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     one = df.agg(*aggs)
     # Constant unpivot of the single result row: stack() is evaluated
-    # on one row, so rule count never affects the scan.
+    # on one row, so rule count never affects the scan. Rule names are
+    # quoted into the expression — escape embedded quotes so a name
+    # like "o'clock" can't break (or inject into) the projection;
+    # split_expectations uses F.lit and needs no escaping, keeping the
+    # two APIs consistent for any name.
+    def q(n: str) -> str:
+        return "'" + n.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     pairs = ", ".join(
-        [f"'{n}', f_{i}" for i, n in enumerate(rules)]
+        [f"{q(n)}, f_{i}" for i, n in enumerate(rules)]
         + ["'__any_failed__', f_any"]
     )
     n = len(rules) + 1

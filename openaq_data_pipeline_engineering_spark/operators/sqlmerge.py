@@ -25,7 +25,10 @@ backslash (``\'``, Spark's default parser behavior); ``CASE ... END``
 expressions — nesting included — are allowed anywhere an expression
 is (ON condition, clause AND-conditions, UPDATE/INSERT right-hand
 sides): the parser masks CASE blocks so their inner WHEN/THEN tokens
-never terminate a clause match.
+never terminate a clause match. Qualified or compound identifiers
+containing the words (``s.end``, ``case_id``) are NOT treated as
+keywords; a BARE unqualified column literally named ``end`` or
+``case`` is the one unsupported spelling (qualify or rename it).
 
 Semantics (Delta/SQL:2003 compatible):
 - Clauses are evaluated IN ORDER; the first applicable clause per row
@@ -212,7 +215,14 @@ def _mask_case_blocks(masked: str) -> str:
     every other char in the block becomes '_'."""
     out = list(masked)
     depth, start = 0, 0
-    for m in re.finditer(r"\b(CASE|END)\b", masked, re.IGNORECASE):
+    # (?<![\w.$]) / (?![\w.$]): a dotted reference (s.end, t.case) or a
+    # longer identifier (end_ts, case_id) is NOT the keyword — only a
+    # standalone token opens/closes a block. A BARE column named
+    # end/case would still need quoting, documented in the module
+    # docstring.
+    for m in re.finditer(
+        r"(?<![\w.$])(CASE|END)(?![\w.$])", masked, re.IGNORECASE
+    ):
         if m.group().upper() == "CASE":
             if depth == 0:
                 start = m.start()
@@ -437,6 +447,7 @@ def execute_merge(
     target_df: DataFrame | None = None,
     source_df: DataFrame | None = None,
     strict: bool = True,
+    strict_materialize: bool = True,
 ) -> DataFrame:
     """Plan a MERGE statement; returns the POST-MERGE target DataFrame.
 
@@ -452,6 +463,17 @@ def execute_merge(
     check is one COUNT aggregation planned off the same join (the
     matched side only); disable for pre-deduplicated sources where the
     extra job matters.
+
+    ``strict_materialize`` picks the strict check's cost model:
+    True (default) materializes the joined relation once (lazy
+    localCheckpoint) so the join never executes twice — at the price
+    of caching O(|target| + |source|) wide rows in executor storage
+    and non-replayable blocks (an executor lost before the caller's
+    action fails the merge instead of recomputing). False keeps the
+    plan fully un-cached: the dup check runs on its own COLUMN-PRUNED
+    execution of the join (marks + ON columns only) and the returned
+    projection re-executes it — two passes, near-zero storage. Choose
+    False when the target is large relative to executor storage.
     """
     st = parse_merge(sql)
     if target_df is None:
@@ -506,14 +528,18 @@ def execute_merge(
         # and with none (insert-only / BY-SOURCE-only merges) each
         # extra joined copy would fall through to KEEP and silently
         # DUPLICATE the target row in the output. One COUNT aggregation
-        # keyed by the target row id. The joined relation materializes
-        # ONCE (lazy localCheckpoint — the repo's multi-consumer idiom):
-        # the dup check's count() triggers it and the returned
-        # projection reuses the blocks, so the join never executes
-        # twice. The check itself is necessarily eager (MergeError must
-        # raise before the caller publishes); pass strict=False for a
-        # fully-lazy plan over pre-deduplicated sources.
-        joined = joined.localCheckpoint(eager=False)
+        # keyed by the target row id. With strict_materialize the
+        # joined relation materializes ONCE (lazy localCheckpoint — the
+        # repo's multi-consumer idiom): the dup check's count() triggers
+        # it and the returned projection reuses the blocks, so the join
+        # never executes twice; without it the dup check runs its own
+        # column-pruned pass (Catalyst prunes the wide columns away)
+        # and nothing is cached. The check itself is necessarily eager
+        # (MergeError must raise before the caller publishes); pass
+        # strict=False for a fully-lazy plan over pre-deduplicated
+        # sources.
+        if strict_materialize:
+            joined = joined.localCheckpoint(eager=False)
         dup = (
             joined.filter(is_matched)
             .groupBy(_T_MARK)

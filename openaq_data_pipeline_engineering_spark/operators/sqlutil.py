@@ -93,6 +93,7 @@ def execute_optimize(spark: SparkSession, sql: str) -> DataFrame:
             "[WHERE <pred>] [ZORDER BY (cols)]"
         )
     path = m.group("path")
+    _recover_interrupted_rewrite(path)  # heal a crashed prior rewrite
     before = file_stats(path)["n_files"]
     if m.group("cols"):
         cols = [c.strip() for c in m.group("cols").split(",")]
@@ -121,18 +122,46 @@ def execute_optimize(spark: SparkSession, sql: str) -> DataFrame:
         )
     after = file_stats(path)
     return spark.createDataFrame(
-        [(int(before), int(after["n_files"]),
-          int(spark.read.parquet(path).count()))],
+        [(int(before), int(after["n_files"]), _footer_row_count(path))],
         "n_files_before int, n_files_after int, n_rows bigint",
     )
+
+
+def _footer_row_count(path: str) -> int:
+    """Table row count from parquet FOOTER metadata only — no data
+    pages are read, so the metrics row costs O(files), not a rescan of
+    the table the rewrite just wrote."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    n = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += pq.ParquetFile(
+                    os.path.join(root, f)
+                ).metadata.num_rows
+    return n
 
 
 def _zorder_rewrite(
     spark: SparkSession, path: str, cols: list[str], n_files: int = 16
 ) -> None:
     """Rewrite ``path`` range-clustered by the (Morton-interleaved)
-    cluster key. Staging-dir + two renames: the table is never a
-    partial mix of old and new files even if the rewrite dies."""
+    cluster key.
+
+    Staging-dir + two renames: the table is never a partial MIX of old
+    and new files, but plain directories cannot be swapped atomically
+    (no RENAME_EXCHANGE on a portable path), so a crash between the
+    two renames leaves the data intact at ``<path>.__optimize_old__``
+    with nothing at ``path``. :func:`_recover_interrupted_rewrite` runs
+    first and heals exactly that state by renaming the old directory
+    back, so the NEXT OPTIMIZE (or any caller invoking the recovery)
+    restores the table; readers during the window fail loudly rather
+    than seeing partial data. Tables needing a zero-window swap should
+    live under operators/versioned.py, whose manifest commit IS atomic.
+    """
     import os
     import shutil
 
@@ -140,6 +169,7 @@ def _zorder_rewrite(
         morton_code,
     )
 
+    _recover_interrupted_rewrite(path)
     df = spark.read.parquet(path)
     key = (
         F.col(cols[0]).cast("bigint")
@@ -160,6 +190,18 @@ def _zorder_rewrite(
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def _recover_interrupted_rewrite(path: str) -> None:
+    """Heal a rewrite that died between its two renames: data intact at
+    ``<path>.__optimize_old__``, nothing at ``path`` — rename it back.
+    A no-op in every other state (in particular it never touches the
+    old dir while ``path`` exists)."""
+    import os
+
+    old = path.rstrip("/") + ".__optimize_old__"
+    if not os.path.exists(path) and os.path.isdir(old):
+        os.rename(old, path)
 
 
 def execute_vacuum(spark: SparkSession, sql: str) -> DataFrame:

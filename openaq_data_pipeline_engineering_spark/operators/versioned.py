@@ -441,6 +441,18 @@ def snapshot_changes(
             "the change feed supports added/removed columns, not "
             "type changes"
         )
+    # Key columns may never be part of the evolution: aligned-to-NULL
+    # keys would eqNullSafe-match each other and turn the diff into a
+    # NULL-key many-to-many join. Checked BEFORE alignment so a dropped
+    # key fails loudly instead of producing garbage.
+    key_missing = [
+        k for k in keys if k not in old_t or k not in new_t
+    ]
+    if key_missing:
+        raise ValueError(
+            f"key columns must exist in BOTH snapshots; missing: "
+            f"{key_missing}"
+        )
     if set(old.columns) != set(new.columns):
         # Schema evolution (added/removed columns): align BOTH sides to
         # the union of columns — a column absent from one side reads as

@@ -49,11 +49,16 @@ def quality_split_batch(
     quarantine_dir: str,
     keys: list[str],
     ts_col: str,
+    txn_app_id: str = "batch",
 ) -> None:
     """foreachBatch body: split, upsert valid, append quarantine.
 
-    Idempotent per ``batch_id`` on BOTH tables (versioned txn dedupe):
-    an at-least-once replay of the same micro-batch is a no-op.
+    Idempotent per ``(txn_app_id, batch_id)`` on BOTH tables (versioned
+    txn dedupe): an at-least-once replay of the same micro-batch is a
+    no-op. Batch ids restart when the CHECKPOINT is deleted and the
+    dedupe window is unbounded, so deliberate reprocessing into the
+    same targets needs a NEW ``txn_app_id`` (Delta's txnAppId
+    contract; see streaming/upsert.upsert_batch).
     """
     spark = batch.sparkSession
     valid, quarantine = split_expectations(batch, rules)
@@ -61,7 +66,9 @@ def quality_split_batch(
     delta = collapse_batch(valid, keys, ts_col)
     base = read_snapshot(spark, valid_dir)
     merged = merge_upsert(base, delta, keys) if base is not None else delta
-    versioned.write_snapshot(merged, valid_dir, txn_id=f"batch-{batch_id}")
+    versioned.write_snapshot(
+        merged, valid_dir, txn_id=f"{txn_app_id}-{batch_id}"
+    )
     versioned.vacuum_snapshots(valid_dir, keep_last=2)
 
     dead = quarantine.withColumn("batch_id", F.lit(batch_id).cast("bigint"))
@@ -72,7 +79,7 @@ def quality_split_batch(
         pass
     full = prior.unionByName(dead) if prior is not None else dead
     versioned.write_snapshot(
-        full, quarantine_dir, txn_id=f"batch-{batch_id}"
+        full, quarantine_dir, txn_id=f"{txn_app_id}-{batch_id}"
     )
     versioned.vacuum_snapshots(quarantine_dir, keep_last=2)
 
@@ -85,14 +92,17 @@ def run_stream_quality_split(
     quarantine_dir: str,
     keys: list[str],
     ts_col: str,
+    txn_app_id: str = "batch",
 ):
     """Run the stream to completion (AvailableNow), routing every
     micro-batch through the expectations split. Returns the finished
-    StreamingQuery."""
+    StreamingQuery. See :func:`quality_split_batch` for the
+    ``txn_app_id`` reprocessing contract."""
     q = (
         stream.writeStream.foreachBatch(
             lambda df, bid: quality_split_batch(
-                df, bid, rules, valid_dir, quarantine_dir, keys, ts_col
+                df, bid, rules, valid_dir, quarantine_dir, keys, ts_col,
+                txn_app_id,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

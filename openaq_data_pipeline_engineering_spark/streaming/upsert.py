@@ -94,16 +94,31 @@ def collapse_batch(batch: DataFrame, keys: list[str], ts_col: str) -> DataFrame:
 
 
 def upsert_batch(
-    batch: DataFrame, batch_id: int, target_dir: str, keys: list[str], ts_col: str
+    batch: DataFrame,
+    batch_id: int,
+    target_dir: str,
+    keys: list[str],
+    ts_col: str,
+    txn_app_id: str = "batch",
 ) -> None:
     """foreachBatch body: collapse, merge over snapshot, commit the
-    next version (idempotent per batch_id), vacuum to the last two."""
+    next version (idempotent per (txn_app_id, batch_id)), vacuum to the
+    last two.
+
+    ``txn_app_id`` scopes the dedupe exactly like Delta's txnAppId:
+    batch ids restart at 0 whenever a stream's CHECKPOINT is deleted,
+    and the dedupe window is unbounded by design (vacuum keeps txn
+    entries), so REPROCESSING a source into the same target_dir with
+    the same app id silently no-ops every replayed batch. Deliberate
+    reprocessing must use a NEW txn_app_id (or vacuum with
+    txn_keep_last to retire old entries) — same contract as Delta.
+    """
     spark = batch.sparkSession
     delta = collapse_batch(batch, keys, ts_col)
     base = read_snapshot(spark, target_dir)
     merged = merge_upsert(base, delta, keys) if base is not None else delta
     versioned.write_snapshot(
-        merged, target_dir, txn_id=f"batch-{batch_id}"
+        merged, target_dir, txn_id=f"{txn_app_id}-{batch_id}"
     )
     # Committed-version retention only; orphan reclamation keeps its
     # 24h grace (a concurrent writer may own a fresh uncommitted dir).
@@ -120,12 +135,17 @@ def run_stream_upsert(
     target_dir: str,
     keys: list[str],
     ts_col: str,
+    txn_app_id: str = "batch",
 ):
     """Run the stream to completion (AvailableNow) upserting into
-    ``target_dir``; returns the finished StreamingQuery."""
+    ``target_dir``; returns the finished StreamingQuery. See
+    :func:`upsert_batch` for the ``txn_app_id`` reprocessing contract
+    (new app id when deleting the checkpoint to reprocess)."""
     q = (
         stream.writeStream.foreachBatch(
-            lambda df, bid: upsert_batch(df, bid, target_dir, keys, ts_col)
+            lambda df, bid: upsert_batch(
+                df, bid, target_dir, keys, ts_col, txn_app_id
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

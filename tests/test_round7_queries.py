@@ -401,3 +401,151 @@ class TestSqlUtilStatements:
         write_snapshot(df, root)
         out = Engine(spark).sql(f"VACUUM '{root}' RETAIN 2 VERSIONS")
         assert out.count() == 0
+
+
+class TestReviewFixesRound7:
+    """Regression tests for the round-7 self-review findings."""
+
+    def test_optimize_where_is_row_preserving(self, spark):
+        """A WHERE on a NON-partition column selects partitions to
+        compact but must never drop rows inside them (the silent
+        data-loss path)."""
+        from openaq_data_pipeline_engineering_spark.engine import Engine
+        from openaq_data_pipeline_engineering_spark.scratch import (
+            fresh_scratch_dir,
+        )
+        from openaq_data_pipeline_engineering_spark.sources.star import (
+            load_table,
+        )
+
+        ev = load_table(spark, SF_DIR, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        out = fresh_scratch_dir("opt_where_safe")
+        (
+            ev.repartition(8)
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(out)
+        )
+        n_before = spark.read.parquet(out).count()
+        Engine(spark).sql(f"OPTIMIZE '{out}' WHERE value > 400")
+        assert spark.read.parquet(out).count() == n_before
+
+    def test_optimize_where_on_unpartitioned_rejected(self, spark):
+        import pytest
+
+        from openaq_data_pipeline_engineering_spark.engine import Engine
+        from openaq_data_pipeline_engineering_spark.scratch import (
+            fresh_scratch_dir,
+        )
+
+        out = fresh_scratch_dir("opt_where_flat")
+        spark.range(10).write.mode("overwrite").parquet(out)
+        with pytest.raises(ValueError, match="partitioned table"):
+            Engine(spark).sql(f"OPTIMIZE '{out}' WHERE id > 5")
+
+    def test_zorder_crash_recovery(self, spark):
+        """Simulated crash between the two renames: the table is healed
+        on the next OPTIMIZE."""
+        import os
+
+        from openaq_data_pipeline_engineering_spark.engine import Engine
+        from openaq_data_pipeline_engineering_spark.scratch import (
+            fresh_scratch_dir,
+        )
+
+        out = fresh_scratch_dir("zorder_crash")
+        tbl = os.path.join(out, "t")
+        spark.range(100).selectExpr(
+            "id", "id % 7 AS a", "id % 11 AS b"
+        ).write.parquet(tbl)
+        os.rename(tbl, tbl + ".__optimize_old__")  # crashed mid-swap
+        m = Engine(spark).sql(f"OPTIMIZE '{tbl}' ZORDER BY (a, b)").first()
+        assert m["n_rows"] == 100
+        assert spark.read.parquet(tbl).count() == 100
+
+    def test_merge_qualified_end_case_identifiers(self, spark):
+        from openaq_data_pipeline_engineering_spark.operators.sqlmerge import (
+            execute_merge,
+        )
+
+        base = spark.createDataFrame([(1, 5, "x")], "k int, end int, v string")
+        src = spark.createDataFrame([(1, 9, "y")], "k int, end int, v string")
+        out = execute_merge(
+            spark,
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN MATCHED AND CASE WHEN s.end > 0 THEN true ELSE false END "
+            "THEN UPDATE SET v = s.v, end = s.end",
+            target_df=base,
+            source_df=src,
+        )
+        assert {tuple(r) for r in out.collect()} == {(1, 9, "y")}
+
+    def test_engine_sql_routes_with_leading_comment(self, spark):
+        from openaq_data_pipeline_engineering_spark.engine import Engine
+
+        eng = Engine(spark)
+        eng.register(
+            "cmt_tgt", spark.createDataFrame([(1, "a")], "k int, v string")
+        )
+        eng.register(
+            "cmt_src", spark.createDataFrame([(1, "b")], "k int, v string")
+        )
+        out = eng.sql(
+            "-- nightly refresh\n/* maintenance */ MERGE INTO cmt_tgt t "
+            "USING cmt_src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v"
+        )
+        assert {tuple(r) for r in out.collect()} == {(1, "b")}
+
+    def test_cdf_dropped_key_column_rejected(self, spark, tmp_path):
+        import pytest
+
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            snapshot_changes,
+            write_snapshot,
+        )
+
+        root = str(tmp_path / "cdf_dropkey")
+        write_snapshot(
+            spark.createDataFrame([(1, 10)], "k int, n int"), root
+        )
+        write_snapshot(spark.createDataFrame([(20,)], "n int"), root)
+        with pytest.raises(ValueError, match="key columns must exist"):
+            snapshot_changes(spark, root, keys=["k"], v_from=1, v_to=2)
+
+    def test_expectation_rule_name_with_quote(self, spark):
+        from openaq_data_pipeline_engineering_spark.operators.expectations import (
+            expectation_report,
+        )
+
+        df = spark.createDataFrame([(1.0,), (60.0,)], "qty double")
+        rep = {
+            r["rule"]: r["n_fail"]
+            for r in expectation_report(
+                df, {"qty o'clock <= 50": "qty <= 50"}
+            ).collect()
+        }
+        assert rep["qty o'clock <= 50"] == 1
+
+    def test_stream_reprocess_needs_new_txn_app_id(self, spark, tmp_path):
+        """The documented Delta-style contract: same app id no-ops a
+        replayed batch id forever; a new app id reprocesses."""
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            read_snapshot,
+            snapshot_versions,
+        )
+        from openaq_data_pipeline_engineering_spark.streaming.upsert import (
+            upsert_batch,
+        )
+
+        target = str(tmp_path / "t")
+        b = spark.createDataFrame([(1, 10.0, 100)], "id int, qty double, ts int")
+        upsert_batch(b, 0, target, ["id"], "ts")
+        b2 = spark.createDataFrame([(1, 99.0, 200)], "id int, qty double, ts int")
+        upsert_batch(b2, 0, target, ["id"], "ts")  # same app+batch: no-op
+        assert read_snapshot(spark, target).first()["qty"] == 10.0
+        upsert_batch(b2, 0, target, ["id"], "ts", txn_app_id="reprocess1")
+        assert read_snapshot(spark, target).first()["qty"] == 99.0
+        assert len(snapshot_versions(target)) == 2
