@@ -158,47 +158,52 @@ class Engine:
         retention) and return their metrics frame."""
         import re as _re
 
-        # Route on COMMENT-STRIPPED text (same-length, spans intact):
-        # a statement led by "-- comment\n" or "/* ... */" must still
-        # dispatch to the engine lowering — Spark's own parser would
-        # reject MERGE/OPTIMIZE/VACUUM on these path-based tables. The
-        # stripped text is what the handlers receive, so their spans
-        # and the routing agree.
+        # Route on a COMMENT-STRIPPED *local* (same-length, spans
+        # intact): a statement led by "-- comment\n" or "/* ... */"
+        # must still dispatch to the engine lowering — Spark's own
+        # parser would reject MERGE/OPTIMIZE/VACUUM on these
+        # path-based tables. The stripped text is what the statement
+        # handlers receive, so their spans and the routing agree; a
+        # plain SELECT is forwarded with its ORIGINAL text (Spark's
+        # parser owns comments there), and route-stripping is
+        # non-strict so a malformed comment in a SELECT surfaces as
+        # Spark's parse error, never MergeError.
         from openaq_data_pipeline_engineering_spark.operators.sqlmerge import (
             _strip_comments,
         )
 
-        query = _strip_comments(query)
-        if _re.match(r"\s*MERGE\s+INTO\b", query, _re.IGNORECASE):
+        routed = _strip_comments(query, strict=False)
+        if _re.match(r"\s*MERGE\s+INTO\b", routed, _re.IGNORECASE):
             from openaq_data_pipeline_engineering_spark.operators.sqlmerge import (
                 execute_merge,
             )
 
+            # execute_merge re-strips (idempotently) for its spans.
             return execute_merge(self.spark, query)
-        if _re.match(r"\s*UPDATE\b", query, _re.IGNORECASE):
+        if _re.match(r"\s*UPDATE\b", routed, _re.IGNORECASE):
             from openaq_data_pipeline_engineering_spark.operators.sqldml import (
                 execute_update,
             )
 
-            return execute_update(self.spark, query)
-        if _re.match(r"\s*DELETE\s+FROM\b", query, _re.IGNORECASE):
+            return execute_update(self.spark, _strip_comments(query))
+        if _re.match(r"\s*DELETE\s+FROM\b", routed, _re.IGNORECASE):
             from openaq_data_pipeline_engineering_spark.operators.sqldml import (
                 execute_delete,
             )
 
-            return execute_delete(self.spark, query)
-        if _re.match(r"\s*OPTIMIZE\b", query, _re.IGNORECASE):
+            return execute_delete(self.spark, _strip_comments(query))
+        if _re.match(r"\s*OPTIMIZE\b", routed, _re.IGNORECASE):
             from openaq_data_pipeline_engineering_spark.operators.sqlutil import (
                 execute_optimize,
             )
 
-            return execute_optimize(self.spark, query)
-        if _re.match(r"\s*VACUUM\b", query, _re.IGNORECASE):
+            return execute_optimize(self.spark, _strip_comments(query))
+        if _re.match(r"\s*VACUUM\b", routed, _re.IGNORECASE):
             from openaq_data_pipeline_engineering_spark.operators.sqlutil import (
                 execute_vacuum,
             )
 
-            return execute_vacuum(self.spark, query)
+            return execute_vacuum(self.spark, _strip_comments(query))
         return self.spark.sql(query)
 
     def table(self, name: str) -> DataFrame:

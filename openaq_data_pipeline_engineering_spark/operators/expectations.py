@@ -101,12 +101,19 @@ def expectation_report(
     any_fail = None
     for n in rules:
         any_fail = fail[n] if any_fail is None else (any_fail | fail[n])
+    # SUM over an EMPTY input is NULL — coalesce to 0 so the empty-df
+    # report keeps the n_fail('__any_failed__') == quarantine.count()
+    # invariant (both 0) instead of going NULL.
     aggs = [
-        F.sum(F.when(fail[n], 1).otherwise(0)).cast("bigint").alias(f"f_{i}")
+        F.coalesce(F.sum(F.when(fail[n], 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias(f"f_{i}")
         for i, n in enumerate(rules)
     ]
     aggs.append(
-        F.sum(F.when(any_fail, 1).otherwise(0)).cast("bigint").alias("f_any")
+        F.coalesce(F.sum(F.when(any_fail, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("f_any")
     )
     aggs.append(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     one = df.agg(*aggs)

@@ -120,29 +120,40 @@ _CLAUSE_RE = re.compile(
 )
 
 
-def _strip_comments(sql: str) -> str:
+def _strip_comments(sql: str, strict: bool = True) -> str:
     """Same-length copy of ``sql`` with ``-- line`` and (nested, as
     Spark allows) ``/* bracketed */`` comments replaced by spaces,
-    string-aware: comment markers inside literals are content, not
-    comments. Runs BEFORE the literal masker so a quote inside a
-    comment can never flip the masker's in-string state; spans sliced
-    from the stripped text hand clean expression text to F.expr."""
+    quote-aware: comment markers inside single-quoted literals,
+    double-quoted literals (a string in Spark's default parser), or
+    backtick-quoted identifiers are content, not comments. Runs BEFORE
+    the literal masker so a quote inside a comment can never flip the
+    masker's in-string state; spans sliced from the stripped text hand
+    clean expression text to F.expr.
+
+    ``strict=False`` treats an unterminated ``/*`` as a
+    comment-to-EOF instead of raising — used by Engine.sql for
+    route-only stripping, where a malformed non-MERGE statement must
+    reach Spark's own parser (and its error) rather than MergeError.
+    """
     out = list(sql)
-    in_str = False
+    quote = None  # None | "'" | '"' | '`' — the open quoting char
     i, n = 0, len(sql)
     while i < n:
         ch = sql[i]
-        if in_str:
-            if ch == "\\" and i + 1 < n:  # Spark-style backslash escape
+        if quote is not None:
+            # Backslash escapes apply inside '...' and "..." string
+            # literals (Spark default parser); backtick identifiers
+            # escape only by doubling (``).
+            if ch == "\\" and quote != "`" and i + 1 < n:
                 i += 2
                 continue
-            if ch == "'":
-                if i + 1 < n and sql[i + 1] == "'":  # '' escape
+            if ch == quote:
+                if i + 1 < n and sql[i + 1] == quote:  # doubled escape
                     i += 2
                     continue
-                in_str = False
-        elif ch == "'":
-            in_str = True
+                quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
         elif ch == "-" and sql.startswith("--", i):
             j = sql.find("\n", i)
             j = n if j < 0 else j  # the newline itself survives
@@ -159,7 +170,7 @@ def _strip_comments(sql: str) -> str:
                     depth, j = depth - 1, j + 2
                 else:
                     j += 1
-            if depth:
+            if depth and strict:
                 raise MergeError("unterminated /* comment in MERGE")
             for k in range(i, j):
                 out[k] = " "
@@ -171,18 +182,20 @@ def _strip_comments(sql: str) -> str:
 
 def _mask_literals(sql: str) -> str:
     """Same-length copy of ``sql`` with string-literal CONTENT replaced
-    by underscores ('' doubling AND Spark's backslash escapes masked,
-    outer quotes kept). The statement regexes run on the MASKED text so
-    SQL keywords inside literals (WHERE/WHEN/THEN/ON/,) can never
+    by underscores (single- and double-quoted literals, '' / "" doubling
+    AND Spark's backslash escapes masked, outer quotes kept) and
+    backtick-quoted identifier CONTENT masked likewise (`` doubling).
+    The statement regexes run on the MASKED text so SQL keywords inside
+    literals or quoted identifiers (WHERE/WHEN/THEN/ON/,) can never
     mis-split the statement; group spans are then sliced from the
     ORIGINAL (comment-stripped) text."""
     out = list(sql)
-    in_str = False
+    quote = None  # None | "'" | '"' | '`'
     i, n = 0, len(sql)
     while i < n:
         ch = sql[i]
-        if in_str:
-            if ch == "\\" and i + 1 < n:
+        if quote is not None:
+            if ch == "\\" and quote != "`" and i + 1 < n:
                 # Spark's default parser treats \' (and \\ etc.) as an
                 # escape inside literals; mask both chars so the quote
                 # cannot flip the in-string state.
@@ -190,17 +203,17 @@ def _mask_literals(sql: str) -> str:
                 out[i + 1] = "_"
                 i += 2
                 continue
-            if ch == "'":
-                if i + 1 < n and sql[i + 1] == "'":  # escaped quote
+            if ch == quote:
+                if i + 1 < n and sql[i + 1] == quote:  # doubled escape
                     out[i] = "_"
                     out[i + 1] = "_"
                     i += 1
                 else:
-                    in_str = False
+                    quote = None
             else:
                 out[i] = "_"
-        elif ch == "'":
-            in_str = True
+        elif ch in ("'", '"', "`"):
+            quote = ch
         i += 1
     return "".join(out)
 
@@ -243,21 +256,21 @@ def _split_top(text: str) -> list[str]:
     (assignment / value lists — `VALUES (s.k, 'a,b')` must not split
     inside the quoted string; '' is the SQL escape for a quote)."""
     parts, depth, start = [], 0, 0
-    in_str = False
+    quote = None  # None | "'" | '"' | '`'
     i, n = 0, len(text)
     while i < n:
         ch = text[i]
-        if in_str:
-            if ch == "\\" and i + 1 < n:  # backslash escape
+        if quote is not None:
+            if ch == "\\" and quote != "`" and i + 1 < n:  # escape
                 i += 2
                 continue
-            if ch == "'":
-                if i + 1 < n and text[i + 1] == "'":  # escaped quote
+            if ch == quote:
+                if i + 1 < n and text[i + 1] == quote:  # doubled quote
                     i += 1
                 else:
-                    in_str = False
-        elif ch == "'":
-            in_str = True
+                    quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
         elif ch == "(":
             depth += 1
         elif ch == ")":
@@ -465,15 +478,21 @@ def execute_merge(
     extra job matters.
 
     ``strict_materialize`` picks the strict check's cost model:
-    True (default) materializes the joined relation once (lazy
-    localCheckpoint) so the join never executes twice — at the price
-    of caching O(|target| + |source|) wide rows in executor storage
-    and non-replayable blocks (an executor lost before the caller's
-    action fails the merge instead of recomputing). False keeps the
-    plan fully un-cached: the dup check runs on its own COLUMN-PRUNED
-    execution of the join (marks + ON columns only) and the returned
-    projection re-executes it — two passes, near-zero storage. Choose
-    False when the target is large relative to executor storage.
+    True (default) persists the joined relation (MEMORY_AND_DISK) so
+    the dup check's count() populates the cache and the returned
+    projection reuses it — the join executes once, blocks stay
+    REPLAYABLE (lineage kept: an executor loss recomputes instead of
+    failing the merge), and eviction under memory pressure degrades to
+    recompute, never to error. The price is O(|target| + |source|)
+    wide rows in executor storage until released: call
+    :func:`release_merge_cache` on the returned frame after
+    publishing (e.g. after ``write_snapshot``) — long-lived sessions
+    running many merges otherwise accumulate cached blocks until the
+    context cleaner collects them. False keeps the plan fully
+    un-cached: the dup check runs on its own COLUMN-PRUNED execution
+    of the join (marks + ON columns only) and the returned projection
+    re-executes it — two passes, near-zero storage. Choose False when
+    the target is large relative to executor storage.
     """
     st = parse_merge(sql)
     if target_df is None:
@@ -520,6 +539,7 @@ def execute_merge(
     joined = t.join(s, F.expr(st.on), "full_outer")
     is_matched = F.col(_T_MARK).isNotNull() & F.col(_S_MARK).isNotNull()
     t_only = F.col(_T_MARK).isNotNull() & F.col(_S_MARK).isNull()
+    pinned: DataFrame | None = None
 
     if strict:
         # Delta's "multiple source rows matched" error: a target row
@@ -529,17 +549,22 @@ def execute_merge(
         # extra joined copy would fall through to KEEP and silently
         # DUPLICATE the target row in the output. One COUNT aggregation
         # keyed by the target row id. With strict_materialize the
-        # joined relation materializes ONCE (lazy localCheckpoint — the
-        # repo's multi-consumer idiom): the dup check's count() triggers
-        # it and the returned projection reuses the blocks, so the join
-        # never executes twice; without it the dup check runs its own
+        # joined relation is PERSISTED (MEMORY_AND_DISK, lineage kept):
+        # the dup check's count() populates the cache and the returned
+        # projection reuses the blocks, so the join never executes
+        # twice — and unlike a localCheckpoint the blocks are
+        # replayable (executor loss → recompute) and releasable
+        # (release_merge_cache). Without it the dup check runs its own
         # column-pruned pass (Catalyst prunes the wide columns away)
         # and nothing is cached. The check itself is necessarily eager
         # (MergeError must raise before the caller publishes); pass
         # strict=False for a fully-lazy plan over pre-deduplicated
         # sources.
         if strict_materialize:
-            joined = joined.localCheckpoint(eager=False)
+            from pyspark.storagelevel import StorageLevel
+
+            joined = joined.persist(StorageLevel.MEMORY_AND_DISK)
+            pinned = joined
         dup = (
             joined.filter(is_matched)
             .groupBy(_T_MARK)
@@ -625,4 +650,31 @@ def execute_merge(
             cname
         )
 
-    return projected.select(*[col_value(c) for c in out_cols])
+    result = projected.select(*[col_value(c) for c in out_cols])
+    if pinned is not None:
+        # Handle for release_merge_cache: the persisted joined relation
+        # backing this result. Kept on the Python wrapper only — it
+        # does not change the plan.
+        result._merge_pinned = pinned
+    return result
+
+
+def release_merge_cache(df: DataFrame) -> bool:
+    """Unpersist the joined relation a strict ``execute_merge`` pinned.
+
+    Call after the merge result is PUBLISHED (e.g. after
+    ``versioned.write_snapshot``): the cached wide rows are only
+    useful while the result may still be recomputed, and a long-lived
+    session running many merges would otherwise hold every merge's
+    cache until the JVM context cleaner gets to it. Safe on any
+    DataFrame — returns False when ``df`` carries no pinned cache
+    (``strict=False`` / ``strict_materialize=False`` merges, or an
+    already-released frame). Blocking=False semantics: the unpersist
+    is asynchronous, matching ``DataFrame.unpersist()``'s default.
+    """
+    pinned = getattr(df, "_merge_pinned", None)
+    if pinned is None:
+        return False
+    pinned.unpersist()
+    df._merge_pinned = None
+    return True

@@ -76,6 +76,22 @@ class TestExpectations:
         with pytest.raises(ValueError):
             split_expectations(self._df(spark), {})
 
+    def test_empty_input_report_is_all_zeros(self, spark):
+        # ADVICE r7: SUM over zero rows is NULL — the report must
+        # coalesce so the n_fail('__any_failed__') == quarantine.count()
+        # invariant holds (both 0) on an empty input.
+        df = self._df(spark).filter("id < 0")
+        rep = {
+            r["rule"]: (r["n_fail"], r["n_rows"])
+            for r in expectation_report(df, self.RULES).collect()
+        }
+        assert rep == {
+            "qty_le_50": (0, 0),
+            "seg_present": (0, 0),
+            "__any_failed__": (0, 0),
+            "__all_valid__": (0, 0),
+        }
+
 
 class TestBucketedJoinDeclared:
     def test_no_exchange_on_join_inputs(self, spark):

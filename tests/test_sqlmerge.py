@@ -275,6 +275,29 @@ class TestExecute:
         assert out.count() == 4
         assert eng.sql("SELECT 41 + 1 AS x").first()[0] == 42  # passthrough
 
+    def test_engine_sql_preserves_literals_in_select(self, spark):
+        # ADVICE r7: Engine.sql must not blank comment markers inside
+        # double-quoted literals (a string in Spark's default parser)
+        # or backtick-quoted identifiers — the ORIGINAL text reaches
+        # spark.sql, and the route-strip is quote-aware anyway.
+        eng = Engine(spark)
+        assert eng.sql('SELECT "a -- not a comment" AS s').first()[0] == (
+            "a -- not a comment"
+        )
+        assert eng.sql('SELECT "/* still data" AS s').first()[0] == (
+            "/* still data"
+        )
+        row = eng.sql("SELECT 7 AS `x--y`")
+        assert row.columns == ["x--y"] and row.first()[0] == 7
+        # single-quoted literals keep working through the same path
+        assert eng.sql("SELECT '/*' AS s").first()[0] == "/*"
+        # a malformed statement surfaces Spark's parse error, never
+        # MergeError-from-routing
+        import pyspark.errors
+
+        with pytest.raises(pyspark.errors.PySparkException):
+            eng.sql("SELECT 1 FROM /* unterminated")
+
     def test_plan_is_one_join_no_python(self, spark):
         """Scale shape: the lowering is a single join + projection —
         no cartesian product, no Python eval in the plan."""
@@ -481,9 +504,11 @@ class TestRound7Grammar:
             )
 
     def test_strict_check_single_join_execution(self, spark):
-        # The strict path materializes the join once (lazy local
-        # checkpoint): the final plan must scan the checkpointed RDD,
-        # not re-plan the full-outer join.
+        # The strict path persists the join once (MEMORY_AND_DISK):
+        # the final plan must scan the cached relation — everything
+        # ABOVE the InMemoryRelation (whose printout embeds the cached
+        # child plan) is join-free, so the projection reuses blocks the
+        # dup check already populated instead of re-running the join.
         base = spark.createDataFrame([(1, "a")], "k int, v string")
         src = spark.createDataFrame([(1, "b")], "k int, v string")
         out = execute_merge(
@@ -494,5 +519,34 @@ class TestRound7Grammar:
             source_df=src,
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
-        assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+        assert "InMemoryTableScan" in plan
+        consumer = plan.split("InMemoryRelation")[0]
+        assert "Join" not in consumer
         assert _rows(out) == {(1, "b")}
+        # The pinned cache is releasable (ADVICE r7: long-lived
+        # sessions must not accumulate merge caches) and idempotent.
+        from openaq_data_pipeline_engineering_spark.operators.sqlmerge import (
+            release_merge_cache,
+        )
+
+        assert release_merge_cache(out) is True
+        assert release_merge_cache(out) is False
+
+    def test_unstrict_merge_has_no_pinned_cache(self, spark):
+        from openaq_data_pipeline_engineering_spark.operators.sqlmerge import (
+            release_merge_cache,
+        )
+
+        base = spark.createDataFrame([(1, "a")], "k int, v string")
+        src = spark.createDataFrame([(1, "b")], "k int, v string")
+        for kwargs in ({"strict": False}, {"strict_materialize": False}):
+            out = execute_merge(
+                spark,
+                "MERGE INTO t USING s ON t.k = s.k "
+                "WHEN MATCHED THEN UPDATE SET v = s.v",
+                target_df=base,
+                source_df=src,
+                **kwargs,
+            )
+            assert _rows(out) == {(1, "b")}
+            assert release_merge_cache(out) is False
