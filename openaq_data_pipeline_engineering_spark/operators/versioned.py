@@ -12,7 +12,11 @@ readers see, and yesterday's pipeline output stays queryable (time
 travel) for reproducible re-runs.
 
 Layout:
-    <root>/v=<N>/part-*.parquet     immutable snapshot data
+    <root>/v=<N>/part-*.parquet     immutable snapshot data — a FULL
+                                    snapshot (write_snapshot) or a
+                                    DELTA holding only appended rows
+                                    (append_rows; readers resolve the
+                                    chain base + deltas)
     <root>/_VERSIONS.json           manifest: committed versions (the
                                     write is data-first, manifest-last:
                                     an uncommitted v-dir is invisible)
@@ -66,6 +70,7 @@ def _write_manifest(
     versions: list[int],
     txns: dict[str, int] | None = None,
     commit_ts: dict[int, float] | None = None,
+    modes: dict[int, str] | None = None,
 ) -> None:
     fd, tmp = tempfile.mkstemp(dir=root, prefix="_VERSIONS.", suffix=".tmp")
     with os.fdopen(fd, "w") as f:
@@ -75,6 +80,8 @@ def _write_manifest(
                 "txns": txns or {},
                 # JSON object keys are strings; parsed back to int
                 "ts": {str(v): t for v, t in (commit_ts or {}).items()},
+                # only non-default ("delta") entries are recorded
+                "modes": {str(v): m for v, m in (modes or {}).items()},
             },
             f,
         )
@@ -83,7 +90,8 @@ def _write_manifest(
 
 def _read_manifest_doc(root: str) -> dict:
     """Parsed manifest with defaults for keys older manifests lack
-    (pre-txn: no "txns"; pre-timestamp: no "ts")."""
+    (pre-txn: no "txns"; pre-timestamp: no "ts"; pre-append: no
+    "modes" — a version absent from "modes" is a FULL snapshot)."""
     try:
         with open(_manifest_path(root)) as f:
             doc = json.load(f)
@@ -91,9 +99,12 @@ def _read_manifest_doc(root: str) -> dict:
             "versions": sorted(doc["versions"]),
             "txns": dict(doc.get("txns") or {}),
             "ts": {int(k): float(v) for k, v in (doc.get("ts") or {}).items()},
+            "modes": {
+                int(k): str(v) for k, v in (doc.get("modes") or {}).items()
+            },
         }
     except (OSError, ValueError, KeyError):
-        return {"versions": [], "txns": {}, "ts": {}}
+        return {"versions": [], "txns": {}, "ts": {}, "modes": {}}
 
 
 def _read_manifest_full(root: str) -> tuple[list[int], dict[str, int]]:
@@ -175,6 +186,53 @@ def write_snapshot(
     return _commit_version(root, version, txn_id)
 
 
+def append_rows(
+    df: DataFrame,
+    root: str,
+    _max_retries: int = 16,
+    txn_id: str | None = None,
+) -> int:
+    """Commit ``df`` as an APPEND (delta) version: the new version's
+    logical content is the previous version's rows PLUS ``df``'s rows,
+    but only ``df``'s rows are written — per-commit I/O is the batch,
+    never the accumulated table (a streaming dead-letter sink appending
+    per micro-batch stays O(batch), not O(history) — the Delta
+    ``append``-mode write).
+
+    Storage layout: the version directory holds just the delta;
+    :func:`read_snapshot` resolves a delta version to the union of its
+    CHAIN — the latest full snapshot at-or-below it (or the oldest
+    committed version when the table is append-only from birth) plus
+    every later delta up to the pinned version. Time travel, CDF
+    (:func:`snapshot_changes`) and the idempotent ``txn_id`` contract
+    work unchanged because they all read through
+    :func:`read_snapshot`. :func:`vacuum_snapshots` is chain-aware: it
+    never reclaims a version a kept delta still depends on, so
+    retention on an append-only table is a no-op until a
+    :func:`checkpoint_appends` (or any full :func:`write_snapshot`)
+    re-bases the chain.
+
+    Appends may EVOLVE the schema (new columns null-backfill older
+    rows): the chain read uses parquet ``mergeSchema``.
+    """
+    if txn_id is not None:
+        _, txns = _read_manifest_full(root)
+        if txn_id in txns:
+            return txns[txn_id]  # replay: already committed, no write
+    version = _allocate_and_write(df, root, _max_retries)
+    return _commit_version(root, version, txn_id, mode="delta")
+
+
+def checkpoint_appends(
+    spark: SparkSession, root: str, txn_id: str | None = None
+) -> int:
+    """Re-base an append chain: write the CURRENT resolved content as
+    one new FULL version (Delta checkpoint / OPTIMIZE shape). After
+    this commit, :func:`vacuum_snapshots` can reclaim the whole prior
+    chain; readers pinned on old versions still resolve until then."""
+    return write_snapshot(read_snapshot(spark, root), root, txn_id=txn_id)
+
+
 def _allocate_and_write(df: DataFrame, root: str, max_retries: int = 16) -> int:
     """Phase 1 of the commit protocol: claim the next ``v=<N>`` dir and
     write the data into it. The directory is invisible to readers until
@@ -206,7 +264,9 @@ def _allocate_and_write(df: DataFrame, root: str, max_retries: int = 16) -> int:
     )
 
 
-def _commit_version(root: str, version: int, txn_id: str | None = None) -> int:
+def _commit_version(
+    root: str, version: int, txn_id: str | None = None, mode: str = "full"
+) -> int:
     """Phase 2: publish ``version`` in the manifest (locked re-read).
     Returns the committed version — for an idempotent ``txn_id`` that
     lost a race to a concurrent replay, that is the WINNER's version
@@ -216,18 +276,26 @@ def _commit_version(root: str, version: int, txn_id: str | None = None) -> int:
     with _manifest_lock(root):
         doc = _read_manifest_doc(root)
         versions, txns, ts = doc["versions"], doc["txns"], doc["ts"]
+        modes = doc["modes"]
         if txn_id is not None and txn_id in txns:
             return txns[txn_id]
         if version not in versions:
             if txn_id is not None:
                 txns[txn_id] = version
-            # Commit timestamps are forced STRICTLY increasing (clock
-            # ties bumped by 1 ms) so TIMESTAMP-AS-OF resolution is a
-            # total order even when commits land within one clock tick.
+            # Commit timestamps are forced STRICTLY increasing in
+            # COMMIT order (clock ties bumped by 1 ms) so
+            # TIMESTAMP-AS-OF resolution is a total order over commit
+            # events. Across VERSION NUMBERS the sequence is monotone
+            # only when commits land in allocation order: two
+            # concurrent writers can commit v6 before v5, leaving
+            # ts[v5] > ts[v6] — see read_snapshot's as_of_ts contract
+            # for why that is still consistent.
             ts[version] = max(
                 time.time(), max(ts.values(), default=0.0) + 1e-3
             )
-            _write_manifest(root, versions + [version], txns, ts)
+            if mode != "full":
+                modes[version] = mode
+            _write_manifest(root, versions + [version], txns, ts, modes)
     return version
 
 
@@ -246,15 +314,28 @@ def read_snapshot(
     :func:`snapshot_commit_times`. Versions from manifests older than
     timestamp support have no recorded time and are treated as
     committed at -inf (always eligible). Mutually exclusive with
-    ``version``.
+    ``version``. The as-of result is the HIGHEST version committed
+    at-or-before the timestamp — i.e. exactly what ``read_snapshot()``
+    (latest) returned to a reader at that wall-clock instant. With
+    concurrent writers commit timestamps can be non-monotonic across
+    version numbers (v6 commits before v5), and this resolution stays
+    consistent with the latest-reader view: at any instant the chosen
+    version is the max committed one, not the max-timestamp one.
+
+    A version committed by :func:`append_rows` resolves to its CHAIN:
+    the latest full snapshot at-or-below it plus every later delta up
+    to it, read as one parquet union (``mergeSchema`` on, so evolved
+    appends null-backfill older rows). Full versions read their single
+    directory exactly as before.
     """
     if version is not None and as_of_ts is not None:
         raise ValueError("pass version OR as_of_ts, not both")
-    versions = _read_manifest(root)
+    doc = _read_manifest_doc(root)
+    versions = doc["versions"]
     if not versions:
         raise FileNotFoundError(f"no committed versions under {root}")
     if as_of_ts is not None:
-        ts = _read_manifest_doc(root)["ts"]
+        ts = doc["ts"]
         eligible = [
             v for v in versions if ts.get(v, float("-inf")) <= as_of_ts
         ]
@@ -268,7 +349,27 @@ def read_snapshot(
         version = versions[-1]
     if version not in versions:
         raise ValueError(f"version {version} not committed: {versions}")
-    return spark.read.parquet(os.path.join(root, f"v={version}"))
+    chain = _chain_versions(versions, doc["modes"], version)
+    if len(chain) == 1:
+        return spark.read.parquet(os.path.join(root, f"v={chain[0]}"))
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(root, f"v={v}") for v in chain]
+    )
+
+
+def _chain_versions(
+    versions: list[int], modes: dict[int, str], version: int
+) -> list[int]:
+    """The committed versions whose union is ``version``'s content:
+    ``[version]`` for a full snapshot; for a delta, the latest full
+    version at-or-below it (or the oldest committed version when the
+    chain has no full base) through ``version``."""
+    if modes.get(version, "full") == "full":
+        return [version]
+    below = [v for v in versions if v <= version]
+    fulls = [v for v in below if modes.get(v, "full") == "full"]
+    base = fulls[-1] if fulls else below[0]
+    return [v for v in below if v >= base]
 
 
 def snapshot_versions(root: str) -> list[int]:
@@ -278,9 +379,19 @@ def snapshot_versions(root: str) -> list[int]:
 
 def snapshot_commit_times(root: str) -> dict[int, float]:
     """version -> commit timestamp (epoch seconds), strictly increasing
-    across versions; versions committed before timestamp support are
-    absent."""
+    in COMMIT order (ties clock-bumped). Across version numbers the
+    map is monotone only for serial writers: concurrent writers can
+    commit a higher-numbered version first (B allocates v6 and commits
+    before A's v5), leaving ts[v5] > ts[v6]. Versions committed before
+    timestamp support are absent."""
     return _read_manifest_doc(root)["ts"]
+
+
+def snapshot_modes(root: str) -> dict[int, str]:
+    """version -> commit mode for non-full versions ("delta" = an
+    append_rows commit); versions absent from the map are full
+    snapshots."""
+    return _read_manifest_doc(root)["modes"]
 
 
 # Default grace before an uncommitted v=<N> dir may be reclaimed as an
@@ -361,10 +472,22 @@ def vacuum_snapshots(
     with _manifest_lock(root):
         doc = _read_manifest_doc(root)
         versions, txns, ts = doc["versions"], doc["txns"], doc["ts"]
+        modes = doc["modes"]
         drop = [
             v for v in versions[:-keep_last] if _old_enough(v, min_age_seconds)
         ]
         keep = [v for v in versions if v not in drop]
+        if keep and modes:
+            # Chain-aware retention: a kept DELTA version still reads
+            # its base full snapshot and every intermediate delta —
+            # reclaiming those would corrupt the kept version. Chains
+            # are contiguous downward, so the floor is the oldest kept
+            # version's chain base; on an append-only table (no full
+            # base yet) this makes vacuum a no-op until a
+            # checkpoint_appends re-bases the chain.
+            floor = _chain_versions(versions, modes, keep[0])[0]
+            drop = [v for v in drop if v < floor]
+            keep = [v for v in versions if v not in drop]
         orphans = [
             v
             for v in _existing_version_dirs(root)
@@ -382,7 +505,8 @@ def vacuum_snapshots(
             return []
         if drop or kept_txns != txns:
             kept_ts = {v: t for v, t in ts.items() if v in keep}
-            _write_manifest(root, keep, kept_txns, kept_ts)
+            kept_modes = {v: m for v, m in modes.items() if v in keep}
+            _write_manifest(root, keep, kept_txns, kept_ts, kept_modes)
     for v in drop + orphans:
         shutil.rmtree(os.path.join(root, f"v={v}"), ignore_errors=True)
     return drop

@@ -12,9 +12,12 @@ Glue run, tests/test_glue_transformation.py:198-253):
   streaming/upsert.py (collapse to one row per key, merge over the
   snapshot, idempotent txn commit);
 - QUARANTINED rows — tagged with the rules they failed and the
-  micro-batch id — APPEND to their own versioned dead-letter table,
-  also under an idempotent txn, so a replayed micro-batch duplicates
-  neither the upsert nor the dead letters.
+  micro-batch id — APPEND to their own versioned dead-letter table
+  (operators/versioned.append_rows: each version dir holds ONLY that
+  batch's dead rows, so per-batch write I/O is O(batch), not
+  O(accumulated history)), also under an idempotent txn, so a
+  replayed micro-batch duplicates neither the upsert nor the dead
+  letters.
 
 Both tables get the versioned layer's full lifecycle (atomic manifest
 publication, time travel, change data feed, vacuum), so a triage job
@@ -72,16 +75,17 @@ def quality_split_batch(
     versioned.vacuum_snapshots(valid_dir, keep_last=2)
 
     dead = quarantine.withColumn("batch_id", F.lit(batch_id).cast("bigint"))
-    prior = None
-    try:
-        prior = versioned.read_snapshot(spark, quarantine_dir)
-    except FileNotFoundError:
-        pass
-    full = prior.unionByName(dead) if prior is not None else dead
-    versioned.write_snapshot(
-        full, quarantine_dir, txn_id=f"{txn_app_id}-{batch_id}"
+    # APPEND-mode commit (versioned.append_rows): per-batch I/O is the
+    # batch's dead rows only — never the accumulated history (the
+    # prior union-rewrite was quadratic over a long-running stream;
+    # ADVICE r7). Readers resolve the delta chain through
+    # read_snapshot; retention on the all-delta table is deliberately
+    # left to a periodic versioned.checkpoint_appends + vacuum by a
+    # triage/compaction job — dead letters are an audit log, and
+    # vacuuming per-batch would be a chain-aware no-op anyway.
+    versioned.append_rows(
+        dead, quarantine_dir, txn_id=f"{txn_app_id}-{batch_id}"
     )
-    versioned.vacuum_snapshots(quarantine_dir, keep_last=2)
 
 
 def run_stream_quality_split(
