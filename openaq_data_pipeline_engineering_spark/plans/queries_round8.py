@@ -1,0 +1,217 @@
+"""Round-8 declared queries: prose scale rules converted to code, plus
+the lakehouse read/write surface the round-7 verdict scoped.
+
+- ``fuzzy_linkage_autoblock``: operators/linkage.skew_safe_fuzzy_join —
+  the occupancy-driven blocking rule (auto_block_width, the
+  fuzzy-linkage twin of functions.vectors.auto_bits) with the
+  per-block row cap ENFORCED: hot blocks re-block on a widened prefix
+  via a broadcast overflow list, residual overflow is a loud error.
+  The round-7 x32 probe showed the fixed-prefix pathology (166.7×
+  wall under replication); this is the code-form mitigation.
+- ``versioned_append_log``: operators/versioned.append_rows — append
+  (delta) versions: per-commit I/O is the batch only, readers resolve
+  base + delta chain, time travel lands mid-chain.
+
+Registered LAST in registry._load_all so these fresh names lead the
+driver's ~50-query prefix ahead of the stalest-evidence greens.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_engineering_spark.plans.registry import query
+from openaq_data_pipeline_engineering_spark.scratch import fresh_scratch_dir
+from openaq_data_pipeline_engineering_spark.sources.star import (
+    fan_out,
+    load_table,
+)
+
+
+# --------------------------------------------------------------------------
+# Skew-safe fuzzy linkage (VERDICT r7 #1): customer names are
+# 'Customer#%09d' — zero-padded, so ANY short prefix is one giant hot
+# block (at sf0.01 all 1,500 names share their first 12 characters:
+# the exact-replica x32 pathology, but arising naturally). The base
+# width comes from auto_block_width (occupancy-driven, like auto_bits);
+# the per-block cap then measures the real distribution, finds the hot
+# block, and re-blocks it on prefix 17 — inside the shortest dirty
+# name (17 chars after truncation), so the widening can never split a
+# true pair. Residual blocks are <= 10 rows (one varying digit),
+# provably under the cap, and the loud-overflow contract stays armed.
+# Scale: one shuffle on the final key + two block-count aggregations
+# ∝ distinct blocks + one broadcast of the (tiny) overflow list.
+# --------------------------------------------------------------------------
+_AB_CAP = 64
+
+
+def _ab_width_sql() -> str:
+    from openaq_data_pipeline_engineering_spark.operators.linkage import (
+        auto_block_width_sql,
+    )
+
+    return (
+        "9 + "
+        + auto_block_width_sql(
+            "(SELECT count(*) FROM customer)", target_block_rows=_AB_CAP
+        )
+    )
+
+
+@query(
+    "fuzzy_linkage_autoblock",
+    "skew-safe entity resolution: occupancy-driven base width "
+    "(auto_block_width) + enforced per-block cap — hot blocks re-block "
+    "on a widened prefix, residual overflow is a loud error",
+    oracle=f"""
+    WITH params AS (SELECT {_ab_width_sql()} AS bw),
+    dirty AS (
+        SELECT c_custkey AS d_id,
+               substring(c_name, 1, length(c_name) - 1) AS d_name
+        FROM customer
+    ), rnb AS (
+        SELECT c_custkey, c_name, c_mktsegment,
+               substring(c_name, 1, (SELECT bw FROM params)) AS nb
+        FROM customer
+    ), over_blocks AS (
+        SELECT nb FROM rnb GROUP BY nb HAVING count(*) > {_AB_CAP}
+    ), rkey AS (
+        SELECT c_custkey, c_name, c_mktsegment,
+               CASE WHEN nb IN (SELECT nb FROM over_blocks)
+                    THEN 'W' || substring(c_name, 1, 17)
+                    ELSE 'N' || nb END AS bkey
+        FROM rnb
+    ), lkey AS (
+        SELECT d_id, d_name,
+               CASE WHEN substring(d_name, 1, (SELECT bw FROM params))
+                         IN (SELECT nb FROM over_blocks)
+                    THEN 'W' || substring(d_name, 1, 17)
+                    ELSE 'N' || substring(d_name, 1,
+                                          (SELECT bw FROM params))
+               END AS bkey
+        FROM dirty
+    ), pairs AS (
+        SELECT l.d_id, r.c_custkey, r.c_mktsegment,
+               levenshtein(l.d_name, r.c_name) AS edit_distance
+        FROM lkey l JOIN rkey r ON l.bkey = r.bkey
+        WHERE levenshtein(l.d_name, r.c_name) <= 1
+    ), best AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY d_id
+                ORDER BY edit_distance ASC, c_custkey ASC
+            ) AS rn FROM pairs
+        ) WHERE rn = 1
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_linked,
+           CAST(sum(CASE WHEN d_id = c_custkey THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_self,
+           CAST(sum(edit_distance) AS BIGINT) AS total_edits
+    FROM best GROUP BY c_mktsegment
+    """,
+)
+def fuzzy_linkage_autoblock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.operators.linkage import (
+        auto_block_width,
+        best_match,
+        skew_safe_fuzzy_join,
+    )
+
+    cust = fan_out(load_table(spark, sf_dir, "customer"))
+    n = cust.count()
+    base_chars = 9 + auto_block_width(n, target_block_rows=_AB_CAP)
+    dirty = cust.select(
+        F.col("c_custkey").alias("d_id"),
+        F.expr("substring(c_name, 1, length(c_name) - 1)").alias("d_name"),
+    )
+    clean = cust.select("c_custkey", "c_name", "c_mktsegment")
+    pairs = skew_safe_fuzzy_join(
+        dirty,
+        clean,
+        "d_name",
+        "c_name",
+        base_chars=base_chars,
+        widened_chars=17,
+        target_block_rows=_AB_CAP,
+        max_distance=1,
+    )
+    best = best_match(pairs, "d_id", tiebreak="c_custkey")
+    return best.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_linked"),
+        F.sum(F.when(F.col("d_id") == F.col("c_custkey"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_self"),
+        F.sum("edit_distance").cast("bigint").alias("total_edits"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Append (delta) versions (ADVICE r7 #3 follow-through): three
+# region-sliced appends onto a full base, read back COLD at latest and
+# mid-chain. The witness pins chain-resolution content (base + deltas),
+# so the O(batch)-per-commit dead-letter path rides on verified reads.
+# Scale: per-commit write ∝ the delta; the chain read is a parquet
+# union over version directories — compaction (checkpoint_appends)
+# re-bases when the chain gets long.
+# --------------------------------------------------------------------------
+@query(
+    "versioned_append_log",
+    "append-mode versions: per-commit I/O is the batch only; cold "
+    "chain read (full base + deltas) at latest and mid-chain "
+    "time travel",
+    oracle="""
+    WITH base AS (
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+        WHERE n_regionkey = 0
+    ), d1 AS (
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+        WHERE n_regionkey = 1
+    ), d2 AS (
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+        WHERE n_regionkey = 2
+    ), latest AS (
+        SELECT * FROM base UNION ALL SELECT * FROM d1
+        UNION ALL SELECT * FROM d2
+    ), mid AS (
+        SELECT * FROM base UNION ALL SELECT * FROM d1
+    )
+    SELECT 'latest' AS snapshot,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM latest
+    UNION ALL
+    SELECT 'mid' AS snapshot,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM mid
+    """,
+)
+def versioned_append_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        append_rows,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    root = fresh_scratch_dir("append_log")
+    write_snapshot(nation.filter(F.col("n_regionkey") == 0), root)
+    v_mid = append_rows(nation.filter(F.col("n_regionkey") == 1), root)
+    append_rows(nation.filter(F.col("n_regionkey") == 2), root)
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("snapshot"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        ).select("snapshot", "n_rows", "key_sum")
+
+    latest = read_snapshot(spark, root)
+    mid = read_snapshot(spark, root, version=v_mid)
+    return agg(latest, "latest").unionByName(agg(mid, "mid"))

@@ -81,16 +81,20 @@ def _load_all() -> None:
     from openaq_data_pipeline_engineering_spark.plans import queries_round5  # noqa: F401
     from openaq_data_pipeline_engineering_spark.plans import queries_round6  # noqa: F401
     from openaq_data_pipeline_engineering_spark.plans import queries_round7  # noqa: F401
+    from openaq_data_pipeline_engineering_spark.plans import queries_round8  # noqa: F401
 
 
 def _latest_correctness() -> dict:
     """Per-query MOST RECENT row across every committed
-    CORRECTNESS_r{N}.json at the repo root, or {}.
+    CORRECTNESS_r{N}.json at the repo root, each row annotated with the
+    round it came from (``row["_round"]``), or {}.
 
     Overlaying rounds (ascending, later rows win) matters because the
     driver writes rows only for the ~50-query prefix it checks each
     round: a query green in round 2 but absent from round 3's snapshot
     is still verified and must not jump ahead of never-checked queries.
+    The recorded round is the EVIDENCE AGE used to rotate stale greens
+    back under the driver (see _ordered_names).
 
     Used only to ORDER the registry (see _ordered_names); never to skip
     or alter a query. Any read/parse failure degrades to registration
@@ -103,11 +107,16 @@ def _latest_correctness() -> dict:
         if m:
             rounds.append((int(m.group(1)), p))
     merged: dict = {}
-    for _, p in sorted(rounds):
+    for rnd, p in sorted(rounds):
         try:
-            merged.update(json.loads(p.read_text()))
+            doc = json.loads(p.read_text())
         except (OSError, ValueError):
             continue
+        for name, row in doc.items():
+            if isinstance(row, dict):
+                row = dict(row)
+                row["_round"] = rnd
+            merged[name] = row
     return merged
 
 
@@ -132,17 +141,26 @@ _DEFER_ONE_ROTATION = (
 
 def _ordered_names() -> list[str]:
     """Registry order: queries WITHOUT a green row in the latest
-    correctness snapshot first, greens last (stable within each group).
+    correctness snapshot first (stable registration order), then greens
+    by ASCENDING evidence age — the round of their newest green row —
+    so the driver's bounded per-round prefix re-validates the STALEST
+    evidence first (VERDICT r7 #2: with every name green at least
+    once, the rotation's job is freshness, not coverage).
 
     The driver checks a bounded prefix of ``queries()`` per round, so
-    surfacing not-yet-verified queries first converts them to driver
-    rows fastest; already-green queries rotate back in on later rounds.
+    never-verified queries convert to driver rows fastest, and a green
+    from round 2 rotates back under the driver before a green from
+    round 7. Ties (same round) keep registration order, so the cycle
+    is deterministic.
     """
     prior = _latest_correctness()
 
     def is_green(name: str) -> bool:
         row = prior.get(name)
         return bool(row) and row.get("hash_match") is True
+
+    def green_round(name: str) -> int:
+        return int(prior[name].get("_round", 0))
 
     names = list(QUERIES)
     fresh = [
@@ -151,7 +169,9 @@ def _ordered_names() -> list[str]:
     deferred = [
         n for n in names if not is_green(n) and n in _DEFER_ONE_ROTATION
     ]
-    return fresh + deferred + [n for n in names if is_green(n)]
+    greens = [n for n in names if is_green(n)]
+    greens.sort(key=green_round)  # stable: ties keep registration order
+    return fresh + deferred + greens
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
