@@ -20,18 +20,28 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def file_stats(df: DataFrame, key_cols: list[str]) -> DataFrame:
+def file_stats(
+    df: DataFrame, key_cols: list[str], use_path: bool = False
+) -> DataFrame:
     """Per-file manifest: file_name, n_rows, {col}_min / {col}_max.
 
     ``df`` must be a file-source DataFrame (parquet/orc/json scan) so
-    the `_metadata` struct is available.
+    the `_metadata` struct is available. ``use_path=True`` keys the
+    manifest on the FULL file path instead of the base name — required
+    for Hive-PARTITIONED tables, where one write job's range task can
+    emit identically-named part files into two partition directories
+    (same task number + job UUID); name-keyed stats would union their
+    bounds and under-prune. The manifest column is still called
+    ``file_name`` so the pruning helpers compose unchanged — pass the
+    same ``use_path`` to them.
     """
+    src = "_metadata.file_path" if use_path else "_metadata.file_name"
     aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
     for c in key_cols:
         aggs.append(F.min(c).alias(f"{c}_min"))
         aggs.append(F.max(c).alias(f"{c}_max"))
     return (
-        df.select(F.col("_metadata.file_name").alias("file_name"), *key_cols)
+        df.select(F.col(src).alias("file_name"), *key_cols)
         .groupBy("file_name")
         .agg(*aggs)
     )
@@ -96,15 +106,20 @@ def candidate_files_box(
 
 
 def pruned_read_box(
-    df: DataFrame, stats: DataFrame, preds: dict[str, tuple]
+    df: DataFrame,
+    stats: DataFrame,
+    preds: dict[str, tuple],
+    use_path: bool = False,
 ) -> DataFrame:
     """Box-predicate read through the manifest: constrain the scan to
     files whose bounding boxes intersect the query box, then apply the
     exact per-column range predicates. Same declarative shape as
     :func:`pruned_read` (broadcast file-list semi-constraint; at scale
-    the candidate list feeds the reader as a path list)."""
+    the candidate list feeds the reader as a path list). Pass the
+    ``use_path`` the manifest was built with (partitioned tables)."""
+    src = "_metadata.file_path" if use_path else "_metadata.file_name"
     cands = candidate_files_box(stats, preds)
-    out = df.withColumn("__file", F.col("_metadata.file_name")).join(
+    out = df.withColumn("__file", F.col(src)).join(
         F.broadcast(cands.withColumnRenamed("file_name", "__file")),
         on="__file",
         how="inner",

@@ -11,6 +11,14 @@ the lakehouse read/write surface the round-7 verdict scoped.
 - ``versioned_append_log``: operators/versioned.append_rows — append
   (delta) versions: per-commit I/O is the batch only, readers resolve
   base + delta chain, time travel lands mid-chain.
+- ``zorder_partitioned_pruned_read``: OPTIMIZE ... ZORDER BY on a
+  Hive-PARTITIONED table (operators/sqlutil._zorder_rewrite_partitioned
+  — VERDICT r7 #3): z-clusters WITHIN each partition in one
+  distributed range-repartition, then a 2-D box read through the
+  path-keyed skipstats manifest.
+- ``zorder3_box_pruned_read``: N-column Morton interleave
+  (functions/zorder.morton_code_n — VERDICT r7 #4): 3-column ZORDER
+  statement + 3-D box pruning, third dimension included.
 
 Registered LAST in registry._load_all so these fresh names lead the
 driver's ~50-query prefix ahead of the stalest-evidence greens.
@@ -215,3 +223,133 @@ def versioned_append_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = read_snapshot(spark, root)
     mid = read_snapshot(spark, root, version=v_mid)
     return agg(latest, "latest").unionByName(agg(mid, "mid"))
+
+
+# --------------------------------------------------------------------------
+# Z-order within a PARTITIONED table (VERDICT r7 #3): the flagship mart
+# layout is Hive-partitioned, so the statement form must reach it. The
+# witness writes events partitioned by event_type in a user_id-
+# clustered (val_floor-unprunable) layout, z-clusters WITHIN partitions
+# via the OPTIMIZE statement, and runs a 2-D box read through the
+# path-keyed manifest (file NAMES can repeat across partition dirs
+# within one write job — the manifest keys on the full path). The
+# aggregate must equal a plain filter; the pruning RATIO (>half of a
+# touched partition's files skipped on the second dimension) is pinned
+# by tests/test_round8_queries.py, not the oracle.
+# Scale: one distributed range-repartition on (partition cols, morton
+# key) — no per-partition driver loop; dynamic overwrite keeps
+# untouched partitions intact under a WHERE.
+# --------------------------------------------------------------------------
+_ZBOX = {"user_id": (4, 11), "val_floor": (64, 255)}
+
+
+@query(
+    "zorder_partitioned_pruned_read",
+    "OPTIMIZE ZORDER on a Hive-partitioned table: per-partition Morton "
+    "clustering via one distributed rewrite, 2-D box read through the "
+    "path-keyed file manifest equals a plain filter",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events
+    WHERE user_id BETWEEN 4 AND 11
+      AND CAST(floor(value) AS BIGINT) BETWEEN 64 AND 255
+    GROUP BY event_type
+    """,
+)
+def zorder_partitioned_pruned_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.engine import Engine
+    from openaq_data_pipeline_engineering_spark.operators.skipstats import (
+        file_stats,
+        pruned_read_box,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.floor("value").cast("bigint").alias("val_floor"),
+    )
+    out = fresh_scratch_dir("zorder_part_table")
+    # fragmented start: 4 user_id-range files per partition, val_floor
+    # scattered everywhere (unprunable before the rewrite)
+    (
+        ev.repartitionByRange(4, "user_id")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    Engine(spark).sql(f"OPTIMIZE '{out}' ZORDER BY (user_id, val_floor)")
+    table = spark.read.parquet(out)
+    stats = file_stats(table, ["user_id", "val_floor"], use_path=True)
+    box = pruned_read_box(table, stats, _ZBOX, use_path=True)
+    return box.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# N-column Z-order (VERDICT r7 #4): 3 columns interleave at 16 bits
+# each (48 < 63); the 3-D box read must prune on the THIRD dimension
+# too — pinned by tests/test_round8_queries.py with a day-only
+# predicate. The aggregate equals a plain 3-predicate filter.
+# --------------------------------------------------------------------------
+_ZBOX3 = {"user_id": (4, 11), "val_floor": (64, 255), "day": (5, 20)}
+
+
+@query(
+    "zorder3_box_pruned_read",
+    "3-column Morton interleave (morton_code_n) via the ZORDER "
+    "statement: 3-D box read through the file manifest equals a plain "
+    "filter, third dimension prunable",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events
+    WHERE user_id BETWEEN 4 AND 11
+      AND CAST(floor(value) AS BIGINT) BETWEEN 64 AND 255
+      AND date_part('day', ts) BETWEEN 5 AND 20
+    GROUP BY event_type
+    """,
+)
+def zorder3_box_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.engine import Engine
+    from openaq_data_pipeline_engineering_spark.operators.skipstats import (
+        file_stats,
+        pruned_read_box,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.floor("value").cast("bigint").alias("val_floor"),
+        F.dayofmonth("ts").cast("bigint").alias("day"),
+    )
+    out = fresh_scratch_dir("zorder3_table")
+    ev.repartitionByRange(16, "event_id").write.mode("overwrite").parquet(
+        out
+    )
+    Engine(spark).sql(
+        f"OPTIMIZE '{out}' ZORDER BY (user_id, val_floor, day)"
+    )
+    table = spark.read.parquet(out)
+    stats = file_stats(table, ["user_id", "val_floor", "day"])
+    box = pruned_read_box(table, stats, _ZBOX3)
+    return box.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )

@@ -397,9 +397,12 @@ class TestSqlUtilStatements:
         )
 
         eng = Engine(spark)
-        with pytest.raises(UtilStatementError, match="one or two"):
-            eng.sql("OPTIMIZE '/tmp/x' ZORDER BY (a, b, c)")
-        with pytest.raises(UtilStatementError, match="WHERE applies"):
+        with pytest.raises(UtilStatementError, match="1-6 columns"):
+            eng.sql(
+                "OPTIMIZE '/tmp/x' ZORDER BY (a, b, c, d, e, f, g)"
+            )
+        # WHERE + ZORDER selects partitions — needs a partitioned table
+        with pytest.raises(UtilStatementError, match="partitioned"):
             eng.sql("OPTIMIZE '/tmp/x' WHERE a = 1 ZORDER BY (a)")
         with pytest.raises(UtilStatementError, match="unparseable VACUUM"):
             eng.sql("VACUUM '/tmp/x' RETAIN 2 HOURS")

@@ -1,0 +1,195 @@
+"""Round-8 surfaces: partitioned/N-column z-order, append-log reads,
+SQL time travel, merge schema evolution."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_engineering_spark.engine import Engine
+from openaq_data_pipeline_engineering_spark.scratch import fresh_scratch_dir
+from openaq_data_pipeline_engineering_spark.sources.star import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestMortonN:
+    def test_pairwise_layout_unchanged(self, spark):
+        from openaq_data_pipeline_engineering_spark.functions.zorder import (
+            morton_code,
+            morton_code_n,
+        )
+
+        df = spark.createDataFrame(
+            [(x, y) for x in range(8) for y in range(8)], "x int, y int"
+        )
+        two = df.select(
+            morton_code("x", "y", bits=8).alias("a"),
+            morton_code_n(["x", "y"], bits=8).alias("b"),
+        )
+        assert two.filter("a <> b").count() == 0
+
+    def test_three_way_interleave_positions(self, spark):
+        from openaq_data_pipeline_engineering_spark.functions.zorder import (
+            morton_code_n,
+        )
+
+        # bit i of col j lands at i*3 + j: (1,0,0)->1, (0,1,0)->2,
+        # (0,0,1)->4, (2,0,0)->8, (0,2,0)->16, (0,0,2)->32, (3,3,3)->63
+        rows = [
+            (1, 0, 0, 1), (0, 1, 0, 2), (0, 0, 1, 4),
+            (2, 0, 0, 8), (0, 2, 0, 16), (0, 0, 2, 32),
+            (3, 3, 3, 63), (0, 0, 0, 0),
+        ]
+        df = spark.createDataFrame(rows, "x int, y int, z int, want int")
+        got = df.select(
+            "want", morton_code_n(["x", "y", "z"], bits=2).alias("code")
+        )
+        assert got.filter("want <> code").count() == 0
+
+    def test_sql_twin_matches(self, spark):
+        import duckdb
+
+        from openaq_data_pipeline_engineering_spark.functions.zorder import (
+            morton_code_n,
+            morton_code_n_sql,
+        )
+
+        rows = [(x, y, z) for x in range(4) for y in range(4)
+                for z in range(4)]
+        df = spark.createDataFrame(rows, "x int, y int, z int")
+        got = {
+            (r["x"], r["y"], r["z"]): r["code"]
+            for r in df.select(
+                "x", "y", "z",
+                morton_code_n(["x", "y", "z"], bits=4).alias("code"),
+            ).collect()
+        }
+        con = duckdb.connect()
+        expr = morton_code_n_sql(["x", "y", "z"], bits=4)
+        for (x, y, z), code in got.items():
+            sql_code = con.execute(
+                f"SELECT {expr} FROM (SELECT {x} x, {y} y, {z} z)"
+            ).fetchone()[0]
+            assert sql_code == code
+
+    def test_bit_budget_enforced(self):
+        from openaq_data_pipeline_engineering_spark.functions.zorder import (
+            morton_code_n,
+        )
+
+        with pytest.raises(ValueError):
+            morton_code_n(["a", "b", "c", "d"], bits=16)  # 64 > 63
+        with pytest.raises(ValueError):
+            morton_code_n([], bits=8)
+
+
+class TestZorderPartitioned:
+    def _table(self, spark):
+        ev = load_table(spark, SF_DIR, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.floor("value").cast("bigint").alias("val_floor"),
+        )
+        out = fresh_scratch_dir("t_zpart")
+        (
+            ev.repartitionByRange(4, "user_id")
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(out)
+        )
+        return ev, out
+
+    def test_partition_pruning_ratio_on_second_dimension(self, spark):
+        """VERDICT r7 #3 'done' bar: after the partitioned ZORDER
+        rewrite, more than half of a touched partition's files are
+        pruned by a second-dimension (val_floor) box."""
+        from openaq_data_pipeline_engineering_spark.operators.skipstats import (
+            candidate_files_box,
+            file_stats,
+        )
+
+        ev, out = self._table(spark)
+        n_rows = ev.count()
+        m = Engine(spark).sql(
+            f"OPTIMIZE '{out}' ZORDER BY (user_id, val_floor)"
+        ).first()
+        assert m["n_rows"] == n_rows
+        table = spark.read.parquet(out)
+        # content preserved
+        assert table.agg(
+            F.sum("value"), F.count(F.lit(1))
+        ).first()[1] == n_rows
+        # per-partition manifest: val_floor must prune >half the files
+        # of each partition (boxes are disjoint within a partition)
+        one_part = table.filter(F.col("event_type") == "view")
+        stats = file_stats(one_part, ["val_floor"], use_path=True)
+        n_files = stats.count()
+        assert n_files >= 4  # the rewrite kept multiple files/partition
+        n_cand = candidate_files_box(
+            stats, {"val_floor": (64, 127)}
+        ).count()
+        assert n_cand < n_files / 2
+
+    def test_where_rewrites_selected_partitions_only(self, spark):
+        ev, out = self._table(spark)
+
+        def files_of(part):
+            d = os.path.join(out, f"event_type={part}")
+            return sorted(
+                f for f in os.listdir(d) if f.endswith(".parquet")
+            )
+
+        before_view, before_click = files_of("view"), files_of("click")
+        Engine(spark).sql(
+            f"OPTIMIZE '{out}' WHERE event_type = 'click' "
+            "ZORDER BY (user_id, val_floor)"
+        )
+        assert files_of("view") == before_view  # untouched
+        assert files_of("click") != before_click  # rewritten
+        # content preserved across the selective rewrite
+        back = spark.read.parquet(out)
+        assert back.count() == ev.count()
+
+    def test_zorder_on_partition_column_rejected(self, spark):
+        from openaq_data_pipeline_engineering_spark.operators.sqlutil import (
+            UtilStatementError,
+        )
+
+        _, out = self._table(spark)
+        with pytest.raises(UtilStatementError, match="partition columns"):
+            Engine(spark).sql(
+                f"OPTIMIZE '{out}' ZORDER BY (event_type, user_id)"
+            )
+
+    def test_third_dimension_prunes_alone(self, spark):
+        """VERDICT r7 #4 'done' bar: a 3-column z-order leaves the
+        THIRD dimension prunable on its own."""
+        from openaq_data_pipeline_engineering_spark.operators.skipstats import (
+            candidate_files_box,
+            file_stats,
+        )
+
+        ev = load_table(spark, SF_DIR, "events").select(
+            "event_id",
+            "user_id",
+            F.floor("value").cast("bigint").alias("val_floor"),
+            F.dayofmonth("ts").cast("bigint").alias("day"),
+        )
+        out = fresh_scratch_dir("t_z3")
+        ev.repartitionByRange(16, "event_id").write.mode(
+            "overwrite"
+        ).parquet(out)
+        Engine(spark).sql(
+            f"OPTIMIZE '{out}' ZORDER BY (user_id, val_floor, day)"
+        )
+        table = spark.read.parquet(out)
+        stats = file_stats(table, ["day"])
+        n_files = stats.count()
+        n_cand = candidate_files_box(stats, {"day": (1, 4)}).count()
+        assert n_files >= 8
+        assert n_cand < n_files  # third dimension alone skips files
