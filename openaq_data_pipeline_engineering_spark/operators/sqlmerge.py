@@ -461,6 +461,7 @@ def execute_merge(
     source_df: DataFrame | None = None,
     strict: bool = True,
     strict_materialize: bool = True,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Plan a MERGE statement; returns the POST-MERGE target DataFrame.
 
@@ -476,6 +477,19 @@ def execute_merge(
     check is one COUNT aggregation planned off the same join (the
     matched side only); disable for pre-deduplicated sources where the
     extra job matters.
+
+    ``evolve_schema=True`` adds Delta's automatic schema evolution
+    (``spark.databricks.delta.schema.autoMerge`` semantics): source
+    columns ABSENT from the target are added to the output schema,
+    null-backfilled on every pre-existing target row, and populated by
+    ``UPDATE SET *`` / ``INSERT *`` / explicit assignments exactly as
+    if the target had always carried them. Column identity is
+    case-insensitive (matching the canonicalizer below); the target's
+    columns always come first in the output schema, new columns append
+    in source order. Key/ON columns are unaffected — the ON condition
+    references existing columns on both sides. The statement form
+    (Engine.sql) enables this via the session conf
+    ``spark.openaq.merge.schemaEvolution=true``.
 
     ``strict_materialize`` picks the strict check's cost model:
     True (default) persists the joined relation (MEMORY_AND_DISK) so
@@ -503,6 +517,18 @@ def execute_merge(
             if st.source.startswith("(")
             else spark.table(st.source)
         )
+    if evolve_schema:
+        # Schema evolution: extend the target with the source's new
+        # columns (NULL of the source's type on pre-existing rows)
+        # BEFORE planning — the projection machinery below then treats
+        # them as ordinary target columns, so SET * / INSERT * and
+        # explicit assignments populate them with no special cases.
+        have = {c.lower() for c in target_df.columns}
+        for f in source_df.schema.fields:
+            if f.name.lower() not in have:
+                target_df = target_df.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
     out_cols = list(target_df.columns)
 
     # Every assignment target / INSERT column must name a REAL target

@@ -353,3 +353,139 @@ def zorder3_box_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# SQL time-travel READ (VERDICT r7 #5): OPTIMIZE/VACUUM/MERGE were
+# statements, but a pinned-version read could only be an operator
+# call. Engine.sql now resolves FROM '<root>' VERSION AS OF n |
+# TIMESTAMP AS OF ts onto read_snapshot temp views (matching on the
+# comment-stripped text; spans splice the original statement). The
+# witness builds two versions, reads v1 back via VERSION AS OF and via
+# TIMESTAMP AS OF its recorded commit time, and the latest via a plain
+# read — all through SQL.
+# Scale: resolution is a manifest read (O(#versions)); the query body
+# plans exactly as if it named a registered view.
+# --------------------------------------------------------------------------
+@query(
+    "sql_time_travel_select",
+    "SELECT ... FROM '<root>' VERSION AS OF n / TIMESTAMP AS OF ts "
+    "through Engine.sql: pinned reads resolve onto read_snapshot "
+    "temp views",
+    oracle="""
+    WITH v1 AS (
+        SELECT n_nationkey, n_regionkey FROM nation WHERE n_regionkey < 2
+    ), v2 AS (
+        SELECT n_nationkey, n_regionkey FROM nation
+    )
+    SELECT 'v1_by_version' AS snapshot,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM v1
+    UNION ALL
+    SELECT 'v1_by_timestamp' AS snapshot,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM v1
+    UNION ALL
+    SELECT 'latest' AS snapshot,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM v2
+    """,
+)
+def sql_time_travel_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.engine import Engine
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        snapshot_commit_times,
+        write_snapshot,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    root = fresh_scratch_dir("sql_time_travel")
+    write_snapshot(nation.filter(F.col("n_regionkey") < 2), root)
+    write_snapshot(nation, root)
+    ts1 = snapshot_commit_times(root)[1]
+    eng = Engine(spark)
+
+    def agg(tag: str, from_clause: str) -> DataFrame:
+        return eng.sql(
+            f"SELECT '{tag}' AS snapshot, "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(n_nationkey) AS BIGINT) AS key_sum "
+            f"FROM {from_clause}"
+        )
+
+    return (
+        agg("v1_by_version", f"'{root}' VERSION AS OF 1")
+        .unionByName(
+            agg("v1_by_timestamp", f"'{root}' TIMESTAMP AS OF {ts1!r}")
+        )
+        .unionByName(agg("latest", f"'{root}' VERSION AS OF 2"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MERGE schema evolution (VERDICT r7 #6): the source carries a column
+# the target lacks (n_regionkey). With the session conf
+# spark.openaq.merge.schemaEvolution=true the statement form adds it —
+# pre-existing unmatched target rows read NULL, updated and inserted
+# rows take the source value (Delta autoMerge semantics). The
+# post-merge table publishes atomically (write_snapshot), reads back
+# COLD, and hash-matches the DuckDB replay over the union schema.
+# --------------------------------------------------------------------------
+@query(
+    "sql_merge_evolving",
+    "MERGE with automatic schema evolution: new source column joins "
+    "the target schema, NULL on untouched rows, populated by "
+    "UPDATE SET * / INSERT *; post-merge table matches the oracle "
+    "over the union schema",
+    oracle="""
+    SELECT n_nationkey,
+           CASE WHEN n_regionkey = 0 THEN n_name
+                ELSE n_name || '*' END AS n_name,
+           CASE WHEN n_regionkey = 0 THEN NULL
+                ELSE n_regionkey END AS n_regionkey
+    FROM nation WHERE n_regionkey < 4
+    """,
+)
+def sql_merge_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.engine import Engine
+    from openaq_data_pipeline_engineering_spark.operators.sqlmerge import (
+        release_merge_cache,
+    )
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    target = nation.filter(F.col("n_regionkey") < 2).select(
+        "n_nationkey", "n_name"
+    )
+    source = nation.filter(F.col("n_regionkey").isin(1, 2, 3)).select(
+        "n_nationkey",
+        F.concat(F.col("n_name"), F.lit("*")).alias("n_name"),
+        "n_regionkey",
+    )
+    eng = Engine(spark)
+    eng.register("evo_tgt", target)
+    eng.register("evo_src", source)
+    spark.conf.set("spark.openaq.merge.schemaEvolution", "true")
+    merged = None
+    try:
+        merged = eng.sql(
+            "MERGE INTO evo_tgt t USING evo_src s "
+            "ON t.n_nationkey = s.n_nationkey "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        root = fresh_scratch_dir("merge_evolving")
+        write_snapshot(merged, root)  # atomic publication
+    finally:
+        if merged is not None:
+            release_merge_cache(merged)  # ADVICE r7: release after publish
+        spark.conf.set("spark.openaq.merge.schemaEvolution", "false")
+    return read_snapshot(spark, root)  # cold read-back, union schema

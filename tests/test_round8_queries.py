@@ -193,3 +193,167 @@ class TestZorderPartitioned:
         n_cand = candidate_files_box(stats, {"day": (1, 4)}).count()
         assert n_files >= 8
         assert n_cand < n_files  # third dimension alone skips files
+
+
+class TestSqlTimeTravel:
+    def _root(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            write_snapshot,
+        )
+
+        root = str(tmp_path / "tt")
+        write_snapshot(
+            spark.createDataFrame([(1, "a")], "k int, v string"), root
+        )
+        write_snapshot(
+            spark.createDataFrame(
+                [(1, "a"), (2, "b")], "k int, v string"
+            ),
+            root,
+        )
+        return root
+
+    def test_version_as_of_and_join(self, spark, tmp_path):
+        root = self._root(spark, tmp_path)
+        eng = Engine(spark)
+        assert eng.sql(
+            f"SELECT count(*) AS n FROM '{root}' VERSION AS OF 1"
+        ).first()["n"] == 1
+        row = eng.sql(
+            f"SELECT count(*) AS n FROM '{root}' VERSION AS OF 1 a "
+            f"JOIN '{root}' VERSION AS OF 2 b ON a.k = b.k"
+        ).first()
+        assert row["n"] == 1
+
+    def test_timestamp_as_of_numeric_and_iso(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            _read_manifest_doc,
+            _write_manifest,
+        )
+
+        root = self._root(spark, tmp_path)
+        # pin commit times so the ISO literal is exact (fromtimestamp
+        # of a live commit time rounds to microseconds and can land
+        # BEFORE the commit)
+        doc = _read_manifest_doc(root)
+        _write_manifest(
+            root, doc["versions"], doc["txns"], {1: 100.0, 2: 200.0}
+        )
+        eng = Engine(spark)
+        assert eng.sql(
+            f"SELECT count(*) AS n FROM '{root}' TIMESTAMP AS OF 150.0"
+        ).first()["n"] == 1
+        # 1970-01-01T00:02:30 UTC = epoch 150; naive ISO parses as UTC
+        assert eng.sql(
+            f"SELECT count(*) AS n FROM '{root}' "
+            "TIMESTAMP AS OF '1970-01-01T00:02:30'"
+        ).first()["n"] == 1
+        assert eng.sql(
+            f"SELECT count(*) AS n FROM '{root}' TIMESTAMP AS OF 250.0"
+        ).first()["n"] == 2
+
+    def test_commented_clause_not_resolved(self, spark, tmp_path):
+        root = self._root(spark, tmp_path)
+        out = Engine(spark).sql(
+            f"SELECT 7 AS n -- FROM '{root}' VERSION AS OF 99\n"
+        )
+        assert out.first()["n"] == 7
+
+    def test_version_as_of_string_rejected(self, spark, tmp_path):
+        root = self._root(spark, tmp_path)
+        with pytest.raises(ValueError, match="integer version"):
+            Engine(spark).sql(
+                f"SELECT * FROM '{root}' VERSION AS OF 'one'"
+            )
+
+
+class TestMergeSchemaEvolution:
+    def _frames(self, spark):
+        tgt = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k int, v string"
+        )
+        src = spark.createDataFrame(
+            [(2, "B", 20.0), (3, "C", 30.0)], "k int, v string, score double"
+        )
+        return tgt, src
+
+    def test_evolving_merge_adds_column(self, spark):
+        from openaq_data_pipeline_engineering_spark.operators.sqlmerge import (
+            execute_merge,
+        )
+
+        tgt, src = self._frames(spark)
+        out = execute_merge(
+            spark,
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+            target_df=tgt,
+            source_df=src,
+            evolve_schema=True,
+        )
+        assert out.columns == ["k", "v", "score"]
+        got = {r["k"]: (r["v"], r["score"]) for r in out.collect()}
+        assert got == {1: ("a", None), 2: ("B", 20.0), 3: ("C", 30.0)}
+
+    def test_explicit_assignment_to_new_column(self, spark):
+        from openaq_data_pipeline_engineering_spark.operators.sqlmerge import (
+            execute_merge,
+        )
+
+        tgt, src = self._frames(spark)
+        out = execute_merge(
+            spark,
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET score = s.score * 2",
+            target_df=tgt,
+            source_df=src,
+            evolve_schema=True,
+        )
+        got = {r["k"]: r["score"] for r in out.collect()}
+        assert got == {1: None, 2: 40.0}
+
+    def test_without_flag_unknown_column_still_rejected(self, spark):
+        from openaq_data_pipeline_engineering_spark.operators.sqlmerge import (
+            MergeError,
+            execute_merge,
+        )
+
+        tgt, src = self._frames(spark)
+        with pytest.raises(MergeError, match="not in the target schema"):
+            execute_merge(
+                spark,
+                "MERGE INTO t USING s ON t.k = s.k "
+                "WHEN MATCHED THEN UPDATE SET score = s.score",
+                target_df=tgt,
+                source_df=src,
+            )
+
+    def test_statement_form_via_conf(self, spark):
+        tgt, src = self._frames(spark)
+        eng = Engine(spark)
+        eng.register("evo_t", tgt)
+        eng.register("evo_s", src)
+        stmt = (
+            "MERGE INTO evo_t t USING evo_s s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        spark.conf.set("spark.openaq.merge.schemaEvolution", "true")
+        try:
+            out = eng.sql(stmt)
+            assert out.columns == ["k", "v", "score"]
+        finally:
+            spark.conf.set("spark.openaq.merge.schemaEvolution", "false")
+        # conf off: the same statement rejects... nothing here — SET */
+        # INSERT * with extra source columns is an aligned-schema
+        # contract; the explicit-assignment form stays rejected
+        from openaq_data_pipeline_engineering_spark.operators.sqlmerge import (
+            MergeError,
+        )
+
+        with pytest.raises(MergeError, match="not in the target schema"):
+            eng.sql(
+                "MERGE INTO evo_t t USING evo_s s ON t.k = s.k "
+                "WHEN MATCHED THEN UPDATE SET score = s.score"
+            )
