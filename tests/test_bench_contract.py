@@ -68,3 +68,32 @@ class TestSummaryLine:
     def test_every_query_has_oracle_or_rowsonly_marker(self):
         """queries() and oracle_sql() stay aligned (driver gate shape)."""
         assert set(get_oracles()) <= set(get_queries())
+
+
+class TestProvenanceStamp:
+    def test_summary_line_carries_loadavg_and_context(self):
+        names = sorted(get_queries())
+        line = bench.build_summary_line(
+            _fake_timings(names), total=1.0, runs=2, cpus=32, sf="0.1",
+            provenance={"loadavg": [1.0, 2.0, 3.0], "context": "solo"},
+        )
+        parsed = json.loads(line)
+        assert parsed["loadavg"] == [1.0, 2.0, 3.0]
+        assert parsed["context"] == "solo"
+        assert parsed["detail"] == "BENCH_DETAIL.json"
+
+    def test_driver_context_writes_separate_detail_file(self, monkeypatch):
+        # The round driver sets no context env -> 'driver' -> the detail
+        # map goes to BENCH_DETAIL_DRIVER.json, never overwriting the
+        # committed quiet-run BENCH_DETAIL.json (VERDICT r7 #7).
+        monkeypatch.delenv("SPARK_GRAFT_BENCH_CONTEXT", raising=False)
+        prov = bench.run_provenance()
+        assert prov["context"] == "driver"
+        assert bench.detail_file_name(prov["context"]) == (
+            "BENCH_DETAIL_DRIVER.json"
+        )
+        monkeypatch.setenv("SPARK_GRAFT_BENCH_CONTEXT", "solo")
+        prov = bench.run_provenance()
+        assert prov["context"] == "solo"
+        assert bench.detail_file_name("solo") == "BENCH_DETAIL.json"
+        assert len(prov["loadavg"]) == 3
