@@ -28,7 +28,10 @@ sides): the parser masks CASE blocks so their inner WHEN/THEN tokens
 never terminate a clause match. Qualified or compound identifiers
 containing the words (``s.end``, ``case_id``) are NOT treated as
 keywords; a BARE unqualified column literally named ``end`` or
-``case`` is the one unsupported spelling (qualify or rename it).
+``case`` must be backtick-quoted (```end```) — backtick identifier
+content is masked like string literals, so quoted keywords never
+terminate a CASE block or split a clause, and assignment/INSERT
+targets unquote back to the plain column name.
 
 Semantics (Delta/SQL:2003 compatible):
 - Clauses are evaluated IN ORDER; the first applicable clause per row
@@ -286,12 +289,19 @@ def _split_top(text: str) -> list[str]:
 
 
 def _unqualify(col: str, aliases: tuple[str, str]) -> str:
-    """Strip a `t.` / `s.` qualifier from an assignment LHS."""
+    """Strip a `t.` / `s.` qualifier and surrounding backticks from an
+    assignment-LHS / INSERT-list column. Backtick quoting makes a BARE
+    column literally named ``end`` or ``case`` spellable (```end``` —
+    the one spelling the CASE masker cannot otherwise distinguish from
+    the keyword); a doubled ```` `` ```` inside unescapes to one."""
     name = col.strip()
     for a in aliases:
         prefix = f"{a}."
         if name.lower().startswith(prefix.lower()):
-            return name[len(prefix):]
+            name = name[len(prefix):].strip()
+            break
+    if len(name) >= 2 and name.startswith("`") and name.endswith("`"):
+        name = name[1:-1].replace("``", "`")
     return name
 
 

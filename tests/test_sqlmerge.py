@@ -550,3 +550,62 @@ class TestRound7Grammar:
             )
             assert _rows(out) == {(1, "b")}
             assert release_merge_cache(out) is False
+
+
+class TestBacktickColumns:
+    """Round-7 polish: a bare column literally named `end` or `case`
+    is spellable with backticks — the masker treats backtick content
+    like literal content, so the quoted keyword never closes a CASE
+    block or splits a clause, and the LHS unquotes to the plain name."""
+
+    def _frames(self, spark):
+        base = spark.createDataFrame(
+            [(1, "x", 5), (2, "y", 6)],
+            ["k", "end", "case"],
+        )
+        src = spark.createDataFrame(
+            [(2, "Y", 60), (3, "Z", 70)],
+            ["k", "end", "case"],
+        )
+        return base, src
+
+    def test_update_backticked_keyword_columns(self, spark):
+        base, src = self._frames(spark)
+        out = execute_merge(
+            spark,
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET `end` = s.end, "
+            "`case` = s.case + 1 "
+            "WHEN NOT MATCHED THEN INSERT (k, `end`, `case`) "
+            "VALUES (s.k, s.end, s.case)",
+            target_df=base,
+            source_df=src,
+        )
+        got = {r["k"]: (r["end"], r["case"]) for r in out.collect()}
+        assert got == {1: ("x", 5), 2: ("Y", 61), 3: ("Z", 70)}
+
+    def test_backticked_column_with_case_expression(self, spark):
+        # a real CASE expression and a backticked `case` column coexist
+        base, src = self._frames(spark)
+        out = execute_merge(
+            spark,
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET "
+            "`case` = CASE WHEN s.case > 65 THEN 0 ELSE s.case END",
+            target_df=base,
+            source_df=src,
+        )
+        got = {r["k"]: r["case"] for r in out.collect()}
+        assert got == {1: 5, 2: 60}
+
+    def test_qualified_backtick_lhs(self, spark):
+        base, src = self._frames(spark)
+        out = execute_merge(
+            spark,
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET t.`end` = s.end",
+            target_df=base,
+            source_df=src,
+        )
+        got = {r["k"]: r["end"] for r in out.collect()}
+        assert got == {1: "x", 2: "Y"}
