@@ -365,6 +365,7 @@ _install_sampling_oracles()
 def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
     from openaq_data_pipeline_engineering_spark.streaming.ingest import (
+        events_stream_reader,
         events_stream_spec,
         scoped_shuffle_partitions,
         windowed_counts,
@@ -373,10 +374,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     schema, to_event_time = events_stream_spec(spark, sf_dir)
     stream = to_event_time(
-        spark.readStream.format("parquet")
-        .schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+        events_stream_reader(spark, schema, sf_dir)
     )
     agg = windowed_counts(stream, "ts", "1 hour", watermark="2 hours",
                           group_cols=["event_type"])
@@ -432,6 +430,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
     from openaq_data_pipeline_engineering_spark.streaming.ingest import (
+        events_stream_reader,
         events_stream_spec,
         scoped_shuffle_partitions,
         windowed_counts,
@@ -440,10 +439,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     schema, to_event_time = events_stream_spec(spark, sf_dir)
     stream = to_event_time(
-        spark.readStream.format("parquet")
-        .schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+        events_stream_reader(spark, schema, sf_dir)
     )
     agg = windowed_counts(
         stream, "ts", "1 hour", watermark="2 hours",
@@ -495,6 +491,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
     from openaq_data_pipeline_engineering_spark.streaming.ingest import (
+        events_stream_reader,
         events_stream_spec,
         scoped_shuffle_partitions,
     )
@@ -505,10 +502,7 @@ def streaming_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     def side(event_type: str, prefix: str) -> DataFrame:
         return (
             to_event_time(
-                spark.readStream.format("parquet")
-                .schema(schema)
-                .option("pathGlobFilter", "events.parquet")
-                .load(sf_dir)
+                events_stream_reader(spark, schema, sf_dir)
             )
             .filter(F.col("event_type") == event_type)
             .select(
@@ -599,6 +593,7 @@ def streaming_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
     from openaq_data_pipeline_engineering_spark.streaming.ingest import (
+        events_stream_reader,
         events_stream_spec,
         scoped_shuffle_partitions,
     )
@@ -606,10 +601,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     schema, to_event_time = events_stream_spec(spark, sf_dir)
     stream = to_event_time(
-        spark.readStream.format("parquet")
-        .schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+        events_stream_reader(spark, schema, sf_dir)
     )
     sessions = (
         stream.filter(F.col("user_id") < 200)
@@ -659,6 +651,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
     from openaq_data_pipeline_engineering_spark.streaming.ingest import (
+        events_stream_reader,
         events_stream_spec,
         scoped_shuffle_partitions,
     )
@@ -673,10 +666,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     schema, to_event_time = events_stream_spec(spark, sf_dir)
     stream = to_event_time(
-        spark.readStream.format("parquet")
-        .schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+        events_stream_reader(spark, schema, sf_dir)
     )
     rollup = (
         stream.join(dim, "event_type")
@@ -935,6 +925,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_topk_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
     from openaq_data_pipeline_engineering_spark.streaming.ingest import (
+        events_stream_reader,
         events_stream_spec,
         scoped_shuffle_partitions,
     )
@@ -942,10 +933,7 @@ def streaming_topk_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     schema, to_event_time = events_stream_spec(spark, sf_dir)
     stream = to_event_time(
-        spark.readStream.format("parquet")
-        .schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+        events_stream_reader(spark, schema, sf_dir)
     )
     agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     checkpoint = fresh_scratch_dir("streamtopk_ckpt")
@@ -1146,6 +1134,7 @@ def hll_register_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
     from openaq_data_pipeline_engineering_spark.streaming.ingest import (
+        events_stream_reader,
         events_stream_spec,
         scoped_shuffle_partitions,
     )
@@ -1156,10 +1145,7 @@ def streaming_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     def side(event_type: str, prefix: str) -> DataFrame:
         return (
             to_event_time(
-                spark.readStream.format("parquet")
-                .schema(schema)
-                .option("pathGlobFilter", "events.parquet")
-                .load(sf_dir)
+                events_stream_reader(spark, schema, sf_dir)
             )
             .filter(F.col("event_type") == event_type)
             .select(
@@ -1233,6 +1219,7 @@ def streaming_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
     from openaq_data_pipeline_engineering_spark.streaming.ingest import (
+        events_stream_reader,
         events_stream_spec,
         scoped_shuffle_partitions,
     )
@@ -1240,10 +1227,7 @@ def streaming_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     schema, to_event_time = events_stream_spec(spark, sf_dir)
     stream = to_event_time(
-        spark.readStream.format("parquet")
-        .schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+        events_stream_reader(spark, schema, sf_dir)
     )
     agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     checkpoint = fresh_scratch_dir("streamupd_ckpt")

@@ -66,6 +66,30 @@ def events_stream_spec(
     return schema, transform
 
 
+def events_stream_reader(
+    spark: SparkSession,
+    schema: T.StructType,
+    sf_dir: str,
+    table: str = "events",
+) -> DataFrame:
+    """Layout-adaptive streaming read of a driver table.
+
+    The file-stream source needs a DIRECTORY to monitor, so a
+    single-file table (``<sf_dir>/events.parquet`` as one file — the
+    driver's default layout) streams from ``sf_dir`` with a name glob.
+    A directory-layout table (Spark-written: the x32 replica, the
+    layout3 differential) streams from the table directory itself — a
+    name glob against ``sf_dir`` would match NOTHING there (the data
+    lives in ``part-*.parquet`` inside), silently reading zero rows
+    (round-8 streaming probe finding).
+    """
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    reader = spark.readStream.format("parquet").schema(schema)
+    if os.path.isdir(p):
+        return reader.load(p)
+    return reader.option("pathGlobFilter", f"{table}.parquet").load(sf_dir)
+
+
 @contextmanager
 def scoped_shuffle_partitions(spark: SparkSession, n: int):
     """Temporarily pin ``spark.sql.shuffle.partitions`` for a bounded
@@ -125,6 +149,12 @@ def incremental_ingest(
         .schema(schema)
         .option("maxFilesPerTrigger", 1000)
     )
+    if path_glob and os.path.isdir(os.path.join(source_dir, path_glob)):
+        # Layout-adaptive (see events_stream_reader): a directory-layout
+        # table is the monitored directory itself; the name glob would
+        # match nothing inside it.
+        source_dir = os.path.join(source_dir, path_glob)
+        path_glob = None
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
     stream = reader.load(source_dir)
