@@ -213,6 +213,16 @@ class Engine:
             )
 
             return execute_vacuum(self.spark, _strip_comments(query))
+        if _re.match(
+            r"\s*DESCRIBE\s+HISTORY\b", routed, _re.IGNORECASE
+        ):
+            from openaq_data_pipeline_engineering_spark.operators.sqlutil import (
+                execute_describe_history,
+            )
+
+            return execute_describe_history(
+                self.spark, _strip_comments(query)
+            )
         rewritten = self._rewrite_time_travel(query, routed)
         return self.spark.sql(rewritten)
 

@@ -10,7 +10,9 @@ lower onto the engine's existing primitives:
 
     OPTIMIZE '<table dir>' [WHERE <partition predicate>]
         [ZORDER BY (col1[, ... col6])]
+    OPTIMIZE '<versioned root>' [ZORDER BY (cols)]   -- new FULL version
     VACUUM '<versioned root>' RETAIN <n> VERSIONS
+    DESCRIBE HISTORY '<versioned root>'              -- commit log
 
 - ``OPTIMIZE`` without ZORDER = small-file compaction
   (operators/compact.compact_partitions — partition columns
@@ -40,6 +42,7 @@ command output.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -63,6 +66,53 @@ _VACUUM_RE = re.compile(
     r"\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS\s*;?\s*$",
     re.IGNORECASE,
 )
+
+_HISTORY_RE = re.compile(
+    r"^\s*DESCRIBE\s+HISTORY\s+'(?P<path>[^']+)'\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def execute_describe_history(spark: SparkSession, sql: str) -> DataFrame:
+    """DESCRIBE HISTORY '<versioned root>' — the commit-log
+    introspection statement (Delta's ``DESCRIBE HISTORY`` shape over
+    the manifest): one row per committed version, oldest first, with
+    the commit mode (full snapshot vs append delta), commit timestamp,
+    the idempotency txn id that produced it (NULL for plain writes),
+    and whether it is the current latest. Reads ONLY the manifest —
+    O(#versions), no data files opened."""
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        _read_manifest_doc,
+    )
+
+    m = _HISTORY_RE.match(sql)
+    if not m:
+        raise UtilStatementError(
+            "unparseable DESCRIBE HISTORY; expected "
+            "DESCRIBE HISTORY '<versioned root>'"
+        )
+    doc = _read_manifest_doc(m.group("path"))
+    if not doc["versions"]:
+        raise UtilStatementError(
+            f"no committed versions under {m.group('path')!r}"
+        )
+    by_version = {v: t for t, v in doc["txns"].items()}
+    latest = doc["versions"][-1]
+    rows = [
+        (
+            int(v),
+            doc["modes"].get(v, "full"),
+            float(doc["ts"][v]) if v in doc["ts"] else None,
+            by_version.get(v),
+            v == latest,
+        )
+        for v in doc["versions"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version int, mode string, commit_ts double, "
+        "txn_id string, is_latest boolean",
+    )
 
 
 def _detect_partition_cols(path: str) -> list[str]:
@@ -98,6 +148,29 @@ def execute_optimize(spark: SparkSession, sql: str) -> DataFrame:
             "[WHERE <pred>] [ZORDER BY (cols)]"
         )
     path = m.group("path")
+    if os.path.exists(os.path.join(path, "_VERSIONS.json")):
+        # A VERSIONED root is not a plain table: reading it raw unions
+        # EVERY v=<N> directory (duplicating each version's rows) and
+        # the v= dirs masquerade as Hive partitions — the plain-table
+        # path would silently corrupt the table. Route to the
+        # snapshot-protocol form instead: read the LATEST chain,
+        # optionally z-cluster, commit as one new FULL version
+        # (old versions stay time-travelable until VACUUM).
+        cols = (
+            [c.strip() for c in m.group("cols").split(",")]
+            if m.group("cols")
+            else []
+        )
+        if cols and not 1 <= len(cols) <= 6:
+            raise UtilStatementError(
+                "ZORDER BY takes 1-6 columns; got " + repr(cols)
+            )
+        if m.group("where"):
+            raise UtilStatementError(
+                "OPTIMIZE WHERE is a partitioned-table form; a "
+                "versioned root rewrites its latest snapshot whole"
+            )
+        return _optimize_versioned(spark, path, cols)
     _recover_interrupted_rewrite(path)  # heal a crashed prior rewrite
     before = file_stats(path)["n_files"]
     if m.group("cols"):
@@ -266,6 +339,60 @@ def _zorder_rewrite_partitioned(
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*pcols)
         .parquet(path)
+    )
+
+
+def _optimize_versioned(
+    spark: SparkSession,
+    root: str,
+    cols: list[str],
+    n_files: int = 16,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """OPTIMIZE over a versioned root: read the LATEST snapshot (chain
+    resolution included — this is also how an append chain compacts,
+    the statement form of ``checkpoint_appends``), optionally z-cluster
+    by the ZORDER columns, and commit as one new FULL version. Old
+    versions remain time-travelable until ``VACUUM ... RETAIN``
+    reclaims them — the atomic, zero-rename-window counterpart of the
+    plain-table staging rewrite."""
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        _chain_versions,
+        _read_manifest_doc,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    df = read_snapshot(spark, root)
+    doc = _read_manifest_doc(root)
+    chain = _chain_versions(doc["versions"], doc["modes"], doc["versions"][-1])
+
+    def _dir_stats(version: int) -> tuple[int, int]:
+        d = os.path.join(root, f"v={version}")
+        files = [
+            f for f in os.listdir(d) if f.endswith(".parquet")
+        ]
+        return len(files), sum(
+            os.path.getsize(os.path.join(d, f)) for f in files
+        )
+
+    counts = [_dir_stats(v) for v in chain]
+    before_files = sum(c[0] for c in counts)
+    before_bytes = sum(c[1] for c in counts)
+    if cols:
+        df = df.repartitionByRange(n_files, _zorder_key(cols))
+    else:
+        df = df.repartition(
+            max(1, -(-before_bytes // target_file_bytes))
+        )
+    new_v = write_snapshot(df, root)
+    after_files = _dir_stats(new_v)[0]
+    n_rows = spark.read.parquet(
+        os.path.join(root, f"v={new_v}")
+    ).count()
+    return spark.createDataFrame(
+        [(int(before_files), int(after_files), int(n_rows))],
+        "n_files_before int, n_files_after int, n_rows bigint",
     )
 
 

@@ -19,6 +19,18 @@ the lakehouse read/write surface the round-7 verdict scoped.
 - ``zorder3_box_pruned_read``: N-column Morton interleave
   (functions/zorder.morton_code_n — VERDICT r7 #4): 3-column ZORDER
   statement + 3-D box pruning, third dimension included.
+- ``sql_time_travel_select``: Engine.sql resolves FROM/JOIN
+  '<root>' VERSION|TIMESTAMP AS OF onto read_snapshot temp views
+  (VERDICT r7 #5 — the READ side of the statement family).
+- ``sql_merge_evolving``: MERGE automatic schema evolution
+  (VERDICT r7 #6): new source columns join the target schema,
+  null-backfilled; statement form opts in via session conf.
+- ``sql_optimize_versioned``: OPTIMIZE routed to the snapshot
+  protocol on a versioned root (the plain-table path would union
+  every v=<N> dir — a silent corruption, now unreachable); also the
+  statement form of checkpoint_appends.
+- ``sql_describe_history``: DESCRIBE HISTORY — one commit-log row per
+  version (mode, txn id, latest flag) from the manifest only.
 
 Registered LAST in registry._load_all so these fresh names lead the
 driver's ~50-query prefix ahead of the stalest-evidence greens.
@@ -489,3 +501,103 @@ def sql_merge_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
             release_merge_cache(merged)  # ADVICE r7: release after publish
         spark.conf.set("spark.openaq.merge.schemaEvolution", "false")
     return read_snapshot(spark, root)  # cold read-back, union schema
+
+
+# --------------------------------------------------------------------------
+# OPTIMIZE over a VERSIONED root: previously the statement treated any
+# path as a plain table — on a versioned root that read EVERY v=<N>
+# directory (duplicating each version's rows) with v= masquerading as
+# a Hive partition column: a silent-corruption path, now routed to the
+# snapshot protocol. The statement reads the LATEST chain (so it is
+# also the statement form of checkpoint_appends: an append chain
+# compacts into one full version), optionally z-clusters, and commits
+# atomically; old versions stay time-travelable until VACUUM. The
+# witness builds full+append+append, OPTIMIZEs, vacuums to 1, and
+# reads back cold.
+# --------------------------------------------------------------------------
+@query(
+    "sql_optimize_versioned",
+    "OPTIMIZE over a versioned root: latest chain (base + appends) "
+    "compacts into one new FULL version via the statement, old chain "
+    "vacuumable, cold read-back equals the union",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation WHERE n_regionkey < 3
+    GROUP BY n_regionkey
+    """,
+)
+def sql_optimize_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.engine import Engine
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        append_rows,
+        read_snapshot,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    root = fresh_scratch_dir("sql_opt_versioned")
+    write_snapshot(nation.filter(F.col("n_regionkey") == 0), root)
+    append_rows(nation.filter(F.col("n_regionkey") == 1), root)
+    append_rows(nation.filter(F.col("n_regionkey") == 2), root)
+    Engine(spark).sql(f"OPTIMIZE '{root}'")  # chain -> one full version
+    vacuum_snapshots(root, keep_last=1)  # old chain reclaimed
+    back = read_snapshot(spark, root)  # cold read of the compacted table
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DESCRIBE HISTORY: the commit-log introspection statement — one row
+# per committed version from the manifest only (no data files opened).
+# Commit timestamps are wall-clock (excluded from the declared
+# columns); version numbers, modes, txn ids, and latest-flag are
+# deterministic and oracle-checked as constants.
+# --------------------------------------------------------------------------
+@query(
+    "sql_describe_history",
+    "DESCRIBE HISTORY '<root>': one row per committed version "
+    "(mode full/delta, producing txn id, latest flag) straight from "
+    "the manifest",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 'full',  CAST(NULL AS VARCHAR), false),
+        (2, 'delta', 'ingest-0', false),
+        (3, 'delta', 'ingest-1', false),
+        (4, 'full',  CAST(NULL AS VARCHAR), true)
+    ) AS t(version, mode, txn_id, is_latest)
+    """,
+)
+def sql_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.engine import Engine
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        append_rows,
+        checkpoint_appends,
+        write_snapshot,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    root = fresh_scratch_dir("sql_history")
+    write_snapshot(nation.filter(F.col("n_regionkey") == 0), root)
+    append_rows(
+        nation.filter(F.col("n_regionkey") == 1), root, txn_id="ingest-0"
+    )
+    append_rows(
+        nation.filter(F.col("n_regionkey") == 2), root, txn_id="ingest-1"
+    )
+    checkpoint_appends(spark, root)
+    hist = Engine(spark).sql(f"DESCRIBE HISTORY '{root}'")
+    return hist.select(
+        F.col("version").cast("int").alias("version"),
+        "mode",
+        "txn_id",
+        "is_latest",
+    )

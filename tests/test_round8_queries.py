@@ -357,3 +357,106 @@ class TestMergeSchemaEvolution:
                 "MERGE INTO evo_t t USING evo_s s ON t.k = s.k "
                 "WHEN MATCHED THEN UPDATE SET score = s.score"
             )
+
+
+class TestVersionedOptimizeRouting:
+    def test_versioned_root_routes_to_snapshot_protocol(
+        self, spark, tmp_path
+    ):
+        """A versioned root must NEVER take the plain-table OPTIMIZE
+        path: raw-reading the root unions every v=<N> dir (duplicating
+        rows) with v= masquerading as a partition column. The routed
+        form commits ONE new full version with the latest chain's
+        content."""
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            append_rows,
+            read_snapshot,
+            snapshot_modes,
+            snapshot_versions,
+            write_snapshot,
+        )
+
+        root = str(tmp_path / "v")
+        write_snapshot(
+            spark.createDataFrame([(1, "a")], "k int, v string"), root
+        )
+        append_rows(
+            spark.createDataFrame([(2, "b")], "k int, v string"), root
+        )
+        m = Engine(spark).sql(f"OPTIMIZE '{root}'").first()
+        assert snapshot_versions(root) == [1, 2, 3]
+        assert snapshot_modes(root).get(3, "full") == "full"
+        out = read_snapshot(spark, root)
+        assert {tuple(r) for r in out.collect()} == {(1, "a"), (2, "b")}
+        assert m["n_rows"] == 2
+        # old versions still time-travelable until vacuum
+        assert read_snapshot(spark, root, version=1).count() == 1
+
+    def test_versioned_zorder_clusters_new_version(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            read_snapshot,
+            write_snapshot,
+        )
+
+        root = str(tmp_path / "v")
+        df = spark.range(0, 1000).select(
+            F.col("id").alias("a"), (F.col("id") % 37).alias("b")
+        )
+        write_snapshot(df, root)
+        Engine(spark).sql(f"OPTIMIZE '{root}' ZORDER BY (a, b)")
+        back = read_snapshot(spark, root)
+        assert back.count() == 1000
+        assert back.agg(F.sum("a")).first()[0] == 499500
+
+    def test_versioned_where_rejected(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.sqlutil import (
+            UtilStatementError,
+        )
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            write_snapshot,
+        )
+
+        root = str(tmp_path / "v")
+        write_snapshot(spark.createDataFrame([(1,)], "k int"), root)
+        with pytest.raises(UtilStatementError, match="versioned root"):
+            Engine(spark).sql(f"OPTIMIZE '{root}' WHERE k = 1")
+
+
+class TestDescribeHistory:
+    def test_history_rows(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            append_rows,
+            write_snapshot,
+        )
+
+        root = str(tmp_path / "v")
+        write_snapshot(spark.createDataFrame([(1,)], "k int"), root)
+        append_rows(
+            spark.createDataFrame([(2,)], "k int"), root, txn_id="b-7"
+        )
+        rows = {
+            r["version"]: (r["mode"], r["txn_id"], r["is_latest"])
+            for r in Engine(spark).sql(
+                f"DESCRIBE HISTORY '{root}'"
+            ).collect()
+        }
+        assert rows == {
+            1: ("full", None, False),
+            2: ("delta", "b-7", True),
+        }
+        ts = [
+            r["commit_ts"]
+            for r in Engine(spark)
+            .sql(f"DESCRIBE HISTORY '{root}'")
+            .orderBy("version")
+            .collect()
+        ]
+        assert ts[0] < ts[1]  # serial writers: commit order == version
+
+    def test_history_rejects_non_versioned(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.sqlutil import (
+            UtilStatementError,
+        )
+
+        with pytest.raises(UtilStatementError, match="no committed"):
+            Engine(spark).sql(f"DESCRIBE HISTORY '{tmp_path}'")
