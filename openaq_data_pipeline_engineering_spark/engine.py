@@ -223,6 +223,42 @@ class Engine:
             return execute_describe_history(
                 self.spark, _strip_comments(query)
             )
+        if _re.match(r"\s*RESTORE\b", routed, _re.IGNORECASE):
+            from openaq_data_pipeline_engineering_spark.operators.sqlutil import (
+                execute_restore,
+            )
+
+            return execute_restore(self.spark, _strip_comments(query))
+        # Lifecycle statements on QUOTED-PATH targets only: an INSERT /
+        # ALTER TABLE / CREATE TABLE aimed at a catalog name still
+        # belongs to Spark's parser (catalog tables support them
+        # natively), so the path quote is part of the route test.
+        if _re.match(
+            r"\s*INSERT\s+(INTO|OVERWRITE)\s+(TABLE\s+)?'",
+            routed,
+            _re.IGNORECASE,
+        ):
+            from openaq_data_pipeline_engineering_spark.operators.sqlutil import (
+                execute_insert,
+            )
+
+            return execute_insert(self.spark, _strip_comments(query))
+        if _re.match(r"\s*ALTER\s+TABLE\s+'", routed, _re.IGNORECASE):
+            from openaq_data_pipeline_engineering_spark.operators.sqlutil import (
+                execute_alter,
+            )
+
+            return execute_alter(self.spark, _strip_comments(query))
+        if _re.match(
+            r"\s*CREATE\s+TABLE\s+'[^']+'\s+SHALLOW\s+CLONE\b",
+            routed,
+            _re.IGNORECASE,
+        ):
+            from openaq_data_pipeline_engineering_spark.operators.sqlutil import (
+                execute_clone,
+            )
+
+            return execute_clone(self.spark, _strip_comments(query))
         rewritten = self._rewrite_time_travel(query, routed)
         return self.spark.sql(rewritten)
 

@@ -207,6 +207,13 @@ def skew_safe_fuzzy_join(
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") > target_block_rows)
         .select("__nb", F.lit(True).alias("__widen"))
+        # Materialize the overflow list ONCE: it broadcasts into BOTH
+        # sides' keying joins (and the residual check), and an aliased
+        # subtree re-plans per consumer on this Spark build — without
+        # this the right-side scan runs three times. The list is small
+        # by construction (≤ n_rows / target_block_rows entries), so
+        # the checkpoint is a few KB, not a data copy.
+        .localCheckpoint(eager=True)
     )
 
     def keyed(df: DataFrame, name: str) -> DataFrame:

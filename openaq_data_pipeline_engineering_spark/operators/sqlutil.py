@@ -425,3 +425,223 @@ def execute_vacuum(spark: SparkSession, sql: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(v),) for v in dropped], "dropped_version int"
     )
+
+
+# ---------------------------------------------------------------------------
+# RESTORE / SHALLOW CLONE / INSERT / ALTER TABLE CONSTRAINT — statement
+# forms of the versioned-table lifecycle (operators/versioned.py), same
+# quoted-path convention as OPTIMIZE/VACUUM above. The reference has no
+# statement surface at all (its Athena calls are fire-and-poll query
+# strings, reference utils/athena_utils.py); these exist so rollback,
+# table forks, appends, and data-quality invariants are expressible as
+# pure SQL strings from orchestration code.
+# ---------------------------------------------------------------------------
+
+_ASOF = r"(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+(?P<val>'[^']*'|[0-9][0-9.]*)"
+
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+(?:TABLE\s+)?'(?P<path>[^']+)'\s+(?:TO\s+)?" + _ASOF
+    + r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_CLONE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+'(?P<dst>[^']+)'\s+SHALLOW\s+CLONE\s+"
+    r"'(?P<src>[^']+)'(?:\s+" + _ASOF + r")?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+    r"'(?P<path>[^']+)'\s+(?P<body>(?:SELECT|VALUES|WITH|TABLE)\b.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_ALTER_ADD_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+'(?P<path>[^']+)'\s+ADD\s+CONSTRAINT\s+"
+    r"(?P<name>[A-Za-z_]\w*)\s+CHECK\s*\((?P<expr>.+)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_ALTER_DROP_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+'(?P<path>[^']+)'\s+DROP\s+CONSTRAINT\s+"
+    r"(?P<ife>IF\s+EXISTS\s+)?(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _asof_kwargs(kind: str | None, val: str | None) -> dict:
+    """(kind, raw value) from an AS-OF clause → read_snapshot-style
+    kwargs ({} when the clause is absent)."""
+    if kind is None:
+        return {}
+    from openaq_data_pipeline_engineering_spark.engine import _parse_ts
+
+    if kind.upper() == "VERSION":
+        if val.startswith("'"):
+            raise UtilStatementError(
+                "VERSION AS OF takes an integer version, got " + val
+            )
+        return {"version": int(float(val))}
+    return {"as_of_ts": _parse_ts(val)}
+
+
+def _footer_rows_dirs(paths: list[str]) -> int:
+    return sum(_footer_row_count(p) for p in paths)
+
+
+def execute_restore(spark: SparkSession, sql: str) -> DataFrame:
+    """RESTORE [TABLE] '<root>' [TO] VERSION|TIMESTAMP AS OF ... —
+    metadata-only rollback (operators/versioned.restore_snapshot):
+    history is preserved, latest becomes the restored content, no data
+    is read or written. The metrics row's n_rows comes from parquet
+    FOOTERS of the restored directories, so the statement stays
+    O(manifest + file count) even on a 100 TB table."""
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        resolve_version_paths,
+        restore_snapshot,
+        snapshot_modes,
+    )
+
+    m = _RESTORE_RE.match(sql)
+    if not m:
+        raise UtilStatementError(
+            "unparseable RESTORE; expected RESTORE [TABLE] '<root>' "
+            "[TO] VERSION AS OF <n> | TIMESTAMP AS OF '<ts>'"
+        )
+    root = m.group("path")
+    new_v = restore_snapshot(
+        root, **_asof_kwargs(m.group("kind"), m.group("val"))
+    )
+    target = int(snapshot_modes(root)[new_v].split(":", 1)[1])
+    n_rows = _footer_rows_dirs(resolve_version_paths(root, new_v))
+    return spark.createDataFrame(
+        [(int(target), int(new_v), int(n_rows))],
+        "restored_to_version int, new_version int, n_rows bigint",
+    )
+
+
+def execute_clone(spark: SparkSession, sql: str) -> DataFrame:
+    """CREATE TABLE '<dst>' SHALLOW CLONE '<src>' [VERSION|TIMESTAMP
+    AS OF ...] — zero-copy table fork (operators/versioned.
+    clone_snapshot): the clone's manifest references the source's
+    version directories; n_local_data_files in the metrics row is the
+    witness that no data moved (always 0 at clone time)."""
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        clone_snapshot,
+        snapshot_versions,
+    )
+
+    m = _CLONE_RE.match(sql)
+    if not m:
+        raise UtilStatementError(
+            "unparseable SHALLOW CLONE; expected CREATE TABLE '<dst>' "
+            "SHALLOW CLONE '<src>' [VERSION AS OF n]"
+        )
+    dst = m.group("dst")
+    pinned = clone_snapshot(
+        m.group("src"), dst, **_asof_kwargs(m.group("kind"), m.group("val"))
+    )
+    n_local = sum(
+        1
+        for r, _d, files in os.walk(dst)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    return spark.createDataFrame(
+        [(m.group("src"), int(pinned), len(snapshot_versions(dst)), n_local)],
+        "src string, cloned_version int, n_versions_referenced int, "
+        "n_local_data_files int",
+    )
+
+
+def execute_insert(spark: SparkSession, sql: str) -> DataFrame:
+    """INSERT INTO|OVERWRITE [TABLE] '<root>' SELECT ...|VALUES ... —
+    the write statements of the versioned protocol. INTO commits an
+    APPEND (delta) version — per-statement I/O is the inserted rows
+    only; OVERWRITE commits a new FULL snapshot (and creates the table
+    when the root is empty). Rows align to the target schema
+    POSITIONALLY with casts to the target types (ANSI INSERT
+    semantics), so a VALUES list inherits the table's column names.
+    CHECK constraints are enforced by the underlying commit."""
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        append_rows,
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    m = _INSERT_RE.match(sql)
+    if not m:
+        raise UtilStatementError(
+            "unparseable INSERT; expected INSERT INTO|OVERWRITE "
+            "'<root>' SELECT ...|VALUES ..."
+        )
+    root, mode = m.group("path"), m.group("mode").upper()
+    df = spark.sql(m.group("body"))
+    has_versions = bool(snapshot_versions(root))
+    if not has_versions and mode == "INTO":
+        raise UtilStatementError(
+            f"{root!r} has no committed versions; INSERT OVERWRITE "
+            "creates the table"
+        )
+    if has_versions:
+        target = read_snapshot(spark, root).schema
+        if len(df.columns) != len(target):
+            raise UtilStatementError(
+                f"INSERT arity mismatch: {len(df.columns)} columns vs "
+                f"target's {len(target)}"
+            )
+        df = df.select(
+            *[
+                F.col(c).cast(f.dataType).alias(f.name)
+                for c, f in zip(df.columns, target.fields)
+            ]
+        )
+    if mode == "INTO":
+        version = append_rows(df, root)
+        vmode = "delta"
+    else:
+        version = write_snapshot(df, root)
+        vmode = "full"
+    n_rows = _footer_row_count(os.path.join(root, f"v={version}"))
+    return spark.createDataFrame(
+        [(int(version), vmode, int(n_rows))],
+        "version int, mode string, n_rows_inserted bigint",
+    )
+
+
+def execute_alter(spark: SparkSession, sql: str) -> DataFrame:
+    """ALTER TABLE '<root>' ADD CONSTRAINT <name> CHECK (<expr>) |
+    DROP CONSTRAINT [IF EXISTS] <name> — data-quality invariants on
+    the versioned table (operators/versioned.add_constraint /
+    drop_constraint). ADD validates the CURRENT table first (one
+    aggregate pass) and fails on any existing violation, so a recorded
+    constraint is always true of the committed data."""
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        add_constraint,
+        drop_constraint,
+    )
+
+    m = _ALTER_ADD_RE.match(sql)
+    if m:
+        expr = m.group("expr").strip()
+        add_constraint(spark, m.group("path"), m.group("name"), expr)
+        return spark.createDataFrame(
+            [(m.group("name"), "added", expr)],
+            "constraint string, action string, expr string",
+        )
+    m = _ALTER_DROP_RE.match(sql)
+    if m:
+        existed = drop_constraint(
+            m.group("path"), m.group("name"), if_exists=bool(m.group("ife"))
+        )
+        return spark.createDataFrame(
+            [(m.group("name"), "dropped" if existed else "absent", None)],
+            "constraint string, action string, expr string",
+        )
+    raise UtilStatementError(
+        "unparseable ALTER TABLE; expected ALTER TABLE '<root>' "
+        "ADD CONSTRAINT <name> CHECK (<expr>) or DROP CONSTRAINT "
+        "[IF EXISTS] <name>"
+    )

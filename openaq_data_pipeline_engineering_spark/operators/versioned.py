@@ -71,27 +71,35 @@ def _write_manifest(
     txns: dict[str, int] | None = None,
     commit_ts: dict[int, float] | None = None,
     modes: dict[int, str] | None = None,
+    constraints: dict[str, str] | None = None,
+    base_root: str | None = None,
 ) -> None:
     fd, tmp = tempfile.mkstemp(dir=root, prefix="_VERSIONS.", suffix=".tmp")
     with os.fdopen(fd, "w") as f:
-        json.dump(
-            {
-                "versions": sorted(versions),
-                "txns": txns or {},
-                # JSON object keys are strings; parsed back to int
-                "ts": {str(v): t for v, t in (commit_ts or {}).items()},
-                # only non-default ("delta") entries are recorded
-                "modes": {str(v): m for v, m in (modes or {}).items()},
-            },
-            f,
-        )
+        doc = {
+            "versions": sorted(versions),
+            "txns": txns or {},
+            # JSON object keys are strings; parsed back to int
+            "ts": {str(v): t for v, t in (commit_ts or {}).items()},
+            # only non-default ("delta"/"restore:<n>") entries recorded
+            "modes": {str(v): m for v, m in (modes or {}).items()},
+        }
+        # CHECK constraints (name -> SQL boolean expr) and the shallow-
+        # clone source pointer are written only when present, so plain
+        # tables keep the compact manifest older readers expect.
+        if constraints:
+            doc["constraints"] = dict(constraints)
+        if base_root is not None:
+            doc["base_root"] = base_root
+        json.dump(doc, f)
     os.replace(tmp, _manifest_path(root))
 
 
 def _read_manifest_doc(root: str) -> dict:
     """Parsed manifest with defaults for keys older manifests lack
     (pre-txn: no "txns"; pre-timestamp: no "ts"; pre-append: no
-    "modes" — a version absent from "modes" is a FULL snapshot)."""
+    "modes" — a version absent from "modes" is a FULL snapshot; pre-
+    constraint: no "constraints"; pre-clone: no "base_root")."""
     try:
         with open(_manifest_path(root)) as f:
             doc = json.load(f)
@@ -102,9 +110,21 @@ def _read_manifest_doc(root: str) -> dict:
             "modes": {
                 int(k): str(v) for k, v in (doc.get("modes") or {}).items()
             },
+            "constraints": {
+                str(k): str(v)
+                for k, v in (doc.get("constraints") or {}).items()
+            },
+            "base_root": doc.get("base_root"),
         }
     except (OSError, ValueError, KeyError):
-        return {"versions": [], "txns": {}, "ts": {}, "modes": {}}
+        return {
+            "versions": [],
+            "txns": {},
+            "ts": {},
+            "modes": {},
+            "constraints": {},
+            "base_root": None,
+        }
 
 
 def _read_manifest_full(root: str) -> tuple[list[int], dict[str, int]]:
@@ -183,6 +203,7 @@ def write_snapshot(
         if txn_id in txns:
             return txns[txn_id]  # replay: already committed, no write
     version = _allocate_and_write(df, root, _max_retries)
+    _enforce_constraints(df.sparkSession, root, version)
     return _commit_version(root, version, txn_id)
 
 
@@ -220,6 +241,7 @@ def append_rows(
         if txn_id in txns:
             return txns[txn_id]  # replay: already committed, no write
     version = _allocate_and_write(df, root, _max_retries)
+    _enforce_constraints(df.sparkSession, root, version)
     return _commit_version(root, version, txn_id, mode="delta")
 
 
@@ -295,7 +317,15 @@ def _commit_version(
             )
             if mode != "full":
                 modes[version] = mode
-            _write_manifest(root, versions + [version], txns, ts, modes)
+            _write_manifest(
+                root,
+                versions + [version],
+                txns,
+                ts,
+                modes,
+                constraints=doc["constraints"],
+                base_root=doc["base_root"],
+            )
     return version
 
 
@@ -349,27 +379,99 @@ def read_snapshot(
         version = versions[-1]
     if version not in versions:
         raise ValueError(f"version {version} not committed: {versions}")
-    chain = _chain_versions(versions, doc["modes"], version)
-    if len(chain) == 1:
-        return spark.read.parquet(os.path.join(root, f"v={chain[0]}"))
-    return spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(root, f"v={v}") for v in chain]
-    )
+    paths = _resolve_version_paths(root, doc, version)
+    if len(paths) == 1:
+        return spark.read.parquet(paths[0])
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
 def _chain_versions(
     versions: list[int], modes: dict[int, str], version: int
 ) -> list[int]:
     """The committed versions whose union is ``version``'s content:
-    ``[version]`` for a full snapshot; for a delta, the latest full
-    version at-or-below it (or the oldest committed version when the
-    chain has no full base) through ``version``."""
-    if modes.get(version, "full") == "full":
+    ``[version]`` for a full snapshot (or a RESTORE commit — its
+    content is its target's full content, so it bases a chain exactly
+    like a full write); for a delta, the latest non-delta version
+    at-or-below it (or the oldest committed version when the chain has
+    no such base) through ``version``."""
+    if modes.get(version, "full") != "delta":
         return [version]
     below = [v for v in versions if v <= version]
-    fulls = [v for v in below if modes.get(v, "full") == "full"]
+    fulls = [v for v in below if modes.get(v, "full") != "delta"]
     base = fulls[-1] if fulls else below[0]
     return [v for v in below if v >= base]
+
+
+def _collect_referenced(
+    versions: list[int], modes: dict[int, str], version: int, acc: set[int]
+) -> None:
+    """Accumulate every committed version ``version`` reads through:
+    its chain, plus (transitively) the target chain of any RESTORE
+    commit in it. Acyclic by construction — a restore target is always
+    a lower, already-committed version."""
+    for v in _chain_versions(versions, modes, version):
+        if v in acc:
+            continue
+        acc.add(v)
+        mode = modes.get(v, "full")
+        if mode.startswith("restore:"):
+            _collect_referenced(versions, modes, int(mode.split(":", 1)[1]), acc)
+
+
+def _version_dir(root: str, version: int) -> str:
+    """The data directory holding ``v=<version>``'s files: the local
+    ``<root>/v=N`` when it exists, else resolved through the shallow-
+    clone ``base_root`` chain (a clone's manifest references its
+    source's version directories without copying them; a clone of a
+    clone walks further). Raises if the chain never yields a dir — a
+    referenced source version was vacuumed out from under the clone."""
+    r = root
+    seen = set()
+    while True:
+        d = os.path.join(r, f"v={version}")
+        if os.path.isdir(d):
+            return d
+        base = _read_manifest_doc(r)["base_root"]
+        if base is None or base in seen:
+            raise FileNotFoundError(
+                f"data for v={version} not found under {root!r} or its "
+                f"clone base chain (source vacuumed after the clone?)"
+            )
+        seen.add(r)
+        r = base
+
+
+def _resolve_version_paths(
+    root: str, doc: dict, version: int
+) -> list[str]:
+    """Every data directory whose union is ``version``'s content —
+    chain resolution (delta → base + deltas) with RESTORE commits
+    expanded to their target's directories and clone references
+    resolved through ``base_root``."""
+    paths: list[str] = []
+    for v in _chain_versions(doc["versions"], doc["modes"], version):
+        mode = doc["modes"].get(v, "full")
+        if mode.startswith("restore:"):
+            paths.extend(
+                _resolve_version_paths(root, doc, int(mode.split(":", 1)[1]))
+            )
+        else:
+            paths.append(_version_dir(root, v))
+    return paths
+
+
+def resolve_version_paths(root: str, version: int | None = None) -> list[str]:
+    """Public form of the read path's directory resolution: the data
+    directories (local or clone-referenced) whose union is the pinned
+    (default latest) version's content. Metadata-only — no data files
+    are opened; useful for footer-level statistics."""
+    doc = _read_manifest_doc(root)
+    if not doc["versions"]:
+        raise FileNotFoundError(f"no committed versions under {root}")
+    v = doc["versions"][-1] if version is None else version
+    if v not in doc["versions"]:
+        raise ValueError(f"version {v} not committed: {doc['versions']}")
+    return _resolve_version_paths(root, doc, v)
 
 
 def snapshot_versions(root: str) -> list[int]:
@@ -479,14 +581,17 @@ def vacuum_snapshots(
         keep = [v for v in versions if v not in drop]
         if keep and modes:
             # Chain-aware retention: a kept DELTA version still reads
-            # its base full snapshot and every intermediate delta —
-            # reclaiming those would corrupt the kept version. Chains
-            # are contiguous downward, so the floor is the oldest kept
-            # version's chain base; on an append-only table (no full
-            # base yet) this makes vacuum a no-op until a
-            # checkpoint_appends re-bases the chain.
-            floor = _chain_versions(versions, modes, keep[0])[0]
-            drop = [v for v in drop if v < floor]
+            # its base full snapshot and every intermediate delta, and
+            # a kept RESTORE commit reads its target's chain —
+            # reclaiming any of those would corrupt the kept version.
+            # Keep the transitive referenced set of every kept version;
+            # on an append-only table (no full base yet) this makes
+            # vacuum a no-op until a checkpoint_appends re-bases the
+            # chain.
+            needed: set[int] = set()
+            for k in keep:
+                _collect_referenced(versions, modes, k, needed)
+            drop = [v for v in drop if v not in needed]
             keep = [v for v in versions if v not in drop]
         orphans = [
             v
@@ -506,7 +611,15 @@ def vacuum_snapshots(
         if drop or kept_txns != txns:
             kept_ts = {v: t for v, t in ts.items() if v in keep}
             kept_modes = {v: m for v, m in modes.items() if v in keep}
-            _write_manifest(root, keep, kept_txns, kept_ts, kept_modes)
+            _write_manifest(
+                root,
+                keep,
+                kept_txns,
+                kept_ts,
+                kept_modes,
+                constraints=doc["constraints"],
+                base_root=doc["base_root"],
+            )
     for v in drop + orphans:
         shutil.rmtree(os.path.join(root, f"v={v}"), ignore_errors=True)
     return drop
@@ -643,3 +756,277 @@ def snapshot_changes(
     # array<struct> unifies branch types, so nothing is VOID-typed here;
     # explode of the empty array drops unchanged rows in the same pass.
     return out
+
+
+# ---------------------------------------------------------------------------
+# RESTORE / SHALLOW CLONE / CHECK constraints — the remaining Delta-
+# shaped lifecycle surface on the same manifest protocol. The reference
+# has none of this (its mart is a fixed prefix overwritten in place,
+# reference etls/openaq_transform_etl.py); these exist so a pipeline
+# can roll back a bad publish, fork a table for a backfill experiment,
+# and reject malformed rows at the storage boundary — without ever
+# copying data for the metadata-only operations.
+# ---------------------------------------------------------------------------
+
+
+class ConstraintViolationError(ValueError):
+    """A write violated the table's CHECK constraints. ``violations``
+    maps constraint name -> number of violating rows in the rejected
+    batch; the claimed data directory is removed before raising, so
+    the table is untouched."""
+
+    def __init__(self, root: str, violations: dict[str, int]):
+        self.violations = dict(violations)
+        detail = ", ".join(f"{n}: {c} rows" for n, c in violations.items())
+        super().__init__(
+            f"write to {root!r} rejected by CHECK constraints ({detail})"
+        )
+
+
+def _enforce_constraints(
+    spark: SparkSession, root: str, version: int
+) -> None:
+    """Validate the freshly-written (still uncommitted) ``v=<version>``
+    directory against the table's CHECK constraints; on violation the
+    directory is removed and :class:`ConstraintViolationError` raised,
+    so the manifest never references bad data.
+
+    SQL-standard CHECK semantics: a row violates only when the
+    expression evaluates to FALSE — NULL (unknown) passes, like a SQL
+    CHECK and unlike a WHERE. All constraints are counted in ONE
+    column-pruned pass over just the written batch (a delta append
+    validates only its delta; a full snapshot IS the new content), so
+    enforcement cost is O(batch), never O(table). The expressions must
+    be resolvable against the written schema — a constraint naming a
+    column the batch lacks fails analysis loudly rather than passing
+    silently."""
+    constraints = _read_manifest_doc(root)["constraints"]
+    if not constraints:
+        return
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    path = os.path.join(root, f"v={version}")
+    written = spark.read.parquet(path)
+    aggs = [
+        F.sum(
+            F.when(~F.coalesce(F.expr(expr), F.lit(True)), 1).otherwise(0)
+        ).alias(name)
+        for name, expr in constraints.items()
+    ]
+    try:
+        # Single-row aggregate of violation counts — the statement's
+        # own result, not a driver-side data loop.
+        row = written.agg(*aggs).first()
+    except Exception:
+        shutil.rmtree(path, ignore_errors=True)
+        raise
+    violations = {
+        n: int(row[n]) for n in constraints if row[n] is not None and row[n] > 0
+    }
+    if violations:
+        shutil.rmtree(path, ignore_errors=True)
+        raise ConstraintViolationError(root, violations)
+
+
+def add_constraint(
+    spark: SparkSession, root: str, name: str, expr: str
+) -> None:
+    """``ALTER TABLE ADD CONSTRAINT name CHECK (expr)``: record a CHECK
+    constraint in the manifest, enforced by every subsequent
+    :func:`write_snapshot` / :func:`append_rows` commit (and therefore
+    by MERGE/INSERT statement forms publishing through them).
+
+    Like Delta, adding a constraint VALIDATES the current table first —
+    one aggregate pass over the latest snapshot — and fails with
+    :class:`ConstraintViolationError` if any existing row violates, so
+    a recorded constraint is always a true invariant of the committed
+    data. Adding to an empty root (no versions yet) records the
+    constraint for the first write to enforce."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(root, exist_ok=True)
+    with _manifest_lock(root):
+        doc = _read_manifest_doc(root)
+        if name in doc["constraints"]:
+            raise ValueError(
+                f"constraint {name!r} already exists on {root!r}: "
+                f"{doc['constraints'][name]!r}"
+            )
+        if doc["versions"]:
+            current = read_snapshot(spark, root)
+            row = current.agg(
+                F.sum(
+                    F.when(
+                        ~F.coalesce(F.expr(expr), F.lit(True)), 1
+                    ).otherwise(0)
+                ).alias("n")
+            ).first()
+            if row["n"] is not None and row["n"] > 0:
+                raise ConstraintViolationError(root, {name: int(row["n"])})
+        constraints = dict(doc["constraints"])
+        constraints[name] = expr
+        _write_manifest(
+            root,
+            doc["versions"],
+            doc["txns"],
+            doc["ts"],
+            doc["modes"],
+            constraints=constraints,
+            base_root=doc["base_root"],
+        )
+
+
+def drop_constraint(root: str, name: str, if_exists: bool = False) -> bool:
+    """``ALTER TABLE DROP CONSTRAINT name``; returns whether it
+    existed."""
+    with _manifest_lock(root):
+        doc = _read_manifest_doc(root)
+        if name not in doc["constraints"]:
+            if if_exists:
+                return False
+            raise ValueError(f"no constraint {name!r} on {root!r}")
+        constraints = dict(doc["constraints"])
+        del constraints[name]
+        _write_manifest(
+            root,
+            doc["versions"],
+            doc["txns"],
+            doc["ts"],
+            doc["modes"],
+            constraints=constraints,
+            base_root=doc["base_root"],
+        )
+    return True
+
+
+def table_constraints(root: str) -> dict[str, str]:
+    """name -> CHECK expression currently recorded on ``root``."""
+    return _read_manifest_doc(root)["constraints"]
+
+
+def restore_snapshot(
+    root: str, version: int | None = None, as_of_ts: float | None = None
+) -> int:
+    """``RESTORE TABLE ... TO VERSION|TIMESTAMP AS OF`` — roll the
+    table back to an earlier version as a NEW commit, metadata-only.
+
+    Delta RESTORE semantics: history is preserved (the bad versions
+    stay time-travelable until VACUUM) and latest becomes the restored
+    content. No data is read or written — the commit records
+    ``restore:<target>`` in the manifest and readers resolve it to the
+    target's directories, so restoring a 100 TB table is O(manifest).
+    Restore-of-restore flattens to the final physical target at commit
+    time; :func:`vacuum_snapshots` keeps a restore's target alive as
+    long as the restore itself is retained."""
+    import time
+
+    if (version is None) == (as_of_ts is None):
+        raise ValueError("pass exactly one of version / as_of_ts")
+    with _manifest_lock(root):
+        doc = _read_manifest_doc(root)
+        versions, modes = doc["versions"], doc["modes"]
+        if not versions:
+            raise FileNotFoundError(f"no committed versions under {root}")
+        if as_of_ts is not None:
+            ts = doc["ts"]
+            eligible = [
+                v for v in versions if ts.get(v, float("-inf")) <= as_of_ts
+            ]
+            if not eligible:
+                raise ValueError(
+                    f"no version committed at or before ts={as_of_ts}"
+                )
+            target = eligible[-1]
+        else:
+            target = version
+        if target not in versions:
+            raise ValueError(f"version {target} not committed: {versions}")
+        # flatten restore-of-restore to the physical target
+        while modes.get(target, "full").startswith("restore:"):
+            target = int(modes[target].split(":", 1)[1])
+        new_v = max(versions + _existing_version_dirs(root), default=0) + 1
+        modes[new_v] = f"restore:{target}"
+        doc["ts"][new_v] = max(
+            time.time(), max(doc["ts"].values(), default=0.0) + 1e-3
+        )
+        _write_manifest(
+            root,
+            versions + [new_v],
+            doc["txns"],
+            doc["ts"],
+            modes,
+            constraints=doc["constraints"],
+            base_root=doc["base_root"],
+        )
+    return new_v
+
+
+def clone_snapshot(
+    src_root: str,
+    dst_root: str,
+    version: int | None = None,
+    as_of_ts: float | None = None,
+) -> int:
+    """``CREATE TABLE '<dst>' SHALLOW CLONE '<src>' [VERSION AS OF n]``
+    — fork a table at a pinned (default latest) version WITHOUT copying
+    data: the clone's manifest references the source's version
+    directories through ``base_root``, so cloning a 100 TB table is
+    O(manifest). Returns the cloned version number.
+
+    Copy-on-write divergence: writes to the clone commit new LOCAL
+    version directories (allocation continues above the cloned
+    numbers); the source is never touched, and vacuum on the clone only
+    ever removes clone-local directories (a referenced source directory
+    simply isn't local, so its rmtree is a no-op). CHECK constraints
+    are inherited at clone time. Like Delta shallow clones, the clone
+    depends on the source's retention: vacuuming the source below the
+    cloned version breaks the clone's reads (loudly —
+    :func:`_version_dir` raises)."""
+    src_doc = _read_manifest_doc(src_root)
+    if not src_doc["versions"]:
+        raise FileNotFoundError(f"no committed versions under {src_root}")
+    if version is not None and as_of_ts is not None:
+        raise ValueError("pass version OR as_of_ts, not both")
+    if as_of_ts is not None:
+        ts = src_doc["ts"]
+        eligible = [
+            v
+            for v in src_doc["versions"]
+            if ts.get(v, float("-inf")) <= as_of_ts
+        ]
+        if not eligible:
+            raise ValueError(f"no version committed at or before {as_of_ts}")
+        pinned = eligible[-1]
+    elif version is not None:
+        if version not in src_doc["versions"]:
+            raise ValueError(
+                f"version {version} not committed: {src_doc['versions']}"
+            )
+        pinned = version
+    else:
+        pinned = src_doc["versions"][-1]
+    referenced: set[int] = set()
+    _collect_referenced(
+        src_doc["versions"], src_doc["modes"], pinned, referenced
+    )
+    os.makedirs(dst_root, exist_ok=True)
+    with _manifest_lock(dst_root):
+        if _read_manifest_doc(dst_root)["versions"] or _existing_version_dirs(
+            dst_root
+        ):
+            raise FileExistsError(
+                f"clone destination {dst_root!r} is not empty"
+            )
+        kept = sorted(referenced)
+        _write_manifest(
+            dst_root,
+            kept,
+            {},  # txn dedupe entries are lineage-local, not inherited
+            {v: t for v, t in src_doc["ts"].items() if v in referenced},
+            {v: m for v, m in src_doc["modes"].items() if v in referenced},
+            constraints=src_doc["constraints"],
+            base_root=os.path.abspath(src_root),
+        )
+    return pinned

@@ -1,0 +1,399 @@
+"""RESTORE / SHALLOW CLONE / CHECK constraints / INSERT statements —
+the round-8 lifecycle extensions of the versioned commit protocol
+(operators/versioned.py, operators/sqlutil.py, Engine.sql routing).
+
+The reference pipeline overwrites a fixed S3 prefix in place
+(reference etls/openaq_transform_etl.py) — none of this surface exists
+there; parity target is the Delta-shaped semantics each test names.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_engineering_spark.engine import Engine
+from openaq_data_pipeline_engineering_spark.operators.versioned import (
+    ConstraintViolationError,
+    add_constraint,
+    append_rows,
+    clone_snapshot,
+    drop_constraint,
+    read_snapshot,
+    resolve_version_paths,
+    restore_snapshot,
+    snapshot_modes,
+    snapshot_versions,
+    table_constraints,
+    vacuum_snapshots,
+    write_snapshot,
+)
+
+
+def _k(spark, *values):
+    return spark.createDataFrame([(int(v),) for v in values], "k long")
+
+
+def _local_parquet_files(root: str) -> int:
+    return sum(
+        1
+        for _r, _d, files in os.walk(root)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+class TestRestore:
+    def test_restore_is_metadata_only_and_preserves_history(
+        self, spark, tmp_path
+    ):
+        root = str(tmp_path / "t")
+        write_snapshot(_k(spark, 1, 2), root)
+        write_snapshot(_k(spark, 1, 2, 3, 4), root)
+        v = restore_snapshot(root, version=1)
+        assert v == 3
+        # latest is the restored content; the bad version stays readable
+        assert read_snapshot(spark, root).count() == 2
+        assert read_snapshot(spark, root, version=2).count() == 4
+        # metadata-only: no v=3 data directory was written
+        assert not os.path.isdir(os.path.join(root, "v=3"))
+        assert snapshot_modes(root)[3] == "restore:1"
+
+    def test_restore_of_restore_flattens(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        write_snapshot(_k(spark, 1), root)
+        write_snapshot(_k(spark, 1, 2), root)
+        restore_snapshot(root, version=1)  # v3 -> 1
+        v4 = restore_snapshot(root, version=3)
+        assert snapshot_modes(root)[v4] == "restore:1"
+        assert read_snapshot(spark, root).count() == 1
+
+    def test_append_on_top_of_restore_chains_through_it(
+        self, spark, tmp_path
+    ):
+        root = str(tmp_path / "t")
+        write_snapshot(_k(spark, 1, 2), root)
+        write_snapshot(_k(spark, 9), root)
+        restore_snapshot(root, version=1)
+        append_rows(_k(spark, 3), root)
+        got = sorted(
+            r["k"] for r in read_snapshot(spark, root).collect()
+        )
+        assert got == [1, 2, 3]
+
+    def test_vacuum_keeps_restore_target_alive(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        write_snapshot(_k(spark, 1, 2), root)  # v1: the target
+        write_snapshot(_k(spark, 9), root)  # v2: droppable
+        restore_snapshot(root, version=1)  # v3
+        write_snapshot(_k(spark, 7), root)  # v4
+        restore_snapshot(root, version=3)  # v5 -> flattens to 1
+        dropped = vacuum_snapshots(root, keep_last=2)
+        # v4,v5 kept; v5 needs v1 transitively; only v2,v3 reclaimable
+        assert 1 not in dropped
+        assert read_snapshot(spark, root, version=5).count() == 2
+        assert read_snapshot(spark, root, version=4).count() == 1
+
+    def test_restore_requires_exactly_one_pin(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        write_snapshot(_k(spark, 1), root)
+        with pytest.raises(ValueError, match="exactly one"):
+            restore_snapshot(root)
+        with pytest.raises(ValueError, match="exactly one"):
+            restore_snapshot(root, version=1, as_of_ts=1.0)
+
+
+class TestShallowClone:
+    def test_clone_is_zero_copy_and_reads_pinned_content(
+        self, spark, tmp_path
+    ):
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        write_snapshot(_k(spark, 1, 2), src)
+        write_snapshot(_k(spark, 1, 2, 3), src)
+        pinned = clone_snapshot(src, dst, version=1)
+        assert pinned == 1
+        assert _local_parquet_files(dst) == 0  # no data copied
+        assert read_snapshot(spark, dst).count() == 2
+        # resolved paths point INTO the source tree
+        assert all(p.startswith(src) for p in resolve_version_paths(dst))
+
+    def test_clone_diverges_copy_on_write(self, spark, tmp_path):
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        write_snapshot(_k(spark, 1, 2), src)
+        clone_snapshot(src, dst)
+        append_rows(_k(spark, 3), dst)
+        write_snapshot(_k(spark, 9), src)  # src moves independently
+        assert sorted(
+            r["k"] for r in read_snapshot(spark, dst).collect()
+        ) == [1, 2, 3]
+        assert read_snapshot(spark, src).count() == 1
+        # the clone's new delta is LOCAL; the referenced base is not
+        assert _local_parquet_files(dst) > 0
+
+    def test_vacuum_on_clone_never_touches_source(self, spark, tmp_path):
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        write_snapshot(_k(spark, 1, 2), src)
+        clone_snapshot(src, dst)
+        write_snapshot(_k(spark, 5), dst)
+        write_snapshot(_k(spark, 6), dst)
+        vacuum_snapshots(dst, keep_last=1)
+        assert read_snapshot(spark, src).count() == 2  # src intact
+
+    def test_clone_of_clone_resolves_through_chain(self, spark, tmp_path):
+        a = str(tmp_path / "a")
+        b = str(tmp_path / "b")
+        c = str(tmp_path / "c")
+        write_snapshot(_k(spark, 1, 2, 3), a)
+        clone_snapshot(a, b)
+        clone_snapshot(b, c)
+        assert read_snapshot(spark, c).count() == 3
+        assert _local_parquet_files(b) == 0
+        assert _local_parquet_files(c) == 0
+
+    def test_clone_into_nonempty_destination_fails(self, spark, tmp_path):
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        write_snapshot(_k(spark, 1), src)
+        write_snapshot(_k(spark, 2), dst)
+        with pytest.raises(FileExistsError):
+            clone_snapshot(src, dst)
+
+    def test_vacuumed_source_breaks_clone_loudly(self, spark, tmp_path):
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        write_snapshot(_k(spark, 1), src)
+        write_snapshot(_k(spark, 2), src)
+        clone_snapshot(src, dst, version=1)
+        vacuum_snapshots(src, keep_last=1)  # drops v1 under the clone
+        with pytest.raises(FileNotFoundError, match="clone base"):
+            read_snapshot(spark, dst)
+
+    def test_clone_pins_by_timestamp(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            snapshot_commit_times,
+        )
+
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        write_snapshot(_k(spark, 1), src)
+        write_snapshot(_k(spark, 1, 2), src)
+        ts1 = snapshot_commit_times(src)[1]
+        clone_snapshot(src, dst, as_of_ts=ts1)
+        assert read_snapshot(spark, dst).count() == 1
+
+
+class TestCheckConstraints:
+    def test_violating_write_is_rejected_and_table_untouched(
+        self, spark, tmp_path
+    ):
+        root = str(tmp_path / "t")
+        add_constraint(spark, root, "k_nonneg", "k >= 0")
+        write_snapshot(_k(spark, 1, 2), root)
+        with pytest.raises(ConstraintViolationError) as ei:
+            write_snapshot(_k(spark, -1, 5), root)
+        assert ei.value.violations == {"k_nonneg": 1}
+        assert read_snapshot(spark, root).count() == 2
+        assert snapshot_versions(root) == [1]
+        # the rejected claim directory was cleaned up, not orphaned
+        assert not os.path.isdir(os.path.join(root, "v=2"))
+
+    def test_append_delta_validates_only_its_batch(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        write_snapshot(_k(spark, 1), root)
+        add_constraint(spark, root, "k_pos", "k > 0")
+        with pytest.raises(ConstraintViolationError):
+            append_rows(_k(spark, 0), root)
+        append_rows(_k(spark, 2), root)
+        assert read_snapshot(spark, root).count() == 2
+
+    def test_null_passes_sql_check_semantics(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        add_constraint(spark, root, "k_pos", "k > 0")
+        df = spark.createDataFrame([(None,), (1,)], "k long")
+        write_snapshot(df, root)  # NULL is unknown, not a violation
+        assert read_snapshot(spark, root).count() == 2
+
+    def test_add_constraint_validates_existing_rows(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        write_snapshot(_k(spark, 1, -2), root)
+        with pytest.raises(ConstraintViolationError):
+            add_constraint(spark, root, "k_nonneg", "k >= 0")
+        assert table_constraints(root) == {}
+
+    def test_constraints_survive_commits_and_vacuum(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        add_constraint(spark, root, "k_nonneg", "k >= 0")
+        write_snapshot(_k(spark, 1), root)
+        write_snapshot(_k(spark, 2), root)
+        write_snapshot(_k(spark, 3), root)
+        vacuum_snapshots(root, keep_last=1)
+        assert table_constraints(root) == {"k_nonneg": "k >= 0"}
+        with pytest.raises(ConstraintViolationError):
+            write_snapshot(_k(spark, -1), root)
+
+    def test_drop_constraint(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        add_constraint(spark, root, "k_nonneg", "k >= 0")
+        assert drop_constraint(root, "k_nonneg") is True
+        write_snapshot(_k(spark, -1), root)  # no longer enforced
+        with pytest.raises(ValueError, match="no constraint"):
+            drop_constraint(root, "k_nonneg")
+        assert drop_constraint(root, "k_nonneg", if_exists=True) is False
+
+    def test_duplicate_name_rejected(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        add_constraint(spark, root, "c", "k >= 0")
+        with pytest.raises(ValueError, match="already exists"):
+            add_constraint(spark, root, "c", "k < 10")
+
+    def test_clone_inherits_constraints(self, spark, tmp_path):
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        add_constraint(spark, src, "k_nonneg", "k >= 0")
+        write_snapshot(_k(spark, 1), src)
+        clone_snapshot(src, dst)
+        with pytest.raises(ConstraintViolationError):
+            append_rows(_k(spark, -1), dst)
+
+
+class TestLifecycleStatements:
+    def test_restore_statement(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        write_snapshot(_k(spark, 1, 2), root)
+        write_snapshot(_k(spark, 9), root)
+        row = (
+            Engine(spark)
+            .sql(f"RESTORE TABLE '{root}' TO VERSION AS OF 1")
+            .first()
+        )
+        assert (row["restored_to_version"], row["new_version"]) == (1, 3)
+        assert row["n_rows"] == 2
+        assert read_snapshot(spark, root).count() == 2
+
+    def test_restore_statement_timestamp_form(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            snapshot_commit_times,
+        )
+
+        root = str(tmp_path / "t")
+        write_snapshot(_k(spark, 1, 2, 3), root)
+        write_snapshot(_k(spark, 9), root)
+        ts1 = snapshot_commit_times(root)[1]
+        row = (
+            Engine(spark)
+            .sql(f"RESTORE '{root}' TIMESTAMP AS OF {ts1!r}")
+            .first()
+        )
+        assert row["restored_to_version"] == 1
+        assert read_snapshot(spark, root).count() == 3
+
+    def test_clone_statement_reports_zero_local_files(self, spark, tmp_path):
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        write_snapshot(_k(spark, 1, 2), src)
+        row = (
+            Engine(spark)
+            .sql(f"CREATE TABLE '{dst}' SHALLOW CLONE '{src}'")
+            .first()
+        )
+        assert row["n_local_data_files"] == 0
+        assert row["cloned_version"] == 1
+        assert read_snapshot(spark, dst).count() == 2
+
+    def test_insert_into_values_aligns_positionally(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        write_snapshot(
+            spark.createDataFrame([(1, "a")], "k long, tag string"), root
+        )
+        row = (
+            Engine(spark)
+            .sql(f"INSERT INTO '{root}' VALUES (2, 'b'), (3, 'c')")
+            .first()
+        )
+        assert (row["mode"], row["n_rows_inserted"]) == ("delta", 2)
+        back = read_snapshot(spark, root)
+        assert back.columns == ["k", "tag"]
+        assert back.count() == 3
+        # VALUES literals were cast to the target's types
+        assert dict(back.dtypes)["k"] == "bigint"
+
+    def test_insert_into_select_and_overwrite(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        Engine(spark).sql(
+            f"INSERT OVERWRITE '{root}' SELECT 1 AS k, 'x' AS tag"
+        )
+        Engine(spark).sql(
+            f"INSERT INTO '{root}' SELECT 2 AS k, 'y' AS tag"
+        )
+        assert read_snapshot(spark, root).count() == 2
+        Engine(spark).sql(
+            f"INSERT OVERWRITE '{root}' SELECT 9 AS k, 'z' AS tag"
+        )
+        assert read_snapshot(spark, root).count() == 1
+        # history preserved — the pre-overwrite content is version 2
+        assert read_snapshot(spark, root, version=2).count() == 2
+
+    def test_insert_into_empty_root_fails(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.sqlutil import (
+            UtilStatementError,
+        )
+
+        with pytest.raises(UtilStatementError, match="OVERWRITE creates"):
+            Engine(spark).sql(
+                f"INSERT INTO '{tmp_path / 'nope'}' SELECT 1 AS k"
+            )
+
+    def test_insert_arity_mismatch_fails(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.sqlutil import (
+            UtilStatementError,
+        )
+
+        root = str(tmp_path / "t")
+        write_snapshot(_k(spark, 1), root)
+        with pytest.raises(UtilStatementError, match="arity"):
+            Engine(spark).sql(
+                f"INSERT INTO '{root}' SELECT 1 AS a, 2 AS b"
+            )
+
+    def test_alter_add_then_insert_enforced(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        write_snapshot(_k(spark, 1), root)
+        eng = Engine(spark)
+        eng.sql(
+            f"ALTER TABLE '{root}' ADD CONSTRAINT k_nonneg CHECK (k >= 0)"
+        )
+        with pytest.raises(ConstraintViolationError):
+            eng.sql(f"INSERT INTO '{root}' VALUES (-4)")
+        row = eng.sql(
+            f"ALTER TABLE '{root}' DROP CONSTRAINT k_nonneg"
+        ).first()
+        assert row["action"] == "dropped"
+        eng.sql(f"INSERT INTO '{root}' VALUES (-4)")
+        assert read_snapshot(spark, root).count() == 2
+
+    def test_comment_led_statements_still_route(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        write_snapshot(_k(spark, 1, 2), root)
+        write_snapshot(_k(spark, 9), root)
+        Engine(spark).sql(
+            f"-- rollback bad publish\nRESTORE '{root}' VERSION AS OF 1"
+        )
+        assert read_snapshot(spark, root).count() == 2
+
+    def test_catalog_name_targets_still_reach_spark(self, spark):
+        # Unquoted (catalog) targets must NOT be captured by the
+        # path-statement routing — Spark parses them natively.
+        df = spark.range(3).withColumnRenamed("id", "k")
+        df.createOrReplaceTempView("lifecycle_plain_view")
+        got = Engine(spark).sql(
+            "SELECT count(*) AS n FROM lifecycle_plain_view"
+        )
+        assert got.first()["n"] == 3
+
+    def test_time_travel_read_of_restored_table(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        write_snapshot(_k(spark, 1, 2, 3), root)
+        write_snapshot(_k(spark, 9), root)
+        restore_snapshot(root, version=1)
+        got = Engine(spark).sql(
+            f"SELECT CAST(count(*) AS BIGINT) AS n "
+            f"FROM '{root}' VERSION AS OF 3"
+        )
+        assert got.first()["n"] == 3

@@ -101,6 +101,12 @@ TRIPLE_SCAN_ALLOWED = {
     "semdedup_prune",  # metadata count + index build + kept-side scan
     "dsir_importance_weights",  # LM train pass + score pass + totals
     "doc_perplexity_filter",  # LM train pass + score pass + totals
+    # Strict MERGE persists its join (ADVICE r7: replayable cache, not
+    # localCheckpoint), and a persisted plan PRINTS its full lineage
+    # under InMemoryRelation — the 3 counted scans populate the cache
+    # once at runtime (single execution pinned by
+    # test_sqlmerge cache-scan assertion), they are not re-reads.
+    "sql_merge_full_sync",
 }
 
 # Streaming plans can't be built with a batch explain.
