@@ -31,6 +31,15 @@ the lakehouse read/write surface the round-7 verdict scoped.
   statement form of checkpoint_appends.
 - ``sql_describe_history``: DESCRIBE HISTORY — one commit-log row per
   version (mode, txn id, latest flag) from the manifest only.
+- ``sql_restore_version``: RESTORE TABLE ... TO VERSION AS OF —
+  metadata-only rollback commit (history preserved, zero bytes moved).
+- ``sql_shallow_clone``: CREATE TABLE ... SHALLOW CLONE — zero-copy
+  fork at a pinned version, copy-on-write divergence via INSERT INTO.
+- ``sql_insert_into_versioned``: INSERT OVERWRITE (creates) / INSERT
+  INTO (O(batch) delta appends) with positional schema alignment.
+- ``sql_check_constraint``: ALTER TABLE ADD CONSTRAINT CHECK — the
+  storage boundary validates existing data and rejects violating
+  writes whole, transactionally.
 
 Registered LAST in registry._load_all so these fresh names lead the
 driver's ~50-query prefix ahead of the stalest-evidence greens.
@@ -601,3 +610,259 @@ def sql_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "txn_id",
         "is_latest",
     )
+
+
+# --------------------------------------------------------------------------
+# RESTORE: metadata-only rollback (operators/versioned.restore_snapshot
+# via the statement form). v1 = two regions, v2 = a bad full publish,
+# RESTORE back to v1 — latest reads the restored content, the bad
+# version stays time-travelable, and the restore wrote NO data files
+# (the manifest records restore:1; n_rows in the statement's metrics
+# row comes from parquet footers). Scale: O(manifest) regardless of
+# table size — rolling back a 100 TB publish moves zero bytes.
+# --------------------------------------------------------------------------
+@query(
+    "sql_restore_version",
+    "RESTORE TABLE ... TO VERSION AS OF: metadata-only rollback — "
+    "latest re-reads the restored version, history stays queryable, "
+    "no data rewritten",
+    oracle="""
+    WITH v1 AS (
+        SELECT n_nationkey, n_regionkey FROM nation WHERE n_regionkey < 2
+    )
+    SELECT 'latest_after_restore' AS snapshot,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM v1
+    UNION ALL
+    SELECT 'bad_version_still_readable' AS snapshot,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    UNION ALL
+    SELECT 'restore_metrics' AS snapshot,
+           CAST((SELECT count(*) FROM v1) AS BIGINT) AS n_rows,
+           CAST(1 + 3 AS BIGINT) AS key_sum  -- restored_to + new version
+    """,
+)
+def sql_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.engine import Engine
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    root = fresh_scratch_dir("sql_restore")
+    write_snapshot(nation.filter(F.col("n_regionkey") < 2), root)
+    write_snapshot(nation, root)  # the bad publish
+    metrics = Engine(spark).sql(
+        f"RESTORE TABLE '{root}' TO VERSION AS OF 1"
+    )
+
+    def agg(tag: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("snapshot"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        )
+
+    return (
+        agg("latest_after_restore", read_snapshot(spark, root))
+        .unionByName(
+            agg(
+                "bad_version_still_readable",
+                read_snapshot(spark, root, version=2),
+            )
+        )
+        .unionByName(
+            metrics.select(
+                F.lit("restore_metrics").alias("snapshot"),
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                (F.col("restored_to_version") + F.col("new_version"))
+                .cast("bigint")
+                .alias("key_sum"),
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# SHALLOW CLONE: zero-copy table fork. Clone the source at a pinned
+# version (the statement's metrics row proves n_local_data_files = 0 —
+# no bytes moved), diverge the clone with an INSERT (copy-on-write:
+# the delta is clone-local), and show the source is untouched. Scale:
+# cloning is O(manifest); the clone's reads resolve the source's
+# directories directly, so there is no indirection cost at scan time.
+# --------------------------------------------------------------------------
+@query(
+    "sql_shallow_clone",
+    "CREATE TABLE ... SHALLOW CLONE: zero-copy fork at a pinned "
+    "version (0 local data files), copy-on-write divergence via "
+    "INSERT INTO, source unaffected",
+    oracle="""
+    WITH pinned AS (
+        SELECT n_nationkey, n_regionkey FROM nation WHERE n_regionkey < 3
+    )
+    SELECT 'clone_after_insert' AS side,
+           CAST(count(*) + 1 AS BIGINT) AS n_rows,
+           CAST(sum(n_nationkey) + 99 AS BIGINT) AS key_sum,
+           CAST(0 AS BIGINT) AS n_files_copied
+    FROM pinned
+    UNION ALL
+    SELECT 'source_latest' AS side,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+           CAST(0 AS BIGINT) AS n_files_copied
+    FROM nation
+    """,
+)
+def sql_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.engine import Engine
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    src = fresh_scratch_dir("clone_src")
+    dst = fresh_scratch_dir("clone_dst") + "/t"  # must not pre-exist
+    write_snapshot(nation.filter(F.col("n_regionkey") < 3), src)
+    write_snapshot(nation, src)
+    eng = Engine(spark)
+    metrics = eng.sql(
+        f"CREATE TABLE '{dst}' SHALLOW CLONE '{src}' VERSION AS OF 1"
+    )
+    n_copied = metrics.select("n_local_data_files").first()[0]
+    eng.sql(f"INSERT INTO '{dst}' VALUES (99, 0)")  # CoW divergence
+
+    def agg(tag: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("side"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+            F.lit(int(n_copied)).cast("bigint").alias("n_files_copied"),
+        )
+
+    return agg("clone_after_insert", read_snapshot(spark, dst)).unionByName(
+        agg("source_latest", read_snapshot(spark, src))
+    )
+
+
+# --------------------------------------------------------------------------
+# INSERT statements: OVERWRITE creates the table (full version), INTO
+# appends O(batch) delta versions — one from a VALUES list (positional
+# alignment + cast to the target schema) and one from a SELECT. The
+# read-back proves schema alignment (VALUES literals took the table's
+# column names/types) and chain resolution. Scale: each INTO writes
+# only its rows; the table never rewrites.
+# --------------------------------------------------------------------------
+@query(
+    "sql_insert_into_versioned",
+    "INSERT OVERWRITE creates the versioned table; INSERT INTO "
+    "appends delta commits from VALUES and SELECT with positional "
+    "schema alignment",
+    oracle="""
+    WITH base AS (
+        SELECT n_nationkey AS k, n_name AS tag FROM nation
+        WHERE n_regionkey = 0
+    ), ins AS (
+        SELECT k, tag FROM base
+        UNION ALL SELECT 900, 'manual-a'
+        UNION ALL SELECT 901, 'manual-b'
+        UNION ALL
+        SELECT n_nationkey + 1000, lower(n_name) FROM nation
+        WHERE n_regionkey = 1
+    )
+    SELECT tag, CAST(k AS BIGINT) AS k FROM ins
+    """,
+)
+def sql_insert_into_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.engine import Engine
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        read_snapshot,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    nation.createOrReplaceTempView("ins_nation")
+    root = fresh_scratch_dir("sql_insert")
+    eng = Engine(spark)
+    eng.sql(
+        f"INSERT OVERWRITE '{root}' "
+        "SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS tag "
+        "FROM ins_nation WHERE n_regionkey = 0"
+    )
+    eng.sql(
+        f"INSERT INTO '{root}' VALUES (900, 'manual-a'), (901, 'manual-b')"
+    )
+    eng.sql(
+        f"INSERT INTO '{root}' "
+        "SELECT n_nationkey + 1000, lower(n_name) "
+        "FROM ins_nation WHERE n_regionkey = 1"
+    )
+    back = read_snapshot(spark, root)
+    return back.select("tag", F.col("k").cast("bigint").alias("k"))
+
+
+# --------------------------------------------------------------------------
+# CHECK constraints: the storage boundary rejects bad rows. ADD
+# CONSTRAINT validates the existing table (one aggregate pass), a
+# violating INSERT is rejected whole (the table and its version count
+# are untouched — writes are transactional), and a clean INSERT lands.
+# The report frame pins all three facts plus the violation count the
+# rejection carried. Scale: enforcement is one column-pruned pass over
+# each written batch, never a table rescan.
+# --------------------------------------------------------------------------
+@query(
+    "sql_check_constraint",
+    "ALTER TABLE ADD CONSTRAINT CHECK: existing data validated, "
+    "violating INSERT rejected whole with per-constraint counts, "
+    "clean INSERT lands, version count proves no partial commit",
+    oracle="""
+    WITH base AS (
+        SELECT n_nationkey FROM nation WHERE n_regionkey < 4
+    )
+    SELECT 'final_rows' AS metric,
+           CAST((SELECT count(*) FROM base) + 1 AS BIGINT) AS value
+    UNION ALL SELECT 'blocked_rows', CAST(2 AS BIGINT)
+    UNION ALL SELECT 'constraints_active', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'versions_committed', CAST(2 AS BIGINT)
+    """,
+)
+def sql_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.engine import Engine
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        ConstraintViolationError,
+        read_snapshot,
+        snapshot_versions,
+        table_constraints,
+        write_snapshot,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    root = fresh_scratch_dir("sql_check")
+    write_snapshot(
+        nation.filter(F.col("n_regionkey") < 4).select(
+            F.col("n_nationkey").cast("bigint").alias("k")
+        ),
+        root,
+    )
+    eng = Engine(spark)
+    eng.sql(f"ALTER TABLE '{root}' ADD CONSTRAINT k_nonneg CHECK (k >= 0)")
+    blocked = 0
+    try:
+        eng.sql(f"INSERT INTO '{root}' VALUES (-1), (77), (-3)")
+    except ConstraintViolationError as e:
+        blocked = e.violations["k_nonneg"]
+    eng.sql(f"INSERT INTO '{root}' VALUES (500)")  # clean insert lands
+    rows = [
+        ("final_rows", int(read_snapshot(spark, root).count())),
+        ("blocked_rows", int(blocked)),
+        ("constraints_active", len(table_constraints(root))),
+        ("versions_committed", len(snapshot_versions(root))),
+    ]
+    return spark.createDataFrame(rows, "metric string, value long")
