@@ -229,6 +229,12 @@ class Engine:
             )
 
             return execute_restore(self.spark, _strip_comments(query))
+        if _re.match(r"\s*PURGE\s+FROM\b", routed, _re.IGNORECASE):
+            from openaq_data_pipeline_engineering_spark.operators.sqlutil import (
+                execute_purge,
+            )
+
+            return execute_purge(self.spark, _strip_comments(query))
         # Lifecycle statements on QUOTED-PATH targets only: an INSERT /
         # ALTER TABLE / CREATE TABLE aimed at a catalog name still
         # belongs to Spark's parser (catalog tables support them

@@ -645,3 +645,32 @@ def execute_alter(spark: SparkSession, sql: str) -> DataFrame:
         "ADD CONSTRAINT <name> CHECK (<expr>) or DROP CONSTRAINT "
         "[IF EXISTS] <name>"
     )
+
+
+_PURGE_RE = re.compile(
+    r"^\s*PURGE\s+FROM\s+'(?P<path>[^']+)'\s+WHERE\s+(?P<pred>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def execute_purge(spark: SparkSession, sql: str) -> DataFrame:
+    """PURGE FROM '<root>' WHERE <predicate> — the right-to-be-
+    forgotten statement (operators/versioned.purge_rows): matching rows
+    are removed from EVERY retained version, which DELETE + time travel
+    cannot do. One metrics row per committed version; n_kept = -1
+    flags a version whose schema could not resolve the predicate
+    (treated as containing no matching rows — see purge_rows)."""
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        purge_rows,
+    )
+
+    m = _PURGE_RE.match(sql)
+    if not m:
+        raise UtilStatementError(
+            "unparseable PURGE; expected PURGE FROM '<root>' WHERE <pred>"
+        )
+    rows = purge_rows(spark, m.group("path"), m.group("pred"))
+    return spark.createDataFrame(
+        [(int(v), int(p), int(k)) for v, p, k in rows],
+        "version int, n_purged bigint, n_kept bigint",
+    )

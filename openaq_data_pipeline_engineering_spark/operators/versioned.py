@@ -1030,3 +1030,126 @@ def clone_snapshot(
             base_root=os.path.abspath(src_root),
         )
     return pinned
+
+
+def _recover_interrupted_purge(root: str) -> None:
+    """Heal a :func:`purge_rows` that crashed mid-swap. States:
+
+    - ``v=N.__purge_old__`` present, ``v=N`` absent → the crash hit
+      between the two renames: the original data is intact under the
+      old name; rename it back (that version is simply un-purged).
+    - both present → the swap completed but the old dir wasn't
+      reclaimed: remove the leftover.
+    - ``v=N.__purge_tmp__`` leftovers are always safe to remove (the
+      tmp is only renamed INTO place after a full write)."""
+    import shutil
+
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    for name in entries:
+        if name.endswith(".__purge_tmp__"):
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+        elif name.endswith(".__purge_old__"):
+            orig = os.path.join(root, name[: -len(".__purge_old__")])
+            old = os.path.join(root, name)
+            if os.path.isdir(orig):
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                os.rename(old, orig)
+
+
+def purge_rows(
+    spark: SparkSession, root: str, predicate: str
+) -> list[tuple[int, int, int]]:
+    """Remove every row matching ``predicate`` from EVERY retained
+    version — the right-to-be-forgotten operation time travel otherwise
+    forbids. Returns ``[(version, n_purged, n_kept), ...]``.
+
+    DELETE only rewrites the latest content; the deleted rows stay
+    readable through time travel until their versions age out — for a
+    GDPR/CCPA erasure request that is not enough. ``purge_rows`` is the
+    sanctioned history rewrite: each committed version directory is
+    rewritten WITHOUT the matching rows, preserving version numbers,
+    commit timestamps, modes, txn dedupe entries, and constraints — so
+    time travel, CDF, and idempotent replay all keep working, minus the
+    purged rows. (The Delta-world equivalent is REORG TABLE ... PURGE
+    followed by VACUUM; here there are no soft-deleted files, so the
+    rewrite is direct.)
+
+    Semantics and guard rails:
+
+    - **Per-version schemas are respected**: each directory is read and
+      rewritten with ITS OWN schema (evolution chains keep their
+      null-backfill behavior). A version whose schema cannot resolve
+      the predicate's columns is treated as containing NO matching rows
+      (count row reports ``n_purged=0``) — a predicate on a column that
+      was RENAMED across history needs one purge per spelling.
+    - **RESTORE commits** own no data; they are skipped (their content
+      is the rewritten target).
+    - **Clones are rejected**: a clone reads directories owned by its
+      source; purging through it would mutate a table someone else
+      reads. Purge the source root (every clone sees the rewrite), or
+      fully materialize the clone first (OPTIMIZE commits a local full
+      version — earlier cloned versions still reference the source).
+    - **Crash safety**: each directory swaps via write-tmp → rename-old
+      → rename-tmp-in → reclaim-old; :func:`_recover_interrupted_purge`
+      (run automatically on entry) heals any interrupted state to a
+      consistent directory. A reader racing the swap of one version can
+      hit a transient missing-directory error (same caveat as the
+      plain-table OPTIMIZE rewrite); coordinate purges like any other
+      maintenance window.
+
+    Scale: work ∝ total retained bytes (every retained version must be
+    rewritten — that is the point); each version rewrites as one
+    distributed filter-write, versions processed sequentially so the
+    blast radius of a failure is one healed directory. Run VACUUM first
+    to shrink the version set.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    doc = _read_manifest_doc(root)
+    if doc["base_root"] is not None:
+        raise ValueError(
+            f"{root!r} is a shallow clone of {doc['base_root']!r}; purge "
+            "the source root (all clones see the rewrite) or materialize "
+            "the clone first"
+        )
+    if not doc["versions"]:
+        raise FileNotFoundError(f"no committed versions under {root}")
+    _recover_interrupted_purge(root)
+    results: list[tuple[int, int, int]] = []
+    for v in doc["versions"]:
+        if doc["modes"].get(v, "full").startswith("restore:"):
+            continue  # no data of its own
+        path = os.path.join(root, f"v={v}")
+        df = spark.read.parquet(path)
+        try:
+            matches = F.coalesce(F.expr(predicate), F.lit(False))
+            counts = df.agg(
+                F.sum(F.when(matches, 1).otherwise(0)).alias("purged"),
+                F.count(F.lit(1)).alias("total"),
+            ).first()
+        except AnalysisException:
+            # predicate columns absent from this version's schema:
+            # nothing here can match (see docstring re renames)
+            results.append((v, 0, -1))
+            continue
+        n_purged = int(counts["purged"] or 0)
+        n_kept = int(counts["total"]) - n_purged
+        if n_purged == 0:
+            results.append((v, 0, n_kept))
+            continue
+        tmp = path + ".__purge_tmp__"
+        old = path + ".__purge_old__"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.filter(~matches).write.mode("overwrite").parquet(tmp)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+        results.append((v, n_purged, n_kept))
+    return results

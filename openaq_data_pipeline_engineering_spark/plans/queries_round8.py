@@ -40,6 +40,9 @@ the lakehouse read/write surface the round-7 verdict scoped.
 - ``sql_check_constraint``: ALTER TABLE ADD CONSTRAINT CHECK — the
   storage boundary validates existing data and rejects violating
   writes whole, transactionally.
+- ``sql_purge_history``: PURGE FROM ... WHERE — GDPR-style history
+  rewrite: matching rows removed from EVERY retained version (latest
+  and time travel), manifest preserved, per-directory crash healing.
 
 Registered LAST in registry._load_all so these fresh names lead the
 driver's ~50-query prefix ahead of the stalest-evidence greens.
@@ -866,3 +869,95 @@ def sql_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("versions_committed", len(snapshot_versions(root))),
     ]
     return spark.createDataFrame(rows, "metric string, value long")
+
+
+# --------------------------------------------------------------------------
+# PURGE (right-to-be-forgotten): rows matching a predicate are removed
+# from EVERY retained version — DELETE only rewrites latest, and the
+# deleted rows stay time-travelable; an erasure request needs the
+# history rewrite. The witness purges a key slice from a full+delta
+# chain, then proves it gone from BOTH the latest read and a pinned
+# time-travel read, with the per-version purge counts the statement
+# returned. Version numbers / modes / txn entries survive (pinned by
+# TestPurge). Scale: work ∝ retained bytes — the unavoidable floor —
+# one distributed filter-write per version, crash-healed per directory.
+# --------------------------------------------------------------------------
+@query(
+    "sql_purge_history",
+    "PURGE FROM ... WHERE: GDPR-style history rewrite — matching rows "
+    "removed from every retained version (latest AND time travel), "
+    "per-version counts returned, manifest untouched",
+    oracle="""
+    WITH v1 AS (
+        SELECT n_nationkey, n_regionkey FROM nation
+    ), v2d AS (
+        SELECT n_nationkey + 100 AS n_nationkey, n_regionkey
+        FROM nation WHERE n_regionkey = 1
+    ), purged1 AS (
+        SELECT * FROM v1 WHERE n_nationkey % 5 <> 0
+    ), purged2 AS (
+        SELECT * FROM v2d WHERE n_nationkey % 5 <> 0
+    )
+    SELECT 'purge_v1' AS slice,
+           CAST((SELECT count(*) FROM v1 WHERE n_nationkey % 5 = 0)
+                AS BIGINT) AS a,
+           CAST((SELECT count(*) FROM purged1) AS BIGINT) AS b
+    UNION ALL
+    SELECT 'purge_v2',
+           CAST((SELECT count(*) FROM v2d WHERE n_nationkey % 5 = 0)
+                AS BIGINT),
+           CAST((SELECT count(*) FROM purged2) AS BIGINT)
+    UNION ALL
+    SELECT 'latest',
+           CAST((SELECT count(*) FROM purged1)
+                + (SELECT count(*) FROM purged2) AS BIGINT),
+           CAST((SELECT sum(n_nationkey) FROM purged1)
+                + (SELECT sum(n_nationkey) FROM purged2) AS BIGINT)
+    UNION ALL
+    SELECT 'time_travel_v1',
+           CAST((SELECT count(*) FROM purged1) AS BIGINT),
+           CAST((SELECT sum(n_nationkey) FROM purged1) AS BIGINT)
+    """,
+)
+def sql_purge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.engine import Engine
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        append_rows,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    root = fresh_scratch_dir("sql_purge")
+    write_snapshot(nation, root)
+    append_rows(
+        nation.filter(F.col("n_regionkey") == 1).select(
+            (F.col("n_nationkey") + 100).alias("n_nationkey"),
+            "n_regionkey",
+        ),
+        root,
+    )
+    metrics = Engine(spark).sql(
+        f"PURGE FROM '{root}' WHERE n_nationkey % 5 = 0"
+    )
+
+    def agg(tag: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("slice"),
+            F.count(F.lit(1)).cast("bigint").alias("a"),
+            F.sum("n_nationkey").cast("bigint").alias("b"),
+        )
+
+    per_version = metrics.select(
+        F.concat(F.lit("purge_v"), F.col("version")).alias("slice"),
+        F.col("n_purged").cast("bigint").alias("a"),
+        F.col("n_kept").cast("bigint").alias("b"),
+    )
+    return (
+        per_version.unionByName(agg("latest", read_snapshot(spark, root)))
+        .unionByName(
+            agg("time_travel_v1", read_snapshot(spark, root, version=1))
+        )
+    )

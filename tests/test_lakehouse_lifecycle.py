@@ -397,3 +397,122 @@ class TestLifecycleStatements:
             f"FROM '{root}' VERSION AS OF 3"
         )
         assert got.first()["n"] == 3
+
+
+class TestPurge:
+    """purge_rows / PURGE FROM: the sanctioned history rewrite."""
+
+    def _table(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        write_snapshot(
+            spark.createDataFrame(
+                [(1, "alice"), (2, "bob"), (3, "carol")], "k long, who string"
+            ),
+            root,
+        )
+        append_rows(
+            spark.createDataFrame([(2, "bob-v2"), (4, "dan")],
+                                  "k long, who string"),
+            root,
+            txn_id="batch-1",
+        )
+        return root
+
+    def test_purge_removes_from_all_versions(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            purge_rows,
+        )
+
+        root = self._table(spark, tmp_path)
+        res = purge_rows(spark, root, "k = 2")
+        assert res == [(1, 1, 2), (2, 1, 1)]
+        # gone from latest AND from time travel
+        assert sorted(
+            r["k"] for r in read_snapshot(spark, root).collect()
+        ) == [1, 3, 4]
+        assert sorted(
+            r["k"] for r in read_snapshot(spark, root, version=1).collect()
+        ) == [1, 3]
+        # manifest untouched: versions, modes, txn dedupe all preserved
+        assert snapshot_versions(root) == [1, 2]
+        assert append_rows(
+            spark.createDataFrame([(9, "x")], "k long, who string"),
+            root,
+            txn_id="batch-1",  # replay still dedupes after the purge
+        ) == 2
+
+    def test_purge_skips_restore_commits(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            purge_rows,
+        )
+
+        root = self._table(spark, tmp_path)
+        restore_snapshot(root, version=1)
+        res = purge_rows(spark, root, "k = 1")
+        assert [v for v, _p, _k in res] == [1, 2]  # v3 owns no data
+        assert sorted(
+            r["k"] for r in read_snapshot(spark, root).collect()
+        ) == [2, 3]  # restored view re-reads the purged v1
+
+    def test_purge_rejects_clones(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            purge_rows,
+        )
+
+        root = self._table(spark, tmp_path)
+        dst = str(tmp_path / "clone")
+        clone_snapshot(root, dst)
+        with pytest.raises(ValueError, match="shallow clone"):
+            purge_rows(spark, dst, "k = 2")
+
+    def test_purge_tolerates_missing_predicate_column(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            purge_rows,
+        )
+
+        root = str(tmp_path / "t")
+        write_snapshot(_k(spark, 1, 2), root)  # schema: k only
+        append_rows(
+            spark.createDataFrame([(3, "x")], "k long, who string"), root
+        )
+        res = purge_rows(spark, root, "who = 'x'")
+        assert res[0] == (1, 0, -1)  # v1 can't resolve `who`: flagged
+        assert res[1][1] == 1
+        assert read_snapshot(spark, root).count() == 2
+
+    def test_crash_recovery_heals_both_states(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            _recover_interrupted_purge,
+            purge_rows,
+        )
+
+        root = self._table(spark, tmp_path)
+        v1, old1 = os.path.join(root, "v=1"), os.path.join(
+            root, "v=1.__purge_old__"
+        )
+        # state A: crashed between the two renames (orig under old name)
+        os.rename(v1, old1)
+        _recover_interrupted_purge(root)
+        assert os.path.isdir(v1) and not os.path.exists(old1)
+        assert read_snapshot(spark, root, version=1).count() == 3
+        # state B: swap done, old leftover present
+        purge_rows(spark, root, "k = 3")
+        os.makedirs(old1)
+        _recover_interrupted_purge(root)
+        assert not os.path.exists(old1)
+        assert read_snapshot(spark, root, version=1).count() == 2
+
+    def test_purge_statement_form(self, spark, tmp_path):
+        root = self._table(spark, tmp_path)
+        rows = (
+            Engine(spark)
+            .sql(f"PURGE FROM '{root}' WHERE who LIKE 'bob%'")
+            .collect()
+        )
+        assert [(r["version"], r["n_purged"]) for r in rows] == [
+            (1, 1),
+            (2, 1),
+        ]
+        assert sorted(
+            r["k"] for r in read_snapshot(spark, root).collect()
+        ) == [1, 3, 4]
