@@ -223,6 +223,14 @@ class Engine:
             return execute_describe_history(
                 self.spark, _strip_comments(query)
             )
+        if _re.match(r"\s*DESCRIBE\s+DETAIL\b", routed, _re.IGNORECASE):
+            from openaq_data_pipeline_engineering_spark.operators.sqlutil import (
+                execute_describe_detail,
+            )
+
+            return execute_describe_detail(
+                self.spark, _strip_comments(query)
+            )
         if _re.match(r"\s*RESTORE\b", routed, _re.IGNORECASE):
             from openaq_data_pipeline_engineering_spark.operators.sqlutil import (
                 execute_restore,

@@ -674,3 +674,73 @@ def execute_purge(spark: SparkSession, sql: str) -> DataFrame:
         [(int(v), int(p), int(k)) for v, p, k in rows],
         "version int, n_purged bigint, n_kept bigint",
     )
+
+
+_DETAIL_RE = re.compile(
+    r"^\s*DESCRIBE\s+DETAIL\s+'(?P<path>[^']+)'\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def execute_describe_detail(spark: SparkSession, sql: str) -> DataFrame:
+    """DESCRIBE DETAIL '<versioned root>' — one-row table metadata
+    summary (Delta's ``DESCRIBE DETAIL`` shape): version counts by
+    mode, the latest version and its resolved file/byte footprint
+    (parquet FOOTER statistics — no data pages read), active CHECK
+    constraints, and the shallow-clone source if any. Complements
+    DESCRIBE HISTORY (one row per commit) with the current-state view
+    orchestration dashboards want in one call."""
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        _read_manifest_doc,
+        resolve_version_paths,
+    )
+
+    m = _DETAIL_RE.match(sql)
+    if not m:
+        raise UtilStatementError(
+            "unparseable DESCRIBE DETAIL; expected "
+            "DESCRIBE DETAIL '<versioned root>'"
+        )
+    root = m.group("path")
+    doc = _read_manifest_doc(root)
+    if not doc["versions"]:
+        raise UtilStatementError(f"no committed versions under {root!r}")
+    latest = doc["versions"][-1]
+    modes = doc["modes"]
+    n_full = sum(
+        1 for v in doc["versions"] if modes.get(v, "full") == "full"
+    )
+    n_delta = sum(1 for v in doc["versions"] if modes.get(v) == "delta")
+    n_restore = len(doc["versions"]) - n_full - n_delta
+    paths = resolve_version_paths(root, latest)
+    n_files = 0
+    n_bytes = 0
+    for p in paths:
+        for r, _d, files in os.walk(p):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n_files += 1
+                    n_bytes += os.path.getsize(os.path.join(r, f))
+    n_rows = _footer_rows_dirs(paths)
+    constraints = sorted(doc["constraints"])
+    return spark.createDataFrame(
+        [
+            (
+                int(latest),
+                len(doc["versions"]),
+                int(n_full),
+                int(n_delta),
+                int(n_restore),
+                int(n_files),
+                int(n_bytes),
+                int(n_rows),
+                len(doc["txns"]),
+                constraints,
+                doc["base_root"],
+            )
+        ],
+        "latest_version int, n_versions int, n_full int, n_delta int, "
+        "n_restore int, n_data_files int, size_bytes bigint, "
+        "n_rows bigint, n_txns int, constraints array<string>, "
+        "cloned_from string",
+    )

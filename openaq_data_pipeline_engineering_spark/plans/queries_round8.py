@@ -43,6 +43,9 @@ the lakehouse read/write surface the round-7 verdict scoped.
 - ``sql_purge_history``: PURGE FROM ... WHERE — GDPR-style history
   rewrite: matching rows removed from EVERY retained version (latest
   and time travel), manifest preserved, per-directory crash healing.
+- ``sql_describe_detail``: DESCRIBE DETAIL — one-row current-state
+  summary (version counts by mode, footer row count, txn entries,
+  constraints, clone source) next to DESCRIBE HISTORY's commit log.
 
 Registered LAST in registry._load_all so these fresh names lead the
 driver's ~50-query prefix ahead of the stalest-evidence greens.
@@ -960,4 +963,68 @@ def sql_purge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             agg("time_travel_v1", read_snapshot(spark, root, version=1))
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# DESCRIBE DETAIL: the current-state introspection row next to
+# DESCRIBE HISTORY's commit log — version counts by mode, latest
+# footprint from parquet footers only, active constraints, clone
+# source. The witness builds full + delta + constraint + restore and
+# pins the mode accounting; file/byte counts are excluded from the
+# declared columns (layout-dependent: they vary with write
+# parallelism), asserted instead by TestDescribeDetail.
+# --------------------------------------------------------------------------
+@query(
+    "sql_describe_detail",
+    "DESCRIBE DETAIL '<root>': one-row current-state summary — "
+    "version counts by mode (full/delta/restore), latest row count "
+    "from footers, txn entries, active constraint count",
+    oracle="""
+    SELECT CAST(4 AS INT) AS latest_version,
+           CAST(4 AS INT) AS n_versions,
+           CAST(1 AS INT) AS n_full,
+           CAST(2 AS INT) AS n_delta,
+           CAST(1 AS INT) AS n_restore,
+           CAST((SELECT count(*) FROM nation WHERE n_regionkey = 0)
+                AS BIGINT) AS n_rows,
+           CAST(1 AS INT) AS n_txns,
+           CAST(1 AS INT) AS n_constraints,
+           CAST(0 AS INT) AS is_clone
+    """,
+)
+def sql_describe_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.engine import Engine
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        add_constraint,
+        append_rows,
+        restore_snapshot,
+        write_snapshot,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    root = fresh_scratch_dir("sql_detail")
+    write_snapshot(nation.filter(F.col("n_regionkey") == 0), root)
+    append_rows(
+        nation.filter(F.col("n_regionkey") == 1), root, txn_id="ing-0"
+    )
+    append_rows(nation.filter(F.col("n_regionkey") == 2), root)
+    add_constraint(spark, root, "key_nonneg", "n_nationkey >= 0")
+    restore_snapshot(root, version=1)  # latest: back to region 0 only
+    detail = Engine(spark).sql(f"DESCRIBE DETAIL '{root}'")
+    return detail.select(
+        "latest_version",
+        "n_versions",
+        "n_full",
+        "n_delta",
+        "n_restore",
+        "n_rows",
+        "n_txns",
+        F.size("constraints").alias("n_constraints"),
+        F.when(F.col("cloned_from").isNull(), 0)
+        .otherwise(1)
+        .cast("int")
+        .alias("is_clone"),
     )

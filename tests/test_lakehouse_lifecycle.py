@@ -516,3 +516,59 @@ class TestPurge:
         assert sorted(
             r["k"] for r in read_snapshot(spark, root).collect()
         ) == [1, 3, 4]
+
+
+class TestDescribeDetail:
+    def test_detail_summarizes_modes_files_constraints(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        add_constraint(spark, root, "k_nonneg", "k >= 0")
+        write_snapshot(_k(spark, 1, 2), root)
+        append_rows(_k(spark, 3), root, txn_id="b1")
+        restore_snapshot(root, version=1)
+        row = Engine(spark).sql(f"DESCRIBE DETAIL '{root}'").first()
+        assert row["latest_version"] == 3
+        assert (row["n_full"], row["n_delta"], row["n_restore"]) == (1, 1, 1)
+        assert row["n_rows"] == 2  # latest = restore of v1
+        assert row["n_txns"] == 1
+        assert row["constraints"] == ["k_nonneg"]
+        assert row["cloned_from"] is None
+        assert row["n_data_files"] >= 1 and row["size_bytes"] > 0
+
+    def test_detail_reports_clone_source(self, spark, tmp_path):
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        write_snapshot(_k(spark, 1), src)
+        clone_snapshot(src, dst)
+        row = Engine(spark).sql(f"DESCRIBE DETAIL '{dst}'").first()
+        assert row["cloned_from"] == os.path.abspath(src)
+        assert row["n_rows"] == 1
+
+
+class TestStreamingConstraintIntegration:
+    def test_streaming_upsert_sink_enforces_table_constraints(
+        self, spark, tmp_path
+    ):
+        """The streaming upsert sink publishes through write_snapshot,
+        so a CHECK constraint on the target guards the STREAMING path
+        with zero extra wiring — a violating micro-batch fails the
+        commit and the table keeps its last good version."""
+        from openaq_data_pipeline_engineering_spark.streaming.upsert import (
+            upsert_batch,
+        )
+
+        root = str(tmp_path / "t")
+        write_snapshot(
+            spark.createDataFrame([(1, 10.0, 1)], "k long, v double, ts long"),
+            root,
+        )
+        add_constraint(spark, root, "v_pos", "v > 0")
+        good = spark.createDataFrame(
+            [(2, 5.0, 2)], "k long, v double, ts long"
+        )
+        upsert_batch(good, 0, root, keys=["k"], ts_col="ts")
+        assert read_snapshot(spark, root).count() == 2
+        bad = spark.createDataFrame(
+            [(3, -1.0, 3)], "k long, v double, ts long"
+        )
+        with pytest.raises(ConstraintViolationError):
+            upsert_batch(bad, 1, root, keys=["k"], ts_col="ts")
+        assert read_snapshot(spark, root).count() == 2  # last good state
