@@ -154,13 +154,36 @@ def _existing_version_dirs(root: str) -> list[int]:
     return sorted(out)
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Optimistic-concurrency conflict: the table advanced past the
+    version this writer's result was computed FROM (Delta's
+    ConcurrentModificationException shape). The writer must re-read,
+    recompute, and retry; its abandoned directory is vacuum's."""
+
+
 def write_snapshot(
     df: DataFrame,
     root: str,
     _max_retries: int = 16,
     txn_id: str | None = None,
+    expected_latest: int | None = None,
 ) -> int:
     """Commit ``df`` as the next version; returns the version number.
+
+    ``expected_latest`` opts into OPTIMISTIC CONCURRENCY for
+    read-modify-write transactions: pass the version the new content
+    was computed from (``snapshot_versions(root)[-1]`` at read time,
+    or ``None`` for a creating write on an empty root via
+    ``expected_latest=0``). If another writer commits in between, the
+    commit fails with :class:`ConcurrentWriteError` INSTEAD of silently
+    basing the table on stale content — the lost-update anomaly two
+    concurrent MERGEs would otherwise produce (each reads v5, each
+    merges, the second commit erases the first's rows). Blind appends
+    (:func:`append_rows`) and full republishes that don't read the
+    table first don't need it — version-level last-commit-wins is
+    already safe for those. The check runs inside the commit lock, so
+    it is race-free; the losing writer's directory is abandoned for
+    vacuum exactly like a lost txn race.
 
     Data is written fully before the manifest references it; the
     manifest advances by an atomic same-directory rename (POSIX; on
@@ -204,7 +227,9 @@ def write_snapshot(
             return txns[txn_id]  # replay: already committed, no write
     version = _allocate_and_write(df, root, _max_retries)
     _enforce_constraints(df.sparkSession, root, version)
-    return _commit_version(root, version, txn_id)
+    return _commit_version(
+        root, version, txn_id, expected_latest=expected_latest
+    )
 
 
 def append_rows(
@@ -287,12 +312,20 @@ def _allocate_and_write(df: DataFrame, root: str, max_retries: int = 16) -> int:
 
 
 def _commit_version(
-    root: str, version: int, txn_id: str | None = None, mode: str = "full"
+    root: str,
+    version: int,
+    txn_id: str | None = None,
+    mode: str = "full",
+    expected_latest: int | None = None,
 ) -> int:
     """Phase 2: publish ``version`` in the manifest (locked re-read).
     Returns the committed version — for an idempotent ``txn_id`` that
     lost a race to a concurrent replay, that is the WINNER's version
-    (this writer's directory is abandoned to vacuum)."""
+    (this writer's directory is abandoned to vacuum). With
+    ``expected_latest``, the commit is conditional on the table still
+    being at that version (optimistic concurrency — see
+    :func:`write_snapshot`); the check shares the lock, so it can
+    never pass stale."""
     import time
 
     with _manifest_lock(root):
@@ -301,6 +334,14 @@ def _commit_version(
         modes = doc["modes"]
         if txn_id is not None and txn_id in txns:
             return txns[txn_id]
+        if expected_latest is not None:
+            latest = versions[-1] if versions else 0
+            if latest != expected_latest:
+                raise ConcurrentWriteError(
+                    f"table {root!r} advanced to v{latest} while this "
+                    f"writer computed from v{expected_latest}; re-read "
+                    "and retry (abandoned directory left for vacuum)"
+                )
         if version not in versions:
             if txn_id is not None:
                 txns[txn_id] = version

@@ -572,3 +572,44 @@ class TestStreamingConstraintIntegration:
         with pytest.raises(ConstraintViolationError):
             upsert_batch(bad, 1, root, keys=["k"], ts_col="ts")
         assert read_snapshot(spark, root).count() == 2  # last good state
+
+
+class TestOptimisticConcurrency:
+    def test_stale_base_commit_is_rejected(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            ConcurrentWriteError,
+        )
+
+        root = str(tmp_path / "t")
+        write_snapshot(_k(spark, 1, 2), root)  # v1
+        base = snapshot_versions(root)[-1]
+        # another writer lands first
+        write_snapshot(_k(spark, 1, 2, 3), root)  # v2
+        with pytest.raises(ConcurrentWriteError, match="advanced to v2"):
+            write_snapshot(_k(spark, 1, 2, 9), root, expected_latest=base)
+        # the table kept the interleaved writer's content
+        assert read_snapshot(spark, root).count() == 3
+        assert snapshot_versions(root) == [1, 2]
+        # retry after re-read succeeds
+        write_snapshot(
+            _k(spark, 1, 2, 3, 9), root,
+            expected_latest=snapshot_versions(root)[-1],
+        )
+        assert read_snapshot(spark, root).count() == 4
+
+    def test_expected_zero_guards_table_creation(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            ConcurrentWriteError,
+        )
+
+        root = str(tmp_path / "t")
+        write_snapshot(_k(spark, 1), root, expected_latest=0)  # creates
+        with pytest.raises(ConcurrentWriteError):
+            write_snapshot(_k(spark, 2), root, expected_latest=0)
+
+    def test_unguarded_writes_unaffected(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        write_snapshot(_k(spark, 1), root)
+        write_snapshot(_k(spark, 2), root)
+        append_rows(_k(spark, 3), root)
+        assert snapshot_versions(root) == [1, 2, 3]
