@@ -18,8 +18,11 @@ Flow:
 4. change data feed: snapshot_changes(v1, v2) emits the
    insert/delete/update_pre/update_post audit rows downstream
    consumers replay instead of re-reading the table,
-5. vacuum dry-run shows retention policy (nothing eligible: both
-   versions are fresh).
+5. lifecycle statements: RESTORE (metadata-only rollback), SHALLOW
+   CLONE + INSERT (zero-copy fork, CoW divergence), ADD CONSTRAINT
+   (storage-boundary invariants), PURGE (GDPR history rewrite),
+   DESCRIBE DETAIL,
+6. vacuum shows retention policy.
 
 Run:  python examples/run_lakehouse.py [sf_dir] [workdir]
 """
@@ -117,7 +120,42 @@ def main() -> None:
         + ", ".join(f"{k}={summary[k]}" for k in sorted(summary))
     )
 
-    # -- 5. retention ---------------------------------------------------
+    # -- 5. lifecycle statements (round-8 surface) ------------------------
+    # Rollback: the v2 correction turns out wrong — RESTORE is a
+    # metadata-only commit (zero bytes moved), history preserved.
+    row = eng.sql(f"RESTORE TABLE '{root}' TO VERSION AS OF {v1}").first()
+    print(
+        f"restored to v{row['restored_to_version']} as "
+        f"v{row['new_version']} (metadata-only, {row['n_rows']} rows)"
+    )
+    # Fork: experiment against production data without copying it.
+    clone = root + "_experiment"
+    crow = eng.sql(f"CREATE TABLE '{clone}' SHALLOW CLONE '{root}'").first()
+    eng.sql(f"INSERT INTO '{clone}' VALUES (DATE'2024-02-01', 'synthetic', 1, 100)")
+    print(
+        f"shallow clone: {crow['n_local_data_files']} files copied; "
+        f"clone={read_snapshot(spark, clone).count()} rows, "
+        f"source={read_snapshot(spark, root).count()} rows (untouched)"
+    )
+    # Invariant: the storage boundary rejects bad rows from here on.
+    eng.sql(f"ALTER TABLE '{root}' ADD CONSTRAINT n_pos CHECK (n > 0)")
+    # Erasure: remove an event type from ALL retained versions (the
+    # history rewrite a GDPR request needs; DELETE can't reach history).
+    purged = eng.sql(f"PURGE FROM '{root}' WHERE event_type = 'purchase'")
+    print(
+        "purged 'purchase' from every version: "
+        + ", ".join(
+            f"v{r['version']}:{r['n_purged']}" for r in purged.collect()
+        )
+    )
+    detail = eng.sql(f"DESCRIBE DETAIL '{root}'").first()
+    print(
+        f"detail: latest=v{detail['latest_version']} "
+        f"({detail['n_versions']} versions, {detail['n_rows']} rows, "
+        f"constraints={detail['constraints']})"
+    )
+
+    # -- 6. retention ---------------------------------------------------
     dropped = vacuum_snapshots(root, keep_last=2)
     print(
         f"vacuum(keep_last=2): dropped {dropped or 'nothing'}; "
