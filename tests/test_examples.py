@@ -76,7 +76,13 @@ def test_run_lakehouse_smoke(tmp_path):
     # all four CDF change types present in the feed summary
     for marker in ("delete=", "insert=", "update_postimage=", "update_preimage="):
         assert marker in out, marker
-    assert "versions on disk: [1, 2]" in out
+    # lifecycle statements: rollback, zero-copy fork, erasure, detail
+    assert "restored to v1 as v3 (metadata-only" in out
+    assert "shallow clone: 0 files copied" in out
+    assert "purged 'purchase' from every version" in out
+    assert "constraints=['n_pos']" in out
+    # v3 (restore) reads through v1, so nothing is vacuum-eligible
+    assert "versions on disk: [1, 2, 3]" in out
 
 
 def test_run_quality_smoke(tmp_path):
