@@ -357,28 +357,28 @@ def _optimize_versioned(
     reclaims them — the atomic, zero-rename-window counterpart of the
     plain-table staging rewrite."""
     from openaq_data_pipeline_engineering_spark.operators.versioned import (
-        _chain_versions,
-        _read_manifest_doc,
         read_snapshot,
+        resolve_version_paths,
         write_snapshot,
     )
 
     df = read_snapshot(spark, root)
-    doc = _read_manifest_doc(root)
-    chain = _chain_versions(doc["versions"], doc["modes"], doc["versions"][-1])
 
-    def _dir_stats(version: int) -> tuple[int, int]:
-        d = os.path.join(root, f"v={version}")
-        files = [
-            f for f in os.listdir(d) if f.endswith(".parquet")
-        ]
-        return len(files), sum(
-            os.path.getsize(os.path.join(d, f)) for f in files
-        )
+    def _paths_stats(paths: list[str]) -> tuple[int, int]:
+        # resolve_version_paths handles delta chains, RESTORE commits
+        # (metadata-only — their content lives in the target's dirs),
+        # and shallow-clone references (dirs under the source root);
+        # listing root/v=N directly would crash on the latter two.
+        n, b = 0, 0
+        for p in paths:
+            for r, _d, files in os.walk(p):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        n += 1
+                        b += os.path.getsize(os.path.join(r, f))
+        return n, b
 
-    counts = [_dir_stats(v) for v in chain]
-    before_files = sum(c[0] for c in counts)
-    before_bytes = sum(c[1] for c in counts)
+    before_files, before_bytes = _paths_stats(resolve_version_paths(root))
     if cols:
         df = df.repartitionByRange(n_files, _zorder_key(cols))
     else:
@@ -386,7 +386,7 @@ def _optimize_versioned(
             max(1, -(-before_bytes // target_file_bytes))
         )
     new_v = write_snapshot(df, root)
-    after_files = _dir_stats(new_v)[0]
+    after_files = _paths_stats([os.path.join(root, f"v={new_v}")])[0]
     n_rows = spark.read.parquet(
         os.path.join(root, f"v={new_v}")
     ).count()
@@ -498,9 +498,9 @@ def execute_restore(spark: SparkSession, sql: str) -> DataFrame:
     FOOTERS of the restored directories, so the statement stays
     O(manifest + file count) even on a 100 TB table."""
     from openaq_data_pipeline_engineering_spark.operators.versioned import (
-        resolve_version_paths,
+        _read_manifest_doc,
+        _resolve_version_paths,
         restore_snapshot,
-        snapshot_modes,
     )
 
     m = _RESTORE_RE.match(sql)
@@ -513,8 +513,11 @@ def execute_restore(spark: SparkSession, sql: str) -> DataFrame:
     new_v = restore_snapshot(
         root, **_asof_kwargs(m.group("kind"), m.group("val"))
     )
-    target = int(snapshot_modes(root)[new_v].split(":", 1)[1])
-    n_rows = _footer_rows_dirs(resolve_version_paths(root, new_v))
+    # One manifest read for both the metrics fields — re-reading per
+    # accessor would let a concurrent commit slip between them.
+    doc = _read_manifest_doc(root)
+    target = int(doc["modes"][new_v].split(":", 1)[1])
+    n_rows = _footer_rows_dirs(_resolve_version_paths(root, doc, new_v))
     return spark.createDataFrame(
         [(int(target), int(new_v), int(n_rows))],
         "restored_to_version int, new_version int, n_rows bigint",
@@ -592,6 +595,11 @@ def execute_insert(spark: SparkSession, sql: str) -> DataFrame:
                 f"INSERT arity mismatch: {len(df.columns)} columns vs "
                 f"target's {len(target)}"
             )
+        # Plain cast, NOT try_cast: under Spark 4's default ANSI mode a
+        # malformed value ERRORS the statement (the documented ANSI
+        # INSERT semantics). try_cast here would silently turn a typo
+        # into NULL — which then PASSES CHECK constraints (NULL is
+        # unknown) and commits a garbage row.
         df = df.select(
             *[
                 F.col(c).cast(f.dataType).alias(f.name)

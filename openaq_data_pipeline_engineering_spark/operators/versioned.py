@@ -226,9 +226,13 @@ def write_snapshot(
         if txn_id in txns:
             return txns[txn_id]  # replay: already committed, no write
     version = _allocate_and_write(df, root, _max_retries)
-    _enforce_constraints(df.sparkSession, root, version)
+    validated = _enforce_constraints(df.sparkSession, root, version)
     return _commit_version(
-        root, version, txn_id, expected_latest=expected_latest
+        root,
+        version,
+        txn_id,
+        expected_latest=expected_latest,
+        validated_constraints=validated,
     )
 
 
@@ -266,8 +270,10 @@ def append_rows(
         if txn_id in txns:
             return txns[txn_id]  # replay: already committed, no write
     version = _allocate_and_write(df, root, _max_retries)
-    _enforce_constraints(df.sparkSession, root, version)
-    return _commit_version(root, version, txn_id, mode="delta")
+    validated = _enforce_constraints(df.sparkSession, root, version)
+    return _commit_version(
+        root, version, txn_id, mode="delta", validated_constraints=validated
+    )
 
 
 def checkpoint_appends(
@@ -317,6 +323,7 @@ def _commit_version(
     txn_id: str | None = None,
     mode: str = "full",
     expected_latest: int | None = None,
+    validated_constraints: frozenset[str] | None = None,
 ) -> int:
     """Phase 2: publish ``version`` in the manifest (locked re-read).
     Returns the committed version — for an idempotent ``txn_id`` that
@@ -325,7 +332,12 @@ def _commit_version(
     ``expected_latest``, the commit is conditional on the table still
     being at that version (optimistic concurrency — see
     :func:`write_snapshot`); the check shares the lock, so it can
-    never pass stale."""
+    never pass stale. ``validated_constraints`` (from
+    :func:`_enforce_constraints`) is re-checked against the manifest
+    UNDER the lock: a constraint recorded by a concurrent ALTER after
+    this writer validated would otherwise let violating data commit
+    under it — the commit fails loudly instead and the writer retries
+    with the new constraint in force."""
     import time
 
     with _manifest_lock(root):
@@ -334,6 +346,20 @@ def _commit_version(
         modes = doc["modes"]
         if txn_id is not None and txn_id in txns:
             return txns[txn_id]
+        if validated_constraints is not None:
+            unchecked = set(doc["constraints"]) - validated_constraints
+            if unchecked:
+                import shutil
+
+                shutil.rmtree(
+                    os.path.join(root, f"v={version}"), ignore_errors=True
+                )
+                raise ConcurrentWriteError(
+                    f"constraints {sorted(unchecked)} were added to "
+                    f"{root!r} while this write was in flight (validated "
+                    f"{sorted(validated_constraints)}); retry so the new "
+                    "constraints are enforced"
+                )
         if expected_latest is not None:
             latest = versions[-1] if versions else 0
             if latest != expected_latest:
@@ -406,16 +432,7 @@ def read_snapshot(
     if not versions:
         raise FileNotFoundError(f"no committed versions under {root}")
     if as_of_ts is not None:
-        ts = doc["ts"]
-        eligible = [
-            v for v in versions if ts.get(v, float("-inf")) <= as_of_ts
-        ]
-        if not eligible:
-            raise ValueError(
-                f"no version committed at or before ts={as_of_ts}; "
-                f"earliest is {versions[0]} at {ts.get(versions[0])}"
-            )
-        version = eligible[-1]
+        version = _resolve_as_of(doc, as_of_ts, root)
     if version is None:
         version = versions[-1]
     if version not in versions:
@@ -441,6 +458,27 @@ def _chain_versions(
     fulls = [v for v in below if modes.get(v, "full") != "delta"]
     base = fulls[-1] if fulls else below[0]
     return [v for v in below if v >= base]
+
+
+def _resolve_as_of(doc: dict, as_of_ts: float, root: str) -> int:
+    """TIMESTAMP-AS-OF resolution shared by read_snapshot /
+    restore_snapshot / clone_snapshot: the HIGHEST version committed
+    at-or-before the timestamp — exactly what a latest() reader saw at
+    that wall-clock instant (versions without a recorded time are
+    treated as committed at -inf). One definition so the non-monotonic-
+    timestamp contract documented on read_snapshot can never diverge
+    between the three statement families."""
+    ts = doc["ts"]
+    eligible = [
+        v for v in doc["versions"] if ts.get(v, float("-inf")) <= as_of_ts
+    ]
+    if not eligible:
+        first = doc["versions"][0] if doc["versions"] else None
+        raise ValueError(
+            f"no version committed at or before ts={as_of_ts} under "
+            f"{root!r}; earliest is {first} at {ts.get(first)}"
+        )
+    return eligible[-1]
 
 
 def _collect_referenced(
@@ -824,9 +862,25 @@ class ConstraintViolationError(ValueError):
         )
 
 
+def _violation_aggs(constraints: dict[str, str]) -> list:
+    """One aggregate Column per constraint counting rows where the
+    CHECK expression is FALSE — SQL-standard semantics: NULL (unknown)
+    passes, like a SQL CHECK and unlike a WHERE. The single home for
+    that rule; both write-time enforcement and ADD-time validation
+    aggregate through it."""
+    from pyspark.sql import functions as F
+
+    return [
+        F.sum(
+            F.when(~F.coalesce(F.expr(expr), F.lit(True)), 1).otherwise(0)
+        ).alias(name)
+        for name, expr in constraints.items()
+    ]
+
+
 def _enforce_constraints(
     spark: SparkSession, root: str, version: int
-) -> None:
+) -> frozenset[str]:
     """Validate the freshly-written (still uncommitted) ``v=<version>``
     directory against the table's CHECK constraints; on violation the
     directory is removed and :class:`ConstraintViolationError` raised,
@@ -840,26 +894,24 @@ def _enforce_constraints(
     enforcement cost is O(batch), never O(table). The expressions must
     be resolvable against the written schema — a constraint naming a
     column the batch lacks fails analysis loudly rather than passing
-    silently."""
+    silently.
+
+    Returns the frozenset of constraint NAMES validated;
+    :func:`_commit_version` re-checks it against the manifest under the
+    commit lock, so a constraint recorded by a concurrent ALTER between
+    this validation and the commit fails the commit instead of
+    admitting unvalidated data."""
     constraints = _read_manifest_doc(root)["constraints"]
     if not constraints:
-        return
+        return frozenset()
     import shutil
-
-    from pyspark.sql import functions as F
 
     path = os.path.join(root, f"v={version}")
     written = spark.read.parquet(path)
-    aggs = [
-        F.sum(
-            F.when(~F.coalesce(F.expr(expr), F.lit(True)), 1).otherwise(0)
-        ).alias(name)
-        for name, expr in constraints.items()
-    ]
     try:
         # Single-row aggregate of violation counts — the statement's
         # own result, not a driver-side data loop.
-        row = written.agg(*aggs).first()
+        row = written.agg(*_violation_aggs(constraints)).first()
     except Exception:
         shutil.rmtree(path, ignore_errors=True)
         raise
@@ -869,6 +921,7 @@ def _enforce_constraints(
     if violations:
         shutil.rmtree(path, ignore_errors=True)
         raise ConstraintViolationError(root, violations)
+    return frozenset(constraints)
 
 
 def add_constraint(
@@ -883,10 +936,16 @@ def add_constraint(
     one aggregate pass over the latest snapshot — and fails with
     :class:`ConstraintViolationError` if any existing row violates, so
     a recorded constraint is always a true invariant of the committed
-    data. Adding to an empty root (no versions yet) records the
-    constraint for the first write to enforce."""
-    from pyspark.sql import functions as F
+    data going FORWARD. Adding to an empty root (no versions yet)
+    records the constraint for the first write to enforce.
 
+    Scope note: constraints bind WRITES from the moment they are
+    recorded — the LATEST content is validated at ADD, but versions
+    written before the constraint are not retro-validated, so a
+    :func:`restore_snapshot` (or a clone pinned) to a pre-constraint
+    version can surface rows the constraint would reject today. Audit
+    a restored table with operators/expectations.expectation_report if
+    the invariant must also hold over resurrected history."""
     os.makedirs(root, exist_ok=True)
     with _manifest_lock(root):
         doc = _read_manifest_doc(root)
@@ -897,15 +956,9 @@ def add_constraint(
             )
         if doc["versions"]:
             current = read_snapshot(spark, root)
-            row = current.agg(
-                F.sum(
-                    F.when(
-                        ~F.coalesce(F.expr(expr), F.lit(True)), 1
-                    ).otherwise(0)
-                ).alias("n")
-            ).first()
-            if row["n"] is not None and row["n"] > 0:
-                raise ConstraintViolationError(root, {name: int(row["n"])})
+            row = current.agg(*_violation_aggs({name: expr})).first()
+            if row[name] is not None and row[name] > 0:
+                raise ConstraintViolationError(root, {name: int(row[name])})
         constraints = dict(doc["constraints"])
         constraints[name] = expr
         _write_manifest(
@@ -956,11 +1009,19 @@ def restore_snapshot(
     Delta RESTORE semantics: history is preserved (the bad versions
     stay time-travelable until VACUUM) and latest becomes the restored
     content. No data is read or written — the commit records
-    ``restore:<target>`` in the manifest and readers resolve it to the
+    ``restore:<target>`` in the manifest (plus an EMPTY ``v=<N>``
+    marker directory that keeps the mkdir-claim allocation protocol
+    sound against concurrent writers) and readers resolve it to the
     target's directories, so restoring a 100 TB table is O(manifest).
     Restore-of-restore flattens to the final physical target at commit
     time; :func:`vacuum_snapshots` keeps a restore's target alive as
-    long as the restore itself is retained."""
+    long as the restore itself is retained.
+
+    CHECK-constraint scope: constraints bind WRITES; a restore to a
+    version written before a constraint was added is deliberately NOT
+    re-validated (it would make rollback O(data) — the opposite of its
+    point). See :func:`add_constraint`'s scope note for the audit
+    path."""
     import time
 
     if (version is None) == (as_of_ts is None):
@@ -971,15 +1032,7 @@ def restore_snapshot(
         if not versions:
             raise FileNotFoundError(f"no committed versions under {root}")
         if as_of_ts is not None:
-            ts = doc["ts"]
-            eligible = [
-                v for v in versions if ts.get(v, float("-inf")) <= as_of_ts
-            ]
-            if not eligible:
-                raise ValueError(
-                    f"no version committed at or before ts={as_of_ts}"
-                )
-            target = eligible[-1]
+            target = _resolve_as_of(doc, as_of_ts, root)
         else:
             target = version
         if target not in versions:
@@ -987,7 +1040,26 @@ def restore_snapshot(
         # flatten restore-of-restore to the physical target
         while modes.get(target, "full").startswith("restore:"):
             target = int(modes[target].split(":", 1)[1])
-        new_v = max(versions + _existing_version_dirs(root), default=0) + 1
+        # Claim the version NUMBER with an (empty) marker directory —
+        # the same atomic os.mkdir claim every data writer makes. A
+        # manifest version with no directory would break the allocation
+        # protocol: a concurrent plain writer that computed the same
+        # candidate before this commit would win its mkdir, then find
+        # the number already committed and silently lose its write to
+        # the restore's mode entry. The marker is never read (a restore
+        # resolves to its target's directories) and vacuum reclaims it
+        # with the version.
+        for _ in range(16):
+            new_v = max(versions + _existing_version_dirs(root), default=0) + 1
+            try:
+                os.mkdir(os.path.join(root, f"v={new_v}"))
+            except FileExistsError:  # racing writer claimed it first
+                continue
+            break
+        else:  # pragma: no cover - 16 live racers inside one lock hold
+            raise RuntimeError(
+                f"could not allocate a restore version under {root}"
+            )
         modes[new_v] = f"restore:{target}"
         doc["ts"][new_v] = max(
             time.time(), max(doc["ts"].values(), default=0.0) + 1e-3
@@ -1031,15 +1103,7 @@ def clone_snapshot(
     if version is not None and as_of_ts is not None:
         raise ValueError("pass version OR as_of_ts, not both")
     if as_of_ts is not None:
-        ts = src_doc["ts"]
-        eligible = [
-            v
-            for v in src_doc["versions"]
-            if ts.get(v, float("-inf")) <= as_of_ts
-        ]
-        if not eligible:
-            raise ValueError(f"no version committed at or before {as_of_ts}")
-        pinned = eligible[-1]
+        pinned = _resolve_as_of(src_doc, as_of_ts, src_root)
     elif version is not None:
         if version not in src_doc["versions"]:
             raise ValueError(
@@ -1102,11 +1166,24 @@ def _recover_interrupted_purge(root: str) -> None:
 
 
 def purge_rows(
-    spark: SparkSession, root: str, predicate: str
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+    orphan_min_age_seconds: float = ORPHAN_GRACE_SECONDS,
 ) -> list[tuple[int, int, int]]:
     """Remove every row matching ``predicate`` from EVERY retained
     version — the right-to-be-forgotten operation time travel otherwise
     forbids. Returns ``[(version, n_purged, n_kept), ...]``.
+
+    ORPHANED directories (uncommitted ``v=<N>`` left by crashed or
+    race-losing writers) may also hold matching rows; erasure must
+    reach them even though no reader can. Orphans older than
+    ``orphan_min_age_seconds`` are DELETED outright (stronger than a
+    rewrite — nothing references them); a YOUNGER orphan may be a
+    concurrent writer's in-flight claim, so the purge REFUSES loudly
+    rather than either corrupting that write or silently leaving the
+    data — rerun after the grace, or pass ``orphan_min_age_seconds=0``
+    from a quiesced maintenance window.
 
     DELETE only rewrites the latest content; the deleted rows stay
     readable through time travel until their versions age out — for a
@@ -1163,6 +1240,30 @@ def purge_rows(
     if not doc["versions"]:
         raise FileNotFoundError(f"no committed versions under {root}")
     _recover_interrupted_purge(root)
+    # Orphans first, so a refusal aborts BEFORE any history rewrite —
+    # the statement either erases everywhere or changes nothing.
+    import time as _time
+
+    now = _time.time()
+    for v in _existing_version_dirs(root):
+        if v in doc["versions"]:
+            continue
+        d = os.path.join(root, f"v={v}")
+        try:
+            age = now - os.path.getmtime(d)
+        except OSError:
+            continue  # vanished concurrently
+        if age >= orphan_min_age_seconds:
+            shutil.rmtree(d, ignore_errors=True)
+        else:
+            raise RuntimeError(
+                f"orphaned uncommitted directory v={v} under {root!r} is "
+                f"only {age:.0f}s old — it may be a concurrent writer's "
+                "in-flight claim and could hold rows this purge must "
+                "erase; rerun after the orphan grace "
+                f"({orphan_min_age_seconds:.0f}s) or pass "
+                "orphan_min_age_seconds=0 from a quiesced window"
+            )
     results: list[tuple[int, int, int]] = []
     for v in doc["versions"]:
         if doc["modes"].get(v, "full").startswith("restore:"):
