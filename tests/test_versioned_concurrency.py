@@ -1,0 +1,138 @@
+"""Threaded stress tests of the versioned commit protocol.
+
+The unit tests pin each race deterministically; these drive REAL
+concurrency — many threads hammering one root — and assert the
+protocol invariants that must hold under any interleaving:
+
+- every commit a writer was told succeeded is readable with exactly
+  the content that writer published (no lost updates at the version
+  level, including across interleaved RESTOREs — the round-8 review's
+  allocation-race finding);
+- version numbers are unique and the manifest is totally ordered;
+- optimistic writers either succeed once or observe
+  ConcurrentWriteError (never a silent drop), and the committed
+  lineage is a serial chain (each success based on the previous one).
+
+Threads share one SparkSession (Spark sessions are thread-safe for
+job submission; the local[4] scheduler interleaves them), so the lock
+and mkdir claims — not Python-level serialization — are what keep the
+manifest sound.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from openaq_data_pipeline_engineering_spark.operators.versioned import (
+    ConcurrentWriteError,
+    read_snapshot,
+    restore_snapshot,
+    snapshot_modes,
+    snapshot_versions,
+    write_snapshot,
+)
+
+
+def _df(spark, writer_id: int):
+    # one distinctive row per writer: content identifies its publisher
+    return spark.createDataFrame([(int(writer_id),)], "k long")
+
+
+def test_interleaved_writers_and_restores_lose_nothing(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_snapshot(_df(spark, 0), root)  # v1 seed (restore target)
+    committed: dict[int, int] = {}  # version -> writer id
+    errors: list[BaseException] = []
+    lock = threading.Lock()
+
+    def writer(wid: int):
+        try:
+            v = write_snapshot(_df(spark, wid), root)
+            with lock:
+                committed[v] = wid
+        except BaseException as e:  # pragma: no cover - failure detail
+            errors.append(e)
+
+    def restorer():
+        try:
+            restore_snapshot(root, version=1)
+        except BaseException as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(wid,)) for wid in range(1, 9)
+    ] + [threading.Thread(target=restorer) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors, errors
+    versions = snapshot_versions(root)
+    # unique, totally ordered, nothing missing: 1 seed + 8 writes + 4
+    # restores
+    assert versions == sorted(set(versions)) and len(versions) == 13
+    modes = snapshot_modes(root)
+    assert sum(1 for m in modes.values() if m.startswith("restore:")) == 4
+    # THE invariant the marker-dir fix protects: every version a writer
+    # was told it committed reads back as THAT writer's content — a
+    # restore can never have swallowed it.
+    for v, wid in committed.items():
+        got = [r["k"] for r in read_snapshot(spark, root, version=v).collect()]
+        assert got == [wid], f"v{v}: expected writer {wid}, read {got}"
+    # and every restore version reads as the seed
+    for v, m in modes.items():
+        if m.startswith("restore:"):
+            got = [
+                r["k"]
+                for r in read_snapshot(spark, root, version=v).collect()
+            ]
+            assert got == [0], f"restore v{v} read {got}"
+
+
+def test_optimistic_writers_serialize_into_a_chain(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_snapshot(_df(spark, 0), root)
+    outcomes: list[tuple[int, int | None]] = []  # (writer, version|None)
+    lock = threading.Lock()
+
+    def writer(wid: int):
+        # classic optimistic loop: read-base -> compute -> conditional
+        # commit; retry on conflict
+        for _ in range(32):
+            base = snapshot_versions(root)[-1]
+            try:
+                v = write_snapshot(
+                    _df(spark, wid), root, expected_latest=base
+                )
+            except ConcurrentWriteError:
+                continue
+            with lock:
+                outcomes.append((wid, v))
+            return
+        outcomes.append((wid, None))  # pragma: no cover - starvation
+
+    threads = [
+        threading.Thread(target=writer, args=(wid,)) for wid in range(1, 7)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert all(v is not None for _w, v in outcomes)
+    # every optimistic writer committed exactly once, on a DISTINCT
+    # version — the lost-update anomaly is structurally impossible.
+    # Version numbers are NOT contiguous: a losing writer has already
+    # claimed (mkdir + data write) its candidate before the conditional
+    # commit fails, and that abandoned claim directory still blocks the
+    # number (orphan, reclaimed by vacuum) — gaps are the protocol
+    # working, not commits lost.
+    versions = sorted(v for _w, v in outcomes)
+    assert len(set(versions)) == 6
+    assert snapshot_versions(root) == [1] + versions
+    # each committed version reads back as exactly its writer's row
+    by_version = {v: w for w, v in outcomes}
+    for v, wid in by_version.items():
+        got = [r["k"] for r in read_snapshot(spark, root, version=v).collect()]
+        assert got == [wid], f"v{v}: expected writer {wid}, read {got}"
