@@ -191,16 +191,20 @@ class Engine:
             return execute_merge(self.spark, query, evolve_schema=evolve)
         if _re.match(r"\s*UPDATE\b", routed, _re.IGNORECASE):
             from openaq_data_pipeline_engineering_spark.operators.sqldml import (
-                execute_update,
+                execute_update_statement,
             )
 
-            return execute_update(self.spark, _strip_comments(query))
+            return execute_update_statement(
+                self.spark, _strip_comments(query)
+            )
         if _re.match(r"\s*DELETE\s+FROM\b", routed, _re.IGNORECASE):
             from openaq_data_pipeline_engineering_spark.operators.sqldml import (
-                execute_delete,
+                execute_delete_statement,
             )
 
-            return execute_delete(self.spark, _strip_comments(query))
+            return execute_delete_statement(
+                self.spark, _strip_comments(query)
+            )
         if _re.match(r"\s*OPTIMIZE\b", routed, _re.IGNORECASE):
             from openaq_data_pipeline_engineering_spark.operators.sqlutil import (
                 execute_optimize,

@@ -120,3 +120,95 @@ def execute_delete(
     # rows where the predicate is not TRUE).
     cond = F.expr(sql[m.start("where"):m.end("where")])
     return df.filter(~F.coalesce(cond, F.lit(False)))
+
+
+# ---------------------------------------------------------------------------
+# Quoted-path targets: UPDATE '<versioned root>' / DELETE FROM
+# '<versioned root>' run the SAME lowering over the latest snapshot and
+# publish the result atomically as a new version — with optimistic
+# concurrency pinned to the version the statement read, so two
+# concurrent path-DML statements can never silently erase each other's
+# rows (the second fails with ConcurrentWriteError and retries).
+# View/table-name targets keep the existing contract (the post-
+# statement frame is returned; the caller publishes).
+# ---------------------------------------------------------------------------
+
+_UPDATE_PATH_RE = re.compile(
+    r"^\s*UPDATE\s+'(?P<path>[^']+)'", re.IGNORECASE
+)
+_DELETE_PATH_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+'(?P<path>[^']+)'", re.IGNORECASE
+)
+
+
+def _execute_dml_on_root(spark: SparkSession, sql: str, pm, lowering):
+    """Shared path-target wrapper: read latest, lower, commit with the
+    optimistic guard, return one footer-derived metrics row."""
+    import os
+
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    # pm matched the literal-MASKED text (the quoted path is a string
+    # literal, so its characters are masked out); spans are same-length
+    # aligned, so slice the ORIGINAL statement for the real path.
+    root = sql[pm.start("path") : pm.end("path")]
+    versions = snapshot_versions(root)
+    if not versions:
+        raise MergeError(
+            f"{root!r} has no committed versions; path-target DML needs "
+            "an existing versioned table (INSERT OVERWRITE creates one)"
+        )
+    base = versions[-1]
+    df = read_snapshot(spark, root, version=base)
+    # Splice a synthetic view name over the quoted path (spans come
+    # from the same-length masked text, so they index the original);
+    # the plain lowering then runs unchanged against target_df.
+    rewritten = (
+        sql[: pm.start("path") - 1]
+        + "__dml_target__"
+        + sql[pm.end("path") + 1 :]
+    )
+    result = lowering(spark, rewritten, target_df=df)
+    # Constraints are enforced and the optimistic guard checked by the
+    # commit itself; a conflicting concurrent commit raises
+    # ConcurrentWriteError for the caller to retry.
+    new_v = write_snapshot(result, root, expected_latest=base)
+    import pyarrow.parquet as pq
+
+    def _rows(version: int) -> int:
+        n = 0
+        d = os.path.join(root, f"v={version}")
+        for r, _dirs, files in os.walk(d):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += pq.ParquetFile(os.path.join(r, f)).metadata.num_rows
+        return n
+
+    return spark.createDataFrame(
+        [(int(new_v), int(_rows(new_v)), int(base))],
+        "version int, n_rows bigint, base_version int",
+    )
+
+
+def execute_update_statement(
+    spark: SparkSession, sql: str
+) -> DataFrame:
+    """Entry used by Engine.sql: path targets publish atomically,
+    name targets return the post-statement frame (legacy contract)."""
+    pm = _UPDATE_PATH_RE.match(_mask_literals(sql))
+    if pm:
+        return _execute_dml_on_root(spark, sql, pm, execute_update)
+    return execute_update(spark, sql)
+
+
+def execute_delete_statement(
+    spark: SparkSession, sql: str
+) -> DataFrame:
+    pm = _DELETE_PATH_RE.match(_mask_literals(sql))
+    if pm:
+        return _execute_dml_on_root(spark, sql, pm, execute_delete)
+    return execute_delete(spark, sql)

@@ -46,6 +46,9 @@ the lakehouse read/write surface the round-7 verdict scoped.
 - ``sql_describe_detail``: DESCRIBE DETAIL — one-row current-state
   summary (version counts by mode, footer row count, txn entries,
   constraints, clone source) next to DESCRIBE HISTORY's commit log.
+- ``sql_update_delete_versioned``: UPDATE/DELETE on '<root>' path
+  targets — row-level statements commit atomically with the
+  optimistic guard pinned to the version they read.
 
 Registered LAST in registry._load_all so these fresh names lead the
 driver's ~50-query prefix ahead of the stalest-evidence greens.
@@ -1027,4 +1030,93 @@ def sql_describe_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(1)
         .cast("int")
         .alias("is_clone"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Path-target row-level DML: UPDATE '<root>' / DELETE FROM '<root>'
+# run the join-free sqldml lowering over the LATEST snapshot and
+# publish atomically as a new version — pinned by the optimistic guard
+# to the version they read (two concurrent statements can't erase each
+# other; the loser retries), with CHECK constraints enforced by the
+# commit. The witness updates then deletes, reads latest + untouched
+# v1 time travel, and carries the statements' metrics rows.
+# Scale: each statement is the one scan any row mutation needs plus an
+# O(batch... full snapshot) write — Delta's copy-on-write UPDATE shape.
+# --------------------------------------------------------------------------
+@query(
+    "sql_update_delete_versioned",
+    "UPDATE / DELETE FROM '<versioned root>': row-level statements "
+    "commit atomically with optimistic concurrency; history stays "
+    "time-travelable",
+    oracle="""
+    WITH base AS (
+        SELECT n_nationkey AS k,
+               CAST(n_regionkey AS DOUBLE) AS score
+        FROM nation WHERE n_regionkey < 4
+    ), updated AS (
+        SELECT k, CASE WHEN k % 2 = 0 THEN score + 10.0 ELSE score END
+               AS score
+        FROM base
+    ), deleted AS (
+        SELECT * FROM updated WHERE NOT (score >= 12.0)
+    )
+    SELECT 'latest' AS slice,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(score) AS DOUBLE) AS score_sum
+    FROM deleted
+    UNION ALL
+    SELECT 'v1_time_travel',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(score) AS DOUBLE)
+    FROM base
+    UNION ALL
+    SELECT 'statement_versions',
+           CAST(2 + 3 AS BIGINT),   -- update v2 + delete v3
+           CAST(1 + 2 AS DOUBLE)    -- their base versions
+    """,
+)
+def sql_update_delete_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.engine import Engine
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    root = fresh_scratch_dir("sql_dml_versioned")
+    write_snapshot(
+        nation.filter(F.col("n_regionkey") < 4).select(
+            F.col("n_nationkey").alias("k"),
+            F.col("n_regionkey").cast("double").alias("score"),
+        ),
+        root,
+    )
+    eng = Engine(spark)
+    u = eng.sql(
+        f"UPDATE '{root}' SET score = score + 10.0 WHERE k % 2 = 0"
+    ).first()
+    d = eng.sql(f"DELETE FROM '{root}' WHERE score >= 12.0").first()
+
+    def agg(tag: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("slice"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("score").cast("double").alias("score_sum"),
+        )
+
+    meta = spark.createDataFrame(
+        [
+            (
+                "statement_versions",
+                int(u["version"] + d["version"]),
+                float(u["base_version"] + d["base_version"]),
+            )
+        ],
+        "slice string, n_rows bigint, score_sum double",
+    )
+    return (
+        agg("latest", read_snapshot(spark, root))
+        .unionByName(agg("v1_time_travel", read_snapshot(spark, root, version=1)))
+        .unionByName(meta)
     )

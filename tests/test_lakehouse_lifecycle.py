@@ -715,3 +715,105 @@ class TestReviewHardening:
         purge_rows(spark, root, "k = 42", orphan_min_age_seconds=0.0)
         assert not os.path.exists(orphan)  # erased with the purge
         assert read_snapshot(spark, root).count() == 1
+
+
+class TestPathTargetDml:
+    """UPDATE '<root>' / DELETE FROM '<root>': the row-level DML
+    statements commit atomically on versioned roots with the
+    optimistic guard pinned to the version they read."""
+
+    def _table(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        write_snapshot(
+            spark.createDataFrame(
+                [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+            ),
+            root,
+        )
+        return root
+
+    def test_update_statement_publishes_new_version(self, spark, tmp_path):
+        root = self._table(spark, tmp_path)
+        row = (
+            Engine(spark)
+            .sql(f"UPDATE '{root}' SET v = v + 1.0 WHERE k >= 2")
+            .first()
+        )
+        assert (row["version"], row["base_version"], row["n_rows"]) == (
+            2,
+            1,
+            3,
+        )
+        got = {
+            r["k"]: r["v"] for r in read_snapshot(spark, root).collect()
+        }
+        assert got == {1: 10.0, 2: 21.0, 3: 31.0}
+        # history intact
+        assert read_snapshot(spark, root, version=1).count() == 3
+
+    def test_delete_statement_publishes_new_version(self, spark, tmp_path):
+        root = self._table(spark, tmp_path)
+        row = (
+            Engine(spark).sql(f"DELETE FROM '{root}' WHERE k = 2").first()
+        )
+        assert row["n_rows"] == 2
+        assert sorted(
+            r["k"] for r in read_snapshot(spark, root).collect()
+        ) == [1, 3]
+        assert read_snapshot(spark, root, version=1).count() == 3
+
+    def test_path_dml_respects_constraints(self, spark, tmp_path):
+        root = self._table(spark, tmp_path)
+        add_constraint(spark, root, "v_pos", "v > 0")
+        with pytest.raises(ConstraintViolationError):
+            Engine(spark).sql(f"UPDATE '{root}' SET v = -1.0 WHERE k = 1")
+        assert read_snapshot(spark, root).count() == 3  # untouched
+
+    def test_path_dml_conflict_detected(self, spark, tmp_path):
+        """A concurrent commit between the statement's read and its
+        publish fails the statement instead of erasing the commit."""
+        from openaq_data_pipeline_engineering_spark.operators.sqldml import (
+            _DELETE_PATH_RE,
+            _execute_dml_on_root,
+            execute_delete,
+        )
+        from openaq_data_pipeline_engineering_spark.operators.sqlmerge import (
+            _mask_literals,
+        )
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            ConcurrentWriteError,
+        )
+
+        root = self._table(spark, tmp_path)
+        sql = f"DELETE FROM '{root}' WHERE k = 1"
+        pm = _DELETE_PATH_RE.match(_mask_literals(sql))
+
+        def racing_lowering(spark_, rewritten, target_df=None):
+            # interleave another commit AFTER the statement's read
+            write_snapshot(_k(spark_, 99), root)
+            return execute_delete(spark_, rewritten, target_df=target_df)
+
+        with pytest.raises(ConcurrentWriteError):
+            _execute_dml_on_root(spark, sql, pm, racing_lowering)
+        # the interleaved commit survives; the statement changed nothing
+        assert read_snapshot(spark, root).count() == 1
+
+    def test_view_targets_keep_legacy_contract(self, spark):
+        df = spark.createDataFrame([(1, 5.0)], "k long, v double")
+        df.createOrReplaceTempView("dml_legacy_view")
+        out = Engine(spark).sql(
+            "UPDATE dml_legacy_view SET v = 9.0 WHERE k = 1"
+        )
+        # post-statement FRAME (not a metrics row): caller publishes
+        assert out.columns == ["k", "v"]
+        assert out.first()["v"] == 9.0
+
+    def test_path_dml_on_empty_root_fails(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.sqlmerge import (
+            MergeError,
+        )
+
+        with pytest.raises(MergeError, match="no committed versions"):
+            Engine(spark).sql(
+                f"DELETE FROM '{tmp_path / 'nope'}' WHERE k = 1"
+            )
