@@ -49,6 +49,11 @@ the lakehouse read/write surface the round-7 verdict scoped.
 - ``sql_update_delete_versioned``: UPDATE/DELETE on '<root>' path
   targets — row-level statements commit atomically with the
   optimistic guard pinned to the version they read.
+- ``streaming_versioned_feed``: sources/versioned_stream — a
+  Structured Streaming SOURCE over the versioned commit log (Delta
+  streaming-source semantics): tail delta commits exactly once,
+  per-file executor-side partitions, loud on rewrites,
+  ignoreChanges to skip them.
 
 Registered LAST in registry._load_all so these fresh names lead the
 driver's ~50-query prefix ahead of the stalest-evidence greens.
@@ -1119,4 +1124,69 @@ def sql_update_delete_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg("latest", read_snapshot(spark, root))
         .unionByName(agg("v1_time_travel", read_snapshot(spark, root, version=1)))
         .unionByName(meta)
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming source over the versioned commit log (Delta streaming-
+# source semantics): downstream consumers TAIL delta commits exactly
+# once instead of re-reading the table. The witness appends three
+# region slices onto a full base, streams from startingVersion=1
+# (availableNow), and aggregates what arrived — exactly the appended
+# rows, the base never re-read. Scale: the driver lists manifest + new
+# files per micro-batch; each file is one InputPartition read with
+# pyarrow ON EXECUTORS (partitioned DataSourceStreamReader, not the
+# driver-side Simple variant), so a wide append fans out like any
+# parquet scan.
+# --------------------------------------------------------------------------
+@query(
+    "streaming_versioned_feed",
+    "Structured Streaming source over the versioned table: tail the "
+    "append log exactly once (availableNow), full base never re-read, "
+    "per-file executor-side partitions",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation WHERE n_regionkey IN (1, 2, 3)
+    GROUP BY n_regionkey
+    """,
+)
+def streaming_versioned_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        append_rows,
+        write_snapshot,
+    )
+    from openaq_data_pipeline_engineering_spark.sources.versioned_stream import (
+        register_versioned_feed,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+    )
+    root = fresh_scratch_dir("versioned_feed")
+    write_snapshot(nation.filter(F.col("n_regionkey") == 0), root)  # base
+    for r in (1, 2, 3):
+        append_rows(nation.filter(F.col("n_regionkey") == r), root)
+    register_versioned_feed(spark)
+    stream = (
+        spark.readStream.format("versioned_feed")
+        .option("root", root)
+        .option("startingVersion", "1")  # tail only the appends
+        .load()
+    )
+    sink = fresh_scratch_dir("versioned_feed_sink")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink + "/data")
+        .option("checkpointLocation", sink + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink + "/data")
+    return got.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("n_nationkey").cast("bigint").alias("key_sum"),
     )
