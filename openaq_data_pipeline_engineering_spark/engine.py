@@ -18,8 +18,12 @@ from __future__ import annotations
 
 import os
 import re
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Guards Engine._tt_counter (see Engine._rewrite_time_travel).
+_TT_COUNTER_LOCK = threading.Lock()
 
 # Runtime-settable SQL confs applied to ANY session we are handed (the
 # correctness driver passes its own SparkSession; these must not require
@@ -292,37 +296,51 @@ class Engine:
         r"(?P<val>'[^']*'|[0-9][0-9.]*)",
         re.IGNORECASE,
     )
+    # Process-wide monotone suffix for time-travel temp views: fixed
+    # per-statement indices would collide across concurrent Engine.sql
+    # calls sharing one SparkSession's temp-view namespace.
+    _tt_counter = 0
 
     def _rewrite_time_travel(self, query: str, routed: str) -> str:
         """Resolve every ``FROM '<root>' ... AS OF ...`` clause onto a
         pinned operators/versioned.read_snapshot temp view and splice
         the view name into the statement. Matching runs on the
-        comment-stripped (same-length) text so a commented-out clause
-        is never resolved; spans slice the ORIGINAL text, so the rest
-        of the statement reaches Spark untouched."""
+        comment-stripped AND literal-masked (same-length) text so a
+        commented-out clause — or one spelled inside a string literal
+        (``WHERE note = "FROM 'x' VERSION AS OF 1"``) — is never
+        resolved; spans slice the ORIGINAL text, so the rest of the
+        statement (including the path and AS-OF value, which the mask
+        replaces with underscores) reaches Spark untouched. View names
+        are unique per call (a process-wide counter), so concurrent
+        ``Engine.sql`` calls on one session can never clobber each
+        other's pinned views between registration and execution."""
+        from openaq_data_pipeline_engineering_spark.operators.sqlmerge import (
+            _mask_literals,
+        )
         from openaq_data_pipeline_engineering_spark.operators.versioned import (
             read_snapshot,
         )
 
         out: list[str] = []
         last = 0
-        for i, m in enumerate(self._TT_RE.finditer(routed)):
+        for m in self._TT_RE.finditer(_mask_literals(routed)):
+            # The mask keeps outer quotes but blanks content: recover
+            # the real path / AS-OF value from the original by span.
+            path = routed[m.start("path") : m.end("path")]
+            raw = routed[m.start("val") : m.end("val")]
             kind = m.group("kind").upper()
-            raw = m.group("val")
             if kind == "VERSION":
                 if raw.startswith("'"):
                     raise ValueError(
                         "VERSION AS OF takes an integer version, got "
                         + raw
                     )
-                df = read_snapshot(
-                    self.spark, m.group("path"), version=int(float(raw))
-                )
+                df = read_snapshot(self.spark, path, version=int(float(raw)))
             else:
-                df = read_snapshot(
-                    self.spark, m.group("path"), as_of_ts=_parse_ts(raw)
-                )
-            view = f"__time_travel_{i}"
+                df = read_snapshot(self.spark, path, as_of_ts=_parse_ts(raw))
+            with _TT_COUNTER_LOCK:
+                Engine._tt_counter += 1
+                view = f"__time_travel_{Engine._tt_counter}"
             df.createOrReplaceTempView(view)
             out.append(query[last : m.end("from")])
             out.append(view)

@@ -609,6 +609,12 @@ def execute_merge(
             .limit(1)
         )
         if dup.count() > 0:
+            # The persisted relation must not outlive the failed
+            # statement: MergeError aborts before the caller ever sees
+            # the projection, so the cache would otherwise leak
+            # MEMORY_AND_DISK blocks for the session lifetime.
+            if pinned is not None:
+                pinned.unpersist()
             raise MergeError(
                 "MERGE is ambiguous: a target row matches multiple "
                 "source rows (deduplicate the source, or pass "

@@ -355,14 +355,21 @@ def _optimize_versioned(
     by the ZORDER columns, and commit as one new FULL version. Old
     versions remain time-travelable until ``VACUUM ... RETAIN``
     reclaims them — the atomic, zero-rename-window counterpart of the
-    plain-table staging rewrite."""
+    plain-table staging rewrite.
+
+    Read-modify-write discipline: the rewrite reads a PINNED latest
+    version and commits with ``expected_latest`` on that version, so a
+    concurrent append/INSERT/DML landing mid-rewrite fails the commit
+    (:class:`ConcurrentWriteError`) instead of being silently erased
+    from latest; the statement retries against the new latest (the
+    rewrite adds no content of its own, so a retry is always safe)."""
     from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        ConcurrentWriteError,
         read_snapshot,
         resolve_version_paths,
+        snapshot_versions,
         write_snapshot,
     )
-
-    df = read_snapshot(spark, root)
 
     def _paths_stats(paths: list[str]) -> tuple[int, int]:
         # resolve_version_paths handles delta chains, RESTORE commits
@@ -378,14 +385,29 @@ def _optimize_versioned(
                         b += os.path.getsize(os.path.join(r, f))
         return n, b
 
-    before_files, before_bytes = _paths_stats(resolve_version_paths(root))
-    if cols:
-        df = df.repartitionByRange(n_files, _zorder_key(cols))
-    else:
-        df = df.repartition(
-            max(1, -(-before_bytes // target_file_bytes))
+    last_err: ConcurrentWriteError | None = None
+    for _ in range(3):
+        versions = snapshot_versions(root)
+        if not versions:
+            raise FileNotFoundError(f"no committed versions under {root}")
+        base = versions[-1]
+        df = read_snapshot(spark, root, version=base)
+        before_files, before_bytes = _paths_stats(
+            resolve_version_paths(root, base)
         )
-    new_v = write_snapshot(df, root)
+        if cols:
+            df = df.repartitionByRange(n_files, _zorder_key(cols))
+        else:
+            df = df.repartition(
+                max(1, -(-before_bytes // target_file_bytes))
+            )
+        try:
+            new_v = write_snapshot(df, root, expected_latest=base)
+            break
+        except ConcurrentWriteError as e:
+            last_err = e
+    else:
+        raise last_err
     after_files = _paths_stats([os.path.join(root, f"v={new_v}")])[0]
     n_rows = spark.read.parquet(
         os.path.join(root, f"v={new_v}")

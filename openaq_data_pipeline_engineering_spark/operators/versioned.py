@@ -161,6 +161,15 @@ class ConcurrentWriteError(RuntimeError):
     recompute, and retry; its abandoned directory is vacuum's."""
 
 
+class _OutOfOrderCommitRejected(ConcurrentWriteError):
+    """Internal: the commit would land below an already-committed
+    version in a way that changes pinned content (see the guard in
+    :func:`_commit_version`). Unlike an ``expected_latest`` conflict,
+    the writer's CONTENT is still valid — only its version number is
+    stale — so :func:`write_snapshot` / :func:`append_rows` retry the
+    allocate+write automatically instead of surfacing it."""
+
+
 def write_snapshot(
     df: DataFrame,
     root: str,
@@ -225,15 +234,23 @@ def write_snapshot(
         _, txns = _read_manifest_full(root)
         if txn_id in txns:
             return txns[txn_id]  # replay: already committed, no write
-    version = _allocate_and_write(df, root, _max_retries)
-    validated = _enforce_constraints(df.sparkSession, root, version)
-    return _commit_version(
-        root,
-        version,
-        txn_id,
-        expected_latest=expected_latest,
-        validated_constraints=validated,
-    )
+    for attempt in range(_max_retries):
+        version = _allocate_and_write(df, root, _max_retries)
+        validated = _enforce_constraints(df.sparkSession, root, version)
+        try:
+            return _commit_version(
+                root,
+                version,
+                txn_id,
+                expected_latest=expected_latest,
+                validated_constraints=validated,
+            )
+        except _OutOfOrderCommitRejected:
+            # Only the NUMBER was stale (a racer committed above it);
+            # the content is still valid — re-allocate and re-write.
+            if attempt == _max_retries - 1:
+                raise
+    raise AssertionError("unreachable")  # pragma: no cover
 
 
 def append_rows(
@@ -269,21 +286,62 @@ def append_rows(
         _, txns = _read_manifest_full(root)
         if txn_id in txns:
             return txns[txn_id]  # replay: already committed, no write
-    version = _allocate_and_write(df, root, _max_retries)
-    validated = _enforce_constraints(df.sparkSession, root, version)
-    return _commit_version(
-        root, version, txn_id, mode="delta", validated_constraints=validated
-    )
+    for attempt in range(_max_retries):
+        version = _allocate_and_write(df, root, _max_retries)
+        validated = _enforce_constraints(df.sparkSession, root, version)
+        try:
+            return _commit_version(
+                root,
+                version,
+                txn_id,
+                mode="delta",
+                validated_constraints=validated,
+            )
+        except _OutOfOrderCommitRejected:
+            # A racer committed above this allocation mid-write; a
+            # delta's content (its batch) is number-independent, so
+            # re-allocate above the racer and re-write.
+            if attempt == _max_retries - 1:
+                raise
+    raise AssertionError("unreachable")  # pragma: no cover
 
 
 def checkpoint_appends(
-    spark: SparkSession, root: str, txn_id: str | None = None
+    spark: SparkSession,
+    root: str,
+    txn_id: str | None = None,
+    _max_conflict_retries: int = 3,
 ) -> int:
     """Re-base an append chain: write the CURRENT resolved content as
     one new FULL version (Delta checkpoint / OPTIMIZE shape). After
     this commit, :func:`vacuum_snapshots` can reclaim the whole prior
-    chain; readers pinned on old versions still resolve until then."""
-    return write_snapshot(read_snapshot(spark, root), root, txn_id=txn_id)
+    chain; readers pinned on old versions still resolve until then.
+
+    This is a read-modify-write: the checkpoint's content is whatever
+    the table held at read time, so the commit is CONDITIONAL on the
+    table still being at that version (``expected_latest``) — an
+    append/INSERT/DML landing between the read and the publish would
+    otherwise be silently erased from latest by the checkpoint (the
+    lost-update anomaly the optimistic-concurrency guard exists for).
+    On conflict the checkpoint re-reads and retries (safe — it adds no
+    content of its own); after ``_max_conflict_retries`` losses the
+    :class:`ConcurrentWriteError` surfaces to the caller."""
+    last_err: ConcurrentWriteError | None = None
+    for _ in range(max(1, _max_conflict_retries)):
+        versions = snapshot_versions(root)
+        if not versions:
+            raise FileNotFoundError(f"no committed versions under {root}")
+        base = versions[-1]
+        try:
+            return write_snapshot(
+                read_snapshot(spark, root, version=base),
+                root,
+                txn_id=txn_id,
+                expected_latest=base,
+            )
+        except ConcurrentWriteError as e:
+            last_err = e
+    raise last_err
 
 
 def _allocate_and_write(df: DataFrame, root: str, max_retries: int = 16) -> int:
@@ -367,6 +425,53 @@ def _commit_version(
                     f"table {root!r} advanced to v{latest} while this "
                     f"writer computed from v{expected_latest}; re-read "
                     "and retry (abandoned directory left for vacuum)"
+                )
+        # Immutability guard for OUT-OF-ORDER commits (a lower-numbered
+        # allocation committing after a higher one — two concurrent
+        # writers can interleave that way). Pinned-version content is
+        # resolved from the versions BELOW it (_chain_versions), so a
+        # late commit landing under an already-committed DELTA would
+        # retroactively change that delta's resolved content — breaking
+        # the immutability/replay contract streaming and time travel
+        # depend on. Rejected cases, both raising ConcurrentWriteError
+        # (the writer re-reads and retries at a fresh number):
+        #   - committing a DELTA below ANY committed higher version
+        #     (its rows would splice into higher delta chains, and no
+        #     latest/as-of reader could ever observe it);
+        #   - committing a FULL below a committed delta whose chain
+        #     span covers this number (it would become that delta's
+        #     new base). A full below only-full versions stays legal —
+        #     no chain references it, it is history-only.
+        later = [w for w in versions if w > version]
+        if later:
+            conflict = None
+            if mode == "delta":
+                conflict = (
+                    f"a delta at v{version} below committed "
+                    f"v{later[-1]} would be invisible to readers and "
+                    "could splice into higher delta chains"
+                )
+            else:
+                for w in later:
+                    if modes.get(w, "full") == "delta":
+                        base = _chain_versions(versions, modes, w)[0]
+                        if base <= version:
+                            conflict = (
+                                f"a full snapshot at v{version} would "
+                                f"become the new chain base of committed "
+                                f"delta v{w} (current base v{base}), "
+                                "retroactively changing its content"
+                            )
+                            break
+            if conflict:
+                import shutil
+
+                shutil.rmtree(
+                    os.path.join(root, f"v={version}"), ignore_errors=True
+                )
+                raise _OutOfOrderCommitRejected(
+                    f"out-of-order commit rejected on {root!r}: "
+                    f"{conflict}; re-read and retry at a fresh version"
                 )
         if version not in versions:
             if txn_id is not None:

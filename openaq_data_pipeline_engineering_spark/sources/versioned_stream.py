@@ -12,6 +12,17 @@ a streaming offset log:
 - directories are immutable, so ``(start, end]`` replays EXACTLY on
   recovery — the determinism contract Structured Streaming needs.
 
+Offset soundness under concurrent writers: version-number order equals
+commit order for every commit the stream can emit — the commit
+protocol REJECTS a delta committing below an already-committed higher
+version (operators/versioned._commit_version's out-of-order guard; the
+writer auto-retries at a fresh number), so a delta can never land
+inside an already-closed ``(start, end]`` range and be silently
+skipped. The one commit that may still land below ``latestOffset`` is
+a FULL snapshot racing above-numbered fulls; it is history-only (no
+latest/as-of reader ever resolves it, and it bases no chain), so
+skipping it is correct in both strict and ``ignoreChanges`` modes.
+
 Append-only semantics, Delta parity: a ``delta`` commit streams its
 rows; a FULL commit (INSERT OVERWRITE / OPTIMIZE / checkpoint) or a
 RESTORE rewrites or rewinds content, which an append-tail cannot

@@ -1,0 +1,293 @@
+"""Round-9 ADVICE fixes, pinned.
+
+Five findings from the round-8 advisor:
+1. checkpoint_appends / OPTIMIZE-versioned were read-modify-write
+   without ``expected_latest`` — a concurrent append landing between
+   the read and the publish was silently erased from latest.
+2. Stream offsets assumed version order == commit order, but the
+   protocol allowed a delta to commit BELOW an already-committed
+   higher version — permanently outside every future offset range.
+3. ``_chain_versions`` resolved a delta's base by version number, so
+   a late full snapshot committing below a committed delta would
+   retroactively change that delta's content.
+4. A failed strict MERGE leaked its persisted joined relation.
+5. Time-travel rewrite matched inside string literals, and its fixed
+   temp-view names collided across concurrent Engine.sql calls.
+
+(2) and (3) share one fix: the commit protocol now REJECTS the
+out-of-order commits whose semantics were unsound (delta below any
+committed higher version; full below a committed delta's chain span)
+and the write paths auto-retry at a fresh number, so committed deltas
+are totally ordered by both number and commit time.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from openaq_data_pipeline_engineering_spark.operators import versioned
+from openaq_data_pipeline_engineering_spark.operators.versioned import (
+    ConcurrentWriteError,
+    _allocate_and_write,
+    _commit_version,
+    append_rows,
+    checkpoint_appends,
+    read_snapshot,
+    snapshot_modes,
+    snapshot_versions,
+    write_snapshot,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+class TestOutOfOrderCommitGuard:
+    def test_delta_below_committed_higher_version_is_rejected(
+        self, spark, tmp_path
+    ):
+        root = str(tmp_path / "t")
+        write_snapshot(_df(spark, [(1, "a")]), root)  # v1 full
+        # writer A claims v2 (delta) but stalls before commit
+        va = _allocate_and_write(_df(spark, [(2, "b")]), root)
+        # writer B appends and commits v3 while A is stalled
+        vb = append_rows(_df(spark, [(3, "c")]), root)
+        assert (va, vb) == (2, 3)
+        # A's late delta commit below v3 must be rejected — committing
+        # it would retroactively splice row (2,b) into v3's chain,
+        # changing v3's already-readable content.
+        before = _rows(read_snapshot(spark, root, version=vb))
+        with pytest.raises(ConcurrentWriteError, match="out-of-order"):
+            _commit_version(root, va, mode="delta")
+        assert snapshot_versions(root) == [1, 3]
+        assert _rows(read_snapshot(spark, root, version=vb)) == before
+        # the rejected claim is cleaned up, not left as an orphan
+        assert not os.path.isdir(os.path.join(root, "v=2"))
+
+    def test_full_below_committed_delta_chain_is_rejected(
+        self, spark, tmp_path
+    ):
+        root = str(tmp_path / "t")
+        write_snapshot(_df(spark, [(1, "a")]), root)  # v1 full
+        va = _allocate_and_write(_df(spark, [(9, "z")]), root)  # claims v2
+        vb = append_rows(_df(spark, [(2, "b")]), root)  # v3 delta, base v1
+        assert (va, vb) == (2, 3)
+        # committing a FULL at v2 would make it v3's new chain base,
+        # silently changing v3's content from {a,b} to {z,b}
+        with pytest.raises(ConcurrentWriteError, match="chain base"):
+            _commit_version(root, va, mode="full")
+        assert snapshot_versions(root) == [1, 3]
+        assert _rows(read_snapshot(spark, root, version=vb)) == {
+            (1, "a"),
+            (2, "b"),
+        }
+
+    def test_full_below_full_history_only_commit_still_allowed(
+        self, spark, tmp_path
+    ):
+        # The benign interleave (two independent full publishers) must
+        # keep working: the late lower-numbered full is history-only.
+        root = str(tmp_path / "t")
+        write_snapshot(_df(spark, [(1, "a")]), root)  # v1
+        va = _allocate_and_write(_df(spark, [(2, "b")]), root)  # v2
+        vb = _allocate_and_write(_df(spark, [(3, "c")]), root)  # v3
+        _commit_version(root, vb, mode="full")
+        _commit_version(root, va, mode="full")
+        assert snapshot_versions(root) == [1, 2, 3]
+        assert _rows(read_snapshot(spark, root)) == {(3, "c")}
+        assert _rows(read_snapshot(spark, root, version=va)) == {(2, "b")}
+
+    def test_append_rows_auto_retries_past_racer(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A delta that loses the number race re-allocates above the
+        racer and lands — callers see success, not the internal
+        rejection. The racer is injected between this append's data
+        write and its commit via the constraint-validation hook."""
+        root = str(tmp_path / "t")
+        write_snapshot(_df(spark, [(1, "a")]), root)  # v1
+        real = versioned._enforce_constraints
+        state = {"fired": False}
+
+        def racing(spark_, root_, version_):
+            if not state["fired"]:
+                state["fired"] = True
+                # racer commits a delta ABOVE this writer's claimed
+                # number while the writer is mid-flight
+                append_rows(_df(spark, [(99, "racer")]), root_)
+            return real(spark_, root_, version_)
+
+        monkeypatch.setattr(versioned, "_enforce_constraints", racing)
+        v = append_rows(_df(spark, [(2, "b")]), root)
+        # claimed v2, racer took v3, retry landed at v4
+        assert v == 4
+        assert snapshot_versions(root) == [1, 3, 4]
+        assert _rows(read_snapshot(spark, root)) == {
+            (1, "a"),
+            (99, "racer"),
+            (2, "b"),
+        }
+        # pinned racer version is exactly what its writer published
+        assert _rows(read_snapshot(spark, root, version=3)) == {
+            (1, "a"),
+            (99, "racer"),
+        }
+
+
+class TestReadModifyWriteGuards:
+    def test_checkpoint_appends_retries_over_concurrent_append(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """ADVICE #1: a concurrent append landing between the
+        checkpoint's read and its publish must NOT be erased — the
+        conditional commit fails, the checkpoint re-reads, and the
+        final full version contains the interloper's rows."""
+        root = str(tmp_path / "t")
+        write_snapshot(_df(spark, [(1, "a")]), root)  # v1
+        append_rows(_df(spark, [(2, "b")]), root)  # v2
+        real = versioned.read_snapshot
+        state = {"fired": False}
+
+        def interleaved(spark_, root_, version=None, as_of_ts=None):
+            df = real(spark_, root_, version=version, as_of_ts=as_of_ts)
+            if not state["fired"]:
+                state["fired"] = True
+                # lands AFTER the checkpoint captured its base version
+                append_rows(_df(spark_, [(3, "c")]), root_)
+            return df
+
+        monkeypatch.setattr(versioned, "read_snapshot", interleaved)
+        v = checkpoint_appends(spark, root)
+        monkeypatch.undo()
+        assert snapshot_modes(root).get(v, "full") == "full"
+        # the lost-update check: (3, "c") survived the checkpoint
+        assert _rows(read_snapshot(spark, root)) == {
+            (1, "a"),
+            (2, "b"),
+            (3, "c"),
+        }
+
+    def test_optimize_versioned_retries_over_concurrent_append(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from openaq_data_pipeline_engineering_spark.operators.sqlutil import (
+            execute_optimize,
+        )
+
+        root = str(tmp_path / "t")
+        write_snapshot(_df(spark, [(1, "a")]), root)
+        append_rows(_df(spark, [(2, "b")]), root)
+        real = versioned.read_snapshot
+        state = {"fired": False}
+
+        def interleaved(spark_, root_, version=None, as_of_ts=None):
+            df = real(spark_, root_, version=version, as_of_ts=as_of_ts)
+            if not state["fired"]:
+                state["fired"] = True
+                append_rows(_df(spark_, [(3, "c")]), root_)
+            return df
+
+        monkeypatch.setattr(versioned, "read_snapshot", interleaved)
+        metrics = execute_optimize(spark, f"OPTIMIZE '{root}'").collect()
+        monkeypatch.undo()
+        assert len(metrics) == 1
+        assert _rows(read_snapshot(spark, root)) == {
+            (1, "a"),
+            (2, "b"),
+            (3, "c"),
+        }
+
+
+class TestMergeCacheRelease:
+    def test_failed_strict_merge_unpersists_joined_relation(self, spark):
+        from openaq_data_pipeline_engineering_spark.operators.sqlmerge import (
+            MergeError,
+            execute_merge,
+        )
+
+        tgt = spark.createDataFrame([(1, "A")], "k int, seg string")
+        dup = spark.createDataFrame(
+            [(1, "X"), (1, "Y")], "k int, seg string"
+        )
+        jsc = spark.sparkContext._jsc.sc()
+        before = jsc.getPersistentRDDs().size()
+        with pytest.raises(MergeError, match="ambiguous"):
+            execute_merge(
+                spark,
+                "MERGE INTO tgt t USING src s ON t.k = s.k "
+                "WHEN MATCHED THEN UPDATE SET seg = s.seg",
+                target_df=tgt,
+                source_df=dup,
+            )
+        assert jsc.getPersistentRDDs().size() == before
+
+    def test_successful_strict_merge_keeps_cache_until_release(self, spark):
+        from openaq_data_pipeline_engineering_spark.operators.sqlmerge import (
+            execute_merge,
+            release_merge_cache,
+        )
+
+        tgt = spark.createDataFrame([(1, "A")], "k int, seg string")
+        src = spark.createDataFrame([(1, "B")], "k int, seg string")
+        out = execute_merge(
+            spark,
+            "MERGE INTO tgt t USING src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET seg = s.seg",
+            target_df=tgt,
+            source_df=src,
+        )
+        assert {tuple(r) for r in out.collect()} == {(1, "B")}
+        assert release_merge_cache(out) is True
+
+
+class TestTimeTravelLiteralMasking:
+    def test_as_of_pattern_inside_string_literal_is_not_rewritten(
+        self, spark
+    ):
+        from openaq_data_pipeline_engineering_spark.engine import Engine
+
+        eng = Engine(spark)
+        # Previously this spliced a temp view over read_snapshot of a
+        # nonexistent path and raised FileNotFoundError.
+        got = eng.sql(
+            'SELECT "FROM \'/no/such/root\' VERSION AS OF 1" AS s'
+        ).collect()
+        assert got[0]["s"] == "FROM '/no/such/root' VERSION AS OF 1"
+
+    def test_real_clause_still_rewrites_and_views_are_unique(
+        self, spark, tmp_path
+    ):
+        from openaq_data_pipeline_engineering_spark.engine import Engine
+
+        root = str(tmp_path / "t")
+        write_snapshot(_df(spark, [(1, "a")]), root)
+        write_snapshot(_df(spark, [(2, "b")]), root)
+        eng = Engine(spark)
+        before = Engine._tt_counter
+        q = f"SELECT k FROM '{root}' VERSION AS OF 1"
+        r1 = eng.sql(q).collect()
+        r2 = eng.sql(f"SELECT k FROM '{root}' VERSION AS OF 2").collect()
+        assert [r["k"] for r in r1] == [1]
+        assert [r["k"] for r in r2] == [2]
+        # each statement pinned its own view — no fixed-name collision
+        assert Engine._tt_counter == before + 2
+
+    def test_literal_and_real_clause_in_one_statement(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.engine import Engine
+
+        root = str(tmp_path / "t")
+        write_snapshot(_df(spark, [(1, "a")]), root)
+        eng = Engine(spark)
+        got = eng.sql(
+            "SELECT k, \"FROM 'fake' TIMESTAMP AS OF '2024-01-01'\" AS s "
+            f"FROM '{root}' VERSION AS OF 1"
+        ).collect()
+        assert got[0]["k"] == 1
+        assert got[0]["s"] == "FROM 'fake' TIMESTAMP AS OF '2024-01-01'"
