@@ -74,6 +74,46 @@ API_DS_SCHEMA = (
 # sensor immediately (reference treats every non-200 as skip).
 RETRYABLE_STATUSES = frozenset({429, 500, 502, 503, 504})
 
+# Rows per Arrow RecordBatch on the Python→JVM exchange. The fetch
+# itself is network-bound, but the HANDOFF need not be row-at-a-time:
+# buffered rows flush as one columnar batch (VERDICT r8 #1).
+ARROW_BATCH_ROWS = 4096
+
+
+def _measurement_rows_to_batches(rows: Iterator[tuple]) -> Iterator:
+    """Buffer (sensor_id, datetime, parameter, unit, value) tuples and
+    yield them as ``pyarrow.RecordBatch`` chunks matching
+    :data:`API_DS_SCHEMA` — one Arrow exchange per ~4k rows instead of
+    one pickled tuple per measurement. Rows fetched before a sensor
+    failure are already buffered, so per-sensor skip semantics are
+    unchanged."""
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            ("sensor_id", pa.int64()),
+            ("datetime", pa.string()),
+            ("parameter", pa.string()),
+            ("unit", pa.string()),
+            ("value", pa.float64()),
+        ]
+    )
+
+    buf: list[tuple] = []
+    for row in rows:
+        buf.append(row)
+        if len(buf) >= ARROW_BATCH_ROWS:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(col, type=f.type) for col, f in zip(zip(*buf), schema)],
+                schema=schema,
+            )
+            buf = []
+    if buf:
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(col, type=f.type) for col, f in zip(zip(*buf), schema)],
+            schema=schema,
+        )
+
 
 class SensorFetchError(Exception):
     """A sensor's fetch failed after retries; caller skips the sensor."""
@@ -182,7 +222,13 @@ class OpenAQApiReader(DataSourceReader):
             for i in range(0, len(self.sensor_ids), b)
         ] or [_SensorBatch([])]
 
-    def read(self, partition: _SensorBatch) -> Iterator[tuple]:
+    def read(self, partition: _SensorBatch) -> Iterator:
+        # Arrow-batched handoff: the row generator below is consumed by
+        # _measurement_rows_to_batches, so the Python→JVM exchange is
+        # columnar even though the fetch itself is per-record JSON.
+        return _measurement_rows_to_batches(self._fetch_rows(partition))
+
+    def _fetch_rows(self, partition: _SensorBatch) -> Iterator[tuple]:
         transport = FixtureTransport(self.fixtures_path)
         for sid in partition.sensor_ids:
             try:
@@ -269,18 +315,27 @@ class OpenAQApiStreamReader(SimpleDataSourceStreamReader):
                     rec.get("value"),
                 )
 
-    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+    def read(self, start: dict) -> tuple[Iterator, dict]:
         page = int(start.get("page", 1))
         rows = list(self._read_page(page))
         if not rows:
             # Nothing new arrived: stay on this offset so the cursor
             # advances only past pages that actually existed.
             return iter([]), {"page": page}
-        return iter(rows), {"page": page + 1}
+        # Materialized page → Arrow batches: the prefetch cache then
+        # holds a LIST iterator of RecordBatches (copyable, as the
+        # engine's cache-replay requires) and the exchange is columnar.
+        batches = list(_measurement_rows_to_batches(iter(rows)))
+        return iter(batches), {"page": page + 1}
 
-    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        for page in range(int(start.get("page", 1)), int(end.get("page", 1))):
-            yield from self._read_page(page)
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator:
+        def rows() -> Iterator[tuple]:
+            for page in range(
+                int(start.get("page", 1)), int(end.get("page", 1))
+            ):
+                yield from self._read_page(page)
+
+        return _measurement_rows_to_batches(rows())
 
     def commit(self, end: dict) -> None:
         pass  # fixtures are immutable; nothing to release

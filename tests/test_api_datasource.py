@@ -230,19 +230,30 @@ def test_api_stream_reader_replay_is_exact(tmp_path):
     _page(fixtures, 501, 1, [1.0])
     _page(fixtures, 501, 2, [2.0])
 
+    import pyarrow as pa
+
+    def rows_of(batches) -> list[tuple]:
+        # the reader hands Spark Arrow RecordBatches (columnar
+        # exchange); flatten back to tuples for value assertions
+        out: list[tuple] = []
+        for b in batches:
+            assert isinstance(b, pa.RecordBatch)
+            out.extend(tuple(d.values()) for d in b.to_pylist())
+        return out
+
     r = OpenAQApiStreamReader(
         {"fixtures_path": fixtures, "sensor_ids": "501"}
     )
     assert r.initialOffset() == {"page": 1}
-    rows1, off1 = r.read({"page": 1})
-    rows1 = list(rows1)
+    batches1, off1 = r.read({"page": 1})
+    rows1 = rows_of(batches1)
     assert off1 == {"page": 2} and len(rows1) == 1
-    rows2, off2 = r.read(off1)
-    assert off2 == {"page": 3} and len(list(rows2)) == 1
+    batches2, off2 = r.read(off1)
+    assert off2 == {"page": 3} and len(rows_of(batches2)) == 1
     # empty page: offset must NOT advance
-    rows3, off3 = r.read(off2)
-    assert off3 == {"page": 3} and list(rows3) == []
-    replay = list(r.readBetweenOffsets({"page": 1}, {"page": 3}))
+    batches3, off3 = r.read(off2)
+    assert off3 == {"page": 3} and list(batches3) == []
+    replay = rows_of(r.readBetweenOffsets({"page": 1}, {"page": 3}))
     assert replay == rows1 + [(501, replay[1][1], "pm25", replay[1][3], 2.0)]
     assert len(replay) == 2
 

@@ -145,3 +145,158 @@ def test_missing_root_option_is_loud(spark):
     register_versioned_feed(spark)
     with pytest.raises(Exception, match="root"):
         spark.readStream.format("versioned_feed").load().schema
+
+
+def test_reader_yields_arrow_record_batches(spark, tmp_path):
+    """VERDICT r8 #1 pin: the executor read path returns
+    pyarrow.RecordBatch (one Arrow stream per file), never per-row
+    Python tuples."""
+    import pyarrow as pa
+
+    from openaq_data_pipeline_engineering_spark.sources.versioned_stream import (
+        VersionedFeedStreamReader,
+    )
+
+    root = str(tmp_path / "t")
+    write_snapshot(_kt(spark, (1, "a")), root)
+    append_rows(_kt(spark, (2, "b"), (3, "c")), root)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL("k long, tag string")
+    reader = VersionedFeedStreamReader(
+        schema, {"root": root, "startingversion": "1"}
+    )
+    parts = reader.partitions({"version": 1}, reader.latestOffset())
+    assert parts, "expected at least one file partition"
+    got = [b for p in parts for b in reader.read(p)]
+    assert got and all(isinstance(b, pa.RecordBatch) for b in got)
+    assert got[0].schema.names == ["k", "tag"]
+    assert sum(b.num_rows for b in got) == 2
+
+
+def test_wide_types_round_trip_through_arrow_exchange(spark, tmp_path):
+    """Timestamp / decimal / double / boolean survive the RecordBatch
+    exchange byte-exactly (the silent-corruption risk of a wrong arrow
+    mapping)."""
+    root = str(tmp_path / "t")
+    df = spark.sql(
+        "SELECT CAST(1 AS BIGINT) k, TIMESTAMP'2024-03-01 12:30:45' ts, "
+        "CAST(12.34 AS DECIMAL(18,2)) amt, CAST(2.5 AS DOUBLE) x, "
+        "true flag"
+    )
+    write_snapshot(df, root)
+    append_rows(
+        spark.sql(
+            "SELECT CAST(2 AS BIGINT) k, TIMESTAMP'2024-03-02 00:00:01' ts, "
+            "CAST(99.99 AS DECIMAL(18,2)) amt, CAST(-1.25 AS DOUBLE) x, "
+            "false flag"
+        ),
+        root,
+    )
+    register_versioned_feed(spark)
+    stream = (
+        spark.readStream.format("versioned_feed")
+        .option("root", root)
+        .option("startingVersion", "1")
+        .load()
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(stream, out, ckpt)
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["k"], str(r["ts"]), str(r["amt"]), r["x"], r["flag"]) == (
+        2,
+        "2024-03-02 00:00:01",
+        "99.99",
+        -1.25,
+        False,
+    )
+
+
+def test_max_versions_per_batch_drains_across_runs(spark, tmp_path):
+    """VERDICT r8 #2: admission control. Five pending appends with
+    maxVersionsPerBatch=2 drain across three capped availableNow runs
+    (2 + 2 + 1) instead of one unbounded batch, converging on the same
+    final table."""
+    root = str(tmp_path / "t")
+    write_snapshot(_kt(spark, (0, "seed")), root)  # v1 full (skipped)
+    for i in range(1, 6):
+        append_rows(_kt(spark, (i, f"r{i}")), root)  # v2..v6
+    register_versioned_feed(spark)
+
+    def capped():
+        return (
+            spark.readStream.format("versioned_feed")
+            .option("root", root)
+            .option("startingVersion", "1")
+            .option("maxVersionsPerBatch", "2")
+            .load()
+        )
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(capped(), out, ckpt)
+    assert _keys(spark, out) == [1, 2]  # run 1: two commits admitted
+    _drain(capped(), out, ckpt)
+    assert _keys(spark, out) == [1, 2, 3, 4]  # run 2: next two
+    _drain(capped(), out, ckpt)
+    assert _keys(spark, out) == [1, 2, 3, 4, 5]  # run 3: the tail
+    _drain(capped(), out, ckpt)  # drained: a further run is a no-op
+    assert _keys(spark, out) == [1, 2, 3, 4, 5]
+
+
+def test_max_bytes_per_batch_admits_at_least_one_commit(spark, tmp_path):
+    """A 1-byte cap degenerates to one commit per batch — never zero
+    (a single oversized commit must still drain)."""
+    root = str(tmp_path / "t")
+    write_snapshot(_kt(spark, (0, "seed")), root)
+    append_rows(_kt(spark, (1, "a")), root)
+    append_rows(_kt(spark, (2, "b")), root)
+    register_versioned_feed(spark)
+
+    def capped():
+        return (
+            spark.readStream.format("versioned_feed")
+            .option("root", root)
+            .option("startingVersion", "1")
+            .option("maxBytesPerBatch", "1")
+            .load()
+        )
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(capped(), out, ckpt)
+    assert _keys(spark, out) == [1]
+    _drain(capped(), out, ckpt)
+    assert _keys(spark, out) == [1, 2]
+
+
+def test_capped_restart_resumes_from_checkpoint_not_floor(spark, tmp_path):
+    """Restart safety: a fresh reader's admission floor starts at
+    startingVersion, BELOW the checkpointed position; the engine's
+    restart replay must re-seed it so no consumed version is re-read
+    and no pending version skipped."""
+    root = str(tmp_path / "t")
+    write_snapshot(_kt(spark, (0, "seed")), root)
+    for i in range(1, 4):
+        append_rows(_kt(spark, (i, f"r{i}")), root)  # v2..v4
+    register_versioned_feed(spark)
+
+    def capped():
+        return (
+            spark.readStream.format("versioned_feed")
+            .option("root", root)
+            .option("startingVersion", "1")
+            .option("maxVersionsPerBatch", "1")
+            .load()
+        )
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(capped(), out, ckpt)  # consumes v2 only
+    assert _keys(spark, out) == [1]
+    # each _drain builds a FRESH reader (floor back at starting=1);
+    # the replay of the last logged batch corrects it to the
+    # checkpoint before the capped latestOffset plans anything
+    _drain(capped(), out, ckpt)
+    assert _keys(spark, out) == [1, 2]
+    _drain(capped(), out, ckpt)
+    assert _keys(spark, out) == [1, 2, 3]
