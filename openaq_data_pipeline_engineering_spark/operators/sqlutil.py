@@ -172,6 +172,7 @@ def execute_optimize(spark: SparkSession, sql: str) -> DataFrame:
             )
         return _optimize_versioned(spark, path, cols)
     _recover_interrupted_rewrite(path)  # heal a crashed prior rewrite
+    _recover_interrupted_partition_rewrite(path)  # per-partition form
     before = file_stats(path)["n_files"]
     if m.group("cols"):
         cols = [c.strip() for c in m.group("cols").split(",")]
@@ -284,6 +285,69 @@ def _zorder_key(cols: list[str]):
     return morton_code_n([F.col(c).cast("bigint") for c in cols], bits=bits)
 
 
+def _partition_leaf_dirs(root: str) -> list[str]:
+    """Relative paths of every directory under ``root`` directly
+    holding parquet files (the Hive partition leaves; ``['.']`` for an
+    unpartitioned layout)."""
+    out: list[str] = []
+    for r, _dirs, files in os.walk(root):
+        if any(f.endswith(".parquet") for f in files):
+            out.append(os.path.relpath(r, root))
+    return out
+
+
+def _swap_partition_dir(path: str, staging: str, rel: str) -> None:
+    """Swap ONE partition directory from staging into the live table:
+    live → ``<live>.__optimize_old__`` → staged-in → reclaim old. The
+    same two-rename discipline as the whole-table rewrite, applied per
+    partition so a crash's blast radius is a single healed partition
+    (see :func:`_recover_interrupted_partition_rewrite`)."""
+    import shutil
+
+    live = os.path.join(path, rel)
+    old = live.rstrip("/") + ".__optimize_old__"
+    shutil.rmtree(old, ignore_errors=True)
+    os.makedirs(os.path.dirname(live), exist_ok=True)
+    if os.path.isdir(live):
+        os.rename(live, old)
+    os.rename(os.path.join(staging, rel), live)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _recover_interrupted_partition_rewrite(path: str) -> None:
+    """Heal a partitioned OPTIMIZE that crashed mid-swap (VERDICT r8
+    #4: the dynamic-overwrite form could leave a partition mix of old
+    and new clustering with no healer). Per partition directory:
+
+    - ``<P>.__optimize_old__`` present, ``<P>`` absent → the crash hit
+      between the two renames; rename the old data back (that
+      partition is simply un-optimized).
+    - both present → the swap completed but the old dir wasn't
+      reclaimed: remove the leftover.
+
+    The staging tree ``<path>.__optimize_tmp__`` is then removed
+    whole: any partition not yet swapped still has its complete OLD
+    data live, so dropping its staged rewrite loses nothing — the
+    table is always a consistent mix of fully-old and fully-new
+    partitions, never a partial partition."""
+    import shutil
+
+    if not os.path.isdir(path):
+        return
+    for r, dirs, _files in os.walk(path, topdown=False):
+        for d in list(dirs):
+            if d.endswith(".__optimize_old__"):
+                old = os.path.join(r, d)
+                live = old[: -len(".__optimize_old__")]
+                if os.path.isdir(live):
+                    shutil.rmtree(old, ignore_errors=True)
+                else:
+                    os.rename(old, live)
+    shutil.rmtree(
+        path.rstrip("/") + ".__optimize_tmp__", ignore_errors=True
+    )
+
+
 def _zorder_rewrite_partitioned(
     spark: SparkSession,
     path: str,
@@ -300,10 +364,19 @@ def _zorder_rewrite_partitioned(
     repartition on ``(partition cols..., morton key)`` — range tasks
     respect the lexicographic order, so within any single partition the
     tasks covering it hold DISJOINT morton ranges, i.e. each
-    partition's files carry tight min/max boxes for skipstats pruning —
-    then write back with dynamic partition overwrite, so untouched
-    partitions (under a WHERE) are left alone and concurrent readers
-    never see a partial partition.
+    partition's files carry tight min/max boxes for skipstats pruning.
+
+    Crash discipline (VERDICT r8 #4): the clustered output is written
+    to a STAGING tree first (one distributed job), then swapped into
+    the live table one partition directory at a time with the same
+    two-rename healing as the unpartitioned rewrite — a crash anywhere
+    leaves every partition either fully old or fully new, and
+    :func:`_recover_interrupted_partition_rewrite` (run on entry and by
+    the next OPTIMIZE) restores the in-between partition. The prior
+    dynamic-overwrite form committed partitions through one job whose
+    commitJob is not atomic across directories — a mid-commit crash
+    could leave mixed clustering with no healer. Untouched partitions
+    (under a WHERE) are never staged, so they are never swapped.
 
     ``partition_filter`` selects PARTITIONS, never rows (same contract
     as compact_partitions: a selected partition is rewritten WHOLE).
@@ -312,10 +385,13 @@ def _zorder_rewrite_partitioned(
     ~``target_file_bytes`` files rather than 4 giant ones per
     partition.
     """
+    import shutil
+
     from openaq_data_pipeline_engineering_spark.operators.compact import (
         file_stats,
     )
 
+    _recover_interrupted_partition_rewrite(path)
     df = spark.read.parquet(path)
     if partition_filter:
         parts = (
@@ -333,13 +409,20 @@ def _zorder_rewrite_partitioned(
         -(-total_bytes // target_file_bytes),  # ceil
     )
     key = _zorder_key(cols)
+    staging = path.rstrip("/") + ".__optimize_tmp__"
+    shutil.rmtree(staging, ignore_errors=True)
     (
         df.repartitionByRange(int(n_tasks), *[F.col(c) for c in pcols], key)
         .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*pcols)
-        .parquet(path)
+        .parquet(staging)
     )
+    # Driver-side swap loop: O(1) metadata renames per partition (the
+    # data moved in the distributed write above), ordered so a crash
+    # leaves a prefix of new partitions and a suffix of old ones.
+    for rel in sorted(_partition_leaf_dirs(staging)):
+        _swap_partition_dir(path, staging, rel)
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def _optimize_versioned(

@@ -258,6 +258,7 @@ def append_rows(
     root: str,
     _max_retries: int = 16,
     txn_id: str | None = None,
+    max_chain_deltas: int | None = None,
 ) -> int:
     """Commit ``df`` as an APPEND (delta) version: the new version's
     logical content is the previous version's rows PLUS ``df``'s rows,
@@ -281,29 +282,72 @@ def append_rows(
 
     Appends may EVOLVE the schema (new columns null-backfill older
     rows): the chain read uses parquet ``mergeSchema``.
+
+    ``max_chain_deltas`` is the AUTO-REBASE policy hook (VERDICT r8
+    #3): an append-only table's chain grows one delta per commit, so
+    every read unions one more directory forever (unbounded read
+    amplification for a long-running dead-letter sink). When the
+    freshly-committed chain exceeds this many deltas, the append
+    triggers :func:`checkpoint_appends` — one new FULL version that
+    re-bases the chain, amortizing to O(table/K) extra write I/O per
+    append while capping every read at K+1 directories. The rebase is
+    best-effort under concurrency: if another writer commits mid-
+    checkpoint the conditional rebase is skipped (the NEXT append
+    re-triggers it), so the append itself never fails because of the
+    policy. Vacuum composes as usual — after a rebase the prior chain
+    becomes reclaimable.
     """
     if txn_id is not None:
         _, txns = _read_manifest_full(root)
         if txn_id in txns:
             return txns[txn_id]  # replay: already committed, no write
+    if max_chain_deltas is not None and max_chain_deltas < 1:
+        raise ValueError("max_chain_deltas must be >= 1")
     for attempt in range(_max_retries):
         version = _allocate_and_write(df, root, _max_retries)
         validated = _enforce_constraints(df.sparkSession, root, version)
         try:
-            return _commit_version(
+            committed = _commit_version(
                 root,
                 version,
                 txn_id,
                 mode="delta",
                 validated_constraints=validated,
             )
+            break
         except _OutOfOrderCommitRejected:
             # A racer committed above this allocation mid-write; a
             # delta's content (its batch) is number-independent, so
             # re-allocate above the racer and re-write.
             if attempt == _max_retries - 1:
                 raise
-    raise AssertionError("unreachable")  # pragma: no cover
+    else:  # pragma: no cover - loop always breaks or raises
+        raise AssertionError("unreachable")
+    if max_chain_deltas is not None:
+        _maybe_rebase_chain(df.sparkSession, root, max_chain_deltas)
+    return committed
+
+
+def _maybe_rebase_chain(
+    spark: SparkSession, root: str, max_chain_deltas: int
+) -> int | None:
+    """Auto-rebase policy: if the LATEST version's chain holds more
+    than ``max_chain_deltas`` delta directories, checkpoint it into one
+    full version (returns the new version, else None). Conflict-safe
+    and best-effort: a concurrent commit racing the checkpoint makes
+    this attempt a no-op — the policy re-fires on the next append."""
+    doc = _read_manifest_doc(root)
+    if not doc["versions"]:
+        return None
+    latest = doc["versions"][-1]
+    chain = _chain_versions(doc["versions"], doc["modes"], latest)
+    n_deltas = sum(1 for v in chain if doc["modes"].get(v) == "delta")
+    if n_deltas <= max_chain_deltas:
+        return None
+    try:
+        return checkpoint_appends(spark, root, _max_conflict_retries=1)
+    except ConcurrentWriteError:
+        return None  # racer advanced the table; next append re-fires
 
 
 def checkpoint_appends(

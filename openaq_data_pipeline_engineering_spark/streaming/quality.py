@@ -53,6 +53,7 @@ def quality_split_batch(
     keys: list[str],
     ts_col: str,
     txn_app_id: str = "batch",
+    quarantine_max_chain: int = 16,
 ) -> None:
     """foreachBatch body: split, upsert valid, append quarantine.
 
@@ -62,6 +63,15 @@ def quality_split_batch(
     dedupe window is unbounded, so deliberate reprocessing into the
     same targets needs a NEW ``txn_app_id`` (Delta's txnAppId
     contract; see streaming/upsert.upsert_batch).
+
+    ``quarantine_max_chain`` bounds the dead-letter table's append
+    chain: once a read would union more than that many delta
+    directories, the append auto-rebases them into one full version
+    (versioned.append_rows ``max_chain_deltas``), so a long-running
+    stream's quarantine reads stay O(K) directories instead of one per
+    micro-batch ever emitted. History stays time-travelable until a
+    vacuum; the rebase itself moves the chain's bytes once per K
+    batches (amortized O(table/K) per batch).
     """
     spark = batch.sparkSession
     valid, quarantine = split_expectations(batch, rules)
@@ -79,12 +89,15 @@ def quality_split_batch(
     # batch's dead rows only — never the accumulated history (the
     # prior union-rewrite was quadratic over a long-running stream;
     # ADVICE r7). Readers resolve the delta chain through
-    # read_snapshot; retention on the all-delta table is deliberately
-    # left to a periodic versioned.checkpoint_appends + vacuum by a
-    # triage/compaction job — dead letters are an audit log, and
-    # vacuuming per-batch would be a chain-aware no-op anyway.
+    # read_snapshot; the chain auto-rebases past quarantine_max_chain
+    # deltas (VERDICT r8 #3) so read amplification is bounded without
+    # a separate compaction job. Vacuum (history retention) stays a
+    # triage-job policy decision — dead letters are an audit log.
     versioned.append_rows(
-        dead, quarantine_dir, txn_id=f"{txn_app_id}-{batch_id}"
+        dead,
+        quarantine_dir,
+        txn_id=f"{txn_app_id}-{batch_id}",
+        max_chain_deltas=quarantine_max_chain,
     )
 
 
@@ -97,16 +110,18 @@ def run_stream_quality_split(
     keys: list[str],
     ts_col: str,
     txn_app_id: str = "batch",
+    quarantine_max_chain: int = 16,
 ):
     """Run the stream to completion (AvailableNow), routing every
     micro-batch through the expectations split. Returns the finished
     StreamingQuery. See :func:`quality_split_batch` for the
-    ``txn_app_id`` reprocessing contract."""
+    ``txn_app_id`` reprocessing contract and the dead-letter
+    chain-rebase bound."""
     q = (
         stream.writeStream.foreachBatch(
             lambda df, bid: quality_split_batch(
                 df, bid, rules, valid_dir, quarantine_dir, keys, ts_col,
-                txn_app_id,
+                txn_app_id, quarantine_max_chain,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -291,3 +291,147 @@ class TestTimeTravelLiteralMasking:
         ).collect()
         assert got[0]["k"] == 1
         assert got[0]["s"] == "FROM 'fake' TIMESTAMP AS OF '2024-01-01'"
+
+
+class TestDeadLetterChainBound:
+    def test_quality_sink_quarantine_chain_stays_bounded(
+        self, spark, tmp_path
+    ):
+        """Long-run dead-letter stream: with quarantine_max_chain=2 the
+        quarantine table's read never unions more than 3 directories,
+        across many micro-batches, while quarantined content stays
+        exact and the valid-side upsert is untouched."""
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            _chain_versions,
+            _read_manifest_doc,
+        )
+        from openaq_data_pipeline_engineering_spark.streaming.quality import (
+            quality_split_batch,
+        )
+
+        valid_dir = str(tmp_path / "valid")
+        dead_dir = str(tmp_path / "dead")
+        rules = {"positive": "v > 0"}
+        for bid in range(8):
+            batch = spark.createDataFrame(
+                [(bid, 10.0, bid), (bid, -1.0, bid + 100)],
+                "k int, v double, ts int",
+            )
+            quality_split_batch(
+                batch,
+                bid,
+                rules,
+                valid_dir,
+                dead_dir,
+                keys=["k"],
+                ts_col="ts",
+                quarantine_max_chain=2,
+            )
+            doc = _read_manifest_doc(dead_dir)
+            latest = doc["versions"][-1]
+            chain = _chain_versions(doc["versions"], doc["modes"], latest)
+            assert len(chain) <= 3, (bid, chain, doc["modes"])
+        dead = read_snapshot(spark, dead_dir)
+        assert dead.count() == 8  # one quarantined row per batch
+        assert {r["batch_id"] for r in dead.collect()} == set(range(8))
+        assert read_snapshot(spark, valid_dir).count() == 8
+
+
+class TestPartitionedOptimizeCrashSafety:
+    """VERDICT r8 #4: the partitioned ZORDER rewrite must never leave a
+    partition mixing old and new clustering — staging + per-partition
+    two-rename swaps, healed by _recover_interrupted_partition_rewrite."""
+
+    def _table(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        out = str(tmp_path / "part_table")
+        df = spark.range(2000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("p"),
+            (F.col("id") % 101).alias("a"),
+            (F.col("id") % 97).alias("b"),
+        )
+        (
+            df.repartition(4)
+            .write.mode("overwrite")
+            .partitionBy("p")
+            .parquet(out)
+        )
+        return df, out
+
+    def _content(self, spark, out):
+        return {
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select("k", "p", "a", "b")
+            .collect()
+        }
+
+    def test_crash_between_partition_swaps_recovers_consistent(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from openaq_data_pipeline_engineering_spark.engine import Engine
+        from openaq_data_pipeline_engineering_spark.operators import sqlutil
+
+        df, out = self._table(spark, tmp_path)
+        before = self._content(spark, out)
+        real = sqlutil._swap_partition_dir
+        state = {"swaps": 0}
+
+        def crashing(path, staging, rel):
+            if state["swaps"] >= 1:
+                raise RuntimeError("injected crash between swaps")
+            state["swaps"] += 1
+            real(path, staging, rel)
+
+        monkeypatch.setattr(sqlutil, "_swap_partition_dir", crashing)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            Engine(spark).sql(f"OPTIMIZE '{out}' ZORDER BY (a, b)")
+        monkeypatch.undo()
+        # crash state: one partition new, the rest old, staging
+        # leftover on disk — every partition is fully old or fully new,
+        # so content is already exact even BEFORE healing
+        assert self._content(spark, out) == before
+        # the next OPTIMIZE heals the staging leftover and completes
+        m = Engine(spark).sql(f"OPTIMIZE '{out}' ZORDER BY (a, b)").first()
+        assert m["n_rows"] == 2000
+        assert self._content(spark, out) == before
+        assert not os.path.exists(out + ".__optimize_tmp__")
+
+    def test_crash_between_the_two_renames_is_healed(
+        self, spark, tmp_path
+    ):
+        """The worst window: live renamed away, staged dir not yet
+        renamed in — that partition is missing until the healer runs."""
+        from openaq_data_pipeline_engineering_spark.operators.sqlutil import (
+            _recover_interrupted_partition_rewrite,
+        )
+
+        df, out = self._table(spark, tmp_path)
+        before = self._content(spark, out)
+        live = os.path.join(out, "p=1")
+        os.rename(live, live + ".__optimize_old__")  # simulated crash
+        assert not os.path.isdir(live)
+        _recover_interrupted_partition_rewrite(out)
+        assert os.path.isdir(live)
+        assert not os.path.isdir(live + ".__optimize_old__")
+        assert self._content(spark, out) == before
+
+    def test_completed_swap_leftover_old_dir_is_reclaimed(
+        self, spark, tmp_path
+    ):
+        import shutil
+
+        from openaq_data_pipeline_engineering_spark.operators.sqlutil import (
+            _recover_interrupted_partition_rewrite,
+        )
+
+        df, out = self._table(spark, tmp_path)
+        before = self._content(spark, out)
+        live = os.path.join(out, "p=2")
+        shutil.copytree(live, live + ".__optimize_old__")  # swap done,
+        # old not reclaimed (crash after the second rename)
+        _recover_interrupted_partition_rewrite(out)
+        assert not os.path.isdir(live + ".__optimize_old__")
+        assert self._content(spark, out) == before

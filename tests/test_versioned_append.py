@@ -228,3 +228,72 @@ class TestStreamingDeadLetterIsAppendOnly:
         assert {r["k"] for r in read_snapshot(spark, valid_dir).collect()} == {
             1
         }
+
+
+class TestAutoRebase:
+    def test_chain_length_is_bounded_over_long_append_run(
+        self, spark, tmp_path
+    ):
+        """VERDICT r8 #3: nothing used to bound an append chain — a
+        long-running dead-letter stream accumulated one directory per
+        batch forever. With max_chain_deltas=K every read resolves at
+        most K deltas + 1 base, while content stays exact."""
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            _chain_versions,
+            _read_manifest_doc,
+        )
+
+        root = str(tmp_path / "t")
+        K = 3
+        max_seen = 0
+        for i in range(12):
+            append_rows(_df(spark, [(i, f"r{i}")]), root, max_chain_deltas=K)
+            doc = _read_manifest_doc(root)
+            latest = doc["versions"][-1]
+            chain = _chain_versions(doc["versions"], doc["modes"], latest)
+            n_deltas = sum(
+                1 for v in chain if doc["modes"].get(v) == "delta"
+            )
+            max_seen = max(max_seen, n_deltas)
+            assert n_deltas <= K, (i, chain, doc["modes"])
+        # the policy actually fired (at least one full rebase exists)
+        modes = snapshot_modes(root)
+        assert any(m == "full" for m in modes.values()) or (
+            len(_read_manifest_doc(root)["versions"])
+            > len([m for m in modes.values() if m == "delta"])
+        )
+        assert _rows(read_snapshot(spark, root)) == {
+            (i, f"r{i}") for i in range(12)
+        }
+        # old chain versions stay time-travelable until vacuum, and
+        # vacuum can now reclaim everything behind the newest rebase
+        dropped = vacuum_snapshots(root, keep_last=1)
+        assert dropped, "rebase should unlock retention"
+        assert _rows(read_snapshot(spark, root)) == {
+            (i, f"r{i}") for i in range(12)
+        }
+
+    def test_rebase_skips_quietly_when_racer_advances_table(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The policy must never fail the append it rides on: a racer
+        committing mid-checkpoint turns the rebase into a no-op (the
+        next append re-fires it)."""
+        from openaq_data_pipeline_engineering_spark.operators import (
+            versioned,
+        )
+
+        root = str(tmp_path / "t")
+        for i in range(3):
+            append_rows(_df(spark, [(i, "x")]), root)
+
+        def always_conflict(*a, **k):
+            raise versioned.ConcurrentWriteError("simulated racer")
+
+        monkeypatch.setattr(versioned, "checkpoint_appends", always_conflict)
+        v = append_rows(
+            _df(spark, [(9, "y")]), root, max_chain_deltas=1
+        )
+        monkeypatch.undo()
+        assert v in snapshot_versions(root)
+        assert (9, "y") in _rows(read_snapshot(spark, root))
