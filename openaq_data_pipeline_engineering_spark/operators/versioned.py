@@ -73,6 +73,7 @@ def _write_manifest(
     modes: dict[int, str] | None = None,
     constraints: dict[str, str] | None = None,
     base_root: str | None = None,
+    clones: list[str] | None = None,
 ) -> None:
     fd, tmp = tempfile.mkstemp(dir=root, prefix="_VERSIONS.", suffix=".tmp")
     with os.fdopen(fd, "w") as f:
@@ -84,13 +85,17 @@ def _write_manifest(
             # only non-default ("delta"/"restore:<n>") entries recorded
             "modes": {str(v): m for v, m in (modes or {}).items()},
         }
-        # CHECK constraints (name -> SQL boolean expr) and the shallow-
-        # clone source pointer are written only when present, so plain
-        # tables keep the compact manifest older readers expect.
+        # CHECK constraints (name -> SQL boolean expr), the shallow-
+        # clone source pointer, and clone BACK-references (roots that
+        # shallow-cloned FROM this table — vacuum's protection list)
+        # are written only when present, so plain tables keep the
+        # compact manifest older readers expect.
         if constraints:
             doc["constraints"] = dict(constraints)
         if base_root is not None:
             doc["base_root"] = base_root
+        if clones:
+            doc["clones"] = sorted(set(clones))
         json.dump(doc, f)
     os.replace(tmp, _manifest_path(root))
 
@@ -99,7 +104,7 @@ def _read_manifest_doc(root: str) -> dict:
     """Parsed manifest with defaults for keys older manifests lack
     (pre-txn: no "txns"; pre-timestamp: no "ts"; pre-append: no
     "modes" — a version absent from "modes" is a FULL snapshot; pre-
-    constraint: no "constraints"; pre-clone: no "base_root")."""
+    constraint: no "constraints"; pre-clone: no "base_root"/"clones")."""
     try:
         with open(_manifest_path(root)) as f:
             doc = json.load(f)
@@ -115,6 +120,7 @@ def _read_manifest_doc(root: str) -> dict:
                 for k, v in (doc.get("constraints") or {}).items()
             },
             "base_root": doc.get("base_root"),
+            "clones": [str(c) for c in (doc.get("clones") or [])],
         }
     except (OSError, ValueError, KeyError):
         return {
@@ -124,6 +130,7 @@ def _read_manifest_doc(root: str) -> dict:
             "modes": {},
             "constraints": {},
             "base_root": None,
+            "clones": [],
         }
 
 
@@ -541,6 +548,7 @@ def _commit_version(
                 modes,
                 constraints=doc["constraints"],
                 base_root=doc["base_root"],
+                clones=doc["clones"],
             )
     return version
 
@@ -734,12 +742,56 @@ def snapshot_modes(root: str) -> dict[int, str]:
 ORPHAN_GRACE_SECONDS: float = 24 * 3600.0
 
 
+class VacuumBlockedByCloneError(RuntimeError):
+    """Vacuum would reclaim versions a LIVE shallow clone still reads
+    through this root (recorded back-references). Either vacuum after
+    dropping/materializing the clones, or pass
+    ``force_break_clones=True`` to reclaim anyway — the clones' reads
+    of those versions will then fail loudly (the pre-guard behavior)."""
+
+
+def _clone_protected_versions(
+    root: str, _seen: set[str] | None = None
+) -> dict[str, set[int]]:
+    """clone root -> versions of ``root`` that the clone (or a clone of
+    the clone, transitively) still reads through its base chain:
+    every version any of its committed versions references that it has
+    not materialized locally. Conservative: a version materialized by
+    an INTERMEDIATE clone in the chain is still counted. Stale
+    back-references — the clone was deleted, or re-points elsewhere —
+    contribute nothing and are reported with an empty set so the
+    caller can prune them."""
+    seen = set() if _seen is None else _seen
+    out: dict[str, set[int]] = {}
+    for c in _read_manifest_doc(root)["clones"]:
+        if c in seen:
+            continue
+        seen.add(c)
+        cdoc = _read_manifest_doc(c)
+        if cdoc["base_root"] is None or not cdoc["versions"]:
+            out[c] = set()  # stale: prune me
+            continue
+        referenced: set[int] = set()
+        for k in cdoc["versions"]:
+            _collect_referenced(cdoc["versions"], cdoc["modes"], k, referenced)
+        out[c] = {
+            v
+            for v in referenced
+            if not os.path.isdir(os.path.join(c, f"v={v}"))
+        }
+        # clones-of-clones read through the same chain
+        for sub, needs in _clone_protected_versions(c, seen).items():
+            out[sub] = needs
+    return out
+
+
 def vacuum_snapshots(
     root: str,
     keep_last: int = 2,
     min_age_seconds: float = 0.0,
     orphan_min_age_seconds: float = ORPHAN_GRACE_SECONDS,
     txn_keep_last: int | None = None,
+    force_break_clones: bool = False,
 ) -> list[int]:
     """Retention: drop all but the newest ``keep_last`` committed
     versions, plus any orphaned uncommitted ``v=*`` dirs older than the
@@ -774,6 +826,16 @@ def vacuum_snapshots(
     whose version trails the newest committed version by more than that
     many versions — it must be >= ``keep_last``, i.e. the dedupe window
     can only be WIDER than the data window.
+
+    CLONE PROTECTION: shallow clones of this root are recorded as
+    back-references at clone time; if the drop set intersects versions
+    a live clone still reads through (transitively, clones-of-clones
+    included), the vacuum raises :class:`VacuumBlockedByCloneError`
+    and reclaims NOTHING — drop or materialize the clone first, or
+    pass ``force_break_clones=True`` to restore the pre-guard behavior
+    (the clone's reads of those versions then fail loudly at
+    resolve time). Stale back-references (deleted or re-pointed
+    clones) are pruned from the manifest as a side effect.
     """
     import shutil
     import time
@@ -821,6 +883,39 @@ def vacuum_snapshots(
                 _collect_referenced(versions, modes, k, needed)
             drop = [v for v in drop if v not in needed]
             keep = [v for v in versions if v not in drop]
+        live_clones = doc["clones"]
+        if drop and doc["clones"]:
+            # Clone protection (recorded back-references): refuse to
+            # reclaim a version a live clone still reads through — the
+            # all-or-nothing shape (nothing is reclaimed on refusal)
+            # keeps retention runs idempotent. Stale entries prune.
+            protection = _clone_protected_versions(root)
+            # prune only MANIFESTLY stale direct entries (clone deleted
+            # or re-pointed); a live clone with nothing currently
+            # unmaterialized stays — its own sub-clones may still read
+            # through this root and are only discoverable via it
+            live_clones = [
+                c
+                for c in doc["clones"]
+                if _read_manifest_doc(c)["versions"]
+                and _read_manifest_doc(c)["base_root"] is not None
+            ]
+            if not force_break_clones:
+                blocked = {
+                    c: sorted(set(drop) & needs)
+                    for c, needs in protection.items()
+                    if set(drop) & needs
+                }
+                if blocked:
+                    raise VacuumBlockedByCloneError(
+                        f"vacuum of {root!r} would reclaim versions live "
+                        f"shallow clones read through: "
+                        + "; ".join(
+                            f"{c} needs v{need}" for c, need in blocked.items()
+                        )
+                        + " — drop or materialize the clones, or pass "
+                        "force_break_clones=True to break them loudly"
+                    )
         orphans = [
             v
             for v in _existing_version_dirs(root)
@@ -847,6 +942,7 @@ def vacuum_snapshots(
                 kept_modes,
                 constraints=doc["constraints"],
                 base_root=doc["base_root"],
+                clones=live_clones,
             )
     for v in drop + orphans:
         shutil.rmtree(os.path.join(root, f"v={v}"), ignore_errors=True)
@@ -1118,6 +1214,7 @@ def add_constraint(
             doc["modes"],
             constraints=constraints,
             base_root=doc["base_root"],
+            clones=doc["clones"],
         )
 
 
@@ -1140,6 +1237,7 @@ def drop_constraint(root: str, name: str, if_exists: bool = False) -> bool:
             doc["modes"],
             constraints=constraints,
             base_root=doc["base_root"],
+            clones=doc["clones"],
         )
     return True
 
@@ -1221,6 +1319,7 @@ def restore_snapshot(
             modes,
             constraints=doc["constraints"],
             base_root=doc["base_root"],
+            clones=doc["clones"],
         )
     return new_v
 
@@ -1244,8 +1343,12 @@ def clone_snapshot(
     simply isn't local, so its rmtree is a no-op). CHECK constraints
     are inherited at clone time. Like Delta shallow clones, the clone
     depends on the source's retention: vacuuming the source below the
-    cloned version breaks the clone's reads (loudly —
-    :func:`_version_dir` raises)."""
+    cloned version breaks the clone's reads — the clone is therefore
+    RECORDED as a back-reference in the source's manifest, and
+    :func:`vacuum_snapshots` on the source refuses (without an explicit
+    ``force_break_clones``) to reclaim versions a live clone still
+    reads through (Delta leaves this hazard to the operator; this
+    engine controls both roots, so it can enforce it)."""
     src_doc = _read_manifest_doc(src_root)
     if not src_doc["versions"]:
         raise FileNotFoundError(f"no committed versions under {src_root}")
@@ -1282,6 +1385,24 @@ def clone_snapshot(
             {v: m for v, m in src_doc["modes"].items() if v in referenced},
             constraints=src_doc["constraints"],
             base_root=os.path.abspath(src_root),
+        )
+    # Back-reference: record the clone in the SOURCE manifest (under
+    # the source's commit lock) so source-side vacuum knows which
+    # versions are read through. Re-read under the lock — racing
+    # writers may have advanced the source since the unlocked read
+    # above (the clone itself pinned immutable directories, so the
+    # stale read is fine for the clone's own manifest).
+    with _manifest_lock(src_root):
+        sdoc = _read_manifest_doc(src_root)
+        _write_manifest(
+            src_root,
+            sdoc["versions"],
+            sdoc["txns"],
+            sdoc["ts"],
+            sdoc["modes"],
+            constraints=sdoc["constraints"],
+            base_root=sdoc["base_root"],
+            clones=sdoc["clones"] + [os.path.abspath(dst_root)],
         )
     return pinned
 

@@ -435,3 +435,148 @@ class TestPartitionedOptimizeCrashSafety:
         _recover_interrupted_partition_rewrite(out)
         assert not os.path.isdir(live + ".__optimize_old__")
         assert self._content(spark, out) == before
+
+
+class TestCloneVacuumGuard:
+    """VERDICT r8 #8: vacuuming a source below a cloned version used to
+    break the clone loudly at read time; back-references now make the
+    vacuum refuse up front, with force restoring the old behavior."""
+
+    def _seed(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            clone_snapshot,
+        )
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        for i in range(3):  # v1..v3 fulls
+            write_snapshot(_df(spark, [(i, f"s{i}")]), src)
+        clone_snapshot(src, dst, version=1)  # clone pins v1
+        write_snapshot(_df(spark, [(9, "later")]), src)  # v4
+        return src, dst
+
+    def test_vacuum_with_live_clone_refuses_and_reclaims_nothing(
+        self, spark, tmp_path
+    ):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            VacuumBlockedByCloneError,
+            vacuum_snapshots,
+        )
+
+        src, dst = self._seed(spark, tmp_path)
+        with pytest.raises(VacuumBlockedByCloneError, match="needs v\\[1\\]"):
+            vacuum_snapshots(src, keep_last=1)
+        # all-or-nothing: the refusal reclaimed NOTHING
+        assert snapshot_versions(src) == [1, 2, 3, 4]
+        assert _rows(read_snapshot(spark, dst)) == {(0, "s0")}
+
+    def test_force_break_clones_reproduces_loud_break(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            vacuum_snapshots,
+        )
+
+        src, dst = self._seed(spark, tmp_path)
+        dropped = vacuum_snapshots(src, keep_last=1, force_break_clones=True)
+        assert 1 in dropped
+        # the clone's read of its pinned version now fails LOUDLY
+        with pytest.raises(FileNotFoundError, match="vacuumed"):
+            read_snapshot(spark, dst)
+
+    def test_vacuum_keeping_cloned_versions_proceeds(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            vacuum_snapshots,
+        )
+
+        src, dst = self._seed(spark, tmp_path)
+        # keep_last=4 keeps v1 (the clone's pin): no conflict, and
+        # nothing eligible is clone-protected
+        assert vacuum_snapshots(src, keep_last=4) == []
+        assert _rows(read_snapshot(spark, dst)) == {(0, "s0")}
+
+    def test_deleted_clone_backref_is_pruned_and_vacuum_proceeds(
+        self, spark, tmp_path
+    ):
+        import shutil
+
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            _read_manifest_doc,
+            vacuum_snapshots,
+        )
+
+        src, dst = self._seed(spark, tmp_path)
+        shutil.rmtree(dst)  # the clone is gone; its back-ref is stale
+        dropped = vacuum_snapshots(src, keep_last=1)
+        assert dropped == [1, 2, 3]
+        assert _read_manifest_doc(src)["clones"] == []
+
+    def test_materialized_clone_no_longer_blocks(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            vacuum_snapshots,
+        )
+
+        src, dst = self._seed(spark, tmp_path)
+        # OPTIMIZE-shape materialization: one full LOCAL version on the
+        # clone; the clone keeps referencing v1 for ITS time travel,
+        # so source vacuum still refuses until the clone vacuums too
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            VacuumBlockedByCloneError,
+            checkpoint_appends,
+        )
+
+        checkpoint_appends(spark, dst)
+        with pytest.raises(VacuumBlockedByCloneError):
+            vacuum_snapshots(src, keep_last=1)
+        # after the clone drops its source-referencing history, the
+        # source is free
+        vacuum_snapshots(dst, keep_last=1)
+        dropped = vacuum_snapshots(src, keep_last=1)
+        assert 1 in dropped
+        assert _rows(read_snapshot(spark, dst)) == {(0, "s0")}
+
+    def test_clone_of_clone_protects_transitively(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            VacuumBlockedByCloneError,
+            clone_snapshot,
+            vacuum_snapshots,
+        )
+
+        src, dst = self._seed(spark, tmp_path)
+        dst2 = str(tmp_path / "dst2")
+        clone_snapshot(dst, dst2)  # grandchild reads through dst -> src
+        import shutil
+
+        shutil.rmtree(dst)  # middle clone vanishes; grandchild remains
+        # the grandchild still needs src's v1 — discovered through the
+        # (stale) middle back-ref's recorded sub-clones? The middle's
+        # manifest is gone, so the grandchild is unreachable: vacuum
+        # must treat the MISSING middle as stale but cannot see dst2.
+        # This is the documented limit: a clone chain with a deleted
+        # middle is already broken for dst2 (its base chain is gone),
+        # so reclaiming is correct.
+        dropped = vacuum_snapshots(src, keep_last=1)
+        assert 1 in dropped
+        with pytest.raises(FileNotFoundError):
+            read_snapshot(spark, dst2)
+
+    def test_intact_clone_chain_blocks_from_grandchild(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            VacuumBlockedByCloneError,
+            clone_snapshot,
+            vacuum_snapshots,
+        )
+
+        src, dst = self._seed(spark, tmp_path)
+        dst2 = str(tmp_path / "dst2")
+        clone_snapshot(dst, dst2)
+        # even if the MIDDLE clone materializes and vacuums away its
+        # own source references, the grandchild still reads through
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            checkpoint_appends,
+        )
+
+        checkpoint_appends(spark, dst)
+        with pytest.raises(VacuumBlockedByCloneError):
+            vacuum_snapshots(dst, keep_last=1)  # dst2 pins dst's v1
+        with pytest.raises(VacuumBlockedByCloneError):
+            vacuum_snapshots(src, keep_last=1)  # transitively protected
+        assert _rows(read_snapshot(spark, dst2)) == {(0, "s0")}
