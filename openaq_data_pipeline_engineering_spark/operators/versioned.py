@@ -32,8 +32,6 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
-from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -42,27 +40,48 @@ def _manifest_path(root: str) -> str:
     return os.path.join(root, "_VERSIONS.json")
 
 
-@contextmanager
-def _manifest_lock(root: str):
-    """Exclusive lock serializing manifest read-modify-write sections.
+def _dump_manifest(
+    versions: list[int],
+    txns: dict[str, int] | None = None,
+    commit_ts: dict[int, float] | None = None,
+    modes: dict[int, str] | None = None,
+    constraints: dict[str, str] | None = None,
+    base_root: str | None = None,
+    clones: list[str] | None = None,
+) -> bytes:
+    doc = {
+        "versions": sorted(versions),
+        "txns": txns or {},
+        # JSON object keys are strings; parsed back to int
+        "ts": {str(v): t for v, t in (commit_ts or {}).items()},
+        # only non-default ("delta"/"restore:<n>") entries recorded
+        "modes": {str(v): m for v, m in (modes or {}).items()},
+    }
+    # CHECK constraints (name -> SQL boolean expr), the shallow-
+    # clone source pointer, and clone BACK-references (roots that
+    # shallow-cloned FROM this table — vacuum's protection list)
+    # are written only when present, so plain tables keep the
+    # compact manifest older readers expect.
+    if constraints:
+        doc["constraints"] = dict(constraints)
+    if base_root is not None:
+        doc["base_root"] = base_root
+    if clones:
+        doc["clones"] = sorted(set(clones))
+    return json.dumps(doc).encode("utf-8")
 
-    ``flock`` on a sidecar lockfile: blocks across processes AND across
-    separate file descriptors within one process (so threaded writers
-    serialize too). On an object store the equivalent is a conditional
-    PUT (If-Match on the manifest ETag) with retry — the lock scope here
-    is the commit only, never the data write, so holding it is O(one
-    small file rewrite)."""
-    import fcntl
 
-    fd = os.open(
-        os.path.join(root, "_VERSIONS.lock"), os.O_CREAT | os.O_RDWR, 0o644
+def _dump_doc(doc: dict) -> bytes:
+    """Serialize a parsed-manifest dict (the `_parse_manifest` shape)."""
+    return _dump_manifest(
+        doc["versions"],
+        doc["txns"],
+        doc["ts"],
+        doc["modes"],
+        constraints=doc["constraints"],
+        base_root=doc["base_root"],
+        clones=doc["clones"],
     )
-    try:
-        fcntl.flock(fd, fcntl.LOCK_EX)
-        yield
-    finally:
-        fcntl.flock(fd, fcntl.LOCK_UN)
-        os.close(fd)
 
 
 def _write_manifest(
@@ -75,39 +94,39 @@ def _write_manifest(
     base_root: str | None = None,
     clones: list[str] | None = None,
 ) -> None:
-    fd, tmp = tempfile.mkstemp(dir=root, prefix="_VERSIONS.", suffix=".tmp")
-    with os.fdopen(fd, "w") as f:
-        doc = {
-            "versions": sorted(versions),
-            "txns": txns or {},
-            # JSON object keys are strings; parsed back to int
-            "ts": {str(v): t for v, t in (commit_ts or {}).items()},
-            # only non-default ("delta"/"restore:<n>") entries recorded
-            "modes": {str(v): m for v, m in (modes or {}).items()},
-        }
-        # CHECK constraints (name -> SQL boolean expr), the shallow-
-        # clone source pointer, and clone BACK-references (roots that
-        # shallow-cloned FROM this table — vacuum's protection list)
-        # are written only when present, so plain tables keep the
-        # compact manifest older readers expect.
-        if constraints:
-            doc["constraints"] = dict(constraints)
-        if base_root is not None:
-            doc["base_root"] = base_root
-        if clones:
-            doc["clones"] = sorted(set(clones))
-        json.dump(doc, f)
-    os.replace(tmp, _manifest_path(root))
+    """Unconditional manifest write — administrative/test use; the
+    commit protocol itself publishes ONLY through the compare-and-swap
+    loop of :func:`_manifest_txn`."""
+    from openaq_data_pipeline_engineering_spark.operators.metastore import (
+        get_metadata_store,
+    )
+
+    get_metadata_store().write(
+        root,
+        _dump_manifest(
+            versions, txns, commit_ts, modes, constraints, base_root, clones
+        ),
+    )
 
 
-def _read_manifest_doc(root: str) -> dict:
+def _parse_manifest(raw: bytes | None) -> dict:
     """Parsed manifest with defaults for keys older manifests lack
     (pre-txn: no "txns"; pre-timestamp: no "ts"; pre-append: no
     "modes" — a version absent from "modes" is a FULL snapshot; pre-
     constraint: no "constraints"; pre-clone: no "base_root"/"clones")."""
+    empty = {
+        "versions": [],
+        "txns": {},
+        "ts": {},
+        "modes": {},
+        "constraints": {},
+        "base_root": None,
+        "clones": [],
+    }
+    if raw is None:
+        return empty
     try:
-        with open(_manifest_path(root)) as f:
-            doc = json.load(f)
+        doc = json.loads(raw)
         return {
             "versions": sorted(doc["versions"]),
             "txns": dict(doc.get("txns") or {}),
@@ -122,16 +141,49 @@ def _read_manifest_doc(root: str) -> dict:
             "base_root": doc.get("base_root"),
             "clones": [str(c) for c in (doc.get("clones") or [])],
         }
-    except (OSError, ValueError, KeyError):
-        return {
-            "versions": [],
-            "txns": {},
-            "ts": {},
-            "modes": {},
-            "constraints": {},
-            "base_root": None,
-            "clones": [],
-        }
+    except (ValueError, KeyError, TypeError):
+        return empty
+
+
+def _read_manifest_doc(root: str) -> dict:
+    from openaq_data_pipeline_engineering_spark.operators.metastore import (
+        get_metadata_store,
+    )
+
+    return _parse_manifest(get_metadata_store().read(root)[0])
+
+
+def _manifest_txn(root: str, decide, max_retries: int = 64):
+    """Optimistic read-modify-write against the metadata store
+    (VERDICT r8 #7): read the manifest and its etag, let ``decide(doc)``
+    compute the outcome, publish with a conditional write. ``decide``
+    returns ``(new_doc | None, result)`` — None publishes nothing; a
+    raise aborts the transaction. On an If-Match conflict (another
+    writer published first) the manifest is RE-read and ``decide``
+    re-runs against fresh state, so every check inside it is
+    linearized exactly as the old flock section was — but the shape
+    now maps 1:1 onto an object store's GET-ETag / PUT-If-Match, with
+    no lock held across the decision."""
+    from openaq_data_pipeline_engineering_spark.operators.metastore import (
+        MetadataConflictError,
+        get_metadata_store,
+    )
+
+    store = get_metadata_store()
+    for _ in range(max_retries):
+        raw, etag = store.read(root)
+        new_doc, result = decide(_parse_manifest(raw))
+        if new_doc is None:
+            return result
+        try:
+            store.write_if_match(root, _dump_doc(new_doc), etag)
+            return result
+        except MetadataConflictError:
+            continue
+    raise RuntimeError(
+        f"manifest transaction on {root!r} did not converge after "
+        f"{max_retries} CAS attempts"
+    )
 
 
 def _read_manifest_full(root: str) -> tuple[list[int], dict[str, int]]:
@@ -145,20 +197,17 @@ def _read_manifest(root: str) -> list[int]:
 
 
 def _existing_version_dirs(root: str) -> list[int]:
-    """Version numbers of every ``v=<N>`` directory on disk, committed
-    or not. Uncommitted dirs are invisible to readers but must still be
-    skipped by the writer: a job that crashed after creating ``v=N``
-    but before the manifest commit would otherwise collide every
-    subsequent ``write_snapshot`` at the same N forever."""
-    out: list[int] = []
-    try:
-        entries = os.listdir(root)
-    except OSError:
-        return out
-    for name in entries:
-        if name.startswith("v=") and name[2:].isdigit():
-            out.append(int(name[2:]))
-    return sorted(out)
+    """Version numbers of every ``v=<N>`` directory present, committed
+    or not (the store's LIST-prefix primitive). Uncommitted dirs are
+    invisible to readers but must still be skipped by the writer: a job
+    that crashed after creating ``v=N`` but before the manifest commit
+    would otherwise collide every subsequent ``write_snapshot`` at the
+    same N forever."""
+    from openaq_data_pipeline_engineering_spark.operators.metastore import (
+        get_metadata_store,
+    )
+
+    return get_metadata_store().list_version_dirs(root)
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -212,12 +261,15 @@ def write_snapshot(
     1. *Allocation*: next version = ``max(manifest, on-disk v=*)+1`` —
        an orphaned uncommitted directory left by a crashed writer is
        skipped, not reused (it stays invisible until
-       :func:`vacuum_snapshots` reclaims it). The atomic ``os.mkdir``
-       claim (see :func:`_allocate_and_write`) means a concurrent
-       writer racing the same ``v=N`` loses the mkdir and RETRIES at
-       the new max instead of failing or clobbering.
-    2. *Commit*: under :func:`_manifest_lock`, RE-READ the manifest and
-       append. The re-read is what makes commits linear: a writer that
+       :func:`vacuum_snapshots` reclaims it). The atomic claim
+       (``claim_version_dir`` on the metadata store — ``os.mkdir``
+       locally, a create-only PUT on an object store) means a
+       concurrent writer racing the same ``v=N`` loses the claim and
+       RETRIES at the new max instead of failing or clobbering.
+    2. *Commit*: a conditional-write transaction
+       (:func:`_manifest_txn`) — the manifest is RE-read and the
+       decision re-run whenever another writer published in between.
+       That re-read is what makes commits linear: a writer that
        allocated before another writer's commit would otherwise publish
        a manifest missing that commit (lost update).
 
@@ -406,19 +458,21 @@ def _allocate_and_write(df: DataFrame, root: str, max_retries: int = 16) -> int:
     committer). Exactly one contender wins each candidate number;
     losers retry at the new max. On an object store the equivalent
     claim is a conditional PUT of a ``v=<N>/_CLAIM`` key."""
+    from openaq_data_pipeline_engineering_spark.operators.metastore import (
+        get_metadata_store,
+    )
+
+    store = get_metadata_store()
     os.makedirs(root, exist_ok=True)
     for _ in range(max_retries):
         candidate = (
             max(_read_manifest(root) + _existing_version_dirs(root), default=0)
             + 1
         )
-        path = os.path.join(root, f"v={candidate}")
-        try:
-            os.mkdir(path)
-        except FileExistsError:  # claimed by a concurrent writer
-            continue
+        if not store.claim_version_dir(root, candidate):
+            continue  # claimed by a concurrent writer
         # Overwrite is safe: this writer owns the claimed (empty) dir.
-        df.write.mode("overwrite").parquet(path)
+        df.write.mode("overwrite").parquet(os.path.join(root, f"v={candidate}"))
         return candidate
     raise RuntimeError(
         f"could not allocate a version under {root} after "
@@ -434,27 +488,29 @@ def _commit_version(
     expected_latest: int | None = None,
     validated_constraints: frozenset[str] | None = None,
 ) -> int:
-    """Phase 2: publish ``version`` in the manifest (locked re-read).
-    Returns the committed version — for an idempotent ``txn_id`` that
-    lost a race to a concurrent replay, that is the WINNER's version
-    (this writer's directory is abandoned to vacuum). With
+    """Phase 2: publish ``version`` in the manifest (a conditional-
+    write transaction — :func:`_manifest_txn` re-reads and re-decides
+    on conflict, so every check below is linearized against the
+    manifest exactly as a locked re-read would be). Returns the
+    committed version — for an idempotent ``txn_id`` that lost a race
+    to a concurrent replay, that is the WINNER's version (this
+    writer's directory is abandoned to vacuum). With
     ``expected_latest``, the commit is conditional on the table still
     being at that version (optimistic concurrency — see
-    :func:`write_snapshot`); the check shares the lock, so it can
-    never pass stale. ``validated_constraints`` (from
-    :func:`_enforce_constraints`) is re-checked against the manifest
-    UNDER the lock: a constraint recorded by a concurrent ALTER after
-    this writer validated would otherwise let violating data commit
-    under it — the commit fails loudly instead and the writer retries
-    with the new constraint in force."""
+    :func:`write_snapshot`); the check can never pass stale.
+    ``validated_constraints`` (from :func:`_enforce_constraints`) is
+    re-checked against the manifest in the same transaction: a
+    constraint recorded by a concurrent ALTER after this writer
+    validated would otherwise let violating data commit under it — the
+    commit fails loudly instead and the writer retries with the new
+    constraint in force."""
     import time
 
-    with _manifest_lock(root):
-        doc = _read_manifest_doc(root)
+    def decide(doc: dict):
         versions, txns, ts = doc["versions"], doc["txns"], doc["ts"]
         modes = doc["modes"]
         if txn_id is not None and txn_id in txns:
-            return txns[txn_id]
+            return None, txns[txn_id]
         if validated_constraints is not None:
             unchecked = set(doc["constraints"]) - validated_constraints
             if unchecked:
@@ -524,33 +580,27 @@ def _commit_version(
                     f"out-of-order commit rejected on {root!r}: "
                     f"{conflict}; re-read and retry at a fresh version"
                 )
-        if version not in versions:
-            if txn_id is not None:
-                txns[txn_id] = version
-            # Commit timestamps are forced STRICTLY increasing in
-            # COMMIT order (clock ties bumped by 1 ms) so
-            # TIMESTAMP-AS-OF resolution is a total order over commit
-            # events. Across VERSION NUMBERS the sequence is monotone
-            # only when commits land in allocation order: two
-            # concurrent writers can commit v6 before v5, leaving
-            # ts[v5] > ts[v6] — see read_snapshot's as_of_ts contract
-            # for why that is still consistent.
-            ts[version] = max(
-                time.time(), max(ts.values(), default=0.0) + 1e-3
-            )
-            if mode != "full":
-                modes[version] = mode
-            _write_manifest(
-                root,
-                versions + [version],
-                txns,
-                ts,
-                modes,
-                constraints=doc["constraints"],
-                base_root=doc["base_root"],
-                clones=doc["clones"],
-            )
-    return version
+        if version in versions:
+            return None, version
+        if txn_id is not None:
+            txns[txn_id] = version
+        # Commit timestamps are forced STRICTLY increasing in
+        # COMMIT order (clock ties bumped by 1 ms) so
+        # TIMESTAMP-AS-OF resolution is a total order over commit
+        # events. Across VERSION NUMBERS the sequence is monotone
+        # only when commits land in allocation order: two
+        # concurrent writers can commit v6 before v5, leaving
+        # ts[v5] > ts[v6] — see read_snapshot's as_of_ts contract
+        # for why that is still consistent.
+        ts[version] = max(
+            time.time(), max(ts.values(), default=0.0) + 1e-3
+        )
+        if mode != "full":
+            modes[version] = mode
+        doc["versions"] = versions + [version]
+        return doc, version
+
+    return _manifest_txn(root, decide)
 
 
 def read_snapshot(
@@ -858,11 +908,12 @@ def vacuum_snapshots(
         return age >= min_age
 
     orphan_grace = max(orphan_min_age_seconds, min_age_seconds)
-    # The manifest rewrite shares the writer's commit lock so a vacuum
-    # interleaved with a concurrent write_snapshot can't drop its
-    # freshly-appended version from the manifest.
-    with _manifest_lock(root):
-        doc = _read_manifest_doc(root)
+
+    # The manifest rewrite is a conditional-write transaction, so a
+    # vacuum interleaved with a concurrent write_snapshot can't drop
+    # its freshly-appended version: the racer's commit changes the
+    # manifest etag and this decision re-runs against the new state.
+    def decide(doc: dict):
         versions, txns, ts = doc["versions"], doc["txns"], doc["ts"]
         modes = doc["modes"]
         drop = [
@@ -930,20 +981,17 @@ def vacuum_snapshots(
         else:
             kept_txns = txns
         if not drop and not orphans and kept_txns == txns:
-            return []
-        if drop or kept_txns != txns:
-            kept_ts = {v: t for v, t in ts.items() if v in keep}
-            kept_modes = {v: m for v, m in modes.items() if v in keep}
-            _write_manifest(
-                root,
-                keep,
-                kept_txns,
-                kept_ts,
-                kept_modes,
-                constraints=doc["constraints"],
-                base_root=doc["base_root"],
-                clones=live_clones,
-            )
+            return None, ([], [])
+        if not drop and kept_txns == txns:
+            return None, (drop, orphans)  # orphan cleanup only
+        doc["versions"] = keep
+        doc["txns"] = kept_txns
+        doc["ts"] = {v: t for v, t in ts.items() if v in keep}
+        doc["modes"] = {v: m for v, m in modes.items() if v in keep}
+        doc["clones"] = live_clones
+        return doc, (drop, orphans)
+
+    drop, orphans = _manifest_txn(root, decide)
     for v in drop + orphans:
         shutil.rmtree(os.path.join(root, f"v={v}"), ignore_errors=True)
     return drop
@@ -1192,54 +1240,41 @@ def add_constraint(
     a restored table with operators/expectations.expectation_report if
     the invariant must also hold over resurrected history."""
     os.makedirs(root, exist_ok=True)
-    with _manifest_lock(root):
-        doc = _read_manifest_doc(root)
+
+    def decide(doc: dict):
         if name in doc["constraints"]:
             raise ValueError(
                 f"constraint {name!r} already exists on {root!r}: "
                 f"{doc['constraints'][name]!r}"
             )
         if doc["versions"]:
-            current = read_snapshot(spark, root)
+            # Validation runs INSIDE the transaction: a commit racing
+            # this ADD changes the manifest etag, so the aggregate
+            # re-runs over the new latest before the constraint lands.
+            current = read_snapshot(spark, root, version=doc["versions"][-1])
             row = current.agg(*_violation_aggs({name: expr})).first()
             if row[name] is not None and row[name] > 0:
                 raise ConstraintViolationError(root, {name: int(row[name])})
-        constraints = dict(doc["constraints"])
-        constraints[name] = expr
-        _write_manifest(
-            root,
-            doc["versions"],
-            doc["txns"],
-            doc["ts"],
-            doc["modes"],
-            constraints=constraints,
-            base_root=doc["base_root"],
-            clones=doc["clones"],
-        )
+        doc["constraints"] = {**doc["constraints"], name: expr}
+        return doc, None
+
+    _manifest_txn(root, decide)
 
 
 def drop_constraint(root: str, name: str, if_exists: bool = False) -> bool:
     """``ALTER TABLE DROP CONSTRAINT name``; returns whether it
     existed."""
-    with _manifest_lock(root):
-        doc = _read_manifest_doc(root)
+    def decide(doc: dict):
         if name not in doc["constraints"]:
             if if_exists:
-                return False
+                return None, False
             raise ValueError(f"no constraint {name!r} on {root!r}")
-        constraints = dict(doc["constraints"])
-        del constraints[name]
-        _write_manifest(
-            root,
-            doc["versions"],
-            doc["txns"],
-            doc["ts"],
-            doc["modes"],
-            constraints=constraints,
-            base_root=doc["base_root"],
-            clones=doc["clones"],
-        )
-    return True
+        doc["constraints"] = {
+            k: v for k, v in doc["constraints"].items() if k != name
+        }
+        return doc, True
+
+    return _manifest_txn(root, decide)
 
 
 def table_constraints(root: str) -> dict[str, str]:
@@ -1271,10 +1306,29 @@ def restore_snapshot(
     path."""
     import time
 
+    import shutil
+
+    from openaq_data_pipeline_engineering_spark.operators.metastore import (
+        MetadataConflictError,
+        get_metadata_store,
+    )
+
     if (version is None) == (as_of_ts is None):
         raise ValueError("pass exactly one of version / as_of_ts")
-    with _manifest_lock(root):
-        doc = _read_manifest_doc(root)
+    store = get_metadata_store()
+    # Conditional-write loop with a CLAIMED marker directory per
+    # attempt: the version NUMBER is claimed with the same atomic
+    # claim every data writer makes (a manifest version with no
+    # directory would break the allocation protocol — a concurrent
+    # plain writer that computed the same candidate would win its
+    # claim, then find the number already committed and silently lose
+    # its write to the restore's mode entry). The marker is never read
+    # (a restore resolves to its target's directories); on a manifest
+    # conflict the claim is rolled back and the whole decision re-runs
+    # against fresh state.
+    for _ in range(32):
+        raw, etag = store.read(root)
+        doc = _parse_manifest(raw)
         versions, modes = doc["versions"], doc["modes"]
         if not versions:
             raise FileNotFoundError(f"no committed versions under {root}")
@@ -1287,41 +1341,24 @@ def restore_snapshot(
         # flatten restore-of-restore to the physical target
         while modes.get(target, "full").startswith("restore:"):
             target = int(modes[target].split(":", 1)[1])
-        # Claim the version NUMBER with an (empty) marker directory —
-        # the same atomic os.mkdir claim every data writer makes. A
-        # manifest version with no directory would break the allocation
-        # protocol: a concurrent plain writer that computed the same
-        # candidate before this commit would win its mkdir, then find
-        # the number already committed and silently lose its write to
-        # the restore's mode entry. The marker is never read (a restore
-        # resolves to its target's directories) and vacuum reclaims it
-        # with the version.
-        for _ in range(16):
-            new_v = max(versions + _existing_version_dirs(root), default=0) + 1
-            try:
-                os.mkdir(os.path.join(root, f"v={new_v}"))
-            except FileExistsError:  # racing writer claimed it first
-                continue
-            break
-        else:  # pragma: no cover - 16 live racers inside one lock hold
-            raise RuntimeError(
-                f"could not allocate a restore version under {root}"
-            )
+        new_v = max(versions + _existing_version_dirs(root), default=0) + 1
+        if not store.claim_version_dir(root, new_v):
+            continue  # racing writer claimed it first; recompute
         modes[new_v] = f"restore:{target}"
         doc["ts"][new_v] = max(
             time.time(), max(doc["ts"].values(), default=0.0) + 1e-3
         )
-        _write_manifest(
-            root,
-            versions + [new_v],
-            doc["txns"],
-            doc["ts"],
-            modes,
-            constraints=doc["constraints"],
-            base_root=doc["base_root"],
-            clones=doc["clones"],
-        )
-    return new_v
+        doc["versions"] = versions + [new_v]
+        try:
+            store.write_if_match(root, _dump_doc(doc), etag)
+            return new_v
+        except MetadataConflictError:
+            # roll back this attempt's (empty) marker claim and retry
+            shutil.rmtree(
+                os.path.join(root, f"v={new_v}"), ignore_errors=True
+            )
+            continue
+    raise RuntimeError(f"could not allocate a restore version under {root}")
 
 
 def clone_snapshot(
@@ -1368,42 +1405,48 @@ def clone_snapshot(
     _collect_referenced(
         src_doc["versions"], src_doc["modes"], pinned, referenced
     )
+    from openaq_data_pipeline_engineering_spark.operators.metastore import (
+        MetadataConflictError,
+        get_metadata_store,
+    )
+
     os.makedirs(dst_root, exist_ok=True)
-    with _manifest_lock(dst_root):
-        if _read_manifest_doc(dst_root)["versions"] or _existing_version_dirs(
-            dst_root
-        ):
-            raise FileExistsError(
-                f"clone destination {dst_root!r} is not empty"
-            )
-        kept = sorted(referenced)
-        _write_manifest(
+    if _existing_version_dirs(dst_root):
+        raise FileExistsError(f"clone destination {dst_root!r} is not empty")
+    # Create-only publish of the clone's manifest (etag=None = the
+    # manifest must not exist): two racing clones to one destination
+    # linearize on this conditional write.
+    kept = sorted(referenced)
+    try:
+        get_metadata_store().write_if_match(
             dst_root,
-            kept,
-            {},  # txn dedupe entries are lineage-local, not inherited
-            {v: t for v, t in src_doc["ts"].items() if v in referenced},
-            {v: m for v, m in src_doc["modes"].items() if v in referenced},
-            constraints=src_doc["constraints"],
-            base_root=os.path.abspath(src_root),
+            _dump_manifest(
+                kept,
+                {},  # txn dedupe entries are lineage-local, not inherited
+                {v: t for v, t in src_doc["ts"].items() if v in referenced},
+                {v: m for v, m in src_doc["modes"].items() if v in referenced},
+                constraints=src_doc["constraints"],
+                base_root=os.path.abspath(src_root),
+            ),
+            etag=None,
         )
-    # Back-reference: record the clone in the SOURCE manifest (under
-    # the source's commit lock) so source-side vacuum knows which
-    # versions are read through. Re-read under the lock — racing
-    # writers may have advanced the source since the unlocked read
-    # above (the clone itself pinned immutable directories, so the
-    # stale read is fine for the clone's own manifest).
-    with _manifest_lock(src_root):
-        sdoc = _read_manifest_doc(src_root)
-        _write_manifest(
-            src_root,
-            sdoc["versions"],
-            sdoc["txns"],
-            sdoc["ts"],
-            sdoc["modes"],
-            constraints=sdoc["constraints"],
-            base_root=sdoc["base_root"],
-            clones=sdoc["clones"] + [os.path.abspath(dst_root)],
+    except MetadataConflictError:
+        raise FileExistsError(
+            f"clone destination {dst_root!r} is not empty"
+        ) from None
+
+    # Back-reference: record the clone in the SOURCE manifest (its own
+    # transaction) so source-side vacuum knows which versions are read
+    # through. Racing source writers re-run this decision against
+    # fresh state; the clone itself pinned immutable directories, so
+    # the earlier unlocked read stays valid for the clone's manifest.
+    def record(sdoc: dict):
+        sdoc["clones"] = sorted(
+            set(sdoc["clones"]) | {os.path.abspath(dst_root)}
         )
+        return sdoc, None
+
+    _manifest_txn(src_root, record)
     return pinned
 
 

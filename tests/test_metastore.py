@@ -1,0 +1,174 @@
+"""Pluggable MetadataStore (VERDICT r8 #7): the commit protocol must be
+store-agnostic — the same battery runs against the default local
+(POSIX flock/rename) store AND an in-memory manifest store, and
+injected If-Match conflicts must drive exactly the retry /
+ConcurrentWriteError behavior the flock version had."""
+
+from __future__ import annotations
+
+import pytest
+
+from openaq_data_pipeline_engineering_spark.operators.metastore import (
+    InMemoryMetadataStore,
+    LocalMetadataStore,
+    MetadataConflictError,
+    get_metadata_store,
+    set_metadata_store,
+)
+from openaq_data_pipeline_engineering_spark.operators.versioned import (
+    ConcurrentWriteError,
+    append_rows,
+    clone_snapshot,
+    read_snapshot,
+    restore_snapshot,
+    snapshot_modes,
+    snapshot_versions,
+    vacuum_snapshots,
+    write_snapshot,
+)
+
+
+@pytest.fixture(params=["local", "memory"])
+def store(request):
+    s = LocalMetadataStore() if request.param == "local" else InMemoryMetadataStore()
+    prev = set_metadata_store(s)
+    try:
+        yield s
+    finally:
+        set_metadata_store(prev)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+class TestProtocolIsStoreAgnostic:
+    def test_commit_append_time_travel_vacuum(self, spark, tmp_path, store):
+        root = str(tmp_path / "t")
+        v1 = write_snapshot(_df(spark, [(1, "a")]), root)
+        v2 = append_rows(_df(spark, [(2, "b")]), root)
+        v3 = write_snapshot(_df(spark, [(9, "z")]), root)
+        assert (v1, v2, v3) == (1, 2, 3)
+        assert snapshot_versions(root) == [1, 2, 3]
+        assert snapshot_modes(root) == {2: "delta"}
+        assert _rows(read_snapshot(spark, root)) == {(9, "z")}
+        assert _rows(read_snapshot(spark, root, version=2)) == {
+            (1, "a"),
+            (2, "b"),
+        }
+        assert vacuum_snapshots(root, keep_last=1) == [1, 2]
+        assert snapshot_versions(root) == [3]
+        assert _rows(read_snapshot(spark, root)) == {(9, "z")}
+
+    def test_txn_dedupe_and_idempotent_replay(self, spark, tmp_path, store):
+        root = str(tmp_path / "t")
+        v = write_snapshot(_df(spark, [(1, "a")]), root, txn_id="batch-0")
+        replay = write_snapshot(
+            _df(spark, [(1, "DIFFERENT")]), root, txn_id="batch-0"
+        )
+        assert replay == v
+        assert snapshot_versions(root) == [v]
+        assert _rows(read_snapshot(spark, root)) == {(1, "a")}
+
+    def test_restore_and_clone(self, spark, tmp_path, store):
+        root = str(tmp_path / "t")
+        write_snapshot(_df(spark, [(1, "a")]), root)
+        write_snapshot(_df(spark, [(2, "b")]), root)
+        rv = restore_snapshot(root, version=1)
+        assert snapshot_modes(root)[rv] == "restore:1"
+        assert _rows(read_snapshot(spark, root)) == {(1, "a")}
+        dst = str(tmp_path / "c")
+        pinned = clone_snapshot(root, dst, version=2)
+        assert pinned == 2
+        assert _rows(read_snapshot(spark, dst)) == {(2, "b")}
+
+    def test_expected_latest_conflict_surfaces(self, spark, tmp_path, store):
+        root = str(tmp_path / "t")
+        write_snapshot(_df(spark, [(1, "a")]), root)  # v1
+        write_snapshot(_df(spark, [(2, "b")]), root)  # v2: table advanced
+        with pytest.raises(ConcurrentWriteError, match="advanced"):
+            write_snapshot(_df(spark, [(3, "c")]), root, expected_latest=1)
+
+    def test_threaded_writers_still_linearize(self, spark, tmp_path, store):
+        import threading
+
+        root = str(tmp_path / "t")
+        got: dict[int, int] = {}
+        errs: list[BaseException] = []
+        lock = threading.Lock()
+
+        def writer(i: int):
+            try:
+                v = write_snapshot(_df(spark, [(i, "w")]), root)
+                with lock:
+                    got[i] = v
+            except BaseException as e:  # pragma: no cover
+                errs.append(e)
+
+        threads = [
+            threading.Thread(target=writer, args=(i,)) for i in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs
+        versions = sorted(got.values())
+        assert len(set(versions)) == 4
+        assert snapshot_versions(root) == versions  # no lost update
+        for i, v in got.items():
+            assert _rows(read_snapshot(spark, root, version=v)) == {(i, "w")}
+
+
+class TestInjectedConflicts:
+    def test_cas_conflict_retries_and_commit_lands(self, spark, tmp_path):
+        """A transient If-Match failure (another writer's PUT won) must
+        be retried by the transaction loop, not surfaced — S3 parity
+        for the old flock re-read."""
+        s = InMemoryMetadataStore()
+        prev = set_metadata_store(s)
+        try:
+            root = str(tmp_path / "t")
+            write_snapshot(_df(spark, [(1, "a")]), root)
+            s.fail_next_writes = 2
+            v = append_rows(_df(spark, [(2, "b")]), root)
+            assert s.cas_conflicts_seen >= 2
+            assert v in snapshot_versions(root)
+            assert _rows(read_snapshot(spark, root)) == {(1, "a"), (2, "b")}
+        finally:
+            set_metadata_store(prev)
+
+    def test_competing_commit_drives_concurrent_write_error(
+        self, spark, tmp_path
+    ):
+        """The optimistic-concurrency contract end-to-end through the
+        store: a competing commit landing between this writer's read
+        and its conditional PUT makes the expected_latest commit fail
+        with ConcurrentWriteError — never a silent lost update."""
+        s = InMemoryMetadataStore()
+        prev = set_metadata_store(s)
+        try:
+            root = str(tmp_path / "t")
+            write_snapshot(_df(spark, [(1, "a")]), root)  # v1
+            racer = _df(spark, [(7, "racer")])
+
+            def compete(_root, _data):
+                # a full competing commit wins the CAS first
+                write_snapshot(racer, root)
+
+            s.before_write = compete
+            with pytest.raises(ConcurrentWriteError, match="advanced"):
+                write_snapshot(
+                    _df(spark, [(2, "mine")]), root, expected_latest=1
+                )
+            # the racer's commit is intact; the loser wrote nothing
+            assert _rows(read_snapshot(spark, root)) == {(7, "racer")}
+        finally:
+            set_metadata_store(prev)
+
+    def test_store_restored_after_fixture(self):
+        assert isinstance(get_metadata_store(), LocalMetadataStore)
