@@ -134,11 +134,34 @@ class Engine:
 
     def __init__(self, spark: SparkSession | None = None) -> None:
         self.spark = apply_runtime_confs(spark) if spark else get_spark()
+        # name -> versioned root, for time-travel SQL over table NAMES
+        # (see register_versioned / _rewrite_time_travel)
+        self._versioned_tables: dict[str, str] = {}
 
     # -- catalog ----------------------------------------------------------
     def register(self, name: str, df: DataFrame) -> None:
         """Register a DataFrame as a temp view (crawler-equivalent)."""
         df.createOrReplaceTempView(name)
+
+    def register_versioned(self, name: str, root: str) -> None:
+        """Bind ``name`` to a versioned table root so time-travel SQL
+        can target the NAME, not just a quoted path literal::
+
+            eng.register_versioned("mart", "/data/mart")
+            eng.sql("SELECT * FROM mart VERSION AS OF 3")
+            eng.sql("SELECT * FROM mart TIMESTAMP AS OF '2024-01-01'")
+
+        Also registers the CURRENT latest snapshot as a plain temp view
+        under the same name — note that view pins the files resolved at
+        registration time (re-register after new commits to refresh),
+        while the ``AS OF`` forms re-resolve the manifest on every
+        statement."""
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            read_snapshot,
+        )
+
+        self._versioned_tables[name] = root
+        read_snapshot(self.spark, root).createOrReplaceTempView(name)
 
     def register_parquet_dir(self, sf_dir: str, tables: list[str]) -> None:
         from openaq_data_pipeline_engineering_spark.sources.star import load_table
@@ -291,7 +314,8 @@ class Engine:
     # an integer version, a numeric epoch-seconds literal, or a
     # quoted ISO-8601 timestamp (naive = UTC, Delta's convention).
     _TT_RE = re.compile(
-        r"(?P<from>\b(?:FROM|JOIN)\s+)'(?P<path>[^']+)'"
+        r"(?P<from>\b(?:FROM|JOIN)\s+)"
+        r"(?:'(?P<path>[^']+)'|(?P<name>[A-Za-z_]\w*))"
         r"\s+(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+"
         r"(?P<val>'[^']*'|[0-9][0-9.]*)",
         re.IGNORECASE,
@@ -326,7 +350,19 @@ class Engine:
         for m in self._TT_RE.finditer(_mask_literals(routed)):
             # The mask keeps outer quotes but blanks content: recover
             # the real path / AS-OF value from the original by span.
-            path = routed[m.start("path") : m.end("path")]
+            if m.group("path") is not None:
+                path = routed[m.start("path") : m.end("path")]
+            else:
+                # bare identifier form: resolve through the names bound
+                # by register_versioned (identifiers survive the mask)
+                name = m.group("name")
+                if name not in self._versioned_tables:
+                    raise ValueError(
+                        f"table {name!r} is not registered for time "
+                        "travel — call register_versioned(name, root) "
+                        "or use a quoted path literal"
+                    )
+                path = self._versioned_tables[name]
             raw = routed[m.start("val") : m.end("val")]
             kind = m.group("kind").upper()
             if kind == "VERSION":

@@ -580,3 +580,56 @@ class TestCloneVacuumGuard:
         with pytest.raises(VacuumBlockedByCloneError):
             vacuum_snapshots(src, keep_last=1)  # transitively protected
         assert _rows(read_snapshot(spark, dst2)) == {(0, "s0")}
+
+
+class TestNamedTimeTravel:
+    def test_version_and_timestamp_as_of_on_registered_name(
+        self, spark, tmp_path
+    ):
+        from openaq_data_pipeline_engineering_spark.engine import Engine
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            snapshot_commit_times,
+        )
+
+        root = str(tmp_path / "mart")
+        write_snapshot(_df(spark, [(1, "a")]), root)
+        write_snapshot(_df(spark, [(2, "b")]), root)
+        eng = Engine(spark)
+        eng.register_versioned("mart9", root)
+        got = eng.sql("SELECT k FROM mart9 VERSION AS OF 1").collect()
+        assert [r["k"] for r in got] == [1]
+        ts1 = snapshot_commit_times(root)[1]
+        got = eng.sql(
+            f"SELECT k FROM mart9 TIMESTAMP AS OF {ts1}"
+        ).collect()
+        assert [r["k"] for r in got] == [1]
+        # the plain view registered alongside reads the latest-at-
+        # registration content
+        assert [r["k"] for r in eng.sql("SELECT k FROM mart9").collect()] == [2]
+        # JOIN form with two pins of the same name
+        both = eng.sql(
+            "SELECT old.k AS ko, new.k AS kn "
+            "FROM mart9 VERSION AS OF 1 old "
+            "JOIN mart9 VERSION AS OF 2 new ON 1=1"
+        ).collect()
+        assert (both[0]["ko"], both[0]["kn"]) == (1, 2)
+
+    def test_unregistered_name_is_loud(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.engine import Engine
+
+        eng = Engine(spark)
+        with pytest.raises(ValueError, match="not registered"):
+            eng.sql("SELECT * FROM nope VERSION AS OF 1")
+
+    def test_as_of_reads_resolve_fresh_commits_without_reregister(
+        self, spark, tmp_path
+    ):
+        from openaq_data_pipeline_engineering_spark.engine import Engine
+
+        root = str(tmp_path / "t")
+        write_snapshot(_df(spark, [(1, "a")]), root)
+        eng = Engine(spark)
+        eng.register_versioned("t9", root)
+        write_snapshot(_df(spark, [(2, "b")]), root)  # after registration
+        got = eng.sql("SELECT k FROM t9 VERSION AS OF 2").collect()
+        assert [r["k"] for r in got] == [2]
