@@ -54,6 +54,13 @@ class MetadataConflictError(Exception):
 
 
 def _content_etag(data: bytes) -> str:
+    # Content-hash etags make the CAS state-based, which admits ABA
+    # (write → revert → stale CAS succeeds). That is BENIGN here by
+    # design: every protocol decision (dedupe, expected_latest,
+    # out-of-order guard, retention) is a pure function of manifest
+    # CONTENT plus claimed directories — if the content reverted, the
+    # stale decision is exactly the decision fresh state would yield.
+    # An object-store impl would use the store's own ETag instead.
     return hashlib.sha256(data).hexdigest()
 
 

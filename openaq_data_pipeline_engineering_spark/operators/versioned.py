@@ -1483,6 +1483,7 @@ def purge_rows(
     root: str,
     predicate: str,
     orphan_min_age_seconds: float = ORPHAN_GRACE_SECONDS,
+    defer_young_orphans: bool = False,
 ) -> list[tuple[int, int, int]]:
     """Remove every row matching ``predicate`` from EVERY retained
     version — the right-to-be-forgotten operation time travel otherwise
@@ -1496,7 +1497,14 @@ def purge_rows(
     concurrent writer's in-flight claim, so the purge REFUSES loudly
     rather than either corrupting that write or silently leaving the
     data — rerun after the grace, or pass ``orphan_min_age_seconds=0``
-    from a quiesced maintenance window.
+    from a quiesced maintenance window. On a BUSY multi-writer root
+    there is always some young claim in flight, so the strict mode can
+    never run; ``defer_young_orphans=True`` is the bounded-progress
+    alternative — committed history is purged NOW, young orphans are
+    left in place and reported as ``(-version, -1, -1)`` rows so the
+    caller can re-run the purge after the grace window to finish the
+    erasure (the statement's result makes the deferral explicit
+    instead of silently claiming completion).
 
     DELETE only rewrites the latest content; the deleted rows stay
     readable through time travel until their versions age out — for a
@@ -1558,6 +1566,7 @@ def purge_rows(
     import time as _time
 
     now = _time.time()
+    deferred: list[tuple[int, int, int]] = []
     for v in _existing_version_dirs(root):
         if v in doc["versions"]:
             continue
@@ -1568,14 +1577,18 @@ def purge_rows(
             continue  # vanished concurrently
         if age >= orphan_min_age_seconds:
             shutil.rmtree(d, ignore_errors=True)
+        elif defer_young_orphans:
+            deferred.append((-v, -1, -1))
         else:
             raise RuntimeError(
                 f"orphaned uncommitted directory v={v} under {root!r} is "
                 f"only {age:.0f}s old — it may be a concurrent writer's "
                 "in-flight claim and could hold rows this purge must "
                 "erase; rerun after the orphan grace "
-                f"({orphan_min_age_seconds:.0f}s) or pass "
-                "orphan_min_age_seconds=0 from a quiesced window"
+                f"({orphan_min_age_seconds:.0f}s), pass "
+                "orphan_min_age_seconds=0 from a quiesced window, or "
+                "defer_young_orphans=True for bounded progress with an "
+                "explicit deferral report"
             )
     results: list[tuple[int, int, int]] = []
     for v in doc["versions"]:
@@ -1607,4 +1620,4 @@ def purge_rows(
         os.rename(tmp, path)
         shutil.rmtree(old, ignore_errors=True)
         results.append((v, n_purged, n_kept))
-    return results
+    return results + deferred
