@@ -148,7 +148,15 @@ def execute_optimize(spark: SparkSession, sql: str) -> DataFrame:
             "[WHERE <pred>] [ZORDER BY (cols)]"
         )
     path = m.group("path")
-    if os.path.exists(os.path.join(path, "_VERSIONS.json")):
+    # Versioned-root detection goes through the metadata store (NOT a
+    # direct _VERSIONS.json stat): with a non-filesystem store the
+    # manifest has no local file, and mis-routing a versioned root to
+    # the plain-table path would union every v=<N> dir as data.
+    from openaq_data_pipeline_engineering_spark.operators.metastore import (
+        get_metadata_store,
+    )
+
+    if get_metadata_store().read(path)[0] is not None:
         # A VERSIONED root is not a plain table: reading it raw unions
         # EVERY v=<N> directory (duplicating each version's rows) and
         # the v= dirs masquerade as Hive partitions — the plain-table

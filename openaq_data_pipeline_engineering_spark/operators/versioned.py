@@ -36,10 +36,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _manifest_path(root: str) -> str:
-    return os.path.join(root, "_VERSIONS.json")
-
-
 def _dump_manifest(
     versions: list[int],
     txns: dict[str, int] | None = None,

@@ -172,3 +172,25 @@ class TestInjectedConflicts:
 
     def test_store_restored_after_fixture(self):
         assert isinstance(get_metadata_store(), LocalMetadataStore)
+
+
+class TestStatementRoutingUnderStore:
+    def test_optimize_routes_versioned_root_without_manifest_file(
+        self, spark, tmp_path
+    ):
+        """OPTIMIZE must detect a versioned root THROUGH the store: with
+        an in-memory manifest there is no _VERSIONS.json on disk, and
+        the plain-table path would union every v=<N> dir as data."""
+        from openaq_data_pipeline_engineering_spark.engine import Engine
+
+        s = InMemoryMetadataStore()
+        prev = set_metadata_store(s)
+        try:
+            root = str(tmp_path / "t")
+            write_snapshot(_df(spark, [(1, "a")]), root)
+            append_rows(_df(spark, [(2, "b")]), root)
+            m = Engine(spark).sql(f"OPTIMIZE '{root}'").first()
+            assert m["n_rows"] == 2  # snapshot-protocol route, not plain
+            assert _rows(read_snapshot(spark, root)) == {(1, "a"), (2, "b")}
+        finally:
+            set_metadata_store(prev)
