@@ -136,3 +136,67 @@ def test_optimistic_writers_serialize_into_a_chain(spark, tmp_path):
     for v, wid in by_version.items():
         got = [r["k"] for r in read_snapshot(spark, root, version=v).collect()]
         assert got == [wid], f"v{v}: expected writer {wid}, read {got}"
+
+
+def test_mixed_appends_and_fulls_under_contention(spark, tmp_path):
+    """Round-9 out-of-order guard under REAL concurrency: appenders and
+    full publishers hammer one root. Invariants: every append the
+    caller was told succeeded is present in the final chain content
+    (the guard's auto-retry must make losers land, not vanish), every
+    pinned version's content is stable across re-reads, and committed
+    DELTAS are totally ordered by commit time AND version number."""
+    import threading
+
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        append_rows,
+        snapshot_commit_times,
+    )
+
+    root = str(tmp_path / "t")
+    write_snapshot(_df(spark, 0), root)  # v1 seed
+    appended: dict[int, int] = {}  # writer id -> committed version
+    errors: list[BaseException] = []
+    lock = threading.Lock()
+
+    def appender(wid: int):
+        try:
+            v = append_rows(_df(spark, wid), root)
+            with lock:
+                appended[wid] = v
+        except BaseException as e:  # pragma: no cover
+            errors.append(e)
+
+    def publisher(wid: int):
+        try:
+            write_snapshot(_df(spark, wid), root)
+        except BaseException as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=appender, args=(wid,))
+        for wid in range(100, 106)
+    ] + [
+        threading.Thread(target=publisher, args=(wid,))
+        for wid in range(200, 203)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert len(appended) == 6
+
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        snapshot_modes,
+    )
+
+    modes = snapshot_modes(root)
+    ts = snapshot_commit_times(root)
+    deltas = sorted(v for v, m in modes.items() if m == "delta")
+    # committed deltas: version order == commit order (the guard)
+    delta_ts = [ts[v] for v in deltas]
+    assert delta_ts == sorted(delta_ts)
+    # every appended version reads back CONTAINING its writer's row
+    for wid, v in appended.items():
+        content = {r["k"] for r in read_snapshot(spark, root, version=v).collect()}
+        assert wid in content, (wid, v, content)
