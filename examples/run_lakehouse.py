@@ -155,11 +155,64 @@ def main() -> None:
         f"constraints={detail['constraints']})"
     )
 
-    # -- 6. retention ---------------------------------------------------
+    # -- 6. retention (clone-aware) ---------------------------------------
+    # The clone above still reads versions through this root: vacuum
+    # REFUSES to reclaim anything a live clone needs (round 9) — the
+    # accidental clone-break is no longer possible; an explicit
+    # force_break_clones=True restores the old loud-break behavior.
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        VacuumBlockedByCloneError,
+    )
+
+    try:
+        dropped = vacuum_snapshots(root, keep_last=1)
+        print(
+            f"vacuum(keep_last=1): dropped {dropped or 'nothing'} "
+            "(clone-needed versions were auto-protected)"
+        )
+    except VacuumBlockedByCloneError as e:
+        print(f"vacuum refused (clone protection): {str(e)[:84]}...")
     dropped = vacuum_snapshots(root, keep_last=2)
     print(
         f"vacuum(keep_last=2): dropped {dropped or 'nothing'}; "
         f"versions on disk: {snapshot_versions(root)}"
+    )
+    workdir = os.path.dirname(root)
+
+    # -- 7. round-9 surface: named time travel + admission-capped feed ---
+    # Time travel over a registered NAME (not a quoted path literal).
+    eng.register_versioned("mart_events", root)
+    n_v1 = eng.sql(
+        f"SELECT COUNT(*) AS n FROM mart_events VERSION AS OF {v1}"
+    ).first()["n"]
+    print(f"named time travel: mart_events VERSION AS OF {v1} -> {n_v1} rows")
+
+    # Tail the clone's commit log as a stream, admission-capped: a
+    # backlog drains in bounded micro-batches (maxVersionsPerBatch),
+    # and the executor exchange is Arrow RecordBatches, not rows.
+    from openaq_data_pipeline_engineering_spark.sources.versioned_stream import (
+        register_versioned_feed,
+    )
+
+    register_versioned_feed(spark)
+    feed_out = os.path.join(workdir, "feed_out")
+    q = (
+        spark.readStream.format("versioned_feed")
+        .option("root", clone)
+        .option("startingVersion", str(crow["cloned_version"]))
+        .option("maxVersionsPerBatch", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", feed_out)
+        .option("checkpointLocation", os.path.join(workdir, "feed_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_streamed = spark.read.parquet(feed_out).count()
+    print(
+        f"versioned feed (capped, Arrow exchange): streamed "
+        f"{n_streamed} appended row(s) from the clone's commit log"
     )
     spark.stop()
 

@@ -81,8 +81,13 @@ def test_run_lakehouse_smoke(tmp_path):
     assert "shallow clone: 0 files copied" in out
     assert "purged 'purchase' from every version" in out
     assert "constraints=['n_pos']" in out
-    # v3 (restore) reads through v1, so nothing is vacuum-eligible
-    assert "versions on disk: [1, 2, 3]" in out
+    # aggressive retention drops only v2: v3 (restore) reads through
+    # v1 (chain-aware) and the clone's needs are auto-protected
+    assert "vacuum(keep_last=1): dropped [2]" in out
+    assert "versions on disk: [1, 3]" in out
+    # round-9 surface: named time travel + admission-capped Arrow feed
+    assert "named time travel: mart_events VERSION AS OF 1" in out
+    assert "streamed 1 appended row(s)" in out
 
 
 def test_run_quality_smoke(tmp_path):
