@@ -190,7 +190,15 @@ class InMemoryMetadataStore(MetadataStore):
     protocol runs against a non-POSIX manifest plane and lets tests
     inject deterministic If-Match conflicts via ``fail_next_writes``
     or a ``before_write`` hook (e.g. to commit a competing version
-    between a reader's GET and its conditional PUT)."""
+    between a reader's GET and its conditional PUT).
+
+    Scope: DRIVER-PROCESS ONLY. The Python streaming-source runner and
+    executors are separate processes with their own (default local)
+    store, so tables whose manifests live here are invisible to the
+    ``versioned_feed`` stream and to any executor-side manifest read.
+    A production non-filesystem store must be a SHARED service (the
+    object store itself) — this class exists to pin the protocol's
+    store-agnosticism and conflict behavior, not to be deployed."""
 
     def __init__(self) -> None:
         self._manifests: dict[str, bytes] = {}
