@@ -44,6 +44,7 @@ def _dump_manifest(
     constraints: dict[str, str] | None = None,
     base_root: str | None = None,
     clones: list[str] | None = None,
+    cdf_keys: list[str] | None = None,
 ) -> bytes:
     doc = {
         "versions": sorted(versions),
@@ -64,6 +65,8 @@ def _dump_manifest(
         doc["base_root"] = base_root
     if clones:
         doc["clones"] = sorted(set(clones))
+    if cdf_keys:
+        doc["cdf_keys"] = list(cdf_keys)
     return json.dumps(doc).encode("utf-8")
 
 
@@ -77,6 +80,7 @@ def _dump_doc(doc: dict) -> bytes:
         constraints=doc["constraints"],
         base_root=doc["base_root"],
         clones=doc["clones"],
+        cdf_keys=doc["cdf_keys"],
     )
 
 
@@ -89,6 +93,7 @@ def _write_manifest(
     constraints: dict[str, str] | None = None,
     base_root: str | None = None,
     clones: list[str] | None = None,
+    cdf_keys: list[str] | None = None,
 ) -> None:
     """Unconditional manifest write — administrative/test use; the
     commit protocol itself publishes ONLY through the compare-and-swap
@@ -100,7 +105,14 @@ def _write_manifest(
     get_metadata_store().write(
         root,
         _dump_manifest(
-            versions, txns, commit_ts, modes, constraints, base_root, clones
+            versions,
+            txns,
+            commit_ts,
+            modes,
+            constraints,
+            base_root,
+            clones,
+            cdf_keys,
         ),
     )
 
@@ -118,6 +130,7 @@ def _parse_manifest(raw: bytes | None) -> dict:
         "constraints": {},
         "base_root": None,
         "clones": [],
+        "cdf_keys": [],
     }
     if raw is None:
         return empty
@@ -136,6 +149,7 @@ def _parse_manifest(raw: bytes | None) -> dict:
             },
             "base_root": doc.get("base_root"),
             "clones": [str(c) for c in (doc.get("clones") or [])],
+            "cdf_keys": [str(k) for k in (doc.get("cdf_keys") or [])],
         }
     except (ValueError, KeyError, TypeError):
         return empty
@@ -284,7 +298,20 @@ def write_snapshot(
     entries are a few bytes each; :func:`vacuum_snapshots` keeps them
     all by default and retires them only on an explicit, LONGER
     ``txn_keep_last`` window.
+
+    CHANGE DATA FEED: on a table with :func:`enable_change_feed`, every
+    full commit MATERIALIZES its row-level diff against the previous
+    latest into ``v=<N>/_changes/`` before publishing (Delta's
+    ``_change_data`` design — the diff is one distributed join at write
+    time, so the stream later reads change files instead of recomputing
+    diffs). The diff base must be the version this commit supersedes,
+    so a CDF write is implicitly optimistic: if a racer commits in
+    between, the diff is recomputed against the new latest and the
+    write retried (unless the caller passed an explicit
+    ``expected_latest``, whose conflict surfaces as usual).
     """
+    import shutil
+
     if txn_id is not None:
         _, txns = _read_manifest_full(root)
         if txn_id in txns:
@@ -292,12 +319,18 @@ def write_snapshot(
     for attempt in range(_max_retries):
         version = _allocate_and_write(df, root, _max_retries)
         validated = _enforce_constraints(df.sparkSession, root, version)
+        cdf_base = _materialize_changes(
+            df.sparkSession, root, version, expected_latest
+        )
+        effective_expected = (
+            expected_latest if expected_latest is not None else cdf_base
+        )
         try:
             return _commit_version(
                 root,
                 version,
                 txn_id,
-                expected_latest=expected_latest,
+                expected_latest=effective_expected,
                 validated_constraints=validated,
             )
         except _OutOfOrderCommitRejected:
@@ -305,7 +338,94 @@ def write_snapshot(
             # the content is still valid — re-allocate and re-write.
             if attempt == _max_retries - 1:
                 raise
+        except ConcurrentWriteError:
+            if expected_latest is not None or cdf_base is None:
+                raise  # the caller's own optimistic contract
+            # CDF-imposed condition only: the diff base is stale, not
+            # the caller's content — clean the claim and recompute the
+            # diff against the new latest.
+            if attempt == _max_retries - 1:
+                raise
+            shutil.rmtree(
+                os.path.join(root, f"v={version}"), ignore_errors=True
+            )
     raise AssertionError("unreachable")  # pragma: no cover
+
+
+def _materialize_changes(
+    spark: SparkSession,
+    root: str,
+    version: int,
+    expected_latest: int | None,
+) -> int | None:
+    """Commit-time CDF materialization (write side of
+    :func:`enable_change_feed`): when the table records ``cdf_keys``,
+    diff the freshly-written (uncommitted) ``v=<version>`` content
+    against the current latest and write the change rows to
+    ``v=<version>/_changes/``. Returns the diff-base version (0 for a
+    creating write) so the caller can commit conditionally on it, or
+    None when the table has no change feed. The first version's change
+    set is every row as an insert (Delta's semantics for a CDF-enabled
+    table's first commit)."""
+    from pyspark.sql import functions as F
+
+    doc = _read_manifest_doc(root)
+    keys = doc["cdf_keys"]
+    if not keys:
+        return None
+    vdir = os.path.join(root, f"v={version}")
+    written = spark.read.parquet(vdir)
+    base = doc["versions"][-1] if doc["versions"] else 0
+    if expected_latest is not None and expected_latest != base:
+        # the caller's conditional commit is already doomed; skip the
+        # diff work and let _commit_version raise the canonical error
+        return base
+    if base:
+        prev = read_snapshot(spark, root, version=base)
+        changes = _change_rows(prev, written, keys)
+    else:
+        changes = written.withColumn("_change_type", F.lit("insert"))
+    changes.write.mode("overwrite").parquet(os.path.join(vdir, "_changes"))
+    return base
+
+
+def enable_change_feed(spark: SparkSession, root: str, keys: list[str]) -> None:
+    """Record ``keys`` as the table's change-feed identity: every
+    subsequent full :func:`write_snapshot` materializes its row-level
+    diff into the version directory (``_changes/``), and the streaming
+    source's ``readChangeFeed`` option tails those change files plus
+    append deltas (as inserts). Delta's
+    ``delta.enableChangeDataFeed`` + primary-key shape in one call —
+    this engine needs explicit keys because plain parquet has no row
+    identity. Keys must exist in the current schema (validated when the
+    table is non-empty); versions committed BEFORE enablement carry no
+    change files, and the stream fails loudly (or skips under
+    ``ignoreChanges``) when asked to read changes for them."""
+    def decide(doc: dict):
+        if doc["cdf_keys"]:
+            raise ValueError(
+                f"change feed already enabled on {root!r} with keys "
+                f"{doc['cdf_keys']}"
+            )
+        if doc["versions"]:
+            cols = set(
+                read_snapshot(spark, root, version=doc["versions"][-1]).columns
+            )
+            missing = [k for k in keys if k not in cols]
+            if missing:
+                raise ValueError(
+                    f"cdf keys {missing} not in table columns {sorted(cols)}"
+                )
+        doc["cdf_keys"] = list(keys)
+        return doc, None
+
+    os.makedirs(root, exist_ok=True)
+    _manifest_txn(root, decide)
+
+
+def change_feed_keys(root: str) -> list[str]:
+    """The recorded change-feed key columns ([] when disabled)."""
+    return _read_manifest_doc(root)["cdf_keys"]
 
 
 def append_rows(
@@ -1027,12 +1147,24 @@ def snapshot_changes(
     are compared with null-safe equality, so NULL keys pair instead of
     cartesian-leaking.
     """
+    old = read_snapshot(spark, root, version=v_from)
+    new = read_snapshot(spark, root, version=v_to)
+    return _change_rows(old, new, keys, include_unchanged)
+
+
+def _change_rows(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Frame-level diff backing :func:`snapshot_changes` and the
+    commit-time change materialization of CDF-enabled tables
+    (:func:`enable_change_feed`): one full-outer join on the keys +
+    one CASE/explode pass — see snapshot_changes for the contract."""
     from functools import reduce
 
     from pyspark.sql import functions as F
-
-    old = read_snapshot(spark, root, version=v_from)
-    new = read_snapshot(spark, root, version=v_to)
     # A column present on both sides with DIFFERENT types is a true
     # type change — rejected regardless of whether columns were also
     # added/removed (implicit casts in the null-safe compares would
@@ -1423,6 +1555,7 @@ def clone_snapshot(
                 {v: m for v, m in src_doc["modes"].items() if v in referenced},
                 constraints=src_doc["constraints"],
                 base_root=os.path.abspath(src_root),
+                cdf_keys=src_doc["cdf_keys"],  # CDF property inherited
             ),
             etag=None,
         )
@@ -1586,32 +1719,61 @@ def purge_rows(
                 "defer_young_orphans=True for bounded progress with an "
                 "explicit deferral report"
             )
+    def _match_count(frame) -> int | None:
+        # rows matching the predicate, None when its columns don't
+        # resolve against this frame's schema (nothing there can match)
+        try:
+            m = F.coalesce(F.expr(predicate), F.lit(False))
+            row = frame.agg(
+                F.sum(F.when(m, 1).otherwise(0)).alias("purged")
+            ).first()
+        except AnalysisException:
+            return None
+        return int(row["purged"] or 0)
+
     results: list[tuple[int, int, int]] = []
     for v in doc["versions"]:
         if doc["modes"].get(v, "full").startswith("restore:"):
             continue  # no data of its own
         path = os.path.join(root, f"v={v}")
         df = spark.read.parquet(path)
-        try:
-            matches = F.coalesce(F.expr(predicate), F.lit(False))
-            counts = df.agg(
-                F.sum(F.when(matches, 1).otherwise(0)).alias("purged"),
-                F.count(F.lit(1)).alias("total"),
-            ).first()
-        except AnalysisException:
+        n_purged = _match_count(df)
+        # CDF change files (v=<N>/_changes, invisible to the
+        # underscore-ignoring data read) hold the SAME rows as
+        # pre/post-images — including pre-images of rows DELETED in
+        # this version that its data no longer contains. Erasure must
+        # reach them even when the data itself has no matches.
+        ch = os.path.join(path, "_changes")
+        ch_df = spark.read.parquet(ch) if os.path.isdir(ch) else None
+        ch_purged = _match_count(ch_df) if ch_df is not None else 0
+        if n_purged is None and not ch_purged:
             # predicate columns absent from this version's schema:
             # nothing here can match (see docstring re renames)
             results.append((v, 0, -1))
             continue
-        n_purged = int(counts["purged"] or 0)
-        n_kept = int(counts["total"]) - n_purged
-        if n_purged == 0:
+        n_purged = n_purged or 0
+        n_kept = int(df.count()) - n_purged
+        if n_purged == 0 and not ch_purged:
             results.append((v, 0, n_kept))
             continue
         tmp = path + ".__purge_tmp__"
         old = path + ".__purge_old__"
         shutil.rmtree(tmp, ignore_errors=True)
-        df.filter(~matches).write.mode("overwrite").parquet(tmp)
+        if n_purged:
+            matches = F.coalesce(F.expr(predicate), F.lit(False))
+            df.filter(~matches).write.mode("overwrite").parquet(tmp)
+        else:
+            # only the change files match; the data is carried whole
+            df.write.mode("overwrite").parquet(tmp)
+        if ch_df is not None:
+            if ch_purged:
+                ch_df.filter(
+                    ~F.coalesce(F.expr(predicate), F.lit(False))
+                ).write.mode("overwrite").parquet(
+                    os.path.join(tmp, "_changes")
+                )
+            else:
+                shutil.copytree(ch, os.path.join(tmp, "_changes"))
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old, ignore_errors=True)

@@ -98,10 +98,27 @@ def _arrow_to_ddl(schema) -> str:
     return ", ".join(f"`{f.name}` {one(f.type)}" for f in schema)
 
 
+# CDF metadata columns appended by readChangeFeed mode (Delta's names).
+CDF_TYPE_COL = "_change_type"
+CDF_VERSION_COL = "_commit_version"
+
+
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, columns: list[str]):
+    def __init__(
+        self,
+        path: str,
+        columns: list[str],
+        kind: str = "data",
+        version: int = 0,
+    ):
         self.path = path
         self.columns = columns
+        # "data"   = plain tail (rows as-is)
+        # "insert" = CDF mode over a delta commit (rows tagged insert)
+        # "cdf"    = CDF mode over materialized _changes files (rows
+        #            already carry _change_type)
+        self.kind = kind
+        self.version = version
 
 
 class VersionedFeedStreamReader(DataSourceStreamReader):
@@ -125,6 +142,15 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
       parquet size exceeds this many bytes (always at least one
       commit, so a single oversized commit still drains). Composable
       with ``maxVersionsPerBatch``; the tighter cap wins.
+    - ``readChangeFeed`` (default false): stream ROW-LEVEL CHANGES
+      instead of raw appends (Delta's readChangeFeed). Requires
+      :func:`operators.versioned.enable_change_feed` on the table:
+      full commits stream their materialized ``_changes`` files
+      (insert / delete / update_preimage / update_postimage), delta
+      commits stream their rows as inserts, and every row carries
+      ``_change_type`` + ``_commit_version``. A full commit WITHOUT
+      change files (committed before enablement, or a RESTORE) fails
+      loudly, or is skipped under ``ignoreChanges``.
 
     Admission position: the reader tracks the last offset it planned
     or returned (``_floor``) in-process. On a RESTART the engine
@@ -156,7 +182,17 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
         self.max_bytes = int(options.get("maxbytesperbatch", "0")) or None
         if self.max_versions is not None and self.max_versions < 1:
             raise ValueError("maxVersionsPerBatch must be >= 1")
+        self.read_changes = (
+            options.get("readchangefeed", "false").lower() == "true"
+        )
         self.columns = [f.name for f in schema.fields]
+        # In CDF mode the LAST two schema fields are the metadata
+        # columns this reader appends; data files carry the rest.
+        self.data_columns = (
+            [c for c in self.columns if c not in (CDF_TYPE_COL, CDF_VERSION_COL)]
+            if self.read_changes
+            else self.columns
+        )
         self.spark_schema = schema  # pickled with the reader to executors
         # Highest offset this reader has planned or returned; seeds the
         # admission cap. Corrected upward by the engine's restart
@@ -227,6 +263,9 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
             if not lo < v <= hi:
                 continue
             mode = doc["modes"].get(v, "full")
+            if self.read_changes:
+                parts.extend(self._cdf_partitions(v, mode))
+                continue
             if mode != "delta":
                 if self.ignore_changes:
                     continue  # Delta's ignoreChanges: skip rewrites
@@ -244,6 +283,50 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
                     )
         return parts
 
+    def _cdf_partitions(self, v: int, mode: str) -> list[InputPartition]:
+        """readChangeFeed planning for one commit: a delta's own files
+        stream as inserts; a full commit streams its materialized
+        ``_changes`` files (written by write_snapshot on a CDF-enabled
+        table); anything without change data fails loudly or skips
+        under ignoreChanges."""
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            _version_dir,
+        )
+
+        if mode == "delta":
+            d = _version_dir(self.root, v)
+            return [
+                _FilePartition(
+                    os.path.join(d, n), self.data_columns, "insert", v
+                )
+                for n in sorted(os.listdir(d))
+                if n.endswith(".parquet")
+            ]
+        if mode == "full":
+            ch = os.path.join(_version_dir(self.root, v), "_changes")
+            if os.path.isdir(ch):
+                return [
+                    _FilePartition(
+                        os.path.join(ch, n), self.data_columns, "cdf", v
+                    )
+                    for n in sorted(os.listdir(ch))
+                    if n.endswith(".parquet")
+                ]
+        if self.ignore_changes:
+            return []
+        raise NonAppendCommitError(
+            f"version {v} of {self.root!r} has no change data — it is a "
+            f"{mode!r} commit "
+            + (
+                "without materialized _changes (committed before "
+                "enable_change_feed?)"
+                if mode == "full"
+                else "(a restore rewind has no row-level change set)"
+            )
+            + "; restart from a fresh startingVersion or set "
+            ".option('ignoreChanges', 'true') to skip it"
+        )
+
     # -- execution (executors): one immutable file per partition ----------
     def read(self, partition: _FilePartition) -> Iterator:
         """Arrow-vectorized read (VERDICT r8 #1): yield
@@ -255,9 +338,12 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        if not partition.columns:
+        if not partition.columns and partition.kind == "data":
             return iter([])
-        table = pq.read_table(partition.path, columns=partition.columns)
+        read_cols = list(partition.columns)
+        if partition.kind == "cdf":
+            read_cols = read_cols + [CDF_TYPE_COL]  # stored in the file
+        table = pq.read_table(partition.path, columns=read_cols)
         # Align to the arrow schema Spark's exchange expects: parquet
         # INT96 timestamps (Spark's default output type) read back as
         # naive timestamp[ns], which the JVM side rejects; Spark
@@ -265,9 +351,23 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
         # timestamp[us, tz=UTC] is lossless by construction (a true
         # sub-µs value fails loudly instead of truncating).
         full = to_arrow_schema(self.spark_schema)
-        target = pa.schema([full.field(c) for c in partition.columns])
+        target = pa.schema([full.field(c) for c in read_cols])
         if table.schema != target:
             table = table.cast(target)
+        if partition.kind == "insert":
+            table = table.append_column(
+                CDF_TYPE_COL,
+                pa.array(["insert"] * table.num_rows, type=pa.string()),
+            )
+        if partition.kind in ("insert", "cdf"):
+            table = table.append_column(
+                CDF_VERSION_COL,
+                pa.array(
+                    [partition.version] * table.num_rows, type=pa.int64()
+                ),
+            )
+            # emit in the declared column order (metas last)
+            table = table.select(self.columns)
         return iter(table.to_batches())
 
     def commit(self, end: dict) -> None:
@@ -295,13 +395,24 @@ class VersionedFeedDataSource(DataSource):
         root = self.options.get("root", "")
         if not root:
             raise ValueError("versioned_feed requires .option('root', path)")
+        cdf = (
+            self.options.get("readchangefeed", "false").lower() == "true"
+        )
+        suffix = (
+            f", `{CDF_TYPE_COL}` string, `{CDF_VERSION_COL}` bigint"
+            if cdf
+            else ""
+        )
         for d in reversed(resolve_version_paths(root)):
             for name in sorted(os.listdir(d)):
                 if name.endswith(".parquet"):
-                    return _arrow_to_ddl(
-                        pq.ParquetFile(
-                            os.path.join(d, name)
-                        ).schema_arrow
+                    return (
+                        _arrow_to_ddl(
+                            pq.ParquetFile(
+                                os.path.join(d, name)
+                            ).schema_arrow
+                        )
+                        + suffix
                     )
         raise FileNotFoundError(f"no parquet data under {root!r}")
 

@@ -1,0 +1,261 @@
+"""Streaming change data feed (Delta readChangeFeed parity).
+
+Write side: a table with enable_change_feed materializes each full
+commit's row-level diff into v=<N>/_changes at write time (one
+distributed join per commit — the scale-correct design; the stream
+then reads change FILES, never recomputes diffs). Read side: the
+versioned_feed source's readChangeFeed option streams those files plus
+append deltas (as inserts), each row tagged _change_type and
+_commit_version.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from openaq_data_pipeline_engineering_spark.operators.versioned import (
+    append_rows,
+    change_feed_keys,
+    enable_change_feed,
+    purge_rows,
+    read_snapshot,
+    snapshot_versions,
+    vacuum_snapshots,
+    write_snapshot,
+)
+from openaq_data_pipeline_engineering_spark.sources.versioned_stream import (
+    register_versioned_feed,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def _changes_of(spark, root, version):
+    return spark.read.parquet(os.path.join(root, f"v={version}", "_changes"))
+
+
+def _drain_cdf(spark, root, out, ckpt, starting=0, **opts):
+    stream = (
+        spark.readStream.format("versioned_feed")
+        .option("root", root)
+        .option("startingVersion", str(starting))
+        .option("readChangeFeed", "true")
+    )
+    for k, v in opts.items():
+        stream = stream.option(k, v)
+    q = (
+        stream.load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out)
+
+
+class TestChangeMaterialization:
+    def test_full_commits_write_change_files(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        enable_change_feed(spark, root, ["k"])
+        assert change_feed_keys(root) == ["k"]
+        v1 = write_snapshot(_df(spark, [(1, "a"), (2, "b")]), root)
+        # first commit: everything is an insert
+        ch1 = {
+            (r["k"], r["_change_type"])
+            for r in _changes_of(spark, root, v1).collect()
+        }
+        assert ch1 == {(1, "insert"), (2, "insert")}
+        # update k=1, delete k=2, insert k=3
+        v2 = write_snapshot(_df(spark, [(1, "A"), (3, "c")]), root)
+        ch2 = {
+            (r["k"], r["v"], r["_change_type"])
+            for r in _changes_of(spark, root, v2).collect()
+        }
+        assert ch2 == {
+            (1, "a", "update_preimage"),
+            (1, "A", "update_postimage"),
+            (2, "b", "delete"),
+            (3, "c", "insert"),
+        }
+
+    def test_enable_requires_existing_key_column(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        write_snapshot(_df(spark, [(1, "a")]), root)
+        with pytest.raises(ValueError, match="not in table columns"):
+            enable_change_feed(spark, root, ["nope"])
+        enable_change_feed(spark, root, ["k"])
+        with pytest.raises(ValueError, match="already enabled"):
+            enable_change_feed(spark, root, ["k"])
+
+    def test_cdf_write_retries_over_concurrent_append(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The diff base must be the version the commit supersedes: a
+        racer landing mid-write forces a diff recompute against the
+        new latest, not a stale change set."""
+        from openaq_data_pipeline_engineering_spark.operators import (
+            versioned,
+        )
+
+        root = str(tmp_path / "t")
+        enable_change_feed(spark, root, ["k"])
+        write_snapshot(_df(spark, [(1, "a")]), root)  # v1
+        real = versioned._materialize_changes
+        state = {"fired": False}
+
+        def racing(spark_, root_, version_, expected):
+            base = real(spark_, root_, version_, expected)
+            if not state["fired"]:
+                state["fired"] = True
+                # racer appends AFTER the diff was computed vs v1
+                append_rows(_df(spark_, [(9, "racer")]), root_)
+            return base
+
+        monkeypatch.setattr(versioned, "_materialize_changes", racing)
+        v = write_snapshot(_df(spark, [(1, "A")]), root)
+        monkeypatch.undo()
+        # the committed change set accounts for the racer's row: the
+        # diff base was recomputed against latest (v1 + racer append)
+        ch = {
+            (r["k"], r["_change_type"])
+            for r in _changes_of(spark, root, v).collect()
+        }
+        assert ch == {
+            (1, "update_preimage"),
+            (1, "update_postimage"),
+            (9, "delete"),  # racer's row absent from the new full state
+        }
+        assert {tuple(r) for r in read_snapshot(spark, root).collect()} == {
+            (1, "A")
+        }
+
+
+class TestChangeFeedStream:
+    def test_stream_emits_typed_changes_exactly_once(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        enable_change_feed(spark, root, ["k"])
+        write_snapshot(_df(spark, [(1, "a"), (2, "b")]), root)  # v1
+        write_snapshot(_df(spark, [(1, "A"), (3, "c")]), root)  # v2
+        register_versioned_feed(spark)
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        got = _drain_cdf(spark, root, out, ckpt)
+        rows = {
+            (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+            for r in got.collect()
+        }
+        assert rows == {
+            (1, "a", "insert", 1),
+            (2, "b", "insert", 1),
+            (1, "a", "update_preimage", 2),
+            (1, "A", "update_postimage", 2),
+            (2, "b", "delete", 2),
+            (3, "c", "insert", 2),
+        }
+        # exactly once: a second drain adds nothing
+        got = _drain_cdf(spark, root, out, ckpt)
+        assert got.count() == 6
+        # appends stream as inserts with their commit version
+        append_rows(_df(spark, [(4, "d")]), root)  # v3 delta
+        got = _drain_cdf(spark, root, out, ckpt)
+        after = {
+            (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+            for r in got.collect()
+        }
+        assert after - rows == {(4, "d", "insert", 3)}
+        assert got.count() == 7
+
+    def test_pre_enablement_full_commit_fails_or_skips(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        write_snapshot(_df(spark, [(1, "a")]), root)  # v1: NO change files
+        enable_change_feed(spark, root, ["k"])
+        write_snapshot(_df(spark, [(1, "A")]), root)  # v2: has changes
+        register_versioned_feed(spark)
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        with pytest.raises(StreamingQueryException, match="no change data"):
+            _drain_cdf(spark, root, out, ckpt)
+        got = _drain_cdf(
+            spark,
+            root,
+            str(tmp_path / "out2"),
+            str(tmp_path / "ckpt2"),
+            ignoreChanges="true",
+        )
+        # v1 skipped; v2's diff (computed against v1) still streams
+        assert {
+            (r["k"], r["_change_type"]) for r in got.collect()
+        } == {(1, "update_preimage"), (1, "update_postimage")}
+
+    def test_admission_cap_composes_with_cdf(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        enable_change_feed(spark, root, ["k"])
+        write_snapshot(_df(spark, [(1, "a")]), root)
+        write_snapshot(_df(spark, [(2, "b")]), root)
+        register_versioned_feed(spark)
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        got = _drain_cdf(
+            spark, root, out, ckpt, maxVersionsPerBatch="1"
+        )
+        assert {r["_commit_version"] for r in got.collect()} == {1}
+        got = _drain_cdf(
+            spark, root, out, ckpt, maxVersionsPerBatch="1"
+        )
+        assert {r["_commit_version"] for r in got.collect()} == {1, 2}
+
+
+class TestChangeFeedLifecycle:
+    def test_purge_erases_preimages_in_change_files(self, spark, tmp_path):
+        """GDPR reach: a row deleted in v2 no longer exists in any
+        version's DATA, but its pre-image lives in v2/_changes — purge
+        must rewrite the change files too (including versions whose
+        data has zero matches)."""
+        root = str(tmp_path / "t")
+        enable_change_feed(spark, root, ["k"])
+        write_snapshot(_df(spark, [(1, "secret"), (2, "keep")]), root)
+        write_snapshot(_df(spark, [(2, "keep")]), root)  # v2 deletes k=1
+        rows = purge_rows(spark, root, "v = 'secret'")
+        assert (1, 1, 1) in rows  # v1 data purged
+        # v2's data had no matches, but its change files did
+        ch2 = {
+            (r["k"], r["_change_type"])
+            for r in _changes_of(spark, root, 2).collect()
+        }
+        assert ch2 == set()  # the delete image of the secret row is gone
+        ch1 = {
+            (r["k"], r["_change_type"])
+            for r in _changes_of(spark, root, 1).collect()
+        }
+        assert ch1 == {(2, "insert")}
+
+    def test_vacuum_reclaims_change_files_with_version(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        enable_change_feed(spark, root, ["k"])
+        write_snapshot(_df(spark, [(1, "a")]), root)
+        write_snapshot(_df(spark, [(1, "b")]), root)
+        write_snapshot(_df(spark, [(1, "c")]), root)
+        vacuum_snapshots(root, keep_last=1)
+        assert snapshot_versions(root) == [3]
+        assert not os.path.isdir(os.path.join(root, "v=1"))
+        assert os.path.isdir(os.path.join(root, "v=3", "_changes"))
+
+    def test_optimize_on_cdf_table_emits_empty_change_set(
+        self, spark, tmp_path
+    ):
+        from openaq_data_pipeline_engineering_spark.engine import Engine
+
+        root = str(tmp_path / "t")
+        enable_change_feed(spark, root, ["k"])
+        write_snapshot(_df(spark, [(1, "a"), (2, "b")]), root)
+        Engine(spark).sql(f"OPTIMIZE '{root}'")
+        v = snapshot_versions(root)[-1]
+        # a content-identical rewrite is a non-event for consumers
+        assert _changes_of(spark, root, v).count() == 0
