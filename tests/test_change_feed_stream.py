@@ -259,3 +259,57 @@ class TestChangeFeedLifecycle:
         v = snapshot_versions(root)[-1]
         # a content-identical rewrite is a non-event for consumers
         assert _changes_of(spark, root, v).count() == 0
+
+
+class TestBatchTableChanges:
+    def test_table_changes_matches_join_based_diff(self, spark, tmp_path):
+        """The materialized fast path and the join-based diff must
+        agree on a full-commit transition (consistency witness)."""
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            snapshot_changes,
+            table_changes,
+        )
+
+        root = str(tmp_path / "t")
+        enable_change_feed(spark, root, ["k"])
+        write_snapshot(_df(spark, [(1, "a"), (2, "b")]), root)
+        write_snapshot(_df(spark, [(1, "A"), (3, "c")]), root)
+        fast = {
+            (r["k"], r["v"], r["_change_type"])
+            for r in table_changes(spark, root, v_from=1, v_to=2).collect()
+        }
+        joined = {
+            (r["k"], r["v"], r["_change_type"])
+            for r in snapshot_changes(
+                spark, root, ["k"], v_from=1, v_to=2
+            ).collect()
+        }
+        assert fast == joined
+        # range including v1 adds the initial inserts with versions
+        full = table_changes(spark, root, v_from=0).collect()
+        assert {r["_commit_version"] for r in full} == {1, 2}
+
+    def test_table_changes_spans_deltas_and_rejects_gaps(
+        self, spark, tmp_path
+    ):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            restore_snapshot,
+            table_changes,
+        )
+
+        root = str(tmp_path / "t")
+        write_snapshot(_df(spark, [(1, "a")]), root)  # v1: pre-CDF
+        enable_change_feed(spark, root, ["k"])
+        append_rows(_df(spark, [(2, "b")]), root)  # v2 delta
+        got = {
+            (r["k"], r["_change_type"], r["_commit_version"])
+            for r in table_changes(spark, root, v_from=1).collect()
+        }
+        assert got == {(2, "insert", 2)}
+        with pytest.raises(ValueError, match="no materialized change"):
+            table_changes(spark, root, v_from=0)  # v1 predates CDF
+        restore_snapshot(root, version=1)  # v3
+        with pytest.raises(ValueError, match="restore"):
+            table_changes(spark, root, v_from=2)
+        # empty range: typed empty result, not an error
+        assert table_changes(spark, root, v_from=99).count() == 0
