@@ -1201,11 +1201,11 @@ def table_changes(
             df.withColumn("_commit_version", F.lit(v).cast("bigint"))
         )
     if not parts:
-        base = parts  # empty range: typed empty frame from the table
+        # empty range: a typed empty frame shaped like the feed output
         empty = read_snapshot(spark, root).limit(0)
         return empty.withColumn("_change_type", F.lit("")).withColumn(
             "_commit_version", F.lit(0).cast("bigint")
-        ).limit(0)
+        )
     out = parts[0]
     for p_ in parts[1:]:
         out = out.unionByName(p_, allowMissingColumns=True)
