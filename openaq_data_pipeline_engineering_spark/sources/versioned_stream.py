@@ -30,10 +30,13 @@ represent — the stream FAILS loudly unless ``ignoreChanges=true``
 (then non-delta commits are skipped, exactly Delta's escape hatch).
 
 Scale design: this is the PARTITIONED ``DataSourceStreamReader`` (not
-the driver-side Simple variant) — the driver only lists the manifest
-and file names per micro-batch (O(#files of new commits)); each data
-file becomes one ``InputPartition`` read with pyarrow ON EXECUTORS, so
-a wide append fans out across the cluster like any parquet scan.
+the driver-side Simple variant) — the driver reads only the manifest,
+file names, and parquet FOOTERS per micro-batch (O(#files of new
+commits), the same metadata Spark's scan planning reads); each data
+file fans out into one ``InputPartition`` PER ROW GROUP (whole-file
+for single-group files), read with pyarrow ON EXECUTORS as Arrow
+RecordBatches — a wide or large-file append parallelizes across the
+cluster exactly like a native parquet scan.
 
 Usage::
 
@@ -110,6 +113,7 @@ class _FilePartition(InputPartition):
         columns: list[str],
         kind: str = "data",
         version: int = 0,
+        row_group: int | None = None,
     ):
         self.path = path
         self.columns = columns
@@ -119,6 +123,36 @@ class _FilePartition(InputPartition):
         #            already carry _change_type)
         self.kind = kind
         self.version = version
+        # None = whole file; an int = ONE parquet row group of it, so
+        # a large commit file fans out across executors at row-group
+        # granularity exactly like Spark's own parquet scan planning.
+        self.row_group = row_group
+
+
+def _split_file_partitions(
+    d: str, columns: list[str], kind: str, version: int
+) -> list[_FilePartition]:
+    """One InputPartition per parquet ROW GROUP of every file in
+    ``d`` (single-group files stay one whole-file partition). The
+    driver reads only footers — the same metadata Spark's scan
+    planning reads — so a wide commit splits into row-group tasks
+    instead of one task per (possibly GB-sized) file."""
+    import pyarrow.parquet as pq
+
+    parts: list[_FilePartition] = []
+    for name in sorted(os.listdir(d)):
+        if not name.endswith(".parquet"):
+            continue
+        path = os.path.join(d, name)
+        n_groups = pq.ParquetFile(path).metadata.num_row_groups
+        if n_groups <= 1:
+            parts.append(_FilePartition(path, columns, kind, version))
+        else:
+            parts.extend(
+                _FilePartition(path, columns, kind, version, rg)
+                for rg in range(n_groups)
+            )
+    return parts
 
 
 class VersionedFeedStreamReader(DataSourceStreamReader):
@@ -276,11 +310,9 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
                     ".option('ignoreChanges', 'true') to skip it"
                 )
             d = _version_dir(self.root, v)
-            for name in sorted(os.listdir(d)):
-                if name.endswith(".parquet"):
-                    parts.append(
-                        _FilePartition(os.path.join(d, name), self.columns)
-                    )
+            parts.extend(
+                _split_file_partitions(d, self.columns, "data", v)
+            )
         return parts
 
     def _cdf_partitions(self, v: int, mode: str) -> list[InputPartition]:
@@ -294,24 +326,15 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
         )
 
         if mode == "delta":
-            d = _version_dir(self.root, v)
-            return [
-                _FilePartition(
-                    os.path.join(d, n), self.data_columns, "insert", v
-                )
-                for n in sorted(os.listdir(d))
-                if n.endswith(".parquet")
-            ]
+            return _split_file_partitions(
+                _version_dir(self.root, v), self.data_columns, "insert", v
+            )
         if mode == "full":
             ch = os.path.join(_version_dir(self.root, v), "_changes")
             if os.path.isdir(ch):
-                return [
-                    _FilePartition(
-                        os.path.join(ch, n), self.data_columns, "cdf", v
-                    )
-                    for n in sorted(os.listdir(ch))
-                    if n.endswith(".parquet")
-                ]
+                return _split_file_partitions(
+                    ch, self.data_columns, "cdf", v
+                )
         if self.ignore_changes:
             return []
         raise NonAppendCommitError(
@@ -343,7 +366,12 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
         read_cols = list(partition.columns)
         if partition.kind == "cdf":
             read_cols = read_cols + [CDF_TYPE_COL]  # stored in the file
-        table = pq.read_table(partition.path, columns=read_cols)
+        if getattr(partition, "row_group", None) is not None:
+            table = pq.ParquetFile(partition.path).read_row_group(
+                partition.row_group, columns=read_cols
+            )
+        else:
+            table = pq.read_table(partition.path, columns=read_cols)
         # Align to the arrow schema Spark's exchange expects: parquet
         # INT96 timestamps (Spark's default output type) read back as
         # naive timestamp[ns], which the JVM side rejects; Spark

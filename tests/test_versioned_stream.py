@@ -365,3 +365,59 @@ def test_explicit_schema_subset_projects_columns(spark, tmp_path):
     _drain(stream, out, ckpt)
     rows = spark.read.parquet(out).collect()
     assert [r.asDict() for r in rows] == [{"tag": "b"}]
+
+
+def test_large_commit_file_splits_into_row_group_partitions(spark, tmp_path):
+    """Scale-plan parity with Spark's parquet scan: a multi-row-group
+    commit file fans out one InputPartition per row group (read via
+    read_row_group on executors), instead of one task per file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        _write_manifest,
+    )
+    from openaq_data_pipeline_engineering_spark.sources.versioned_stream import (
+        VersionedFeedStreamReader,
+    )
+
+    root = str(tmp_path / "t")
+    vdir = os.path.join(root, "v=1")
+    os.makedirs(vdir)
+    table = pa.table(
+        {
+            "k": pa.array(range(30), type=pa.int64()),
+            "tag": pa.array([f"r{i}" for i in range(30)]),
+        }
+    )
+    # 3 row groups of 10 rows in ONE file
+    pq.write_table(
+        table, os.path.join(vdir, "part-0.parquet"), row_group_size=10
+    )
+    _write_manifest(root, [1], commit_ts={1: 1.0}, modes={1: "delta"})
+
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL("k long, tag string")
+    reader = VersionedFeedStreamReader(
+        schema, {"root": root, "startingversion": "0"}
+    )
+    parts = reader.partitions({"version": 0}, {"version": 1})
+    assert len(parts) == 3  # one per row group, single file
+    assert sorted(p.row_group for p in parts) == [0, 1, 2]
+    rows = []
+    for p in parts:
+        for b in reader.read(p):
+            rows.extend(b.to_pylist())
+    assert sorted(r["k"] for r in rows) == list(range(30))
+    # end-to-end through Spark as well
+    register_versioned_feed(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.format("versioned_feed")
+        .option("root", root)
+        .option("startingVersion", "0")
+        .load()
+    )
+    _drain(stream, out, ckpt)
+    assert _keys(spark, out) == list(range(30))
