@@ -17,7 +17,38 @@ from __future__ import annotations
 import math
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_preserving_partitions(
+    spark: SparkSession, path: str, partition_cols: list[str]
+) -> DataFrame:
+    """Read a Hive-partitioned table so a rewrite lands in the SAME
+    partition directories it came from.
+
+    A plain ``spark.read.parquet`` type-INFERS partition values from the
+    directory names, so a zero-padded string partition (``month=01`` —
+    the mart's own layout) reads back as int 1; rewriting it then
+    creates ``month=1`` NEXT TO the live ``month=01``, whose old files
+    survive — every row silently duplicated (the hazard
+    plans/incremental.py already guards with an explicit schema).
+    Pinning the partition columns to STRING reads the raw directory
+    value verbatim, and ``partitionBy`` writes it back verbatim, so the
+    read→rewrite round trip is layout-preserving for every value
+    spelling (``m=1`` stays ``m=1``, ``m=01`` stays ``m=01``). Data
+    columns keep their footer types unchanged."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    inferred = spark.read.parquet(path).schema
+    pinned = StructType(
+        [
+            StructField(f.name, StringType(), True)
+            if f.name in partition_cols
+            else f
+            for f in inferred
+        ]
+    )
+    return spark.read.schema(pinned).parquet(path)
 
 
 def compact_partitions(
@@ -44,7 +75,15 @@ def compact_partitions(
     """
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(path)
+    # Partition columns pinned to string so the dynamic overwrite
+    # replaces the SAME directories it read (see
+    # read_preserving_partitions — inference would re-spell zero-padded
+    # values and duplicate the table).
+    df = (
+        read_preserving_partitions(spark, path, partition_cols)
+        if partition_cols
+        else spark.read.parquet(path)
+    )
     if partition_filter:
         if not partition_cols:
             raise ValueError(

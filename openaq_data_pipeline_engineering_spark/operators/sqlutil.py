@@ -397,10 +397,16 @@ def _zorder_rewrite_partitioned(
 
     from openaq_data_pipeline_engineering_spark.operators.compact import (
         file_stats,
+        read_preserving_partitions,
     )
 
     _recover_interrupted_partition_rewrite(path)
-    df = spark.read.parquet(path)
+    # Partition columns pinned to string so each staged leaf swaps onto
+    # the directory it came from (read_preserving_partitions —
+    # inference would re-spell zero-padded values like month=01 as
+    # month=1, and the swap would ADD new directories while the old
+    # ones stay live, duplicating every row).
+    df = read_preserving_partitions(spark, path, pcols)
     if partition_filter:
         parts = (
             df.filter(partition_filter).select(*pcols).distinct()
