@@ -132,12 +132,24 @@ def _partition_values(
     return None
 
 
+def iter_data_parquet_files(path: str):
+    """Yield the parquet DATA file paths under ``path`` — skipping
+    underscore/dot-prefixed directories and files (``_changes`` CDF
+    sidecars, ``_SUCCESS`` markers, hidden temp files), exactly the
+    paths a Spark read of the directory ignores. Every footer-level
+    statistic must iterate through this, or a CDF-enabled version
+    directory double-counts its change rows into the data metrics."""
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                yield os.path.join(root, f)
+
+
 def file_stats(path: str) -> dict:
     """(n_files, total_bytes, avg_bytes) for the table's parquet files."""
     n, total = 0, 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                n += 1
-                total += os.path.getsize(os.path.join(root, f))
+    for p in iter_data_parquet_files(path):
+        n += 1
+        total += os.path.getsize(p)
     return {"n_files": n, "total_bytes": total, "avg_bytes": total // max(n, 1)}

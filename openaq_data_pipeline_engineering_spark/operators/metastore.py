@@ -89,6 +89,13 @@ class MetadataStore(ABC):
         repair tooling). Protocol code never calls this."""
 
     @abstractmethod
+    def delete(self, root: str) -> None:
+        """Remove the manifest entirely (DELETE on the manifest key).
+        Administrative undo — protocol code uses it only to abort a
+        half-born table (e.g. a clone that lost a race with a
+        concurrent vacuum). A no-op when the manifest is absent."""
+
+    @abstractmethod
     def list_version_dirs(self, root: str) -> list[int]:
         """Version numbers of every ``v=<N>`` directory present,
         committed or not (LIST on the ``v=`` prefix)."""
@@ -163,6 +170,13 @@ class LocalMetadataStore(MetadataStore):
     def write(self, root: str, data: bytes) -> str:
         with self._lock(root):
             return self._replace(root, data)
+
+    def delete(self, root: str) -> None:
+        with self._lock(root):
+            try:
+                os.remove(self._path(root))
+            except FileNotFoundError:
+                pass
 
     def list_version_dirs(self, root: str) -> list[int]:
         out: list[int] = []
@@ -245,6 +259,10 @@ class InMemoryMetadataStore(MetadataStore):
         with self._mu:
             self._manifests[self._key(root)] = data
         return _content_etag(data)
+
+    def delete(self, root: str) -> None:
+        with self._mu:
+            self._manifests.pop(self._key(root), None)
 
     # Allocation stays filesystem-backed: the claimed directory is
     # where Spark writes the data files.

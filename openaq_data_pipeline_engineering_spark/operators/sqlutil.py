@@ -227,19 +227,20 @@ def execute_optimize(spark: SparkSession, sql: str) -> DataFrame:
 def _footer_row_count(path: str) -> int:
     """Table row count from parquet FOOTER metadata only — no data
     pages are read, so the metrics row costs O(files), not a rescan of
-    the table the rewrite just wrote."""
-    import os
-
+    the table the rewrite just wrote. Counts DATA files only
+    (underscore/dot paths skipped, like a Spark read): a CDF-enabled
+    version directory's ``_changes`` sidecar must not double-count its
+    change rows into the table metrics."""
     import pyarrow.parquet as pq
 
-    n = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                n += pq.ParquetFile(
-                    os.path.join(root, f)
-                ).metadata.num_rows
-    return n
+    from openaq_data_pipeline_engineering_spark.operators.compact import (
+        iter_data_parquet_files,
+    )
+
+    return sum(
+        pq.ParquetFile(p).metadata.num_rows
+        for p in iter_data_parquet_files(path)
+    )
 
 
 def _zorder_rewrite(
@@ -473,13 +474,17 @@ def _optimize_versioned(
         # (metadata-only — their content lives in the target's dirs),
         # and shallow-clone references (dirs under the source root);
         # listing root/v=N directly would crash on the latter two.
+        # Data files only (CDF _changes sidecars excluded, like the
+        # Spark read whose footprint this reports).
+        from openaq_data_pipeline_engineering_spark.operators.compact import (
+            iter_data_parquet_files,
+        )
+
         n, b = 0, 0
         for p in paths:
-            for r, _d, files in os.walk(p):
-                for f in files:
-                    if f.endswith(".parquet"):
-                        n += 1
-                        b += os.path.getsize(os.path.join(r, f))
+            for f in iter_data_parquet_files(p):
+                n += 1
+                b += os.path.getsize(f)
         return n, b
 
     last_err: ConcurrentWriteError | None = None
@@ -506,9 +511,10 @@ def _optimize_versioned(
     else:
         raise last_err
     after_files = _paths_stats([os.path.join(root, f"v={new_v}")])[0]
-    n_rows = spark.read.parquet(
-        os.path.join(root, f"v={new_v}")
-    ).count()
+    # Row count from parquet FOOTERS of the freshly-written version —
+    # a .count() here would re-scan the table the rewrite just wrote
+    # (a second full pass at 100 TB) for a metrics row.
+    n_rows = _footer_row_count(os.path.join(root, f"v={new_v}"))
     return spark.createDataFrame(
         [(int(before_files), int(after_files), int(n_rows))],
         "n_files_before int, n_files_after int, n_rows bigint",
@@ -664,12 +670,11 @@ def execute_clone(spark: SparkSession, sql: str) -> DataFrame:
     pinned = clone_snapshot(
         m.group("src"), dst, **_asof_kwargs(m.group("kind"), m.group("val"))
     )
-    n_local = sum(
-        1
-        for r, _d, files in os.walk(dst)
-        for f in files
-        if f.endswith(".parquet")
+    from openaq_data_pipeline_engineering_spark.operators.compact import (
+        iter_data_parquet_files,
     )
+
+    n_local = sum(1 for _ in iter_data_parquet_files(dst))
     return spark.createDataFrame(
         [(m.group("src"), int(pinned), len(snapshot_versions(dst)), n_local)],
         "src string, cloned_version int, n_versions_referenced int, "
@@ -839,15 +844,17 @@ def execute_describe_detail(spark: SparkSession, sql: str) -> DataFrame:
     )
     n_delta = sum(1 for v in doc["versions"] if modes.get(v) == "delta")
     n_restore = len(doc["versions"]) - n_full - n_delta
+    from openaq_data_pipeline_engineering_spark.operators.compact import (
+        iter_data_parquet_files,
+    )
+
     paths = resolve_version_paths(root, latest)
     n_files = 0
     n_bytes = 0
     for p in paths:
-        for r, _d, files in os.walk(p):
-            for f in files:
-                if f.endswith(".parquet"):
-                    n_files += 1
-                    n_bytes += os.path.getsize(os.path.join(r, f))
+        for f in iter_data_parquet_files(p):
+            n_files += 1
+            n_bytes += os.path.getsize(f)
     n_rows = _footer_rows_dirs(paths)
     constraints = sorted(doc["constraints"])
     return spark.createDataFrame(

@@ -1636,6 +1636,32 @@ def clone_snapshot(
         return sdoc, None
 
     _manifest_txn(src_root, record)
+    # The back-reference only guards vacuums that START after it lands;
+    # a vacuum whose clone check ran inside this clone's unprotected
+    # window (source read → back-reference record) may have reclaimed
+    # referenced versions, silently birthing a broken clone. Verify
+    # ONCE against the post-record manifest: vacuum rewrites the
+    # manifest BEFORE deleting directories, so membership there is the
+    # authority — and after this check passes, every later vacuum sees
+    # the back-reference and refuses.
+    post = _read_manifest_doc(src_root)
+    missing = sorted(referenced - set(post["versions"]))
+    if missing:
+        get_metadata_store().delete(dst_root)  # undo the half-born clone
+
+        def unrecord(sdoc: dict):
+            sdoc["clones"] = [
+                c for c in sdoc["clones"] if c != os.path.abspath(dst_root)
+            ]
+            return sdoc, None
+
+        _manifest_txn(src_root, unrecord)
+        raise ConcurrentWriteError(
+            f"clone of {src_root!r} lost a race with a concurrent "
+            f"vacuum: versions {missing} were reclaimed before the "
+            "clone's back-reference landed; retry the clone (later "
+            "vacuums are blocked by the recorded back-reference)"
+        )
     return pinned
 
 
@@ -1791,13 +1817,27 @@ def purge_rows(
             return None
         return int(row["purged"] or 0)
 
+    def _match_and_total(frame) -> tuple[int | None, int | None]:
+        # matched rows AND total rows in ONE aggregate pass — a
+        # separate .count() would re-scan every retained version a
+        # second time just for the metrics row
+        try:
+            m = F.coalesce(F.expr(predicate), F.lit(False))
+            row = frame.agg(
+                F.sum(F.when(m, 1).otherwise(0)).alias("purged"),
+                F.count(F.lit(1)).alias("total"),
+            ).first()
+        except AnalysisException:
+            return None, None
+        return int(row["purged"] or 0), int(row["total"])
+
     results: list[tuple[int, int, int]] = []
     for v in doc["versions"]:
         if doc["modes"].get(v, "full").startswith("restore:"):
             continue  # no data of its own
         path = os.path.join(root, f"v={v}")
         df = spark.read.parquet(path)
-        n_purged = _match_count(df)
+        n_purged, n_total = _match_and_total(df)
         # CDF change files (v=<N>/_changes, invisible to the
         # underscore-ignoring data read) hold the SAME rows as
         # pre/post-images — including pre-images of rows DELETED in
@@ -1812,7 +1852,10 @@ def purge_rows(
             results.append((v, 0, -1))
             continue
         n_purged = n_purged or 0
-        n_kept = int(df.count()) - n_purged
+        # n_total is None only when the data predicate didn't resolve
+        # but the change files still match — the rare rename case; one
+        # count there is the correct price.
+        n_kept = (n_total if n_total is not None else int(df.count())) - n_purged
         if n_purged == 0 and not ch_purged:
             results.append((v, 0, n_kept))
             continue

@@ -194,3 +194,16 @@ class TestStatementRoutingUnderStore:
             assert _rows(read_snapshot(spark, root)) == {(1, "a"), (2, "b")}
         finally:
             set_metadata_store(prev)
+
+
+class TestDelete:
+    def test_delete_removes_manifest_and_is_idempotent(
+        self, tmp_path, store
+    ):
+        root = str(tmp_path / "d")
+        store.write(root, b"{}")
+        assert store.read(root)[0] == b"{}"
+        store.delete(root)
+        assert store.read(root) == (None, None)
+        store.delete(root)  # absent manifest: a no-op, not an error
+        assert store.read(root) == (None, None)
