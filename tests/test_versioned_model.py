@@ -144,3 +144,111 @@ def test_model_regression_restore_then_vacuum_then_purge(spark, tmp_path):
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
+
+
+# ---------------------------------------------------------------------------
+# Change-data-feed model (round 9): on a CDF-enabled table, the
+# materialized change files must stay CONSISTENT with the content
+# history under every interleaving of writes, appends, purges, and
+# vacuums — i.e. applying table_changes(prev, cur) to prev's content
+# always yields cur's content, INCLUDING after a purge rewrote both the
+# data and the change files (a purged row must vanish from pre-images
+# and inserts alike, or erasure leaks through the feed).
+# ---------------------------------------------------------------------------
+
+_CDF_OP = st.one_of(
+    st.tuples(
+        st.just("write"),
+        st.frozensets(st.integers(0, 9), min_size=0, max_size=4),
+    ),
+    # appends use FRESH keys only: the CDF key contract requires keys
+    # unique within each snapshot, and an append duplicating a live key
+    # would make the next full commit's diff many-to-many (the caller
+    # modeling error the docstring rejects)
+    st.tuples(st.just("append"), st.integers(1, 3)),
+    st.tuples(st.just("vacuum"), st.integers(2, 4)),
+    st.tuples(st.just("purge"), st.integers(5, 9)),
+)
+
+
+def _apply_changes(prev: set[int], rows) -> set[int]:
+    cur = set(prev)
+    for r in sorted(rows, key=lambda r: r["_commit_version"]):
+        if r["_change_type"] in ("insert", "update_postimage"):
+            cur.add(r["k"])
+        elif r["_change_type"] in ("delete", "update_preimage"):
+            cur.discard(r["k"])
+    return cur
+
+
+@given(ops=st.lists(_CDF_OP, min_size=1, max_size=6))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_change_feed_sequence_matches_model(spark, ops, tmp_path_factory):
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        enable_change_feed,
+        table_changes,
+    )
+
+    root = str(tmp_path_factory.mktemp("vcdf") / "t")
+    enable_change_feed(spark, root, keys=["k"])
+    model: dict[int, set[int]] = {}
+    order: list[int] = []
+    fresh = 10  # append keys start above the write-key domain
+
+    def df(keys):
+        return spark.createDataFrame(
+            [(int(k),) for k in sorted(keys)], "k long"
+        )
+
+    for kind, payload in ops:
+        if kind == "write":
+            v = write_snapshot(df(payload), root)
+            model[v] = set(payload)
+            order.append(v)
+        elif kind == "append":
+            if not order:
+                continue
+            keys = set(range(fresh, fresh + payload))
+            fresh += payload
+            v = append_rows(df(keys), root)
+            model[v] = model[order[-1]] | keys
+            order.append(v)
+        elif kind == "vacuum":
+            if not order:
+                continue
+            for d in vacuum_snapshots(
+                root, keep_last=payload, orphan_min_age_seconds=0.0
+            ):
+                model.pop(d, None)
+                order.remove(d)
+        elif kind == "purge":
+            if not order:
+                continue
+            purge_rows(
+                spark, root, f"k >= {payload}", orphan_min_age_seconds=0.0
+            )
+            for v in model:
+                model[v] = {k for k in model[v] if k < payload}
+
+    if not order:
+        return
+    # content history still exact (data side)
+    for v in order:
+        assert set(_read_keys(spark, root, version=v)) == model[v]
+    # change-feed side: every adjacent retained pair's change rows
+    # transform the earlier content into the later content exactly
+    for prev, cur in zip(order, order[1:]):
+        rows = table_changes(spark, root, v_from=prev, v_to=cur).collect()
+        assert _apply_changes(model[prev], rows) == model[cur], (
+            f"feed ({prev}, {cur}] diverged after {ops}"
+        )
+    # and the full-range fold from the oldest retained version agrees
+    if len(order) > 1:
+        rows = table_changes(
+            spark, root, v_from=order[0], v_to=order[-1]
+        ).collect()
+        assert _apply_changes(model[order[0]], rows) == model[order[-1]]
