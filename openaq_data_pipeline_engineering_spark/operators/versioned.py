@@ -1665,6 +1665,34 @@ def clone_snapshot(
     return pinned
 
 
+def _link_tree(src: str, dst: str, skip: frozenset[str] = frozenset()) -> None:
+    """Stage ``src``'s files under ``dst`` by HARDLINK (same-filesystem
+    zero-copy; falls back to a real copy across devices). Used by
+    :func:`purge_rows` for version content the predicate does not touch
+    — the files are immutable, both names reference the same bytes, and
+    the swap's ``rmtree`` of the old directory just drops one name.
+    Top-level entries named in ``skip`` are omitted (the caller stages
+    them separately)."""
+    import shutil
+
+    def link_or_copy(s: str, d: str) -> None:
+        try:
+            os.link(s, d)
+        except OSError:
+            shutil.copy2(s, d)
+
+    os.makedirs(dst, exist_ok=True)
+    for name in os.listdir(src):
+        if name in skip:
+            continue
+        s = os.path.join(src, name)
+        d = os.path.join(dst, name)
+        if os.path.isdir(s):
+            shutil.copytree(s, d, copy_function=link_or_copy)
+        else:
+            link_or_copy(s, d)
+
+
 def _recover_interrupted_purge(root: str) -> None:
     """Heal a :func:`purge_rows` that crashed mid-swap. States:
 
@@ -1866,8 +1894,12 @@ def purge_rows(
             matches = F.coalesce(F.expr(predicate), F.lit(False))
             df.filter(~matches).write.mode("overwrite").parquet(tmp)
         else:
-            # only the change files match; the data is carried whole
-            df.write.mode("overwrite").parquet(tmp)
+            # only the CHANGE files match (a purged row's pre-image in
+            # the version that deleted it); the data itself is
+            # untouched — hardlink it into the staging dir instead of
+            # rewriting the whole version through Spark (zero
+            # data-plane I/O for a metadata-only carry)
+            _link_tree(path, tmp, skip=frozenset({"_changes"}))
         if ch_df is not None:
             if ch_purged:
                 ch_df.filter(
@@ -1876,7 +1908,8 @@ def purge_rows(
                     os.path.join(tmp, "_changes")
                 )
             else:
-                shutil.copytree(ch, os.path.join(tmp, "_changes"))
+                # change files untouched: same zero-copy carry
+                _link_tree(ch, os.path.join(tmp, "_changes"))
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old, ignore_errors=True)

@@ -182,3 +182,43 @@ class TestPurgeSinglePassMetrics:
             (3, "c"),
         }
         assert _rows(read_snapshot(spark, root)) == {(3, "c")}
+
+
+class TestPurgeZeroCopyCarry:
+    """A version whose DATA has no matches but whose _changes sidecar
+    does (the deleted-row pre-image case) must carry its data by
+    hardlink, not a full Spark rewrite — zero data-plane I/O when only
+    metadata changes."""
+
+    def test_untouched_data_is_hardlinked_not_rewritten(
+        self, spark, tmp_path
+    ):
+        root = str(tmp_path / "zc")
+        enable_change_feed(spark, root, keys=["k"])
+        write_snapshot(_df(spark, [(1, "gone"), (2, "b")]), root)  # v1
+        write_snapshot(_df(spark, [(2, "b")]), root)  # v2: deletes k=1
+        v2 = os.path.join(root, "v=2")
+        from openaq_data_pipeline_engineering_spark.operators.compact import (
+            iter_data_parquet_files,
+        )
+
+        inodes_before = {
+            f: os.stat(f).st_ino for f in iter_data_parquet_files(v2)
+        }
+        # v2's data holds no k=1, but its change set carries the
+        # delete PRE-image (k=1, 'gone') — erasure must reach it
+        res = versioned.purge_rows(
+            spark, root, "k = 1", orphan_min_age_seconds=0
+        )
+        assert res == [(1, 1, 1), (2, 0, 1)]
+        # the pre-image is gone from the feed ...
+        ch = versioned.table_changes(spark, root, v_from=1, v_to=2)
+        assert [r["k"] for r in ch.collect()] == []
+        # ... and v2's data files were carried by hardlink (same
+        # inodes), not rewritten
+        inodes_after = {
+            f: os.stat(f).st_ino for f in iter_data_parquet_files(v2)
+        }
+        assert inodes_after == inodes_before
+        assert _rows(read_snapshot(spark, root, version=2)) == {(2, "b")}
+        assert _rows(read_snapshot(spark, root, version=1)) == {(2, "b")}
