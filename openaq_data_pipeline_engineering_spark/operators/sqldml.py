@@ -179,14 +179,20 @@ def _execute_dml_on_root(spark: SparkSession, sql: str, pm, lowering):
     new_v = write_snapshot(result, root, expected_latest=base)
     import pyarrow.parquet as pq
 
+    from openaq_data_pipeline_engineering_spark.operators.compact import (
+        iter_data_parquet_files,
+    )
+
     def _rows(version: int) -> int:
-        n = 0
-        d = os.path.join(root, f"v={version}")
-        for r, _dirs, files in os.walk(d):
-            for f in files:
-                if f.endswith(".parquet"):
-                    n += pq.ParquetFile(os.path.join(r, f)).metadata.num_rows
-        return n
+        # DATA files only: on a CDF-enabled root the new version also
+        # holds a _changes sidecar, whose rows must not count into the
+        # statement's n_rows (Spark reads of the directory ignore it).
+        return sum(
+            pq.ParquetFile(p).metadata.num_rows
+            for p in iter_data_parquet_files(
+                os.path.join(root, f"v={version}")
+            )
+        )
 
     return spark.createDataFrame(
         [(int(new_v), int(_rows(new_v)), int(base))],

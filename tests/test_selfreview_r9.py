@@ -222,3 +222,20 @@ class TestPurgeZeroCopyCarry:
         assert inodes_after == inodes_before
         assert _rows(read_snapshot(spark, root, version=2)) == {(2, "b")}
         assert _rows(read_snapshot(spark, root, version=1)) == {(2, "b")}
+
+
+class TestPathDmlMetricsOnCdfTables:
+    def test_update_n_rows_excludes_change_sidecar(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.sqldml import (
+            execute_update_statement,
+        )
+
+        root = str(tmp_path / "dmlcdf")
+        enable_change_feed(spark, root, keys=["k"])
+        write_snapshot(_df(spark, [(1, "a"), (2, "b")]), root)
+        m = execute_update_statement(
+            spark, f"UPDATE '{root}' SET v = 'X' WHERE k = 2"
+        ).first()
+        # the new version carries 2 data rows; its _changes sidecar
+        # (update pre+post images) must not inflate the count
+        assert m["n_rows"] == 2
