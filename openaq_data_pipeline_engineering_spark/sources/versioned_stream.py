@@ -237,7 +237,11 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"version": self.starting}
 
-    def _version_bytes(self, version: int) -> int:
+    def _version_bytes(self, version: int, mode: str = "full") -> int:
+        """Parquet bytes this version would STREAM in the current mode:
+        a delta's own files; in readChangeFeed mode a full commit
+        streams its ``_changes`` sidecar, so byte admission weighs
+        that, not the (possibly far larger) rewritten data."""
         from openaq_data_pipeline_engineering_spark.operators.versioned import (
             _version_dir,
         )
@@ -246,6 +250,10 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
             d = _version_dir(self.root, version)
         except FileNotFoundError:
             return 0  # restore markers own no data
+        if self.read_changes and mode == "full":
+            d = os.path.join(d, "_changes")
+            if not os.path.isdir(d):
+                return 0  # pre-enablement commit: plan-time error/skip
         return sum(
             os.path.getsize(os.path.join(d, f))
             for f in os.listdir(d)
@@ -254,10 +262,11 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         from openaq_data_pipeline_engineering_spark.operators.versioned import (
-            snapshot_versions,
+            _read_manifest_doc,
         )
 
-        versions = snapshot_versions(self.root)
+        doc = _read_manifest_doc(self.root)
+        versions = doc["versions"]
         latest = versions[-1] if versions else self.starting
         end = max(latest, self._floor)
         if latest > self._floor and (self.max_versions or self.max_bytes):
@@ -267,7 +276,9 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
             if self.max_bytes:
                 admitted, total = [], 0
                 for v in pending:
-                    total += self._version_bytes(v)
+                    total += self._version_bytes(
+                        v, doc["modes"].get(v, "full")
+                    )
                     admitted.append(v)
                     if total >= self.max_bytes:
                         break  # always >= 1 commit per batch

@@ -421,3 +421,46 @@ def test_large_commit_file_splits_into_row_group_partitions(spark, tmp_path):
     )
     _drain(stream, out, ckpt)
     assert _keys(spark, out) == list(range(30))
+
+
+def test_byte_admission_weighs_change_files_in_cdf_mode(spark, tmp_path):
+    """maxBytesPerBatch must measure what the batch will STREAM: in
+    readChangeFeed mode a full commit streams its _changes sidecar, not
+    the (possibly far larger) rewritten data."""
+    from pyspark.sql.types import StructType
+
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        enable_change_feed,
+    )
+    from openaq_data_pipeline_engineering_spark.sources.versioned_stream import (
+        VersionedFeedStreamReader,
+    )
+
+    root = str(tmp_path / "t")
+    enable_change_feed(spark, root, keys=["k"])
+    big = spark.range(20000).selectExpr("id AS k", "repeat('x', 50) AS tag")
+    write_snapshot(big, root)  # v1: big data, big all-insert change set
+    # v2 rewrites ONE row: big data again, but a tiny change set
+    write_snapshot(
+        big.selectExpr(
+            "k", "IF(k = 0, 'CHANGED', tag) AS tag"
+        ),
+        root,
+    )
+    schema = StructType.fromDDL("k long, tag string")
+    data_reader = VersionedFeedStreamReader(
+        schema, {"root": root, "ignorechanges": "true"}
+    )
+    cdf_schema = StructType.fromDDL(
+        "k long, tag string, _change_type string, _commit_version long"
+    )
+    cdf_reader = VersionedFeedStreamReader(
+        cdf_schema, {"root": root, "readchangefeed": "true"}
+    )
+    data_v2 = data_reader._version_bytes(2, "full")
+    cdf_v2 = cdf_reader._version_bytes(2, "full")
+    assert cdf_v2 > 0
+    assert cdf_v2 < data_v2 / 4, (
+        "CDF admission must weigh the small change set, not the data: "
+        f"cdf={cdf_v2} data={data_v2}"
+    )
