@@ -203,7 +203,7 @@ class Engine:
         routed = _strip_comments(query, strict=False)
         if _re.match(r"\s*MERGE\s+INTO\b", routed, _re.IGNORECASE):
             from openaq_data_pipeline_engineering_spark.operators.sqlmerge import (
-                execute_merge,
+                execute_merge_statement,
             )
 
             # execute_merge re-strips (idempotently) for its spans.
@@ -215,7 +215,12 @@ class Engine:
                 ).lower()
                 == "true"
             )
-            return execute_merge(self.spark, query, evolve_schema=evolve)
+            # Quoted-path targets publish atomically onto the versioned
+            # root (optimistic guard); name targets return the
+            # post-merge frame for the caller to publish.
+            return execute_merge_statement(
+                self.spark, query, evolve_schema=evolve
+            )
         if _re.match(r"\s*UPDATE\b", routed, _re.IGNORECASE):
             from openaq_data_pipeline_engineering_spark.operators.sqldml import (
                 execute_update_statement,

@@ -720,3 +720,87 @@ def release_merge_cache(df: DataFrame) -> bool:
     pinned.unpersist()
     df._merge_pinned = None
     return True
+
+
+# ---------------------------------------------------------------------------
+# Quoted-path targets: MERGE INTO '<versioned root>' USING ... runs the
+# SAME lowering over the latest snapshot and publishes the result
+# atomically as a new version with the optimistic guard pinned to the
+# version it read — the MERGE twin of the path-target UPDATE/DELETE
+# contract (operators/sqldml). Name targets keep the legacy contract
+# (the post-merge frame is returned; the caller publishes).
+# ---------------------------------------------------------------------------
+
+_MERGE_PATH_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+'(?P<path>[^']+)'", re.IGNORECASE
+)
+
+
+def execute_merge_statement(
+    spark: SparkSession, sql: str, evolve_schema: bool = False
+) -> DataFrame:
+    """Entry used by Engine.sql.
+
+    A quoted-PATH target reads the versioned root's LATEST snapshot,
+    runs the merge lowering against it, and commits the result with
+    ``expected_latest`` pinned to the version read — a concurrent
+    commit landing mid-merge raises ConcurrentWriteError instead of
+    being silently erased (Delta's MERGE conflict semantics). CHECK
+    constraints and change-feed materialization ride the commit as for
+    every write. Returns one metrics row
+    ``(version, n_rows, base_version)``, the same shape as path-target
+    UPDATE/DELETE; the strict-merge cache is released whether or not
+    the commit succeeds."""
+    # Comment-strip (same length, idempotent) then literal-mask: a
+    # leading comment must not hide the path form, and a path-shaped
+    # string elsewhere must not trigger it; spans index the original.
+    pm = _MERGE_PATH_RE.match(_mask_literals(_strip_comments(sql)))
+    if pm is None:
+        return execute_merge(spark, sql, evolve_schema=evolve_schema)
+    import os
+
+    import pyarrow.parquet as pq
+
+    from openaq_data_pipeline_engineering_spark.operators.compact import (
+        iter_data_parquet_files,
+    )
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    # pm matched the literal-MASKED text; spans are same-length
+    # aligned, so slice the ORIGINAL statement for the real path.
+    root = sql[pm.start("path") : pm.end("path")]
+    versions = snapshot_versions(root)
+    if not versions:
+        raise MergeError(
+            f"{root!r} has no committed versions; path-target MERGE "
+            "needs an existing versioned table (INSERT OVERWRITE "
+            "creates one)"
+        )
+    base = versions[-1]
+    target = read_snapshot(spark, root, version=base)
+    rewritten = (
+        sql[: pm.start("path") - 1]
+        + "__merge_target__"
+        + sql[pm.end("path") + 1 :]
+    )
+    result = execute_merge(
+        spark, rewritten, target_df=target, evolve_schema=evolve_schema
+    )
+    try:
+        new_v = write_snapshot(result, root, expected_latest=base)
+    finally:
+        # the pinned join cache is useless once published — or once the
+        # commit failed (constraint violation / concurrent writer)
+        release_merge_cache(result)
+    n_rows = sum(
+        pq.ParquetFile(p).metadata.num_rows
+        for p in iter_data_parquet_files(os.path.join(root, f"v={new_v}"))
+    )
+    return spark.createDataFrame(
+        [(int(new_v), int(n_rows), int(base))],
+        "version int, n_rows bigint, base_version int",
+    )

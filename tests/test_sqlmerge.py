@@ -609,3 +609,172 @@ class TestBacktickColumns:
         )
         got = {r["k"]: r["end"] for r in out.collect()}
         assert got == {1: "x", 2: "Y"}
+
+
+class TestPathTargetMerge:
+    """MERGE INTO '<versioned root>' — atomic publish with the
+    optimistic guard, the MERGE twin of path-target UPDATE/DELETE."""
+
+    def _seed(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            write_snapshot,
+        )
+
+        root = str(tmp_path / "vt")
+        write_snapshot(
+            spark.createDataFrame(
+                [(1, "a"), (2, "b")], "k int, v string"
+            ),
+            root,
+        )
+        spark.createDataFrame(
+            [(2, "B"), (3, "c")], "k int, v string"
+        ).createOrReplaceTempView("merge_src")
+        return root
+
+    def test_upsert_publishes_new_version(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.sqlmerge import (
+            execute_merge_statement,
+        )
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            read_snapshot,
+        )
+
+        root = self._seed(spark, tmp_path)
+        m = execute_merge_statement(
+            spark,
+            f"MERGE INTO '{root}' AS t USING merge_src AS s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT *",
+        ).first()
+        assert (m["version"], m["n_rows"], m["base_version"]) == (2, 3, 1)
+        got = {
+            (r["k"], r["v"])
+            for r in read_snapshot(spark, root).collect()
+        }
+        assert got == {(1, "a"), (2, "B"), (3, "c")}
+        # history intact: v1 unchanged
+        assert {
+            (r["k"], r["v"])
+            for r in read_snapshot(spark, root, version=1).collect()
+        } == {(1, "a"), (2, "b")}
+
+    def test_engine_sql_routes_the_path_form(self, spark, tmp_path):
+        root = self._seed(spark, tmp_path)
+        m = Engine(spark).sql(
+            f"MERGE INTO '{root}' AS t USING merge_src AS s ON t.k = s.k "
+            "WHEN MATCHED THEN DELETE"
+        ).first()
+        assert m["version"] == 2
+        assert m["n_rows"] == 1  # k=2 deleted, k=1 remains
+
+    def test_name_targets_keep_the_legacy_contract(self, spark):
+        # a NAME target still returns the post-merge frame, no publish
+        spark.createDataFrame(
+            [(1, "a")], "k int, v string"
+        ).createOrReplaceTempView("merge_tgt_name")
+        spark.createDataFrame(
+            [(1, "A")], "k int, v string"
+        ).createOrReplaceTempView("merge_src")
+        out = Engine(spark).sql(
+            "MERGE INTO merge_tgt_name AS t USING merge_src AS s "
+            "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v"
+        )
+        assert {tuple(r) for r in out.collect()} == {(1, "A")}
+
+    def test_constraint_violation_leaves_the_table_unchanged(
+        self, spark, tmp_path
+    ):
+        from openaq_data_pipeline_engineering_spark.operators.sqlmerge import (
+            execute_merge_statement,
+        )
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            ConstraintViolationError,
+            add_constraint,
+            read_snapshot,
+            snapshot_versions,
+        )
+
+        root = self._seed(spark, tmp_path)
+        add_constraint(spark, root, "k_small", "k <= 2")
+        with pytest.raises(ConstraintViolationError):
+            execute_merge_statement(
+                spark,
+                f"MERGE INTO '{root}' AS t USING merge_src AS s "
+                "ON t.k = s.k WHEN NOT MATCHED THEN INSERT *",
+            )
+        assert snapshot_versions(root) == [1]
+        assert {
+            (r["k"], r["v"])
+            for r in read_snapshot(spark, root).collect()
+        } == {(1, "a"), (2, "b")}
+
+    def test_concurrent_commit_raises_instead_of_lost_update(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from openaq_data_pipeline_engineering_spark.operators import (
+            sqlmerge as sm,
+        )
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            ConcurrentWriteError,
+            write_snapshot,
+        )
+
+        root = self._seed(spark, tmp_path)
+        real = sm.execute_merge
+
+        def racing(spark_, sql_, **kw):
+            out = real(spark_, sql_, **kw)
+            # a racer commits between the merge's read and its publish
+            write_snapshot(
+                spark.createDataFrame([(9, "z")], "k int, v string"),
+                root,
+            )
+            return out
+
+        monkeypatch.setattr(sm, "execute_merge", racing)
+        with pytest.raises(ConcurrentWriteError):
+            sm.execute_merge_statement(
+                spark,
+                f"MERGE INTO '{root}' AS t USING merge_src AS s "
+                "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v",
+            )
+
+    def test_merge_into_cdf_root_materializes_changes(
+        self, spark, tmp_path
+    ):
+        from openaq_data_pipeline_engineering_spark.operators.sqlmerge import (
+            execute_merge_statement,
+        )
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            enable_change_feed,
+            table_changes,
+            write_snapshot,
+        )
+
+        root = str(tmp_path / "cdfm")
+        enable_change_feed(spark, root, keys=["k"])
+        write_snapshot(
+            spark.createDataFrame(
+                [(1, "a"), (2, "b")], "k int, v string"
+            ),
+            root,
+        )
+        spark.createDataFrame(
+            [(2, "B"), (3, "c")], "k int, v string"
+        ).createOrReplaceTempView("merge_src")
+        execute_merge_statement(
+            spark,
+            f"MERGE INTO '{root}' AS t USING merge_src AS s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT *",
+        )
+        ch = {
+            (r["k"], r["v"], r["_change_type"])
+            for r in table_changes(spark, root, v_from=1).collect()
+        }
+        assert ch == {
+            (2, "b", "update_preimage"),
+            (2, "B", "update_postimage"),
+            (3, "c", "insert"),
+        }
