@@ -310,6 +310,7 @@ class Engine:
 
             return execute_clone(self.spark, _strip_comments(query))
         rewritten = self._rewrite_time_travel(query, routed)
+        rewritten = self._rewrite_table_changes(rewritten)
         return self.spark.sql(rewritten)
 
     # FROM '<versioned root>' VERSION AS OF 3 | TIMESTAMP AS OF '<ts>'
@@ -384,6 +385,56 @@ class Engine:
                 view = f"__time_travel_{Engine._tt_counter}"
             df.createOrReplaceTempView(view)
             out.append(query[last : m.end("from")])
+            out.append(view)
+            last = m.end()
+        out.append(query[last:])
+        return "".join(out)
+
+    # table_changes('<root or registered name>', v_from[, v_to]) — the
+    # CDF table-valued function (Delta's table_changes TVF): resolves
+    # to the materialized change rows of the commit range (v_from,
+    # v_to] via operators/versioned.table_changes, spliced in as a
+    # pinned temp view like the AS-OF rewrite above.
+    _TC_RE = re.compile(
+        r"\btable_changes\s*\(\s*'(?P<path>[^']*)'\s*,\s*"
+        r"(?P<from>\d+)\s*(?:,\s*(?P<to>\d+)\s*)?\)",
+        re.IGNORECASE,
+    )
+
+    def _rewrite_table_changes(self, query: str) -> str:
+        """Splice every ``table_changes('<target>', a[, b])`` call into
+        a temp view over the versioned change feed. Matching runs on
+        comment-stripped, literal-masked (same-length) text — the
+        quoted target is a string literal, recovered from the original
+        by span — and view names share the process-wide counter, so
+        concurrent Engine.sql calls never clobber each other. The
+        target is a versioned root path, or a name bound by
+        :meth:`register_versioned`."""
+        from openaq_data_pipeline_engineering_spark.operators.sqlmerge import (
+            _mask_literals,
+            _strip_comments,
+        )
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            table_changes,
+        )
+
+        masked = _mask_literals(_strip_comments(query, strict=False))
+        out: list[str] = []
+        last = 0
+        for m in self._TC_RE.finditer(masked):
+            target = query[m.start("path") : m.end("path")]
+            root = self._versioned_tables.get(target, target)
+            df = table_changes(
+                self.spark,
+                root,
+                v_from=int(m.group("from")),
+                v_to=int(m.group("to")) if m.group("to") else None,
+            )
+            with _TT_COUNTER_LOCK:
+                Engine._tt_counter += 1
+                view = f"__table_changes_{Engine._tt_counter}"
+            df.createOrReplaceTempView(view)
+            out.append(query[last : m.start()])
             out.append(view)
             last = m.end()
         out.append(query[last:])

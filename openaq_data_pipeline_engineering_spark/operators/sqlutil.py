@@ -594,6 +594,16 @@ _ALTER_DROP_RE = re.compile(
     re.IGNORECASE,
 )
 
+# ALTER TABLE '<root>' ENABLE CHANGE FEED (k1[, k2...]) — the statement
+# form of operators/versioned.enable_change_feed (Delta spells this
+# SET TBLPROPERTIES (delta.enableChangeDataFeed = true); this engine
+# needs explicit key columns because plain parquet has no row identity).
+_ALTER_CDF_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+'(?P<path>[^']+)'\s+ENABLE\s+CHANGE\s+FEED\s*"
+    r"\((?P<keys>[^)]+)\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 
 def _asof_kwargs(kind: str | None, val: str | None) -> dict:
     """(kind, raw value) from an AS-OF clause → read_snapshot-style
@@ -772,10 +782,22 @@ def execute_alter(spark: SparkSession, sql: str) -> DataFrame:
             [(m.group("name"), "dropped" if existed else "absent", None)],
             "constraint string, action string, expr string",
         )
+    m = _ALTER_CDF_RE.match(sql)
+    if m:
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            enable_change_feed,
+        )
+
+        keys = [k.strip() for k in m.group("keys").split(",")]
+        enable_change_feed(spark, m.group("path"), keys)
+        return spark.createDataFrame(
+            [("change_feed", "enabled", ", ".join(keys))],
+            "constraint string, action string, expr string",
+        )
     raise UtilStatementError(
         "unparseable ALTER TABLE; expected ALTER TABLE '<root>' "
-        "ADD CONSTRAINT <name> CHECK (<expr>) or DROP CONSTRAINT "
-        "[IF EXISTS] <name>"
+        "ADD CONSTRAINT <name> CHECK (<expr>), DROP CONSTRAINT "
+        "[IF EXISTS] <name>, or ENABLE CHANGE FEED (key cols)"
     )
 
 

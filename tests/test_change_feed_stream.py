@@ -313,3 +313,90 @@ class TestBatchTableChanges:
             table_changes(spark, root, v_from=2)
         # empty range: typed empty result, not an error
         assert table_changes(spark, root, v_from=99).count() == 0
+
+
+class TestChangeFeedSqlSurface:
+    """Statement forms of the change feed: ALTER TABLE ... ENABLE
+    CHANGE FEED (keys) and the table_changes('<target>', a[, b]) TVF
+    in queries (Delta's table_changes parity)."""
+
+    def _seed(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.engine import Engine
+
+        eng = Engine(spark)
+        root = str(tmp_path / "t")
+        eng.sql(
+            f"ALTER TABLE '{root}' ENABLE CHANGE FEED (k)"
+        )
+        write_snapshot(_df(spark, [(1, "a"), (2, "b")]), root)
+        write_snapshot(_df(spark, [(2, "B"), (3, "c")]), root)
+        return eng, root
+
+    def test_alter_enable_change_feed_records_keys(self, spark, tmp_path):
+        eng, root = self._seed(spark, tmp_path)
+        assert change_feed_keys(root) == ["k"]
+        row = eng.sql(
+            f"ALTER TABLE '{root}' DROP CONSTRAINT IF EXISTS nope"
+        ).first()
+        assert row["action"] == "absent"  # routing still sound
+
+    def test_alter_enable_twice_fails_loudly(self, spark, tmp_path):
+        eng, root = self._seed(spark, tmp_path)
+        with pytest.raises(ValueError, match="already enabled"):
+            eng.sql(f"ALTER TABLE '{root}' ENABLE CHANGE FEED (k, v)")
+
+    def test_table_changes_tvf_in_a_query(self, spark, tmp_path):
+        eng, root = self._seed(spark, tmp_path)
+        got = {
+            (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+            for r in eng.sql(
+                f"SELECT * FROM table_changes('{root}', 1, 2)"
+            ).collect()
+        }
+        assert got == {
+            (1, "a", "delete", 2),
+            (2, "b", "update_preimage", 2),
+            (2, "B", "update_postimage", 2),
+            (3, "c", "insert", 2),
+        }
+
+    def test_table_changes_tvf_composes_with_aggregation(
+        self, spark, tmp_path
+    ):
+        eng, root = self._seed(spark, tmp_path)
+        row = eng.sql(
+            "SELECT _change_type, COUNT(*) AS n FROM "
+            f"table_changes('{root}', 1) "
+            "GROUP BY _change_type ORDER BY _change_type"
+        ).collect()
+        assert [(r["_change_type"], r["n"]) for r in row] == [
+            ("delete", 1),
+            ("insert", 1),
+            ("update_postimage", 1),
+            ("update_preimage", 1),
+        ]
+
+    def test_table_changes_tvf_over_registered_name(self, spark, tmp_path):
+        eng, root = self._seed(spark, tmp_path)
+        eng.register_versioned("cdf_tbl", root)
+        got = {
+            r["_change_type"]
+            for r in eng.sql(
+                "SELECT _change_type FROM table_changes('cdf_tbl', 1, 2)"
+            ).collect()
+        }
+        assert got == {
+            "delete",
+            "insert",
+            "update_preimage",
+            "update_postimage",
+        }
+
+    def test_tvf_inside_a_string_literal_is_not_rewritten(
+        self, spark, tmp_path
+    ):
+        eng, _root = self._seed(spark, tmp_path)
+        row = eng.sql(
+            "SELECT \"call table_changes('x', 1)\" AS note"
+        ).first()
+        assert row["note"] == "call table_changes('x', 1)"
