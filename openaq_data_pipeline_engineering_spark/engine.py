@@ -299,6 +299,12 @@ class Engine:
             )
 
             return execute_alter(self.spark, _strip_comments(query))
+        if _re.match(r"\s*CONVERT\s+'", routed, _re.IGNORECASE):
+            from openaq_data_pipeline_engineering_spark.operators.sqlutil import (
+                execute_convert,
+            )
+
+            return execute_convert(self.spark, _strip_comments(query))
         if _re.match(
             r"\s*CREATE\s+TABLE\s+'[^']+'\s+SHALLOW\s+CLONE\b",
             routed,

@@ -830,6 +830,41 @@ def execute_purge(spark: SparkSession, sql: str) -> DataFrame:
     )
 
 
+_CONVERT_RE = re.compile(
+    r"^\s*CONVERT\s+'(?P<path>[^']+)'\s+TO\s+VERSIONED\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def execute_convert(spark: SparkSession, sql: str) -> DataFrame:
+    """CONVERT '<plain parquet dir>' TO VERSIONED — adopt an existing
+    table as version 1 of a versioned root without copying data
+    (operators/versioned.versionize_table; Delta's CONVERT TO DELTA
+    shape — every top-level entry moves by one atomic rename). The
+    metrics row's counts come from parquet footers of the adopted
+    version."""
+    from openaq_data_pipeline_engineering_spark.operators.compact import (
+        iter_data_parquet_files,
+    )
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        versionize_table,
+    )
+
+    m = _CONVERT_RE.match(sql)
+    if not m:
+        raise UtilStatementError(
+            "unparseable CONVERT; expected CONVERT '<path>' TO VERSIONED"
+        )
+    root = m.group("path")
+    version = versionize_table(root)
+    vdir = os.path.join(root, f"v={version}")
+    n_files = sum(1 for _ in iter_data_parquet_files(vdir))
+    return spark.createDataFrame(
+        [(int(version), int(n_files), int(_footer_row_count(vdir)))],
+        "version int, n_files int, n_rows bigint",
+    )
+
+
 _DETAIL_RE = re.compile(
     r"^\s*DESCRIBE\s+DETAIL\s+'(?P<path>[^']+)'\s*;?\s*$",
     re.IGNORECASE,

@@ -1665,6 +1665,81 @@ def clone_snapshot(
     return pinned
 
 
+_CONVERT_MARKER = "_CONVERTING"
+
+
+def versionize_table(root: str) -> int:
+    """Adopt an existing plain parquet table (flat or Hive-partitioned)
+    as version 1 of a versioned root WITHOUT copying data — Delta's
+    ``CONVERT TO DELTA`` shape. Every top-level entry moves into
+    ``v=1/`` by same-filesystem ``os.rename`` (one atomic metadata op
+    per entry — a 100 TB table converts in O(top-level entries), zero
+    bytes moved), then the manifest commits. Returns the version (1).
+
+    Crash safety: the claimed ``v=1`` carries a ``_CONVERTING`` marker
+    until the manifest commit lands. Each entry rename is atomic and
+    entries are disjoint, so a crashed conversion is RESUMED by calling
+    this again (remaining entries move, then the commit); a crash after
+    the commit but before marker removal is healed the same way (the
+    call removes the stale marker and reports success — idempotent).
+    Readers during conversion: versioned readers fail loudly (no
+    committed versions yet); a PLAIN reader of the directory sees a
+    shrinking table — schedule conversions like any maintenance window.
+
+    Refuses on an already-versioned root (no marker), on a directory
+    with no parquet data, and when ``v=1`` was claimed by a concurrent
+    ordinary writer (claim present, marker absent, manifest absent —
+    that claim belongs to someone else's in-flight first write)."""
+    from openaq_data_pipeline_engineering_spark.operators.metastore import (
+        get_metadata_store,
+    )
+
+    store = get_metadata_store()
+    vdir = os.path.join(root, "v=1")
+    marker = os.path.join(vdir, _CONVERT_MARKER)
+    doc = _read_manifest_doc(root)
+    if doc["versions"]:
+        if os.path.exists(marker):
+            os.remove(marker)  # crashed after commit: finish healing
+            return 1
+        raise FileExistsError(f"{root!r} is already a versioned root")
+    if not os.path.isdir(root):
+        raise FileNotFoundError(root)
+
+    def _movable() -> list[str]:
+        keep = {store.MANIFEST_NAME, "_VERSIONS.lock"}
+        return [
+            e
+            for e in os.listdir(root)
+            if e not in keep
+            and not (e.startswith("v=") and e[2:].isdigit())
+        ]
+
+    resuming = os.path.exists(marker)
+    if not resuming:
+        has_parquet = any(
+            f.endswith(".parquet")
+            for _r, _d, files in os.walk(root)
+            for f in files
+        )
+        if not has_parquet:
+            raise FileNotFoundError(
+                f"no parquet data under {root!r} to convert"
+            )
+        if not store.claim_version_dir(root, 1):
+            raise ConcurrentWriteError(
+                f"v=1 of {root!r} is already claimed by another writer; "
+                "a table being written to cannot be converted"
+            )
+        with open(marker, "w") as f:
+            f.write("versionize_table in progress")
+    for e in _movable():
+        os.rename(os.path.join(root, e), os.path.join(vdir, e))
+    _commit_version(root, 1)
+    os.remove(marker)
+    return 1
+
+
 def _link_tree(src: str, dst: str, skip: frozenset[str] = frozenset()) -> None:
     """Stage ``src``'s files under ``dst`` by HARDLINK (same-filesystem
     zero-copy; falls back to a real copy across devices). Used by

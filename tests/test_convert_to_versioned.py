@@ -1,0 +1,143 @@
+"""CONVERT '<plain parquet dir>' TO VERSIONED — zero-copy adoption of
+an existing table into the versioned protocol (Delta's CONVERT TO
+DELTA shape: every top-level entry moves into ``v=1`` by one atomic
+rename; the manifest then commits). Crash anywhere → rerunning the
+conversion resumes it."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from openaq_data_pipeline_engineering_spark.engine import Engine
+from openaq_data_pipeline_engineering_spark.operators.versioned import (
+    read_snapshot,
+    snapshot_versions,
+    versionize_table,
+    write_snapshot,
+)
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+class TestConvertToVersioned:
+    def test_flat_table_adopts_without_data_moves(self, spark, tmp_path):
+        root = str(tmp_path / "flat")
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+        )
+        df.repartition(3).write.parquet(root)
+        before = _rows(spark.read.parquet(root))
+        inodes_before = {
+            os.stat(os.path.join(root, f)).st_ino
+            for f in os.listdir(root)
+            if f.endswith(".parquet")
+        }
+        m = Engine(spark).sql(f"CONVERT '{root}' TO VERSIONED").first()
+        assert m["version"] == 1 and m["n_rows"] == 3
+        assert snapshot_versions(root) == [1]
+        assert _rows(read_snapshot(spark, root)) == before
+        # zero-copy: the same inodes now live under v=1
+        v1 = os.path.join(root, "v=1")
+        inodes_after = {
+            os.stat(os.path.join(v1, f)).st_ino
+            for f in os.listdir(v1)
+            if f.endswith(".parquet")
+        }
+        assert inodes_after == inodes_before
+        # no stray data left at the root: plain reads can't double-read
+        assert not any(
+            f.endswith(".parquet") for f in os.listdir(root)
+        )
+        # the adopted table is a first-class versioned root
+        write_snapshot(
+            spark.createDataFrame([(9, "z")], "k int, v string"), root
+        )
+        assert snapshot_versions(root) == [1, 2]
+        assert _rows(read_snapshot(spark, root, version=1)) == before
+
+    def test_partitioned_layout_is_preserved(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        root = str(tmp_path / "part")
+        df = spark.range(60).select(
+            F.col("id").alias("k"),
+            F.lpad((F.col("id") % 3).cast("string"), 2, "0").alias("m"),
+        )
+        df.write.partitionBy("m").parquet(root)
+        before = _rows(
+            spark.read.parquet(root).select("k", F.col("m").cast("string"))
+        )
+        versionize_table(root)
+        got = read_snapshot(spark, root)
+        assert _rows(got.select("k", F.col("m").cast("string"))) == before
+        # partition directory spellings survive under v=1
+        assert sorted(
+            d
+            for d in os.listdir(os.path.join(root, "v=1"))
+            if d.startswith("m=")
+        ) == ["m=00", "m=01", "m=02"]
+
+    def test_already_versioned_refuses(self, spark, tmp_path):
+        root = str(tmp_path / "v")
+        write_snapshot(
+            spark.createDataFrame([(1, "a")], "k int, v string"), root
+        )
+        with pytest.raises(FileExistsError, match="already a versioned"):
+            versionize_table(root)
+
+    def test_empty_dir_refuses(self, spark, tmp_path):
+        root = str(tmp_path / "empty")
+        os.makedirs(root)
+        with pytest.raises(FileNotFoundError, match="no parquet data"):
+            versionize_table(root)
+
+    def test_crashed_conversion_resumes(self, spark, tmp_path, monkeypatch):
+        from openaq_data_pipeline_engineering_spark.operators import versioned
+
+        root = str(tmp_path / "crash")
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k int, v string"
+        )
+        df.repartition(2).write.parquet(root)
+        before = _rows(spark.read.parquet(root))
+
+        # crash after the FIRST entry rename
+        real_rename = os.rename
+        calls = {"n": 0}
+
+        def crashing(src, dst):
+            real_rename(src, dst)
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected crash mid-move")
+
+        monkeypatch.setattr(versioned.os, "rename", crashing)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            versionize_table(root)
+        monkeypatch.undo()
+        assert snapshot_versions(root) == []  # nothing committed yet
+        # rerun resumes: remaining entries move, the commit lands
+        assert versionize_table(root) == 1
+        assert _rows(read_snapshot(spark, root)) == before
+        assert not os.path.exists(os.path.join(root, "v=1", "_CONVERTING"))
+
+    def test_crash_after_commit_is_idempotently_healed(
+        self, spark, tmp_path
+    ):
+        root = str(tmp_path / "crash2")
+        spark.createDataFrame(
+            [(1, "a")], "k int, v string"
+        ).write.parquet(root)
+        versionize_table(root)
+        # simulate a crash that committed but left the marker behind
+        marker = os.path.join(root, "v=1", "_CONVERTING")
+        with open(marker, "w") as f:
+            f.write("stale")
+        assert versionize_table(root) == 1  # heals, reports success
+        assert not os.path.exists(marker)
+        with pytest.raises(FileExistsError):
+            versionize_table(root)  # now a plain already-versioned error
