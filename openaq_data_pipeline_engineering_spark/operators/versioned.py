@@ -1086,7 +1086,16 @@ def vacuum_snapshots(
         orphans = [
             v
             for v in _existing_version_dirs(root)
-            if v not in versions and _old_enough(v, orphan_grace)
+            if v not in versions
+            and _old_enough(v, orphan_grace)
+            # NEVER an orphan: a directory mid-CONVERSION holds the
+            # adopted table's ONLY copy (entries were MOVED in, the
+            # manifest not yet committed) — reclaiming it would destroy
+            # the table, not clean up a crashed writer's partial copy.
+            # versionize_table resumes it instead.
+            and not os.path.exists(
+                os.path.join(root, f"v={v}", _CONVERT_MARKER)
+            )
         ]
         # Txn entries survive data vacuum by default (see docstring);
         # an explicit txn_keep_last retires only entries trailing the
@@ -1889,6 +1898,20 @@ def purge_rows(
         if v in doc["versions"]:
             continue
         d = os.path.join(root, f"v={v}")
+        if os.path.exists(os.path.join(d, _CONVERT_MARKER)):
+            # Mid-conversion directory: the adopted table's only copy,
+            # not a crashed writer's partial data — deleting it would
+            # destroy the table. Treat like a young in-flight claim:
+            # defer with a report, or refuse so the operator resumes
+            # the conversion (versionize_table) before purging.
+            if defer_young_orphans:
+                deferred.append((-v, -1, -1))
+                continue
+            raise RuntimeError(
+                f"v={v} under {root!r} is a mid-conversion directory "
+                "(_CONVERTING marker): finish the conversion with "
+                "versionize_table, then rerun the purge"
+            )
         try:
             age = now - os.path.getmtime(d)
         except OSError:

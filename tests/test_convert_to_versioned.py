@@ -141,3 +141,72 @@ class TestConvertToVersioned:
         assert not os.path.exists(marker)
         with pytest.raises(FileExistsError):
             versionize_table(root)  # now a plain already-versioned error
+
+
+class TestConversionSurvivesMaintenance:
+    """A mid-conversion v=1 holds the adopted table's ONLY copy
+    (entries were MOVED in, manifest not yet committed) — vacuum and
+    purge must never treat it as a reclaimable crashed-writer orphan."""
+
+    def _half_converted(self, spark, tmp_path, monkeypatch):
+        from openaq_data_pipeline_engineering_spark.operators import versioned
+
+        root = str(tmp_path / "half")
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k int, v string"
+        ).repartition(2).write.parquet(root)
+        real_rename = os.rename
+        calls = {"n": 0}
+
+        def crashing(src, dst):
+            real_rename(src, dst)
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected crash mid-move")
+
+        monkeypatch.setattr(versioned.os, "rename", crashing)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            versionize_table(root)
+        monkeypatch.undo()
+        return root
+
+    def test_vacuum_never_reclaims_a_converting_dir(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            vacuum_snapshots,
+        )
+
+        root = self._half_converted(spark, tmp_path, monkeypatch)
+        # even with zero grace (the aggressive maintenance setting),
+        # the _CONVERTING dir survives
+        vacuum_snapshots(root, keep_last=1, orphan_min_age_seconds=0.0)
+        assert os.path.isdir(os.path.join(root, "v=1"))
+        assert versionize_table(root) == 1  # conversion still resumable
+        assert _rows(read_snapshot(spark, root)) == {(1, "a"), (2, "b")}
+
+    def test_purge_refuses_on_a_converting_dir(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            purge_rows,
+            write_snapshot,
+        )
+
+        root = self._half_converted(spark, tmp_path, monkeypatch)
+        # commit an unrelated version so the root is purgeable at all
+        write_snapshot(
+            spark.createDataFrame([(9, "z")], "k int, v string"), root
+        )
+        with pytest.raises(RuntimeError, match="mid-conversion"):
+            purge_rows(spark, root, "k = 1", orphan_min_age_seconds=0)
+        # bounded-progress mode defers it with an explicit report
+        res = purge_rows(
+            spark,
+            root,
+            "k = 1",
+            orphan_min_age_seconds=0,
+            defer_young_orphans=True,
+        )
+        assert (-1, -1, -1) in res
+        assert os.path.isdir(os.path.join(root, "v=1"))
