@@ -197,10 +197,24 @@ class Engine:
         # non-strict so a malformed comment in a SELECT surfaces as
         # Spark's parse error, never MergeError.
         from openaq_data_pipeline_engineering_spark.operators.sqlmerge import (
+            _mask_literals,
             _strip_comments,
         )
 
         routed = _strip_comments(query, strict=False)
+        # AS-OF and table_changes() rewrites run FIRST so they compose
+        # with every statement form — a time-travel read inside an
+        # INSERT body or a MERGE source is spliced before routing. Both
+        # are no-ops without a match, and no statement's own quoted
+        # target can match: the AS-OF pattern is anchored on FROM/JOIN
+        # (INTO/TO/CLONE targets don't qualify) and the TVF pattern on
+        # the literal call syntax.
+        masked = _mask_literals(routed)
+        if self._TT_RE.search(masked) or self._TC_RE.search(masked):
+            query = self._rewrite_table_changes(
+                self._rewrite_time_travel(query, routed)
+            )
+            routed = _strip_comments(query, strict=False)
         if _re.match(r"\s*MERGE\s+INTO\b", routed, _re.IGNORECASE):
             from openaq_data_pipeline_engineering_spark.operators.sqlmerge import (
                 execute_merge_statement,
@@ -315,9 +329,9 @@ class Engine:
             )
 
             return execute_clone(self.spark, _strip_comments(query))
-        rewritten = self._rewrite_time_travel(query, routed)
-        rewritten = self._rewrite_table_changes(rewritten)
-        return self.spark.sql(rewritten)
+        # AS-OF / TVF splices already happened above; plain SELECTs
+        # forward with their original (or spliced) text.
+        return self.spark.sql(query)
 
     # FROM '<versioned root>' VERSION AS OF 3 | TIMESTAMP AS OF '<ts>'
     # — the READ side of the lakehouse statement family (VERDICT r7

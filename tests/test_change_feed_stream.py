@@ -400,3 +400,49 @@ class TestChangeFeedSqlSurface:
             "SELECT \"call table_changes('x', 1)\" AS note"
         ).first()
         assert row["note"] == "call table_changes('x', 1)"
+
+
+class TestRewritesComposeWithStatements:
+    """AS-OF and table_changes() splices run before statement routing,
+    so they compose with INSERT bodies and MERGE sources."""
+
+    def test_insert_from_a_time_travel_read(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.engine import Engine
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        write_snapshot(_df(spark, [(1, "a"), (2, "b")]), src)  # v1
+        write_snapshot(_df(spark, [(9, "z")]), src)  # v2
+        eng = Engine(spark)
+        eng.sql(
+            f"INSERT OVERWRITE '{dst}' "
+            f"SELECT * FROM '{src}' VERSION AS OF 1"
+        )
+        assert {
+            tuple(r) for r in read_snapshot(spark, dst).collect()
+        } == {(1, "a"), (2, "b")}
+
+    def test_merge_using_a_table_changes_source(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.engine import Engine
+
+        cdc = str(tmp_path / "cdc")
+        tgt = str(tmp_path / "tgt")
+        enable_change_feed(spark, cdc, keys=["k"])
+        write_snapshot(_df(spark, [(1, "a"), (2, "b")]), cdc)  # v1
+        write_snapshot(_df(spark, [(1, "a"), (2, "B"), (3, "c")]), cdc)
+        write_snapshot(_df(spark, [(1, "a"), (2, "b")]), tgt)
+        eng = Engine(spark)
+        # replicate commit 2's changes into the target: post-images and
+        # inserts upsert, deletes would be handled by a DELETE clause
+        m = eng.sql(
+            f"MERGE INTO '{tgt}' AS t USING ("
+            f"  SELECT k, v FROM table_changes('{cdc}', 1, 2)"
+            "   WHERE _change_type IN ('insert', 'update_postimage')"
+            ") AS s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT *"
+        ).first()
+        assert m["version"] == 2
+        assert {
+            tuple(r) for r in read_snapshot(spark, tgt).collect()
+        } == {(1, "a"), (2, "B"), (3, "c")}
