@@ -214,6 +214,47 @@ def main() -> None:
         f"versioned feed (capped, Arrow exchange): streamed "
         f"{n_streamed} appended row(s) from the clone's commit log"
     )
+
+    # -- 8. statement-surface completions: CONVERT, path-MERGE, TVF ----
+    # Adopt an EXISTING plain parquet table as a versioned root without
+    # copying data (atomic per-entry renames into v=1).
+    plain = os.path.join(workdir, "plain_table")
+    spark.createDataFrame(
+        [(1, "pm25"), (2, "pm10"), (3, "o3")], "k int, parameter string"
+    ).write.parquet(plain)
+    conv = eng.sql(f"CONVERT '{plain}' TO VERSIONED").first()
+    print(
+        f"CONVERT TO VERSIONED: adopted {conv['n_rows']} rows as "
+        f"v{conv['version']} (zero bytes copied)"
+    )
+
+    # Enable a change feed on the adopted table, then mutate it with a
+    # PATH-TARGET MERGE: the statement reads the latest snapshot and
+    # publishes atomically under the optimistic guard.
+    eng.sql(f"ALTER TABLE '{plain}' ENABLE CHANGE FEED (k)")
+    spark.createDataFrame(
+        [(2, "pm10-corrected"), (4, "no2")], "k int, parameter string"
+    ).createOrReplaceTempView("param_fixes")
+    m = eng.sql(
+        f"MERGE INTO '{plain}' AS t USING param_fixes AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET parameter = s.parameter "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).first()
+    print(
+        f"path-target MERGE: v{m['base_version']} -> v{m['version']}, "
+        f"{m['n_rows']} rows"
+    )
+
+    # Query the commit's row-level changes with the table_changes()
+    # TVF — the same splice composes inside MERGE sources, so CDC
+    # replication is one statement.
+    for r in eng.sql(
+        f"SELECT _change_type, k, parameter "
+        f"FROM table_changes('{plain}', {conv['version']}) "
+        "ORDER BY _change_type, k"
+    ).collect():
+        print(f"  change: {r['_change_type']:17s} k={r['k']} "
+              f"parameter={r['parameter']}")
     spark.stop()
 
 
