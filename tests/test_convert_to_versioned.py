@@ -210,3 +210,64 @@ class TestConversionSurvivesMaintenance:
         )
         assert (-1, -1, -1) in res
         assert os.path.isdir(os.path.join(root, "v=1"))
+
+
+class TestConversionConcurrency:
+    def test_conversion_vs_first_writer_race_is_loud_or_serial(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A writer committing its own first snapshot while a conversion
+        is mid-move: the claim protocol forces the writer ABOVE v=1, so
+        the adopted data lands at v1 (history) and the racer's snapshot
+        is a later version — a serial order, never corruption. A writer
+        that claimed v=1 FIRST makes the conversion refuse loudly."""
+        from openaq_data_pipeline_engineering_spark.operators import versioned
+
+        root = str(tmp_path / "c")
+        spark.createDataFrame(
+            [(1, "adopted")], "k int, v string"
+        ).write.parquet(root)
+        racer_df = spark.createDataFrame(
+            [(9, "racer")], "k int, v string"
+        )
+        fired = {"done": False}
+        real_commit = versioned._commit_version
+
+        def racing_commit(r, version, *a, **kw):
+            # inject the racer's full write between the conversion's
+            # moves and its manifest commit
+            if not fired["done"] and version == 1:
+                fired["done"] = True
+                versioned.write_snapshot(racer_df, r)
+            return real_commit(r, version, *a, **kw)
+
+        monkeypatch.setattr(versioned, "_commit_version", racing_commit)
+        assert versionize_table(root) == 1
+        monkeypatch.undo()
+        assert fired["done"]
+        versions = snapshot_versions(root)
+        assert 1 in versions and len(versions) == 2
+        # serial order: the racer committed latest; the adopted table
+        # is pinned history at v1
+        assert {
+            tuple(r) for r in read_snapshot(spark, root, version=1).collect()
+        } == {(1, "adopted")}
+        assert {
+            tuple(r) for r in read_snapshot(spark, root).collect()
+        } == {(9, "racer")}
+
+    def test_writer_claiming_v1_first_makes_conversion_refuse(
+        self, spark, tmp_path
+    ):
+        from openaq_data_pipeline_engineering_spark.operators import versioned
+
+        root = str(tmp_path / "c2")
+        spark.createDataFrame(
+            [(1, "plain")], "k int, v string"
+        ).write.parquet(root)
+        # another writer's in-flight claim (no _CONVERTING marker)
+        os.mkdir(os.path.join(root, "v=1"))
+        with pytest.raises(
+            versioned.ConcurrentWriteError, match="already claimed"
+        ):
+            versionize_table(root)

@@ -778,3 +778,70 @@ class TestPathTargetMerge:
             (2, "B", "update_postimage"),
             (3, "c", "insert"),
         }
+
+
+class TestPathTargetMergeConcurrency:
+    def test_racing_path_merges_never_lose_an_update(self, spark, tmp_path):
+        """Two concurrent path-target MERGEs on one root: the commit
+        protocol serializes them — losers raise ConcurrentWriteError
+        (and may retry), and the final table reflects a SERIAL order of
+        the statements, never a lost update."""
+        import threading
+
+        from openaq_data_pipeline_engineering_spark.operators.sqlmerge import (
+            execute_merge_statement,
+        )
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            ConcurrentWriteError,
+            read_snapshot,
+            write_snapshot,
+        )
+
+        root = str(tmp_path / "race")
+        write_snapshot(
+            spark.createDataFrame(
+                [(1, 0), (2, 0)], "k int, hits int"
+            ),
+            root,
+        )
+        spark.createDataFrame([(1,)], "k int").createOrReplaceTempView(
+            "race_src_a"
+        )
+        spark.createDataFrame([(2,)], "k int").createOrReplaceTempView(
+            "race_src_b"
+        )
+        outcomes: dict[str, str] = {}
+        barrier = threading.Barrier(2)
+
+        def run(tag: str, view: str) -> None:
+            barrier.wait()
+            for _ in range(6):  # caller-side retry loop, per contract
+                try:
+                    execute_merge_statement(
+                        spark,
+                        f"MERGE INTO '{root}' AS t USING {view} AS s "
+                        "ON t.k = s.k "
+                        "WHEN MATCHED THEN UPDATE SET hits = t.hits + 1",
+                    )
+                    outcomes[tag] = "committed"
+                    return
+                except ConcurrentWriteError:
+                    continue
+            outcomes[tag] = "exhausted"
+
+        ts = [
+            threading.Thread(target=run, args=("a", "race_src_a")),
+            threading.Thread(target=run, args=("b", "race_src_b")),
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert set(outcomes.values()) == {"committed"}
+        got = {
+            r["k"]: r["hits"]
+            for r in read_snapshot(spark, root).collect()
+        }
+        # both increments survived — the anomaly would be {1:1, 2:0}
+        # or {1:0, 2:1} (one merge silently erased by the other)
+        assert got == {1: 1, 2: 1}
