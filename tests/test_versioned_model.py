@@ -252,3 +252,112 @@ def test_change_feed_sequence_matches_model(spark, ops, tmp_path_factory):
             spark, root, v_from=order[0], v_to=order[-1]
         ).collect()
         assert _apply_changes(model[order[0]], rows) == model[order[-1]]
+
+
+# ---------------------------------------------------------------------------
+# Clone model (round 9): a shallow clone pins a version of the source;
+# under any interleaving of source writes/appends/vacuums afterwards,
+# (a) the clone reads exactly the content it pinned, (b) a vacuum whose
+# drop set intersects versions the clone still reads through REFUSES
+# and reclaims nothing, and (c) a vacuum that stays clear proceeds.
+# ---------------------------------------------------------------------------
+
+_CLONE_OP = st.one_of(
+    st.tuples(
+        st.just("write"),
+        st.frozensets(st.integers(0, 9), min_size=1, max_size=3),
+    ),
+    st.tuples(
+        st.just("append"),
+        st.frozensets(st.integers(0, 9), min_size=1, max_size=2),
+    ),
+    st.tuples(st.just("vacuum"), st.integers(1, 3)),
+)
+
+
+@given(
+    pre_ops=st.lists(_CLONE_OP, min_size=1, max_size=3),
+    post_ops=st.lists(_CLONE_OP, min_size=1, max_size=4),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_clone_pins_survive_source_lifecycle(
+    spark, pre_ops, post_ops, tmp_path_factory
+):
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        VacuumBlockedByCloneError,
+        _collect_referenced,
+        _read_manifest_doc,
+        clone_snapshot,
+    )
+
+    base = tmp_path_factory.mktemp("vclone")
+    src, dst = str(base / "src"), str(base / "dst")
+    model: dict[int, list[int]] = {}
+    order: list[int] = []
+
+    def df(keys):
+        return spark.createDataFrame(
+            [(int(k),) for k in sorted(keys)], "k long"
+        )
+
+    def apply(ops, cloned: bool) -> None:
+        for kind, payload in ops:
+            if kind == "write":
+                v = write_snapshot(df(payload), src)
+                model[v] = sorted(payload)
+                order.append(v)
+            elif kind == "append":
+                if not order:
+                    continue
+                v = append_rows(df(payload), src)
+                model[v] = sorted(model[order[-1]] + sorted(payload))
+                order.append(v)
+            elif kind == "vacuum":
+                if not order:
+                    continue
+                sdoc = _read_manifest_doc(src)
+                drop_candidates = set(order[: -payload])
+                needs: set[int] = set()
+                if cloned:
+                    cdoc = _read_manifest_doc(dst)
+                    for kv in cdoc["versions"]:
+                        _collect_referenced(
+                            cdoc["versions"], cdoc["modes"], kv, needs
+                        )
+                # chain-aware retention protects kept versions' chains
+                kept_needs: set[int] = set()
+                for kv in order[-payload:]:
+                    _collect_referenced(
+                        sdoc["versions"], sdoc["modes"], kv, kept_needs
+                    )
+                effective_drop = drop_candidates - kept_needs
+                if cloned and effective_drop & needs:
+                    with pytest.raises(VacuumBlockedByCloneError):
+                        vacuum_snapshots(
+                            src, keep_last=payload,
+                            orphan_min_age_seconds=0.0,
+                        )
+                else:
+                    dropped = vacuum_snapshots(
+                        src, keep_last=payload, orphan_min_age_seconds=0.0
+                    )
+                    for d in dropped:
+                        model.pop(d, None)
+                        order.remove(d)
+
+    apply(pre_ops, cloned=False)
+    if not order:
+        return
+    pinned = order[-1]
+    pinned_content = list(model[pinned])
+    clone_snapshot(src, dst)
+    apply(post_ops, cloned=True)
+    # (a) the clone still reads exactly its pinned content
+    assert _read_keys(spark, dst) == pinned_content
+    # (b) every surviving source version still reads per the model
+    for v in order:
+        assert _read_keys(spark, src, version=v) == model[v]
