@@ -37,10 +37,8 @@ from openaq_data_pipeline_engineering_spark.operators import versioned
 from openaq_data_pipeline_engineering_spark.operators.expectations import (
     split_expectations,
 )
-from openaq_data_pipeline_engineering_spark.operators.merge import merge_upsert
 from openaq_data_pipeline_engineering_spark.streaming.upsert import (
-    collapse_batch,
-    read_snapshot,
+    upsert_batch,
 )
 
 
@@ -73,16 +71,12 @@ def quality_split_batch(
     vacuum; the rebase itself moves the chain's bytes once per K
     batches (amortized O(table/K) per batch).
     """
-    spark = batch.sparkSession
     valid, quarantine = split_expectations(batch, rules)
 
-    delta = collapse_batch(valid, keys, ts_col)
-    base = read_snapshot(spark, valid_dir)
-    merged = merge_upsert(base, delta, keys) if base is not None else delta
-    versioned.write_snapshot(
-        merged, valid_dir, txn_id=f"{txn_app_id}-{batch_id}"
-    )
-    versioned.vacuum_snapshots(valid_dir, keep_last=2)
+    # Valid side: the keyed-upsert sink (collapse + optimistic
+    # read-merge-commit + retention) — one implementation of the
+    # guarded read-modify-write, not a second inline copy of it.
+    upsert_batch(valid, batch_id, valid_dir, keys, ts_col, txn_app_id)
 
     dead = quarantine.withColumn("batch_id", F.lit(batch_id).cast("bigint"))
     # APPEND-mode commit (versioned.append_rows): per-batch I/O is the

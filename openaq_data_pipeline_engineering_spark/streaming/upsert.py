@@ -115,18 +115,54 @@ def upsert_batch(
     """
     spark = batch.sparkSession
     delta = collapse_batch(batch, keys, ts_col)
-    base = read_snapshot(spark, target_dir)
-    merged = merge_upsert(base, delta, keys) if base is not None else delta
-    versioned.write_snapshot(
-        merged, target_dir, txn_id=f"{txn_app_id}-{batch_id}"
-    )
+    # Read-modify-write under the optimistic guard: the merge result is
+    # computed FROM a pinned version, so the commit is conditional on
+    # the table still being there (expected_latest). One stream's
+    # micro-batches are serial, but a SECOND writer on the same target
+    # (another stream, a batch MERGE, an OPTIMIZE) landing between this
+    # read and commit would otherwise be silently erased — the exact
+    # lost-update anomaly the r8 advisor closed in checkpoint/OPTIMIZE.
+    # On conflict: re-read, re-merge, retry; the txn_id still dedupes a
+    # REPLAY of this same batch at any point.
+    last_err: versioned.ConcurrentWriteError | None = None
+    for _ in range(8):
+        versions = versioned.snapshot_versions(target_dir)
+        if not versions:
+            _migrate_legacy_layout(spark, target_dir)
+            versions = versioned.snapshot_versions(target_dir)
+        if versions:
+            expected = versions[-1]
+            base = versioned.read_snapshot(
+                spark, target_dir, version=expected
+            )
+            merged = merge_upsert(base, delta, keys)
+        else:
+            expected = 0  # creating write: conditional on staying empty
+            merged = delta
+        try:
+            versioned.write_snapshot(
+                merged,
+                target_dir,
+                txn_id=f"{txn_app_id}-{batch_id}",
+                expected_latest=expected,
+            )
+            break
+        except versioned.ConcurrentWriteError as e:
+            last_err = e
+    else:
+        raise last_err
     # Committed-version retention only; orphan reclamation keeps its
     # 24h grace (a concurrent writer may own a fresh uncommitted dir).
     # Txn dedupe entries are NOT retired with the data (vacuum's
     # default keeps them all): a micro-batch replay arriving later
     # than keep_last commits still dedupes instead of re-merging
-    # stale data as a new version.
-    versioned.vacuum_snapshots(target_dir, keep_last=2)
+    # stale data as a new version. A live shallow clone of the sink
+    # table pauses retention (vacuum refuses all-or-nothing); that is
+    # maintenance policy, not a reason to fail the stream.
+    try:
+        versioned.vacuum_snapshots(target_dir, keep_last=2)
+    except versioned.VacuumBlockedByCloneError:
+        pass  # clones pin history; retention resumes when they go
 
 
 def run_stream_upsert(

@@ -145,3 +145,84 @@ def test_legacy_layout_migrates_instead_of_data_loss(spark, tmp_path):
     assert {(r["k"], r["v"]) for r in merged.collect()} == {
         (1, 10.0), (2, 20.0), (3, 3.0),
     }
+
+
+def test_upsert_batch_survives_a_racing_writer(spark, tmp_path, monkeypatch):
+    """A second writer committing between the sink's snapshot read and
+    its commit must not be erased: the commit is conditional on the
+    version read (expected_latest) and the batch re-merges on conflict
+    — the lost-update shape the r8 advisor closed in
+    checkpoint/OPTIMIZE, applied to the streaming sink."""
+    from openaq_data_pipeline_engineering_spark.operators import versioned
+    from openaq_data_pipeline_engineering_spark.streaming import upsert as up
+
+    target = str(tmp_path / "t")
+    versioned.write_snapshot(
+        spark.createDataFrame([(1, "base", 1)], SCHEMA), target
+    )
+    racer = spark.createDataFrame([(7, "racer", 1)], SCHEMA)
+    fired = {"done": False}
+    real = up.merge_upsert
+
+    def racing(base, delta, keys):
+        if not fired["done"]:
+            fired["done"] = True
+            # the racer lands AFTER the sink read its base snapshot
+            versioned.write_snapshot(
+                versioned.read_snapshot(spark, target).unionByName(racer),
+                target,
+            )
+        return real(base, delta, keys)
+
+    monkeypatch.setattr(up, "merge_upsert", racing)
+    batch = spark.createDataFrame([(2, "mine", 2)], SCHEMA)
+    up.upsert_batch(batch, 0, target, ["k"], "ts")
+    monkeypatch.undo()
+    assert fired["done"]
+    got = {
+        r["k"]: r["v"]
+        for r in versioned.read_snapshot(spark, target).collect()
+    }
+    # without the guard the racer's k=7 row would be silently erased
+    assert got == {1: "base", 2: "mine", 7: "racer"}
+
+
+def test_clone_of_the_sink_pauses_retention_without_failing(
+    spark, tmp_path
+):
+    from openaq_data_pipeline_engineering_spark.operators import versioned
+    from openaq_data_pipeline_engineering_spark.streaming.upsert import (
+        upsert_batch,
+    )
+
+    target = str(tmp_path / "t")
+    clone = str(tmp_path / "c")
+    for i in range(3):
+        upsert_batch(
+            spark.createDataFrame([(i, f"v{i}", i)], SCHEMA),
+            i,
+            target,
+            ["k"],
+            "ts",
+        )
+    pin = versioned.snapshot_versions(target)[0]  # oldest survivor
+    versioned.clone_snapshot(target, clone, version=pin)
+    # further batches keep committing; vacuum refusal (the clone pins
+    # that version's history) must not fail the stream
+    for i in range(3, 6):
+        upsert_batch(
+            spark.createDataFrame([(i, f"v{i}", i)], SCHEMA),
+            i,
+            target,
+            ["k"],
+            "ts",
+        )
+    assert len(versioned.snapshot_versions(target)) > 2  # retention paused
+    assert {
+        r["k"] for r in versioned.read_snapshot(spark, target).collect()
+    } == set(range(6))
+    # the clone still reads its pin (version N holds keys 0..N-1:
+    # one key per upserted batch)
+    assert {
+        r["k"] for r in versioned.read_snapshot(spark, clone).collect()
+    } == set(range(pin))
