@@ -446,3 +446,53 @@ class TestRewritesComposeWithStatements:
         assert {
             tuple(r) for r in read_snapshot(spark, tgt).collect()
         } == {(1, "a"), (2, "B"), (3, "c")}
+
+
+class TestConcurrentSpliceIsolation:
+    def test_threaded_engine_sql_splices_never_clobber(self, spark, tmp_path):
+        """Concurrent Engine.sql calls each pin their own temp views
+        (process-wide counter): AS-OF and TVF reads running in 8
+        threads over distinct roots must each see their own table."""
+        import threading
+
+        from openaq_data_pipeline_engineering_spark.engine import Engine
+
+        eng = Engine(spark)
+        roots = []
+        for i in range(4):
+            root = str(tmp_path / f"t{i}")
+            enable_change_feed(spark, root, keys=["k"])
+            write_snapshot(_df(spark, [(i, "x")]), root)
+            write_snapshot(_df(spark, [(i, "y")]), root)
+            roots.append(root)
+        results: dict[str, object] = {}
+        barrier = threading.Barrier(8)
+
+        def tt(i: int) -> None:
+            barrier.wait()
+            rows = eng.sql(
+                f"SELECT k, v FROM '{roots[i]}' VERSION AS OF 1"
+            ).collect()
+            results[f"tt{i}"] = {tuple(r) for r in rows}
+
+        def tvf(i: int) -> None:
+            barrier.wait()
+            rows = eng.sql(
+                "SELECT k, v, _change_type "
+                f"FROM table_changes('{roots[i]}', 1, 2)"
+            ).collect()
+            results[f"tvf{i}"] = {tuple(r) for r in rows}
+
+        ts = [threading.Thread(target=tt, args=(i,)) for i in range(4)] + [
+            threading.Thread(target=tvf, args=(i,)) for i in range(4)
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        for i in range(4):
+            assert results[f"tt{i}"] == {(i, "x")}, results
+            assert results[f"tvf{i}"] == {
+                (i, "x", "update_preimage"),
+                (i, "y", "update_postimage"),
+            }, results
