@@ -207,3 +207,27 @@ class TestDelete:
         assert store.read(root) == (None, None)
         store.delete(root)  # absent manifest: a no-op, not an error
         assert store.read(root) == (None, None)
+
+
+class TestConvertUnderStore:
+    def test_versionize_table_is_store_agnostic(
+        self, spark, tmp_path, store
+    ):
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            read_snapshot,
+            snapshot_versions,
+            versionize_table,
+        )
+
+        root = str(tmp_path / "c")
+        _df(spark, [(1, "a"), (2, "b")]).write.parquet(root)
+        assert versionize_table(root) == 1
+        assert snapshot_versions(root) == [1]
+        assert _rows(read_snapshot(spark, root)) == {(1, "a"), (2, "b")}
+        # adopted root takes ordinary commits through the same store
+        append_rows(_df(spark, [(3, "c")]), root)
+        assert _rows(read_snapshot(spark, root)) == {
+            (1, "a"),
+            (2, "b"),
+            (3, "c"),
+        }
