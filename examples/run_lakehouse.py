@@ -246,11 +246,13 @@ def main() -> None:
     )
 
     # Query the commit's row-level changes with the table_changes()
-    # TVF — the same splice composes inside MERGE sources, so CDC
-    # replication is one statement.
+    # TVF (Delta range contract: both bounds inclusive, so start at
+    # the merge's own version — the adopted v1 predates the change
+    # feed and has no change files) — the same splice composes inside
+    # MERGE sources, so CDC replication is one statement.
     for r in eng.sql(
         f"SELECT _change_type, k, parameter "
-        f"FROM table_changes('{plain}', {conv['version']}) "
+        f"FROM table_changes('{plain}', {m['version']}) "
         "ORDER BY _change_type, k"
     ).collect():
         print(f"  change: {r['_change_type']:17s} k={r['k']} "

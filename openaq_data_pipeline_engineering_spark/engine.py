@@ -410,11 +410,14 @@ class Engine:
         out.append(query[last:])
         return "".join(out)
 
-    # table_changes('<root or registered name>', v_from[, v_to]) — the
-    # CDF table-valued function (Delta's table_changes TVF): resolves
-    # to the materialized change rows of the commit range (v_from,
-    # v_to] via operators/versioned.table_changes, spliced in as a
-    # pinned temp view like the AS-OF rewrite above.
+    # table_changes('<root or registered name>', start[, end]) — the
+    # CDF table-valued function with DELTA'S range contract: both
+    # bounds INCLUSIVE, so table_changes(t, 1, 2) returns versions 1
+    # AND 2's change rows (a Delta-ported query keeps its meaning —
+    # ADVICE r9 #1). The internal operator
+    # operators/versioned.table_changes keeps its exclusive-start
+    # (v_from, v_to] contract; the rewrite maps start -> v_from =
+    # start - 1 at this boundary.
     _TC_RE = re.compile(
         r"\btable_changes\s*\(\s*'(?P<path>[^']*)'\s*,\s*"
         r"(?P<from>\d+)\s*(?:,\s*(?P<to>\d+)\s*)?\)",
@@ -422,8 +425,10 @@ class Engine:
     )
 
     def _rewrite_table_changes(self, query: str) -> str:
-        """Splice every ``table_changes('<target>', a[, b])`` call into
-        a temp view over the versioned change feed. Matching runs on
+        """Splice every ``table_changes('<target>', start[, end])``
+        call into a temp view over the versioned change feed —
+        INCLUSIVE bounds, matching Delta's ``table_changes`` TVF (the
+        start version's own change rows are returned). Matching runs on
         comment-stripped, literal-masked (same-length) text — the
         quoted target is a string literal, recovered from the original
         by span — and view names share the process-wide counter, so
@@ -447,7 +452,8 @@ class Engine:
             df = table_changes(
                 self.spark,
                 root,
-                v_from=int(m.group("from")),
+                # Delta-inclusive start -> the operator's exclusive one
+                v_from=int(m.group("from")) - 1,
                 v_to=int(m.group("to")) if m.group("to") else None,
             )
             with _TT_COUNTER_LOCK:

@@ -72,6 +72,17 @@ def compact_partitions(
     A predicate on non-partition columns is therefore safe too: it
     widens to the partitions containing any matching row. Requires a
     partitioned table.
+
+    PARTITION-COLUMN COMPARISON SEMANTICS: partition columns are read
+    as STRING holding the raw directory spelling (see
+    :func:`read_preserving_partitions` — inference would re-spell
+    zero-padded values and duplicate the table on rewrite), so a
+    QUOTED filter literal must match that raw spelling exactly:
+    ``month = '1'`` does NOT select directory ``month=01``. UNQUOTED
+    numeric literals still work for any spelling (``month = 1``
+    implicit-casts the string side to int), and quoted literals work
+    when spelled verbatim (``month = '01'``). Filters on data columns
+    keep their footer types and are unaffected.
     """
     from pyspark.sql import functions as F
 

@@ -141,11 +141,44 @@ _DELETE_PATH_RE = re.compile(
 )
 
 
-def _execute_dml_on_root(spark: SparkSession, sql: str, pm, lowering):
+def _statement_alias_where(
+    sql: str, pattern: re.Pattern
+) -> tuple[str, str | None]:
+    """(effective target alias, WHERE text or None) of an already-
+    validated UPDATE/DELETE statement — re-matched so the path-target
+    wrapper can run touched-file discovery with the same predicate and
+    alias the lowering will use."""
+    masked = _mask_literals(sql)
+    m = pattern.match(masked)
+    if not m:  # the lowering itself raises the canonical error
+        raise MergeError("unparseable statement")
+    alias = m.group("alias") or m.group("table").split(".")[-1]
+    where = (
+        sql[m.start("where") : m.end("where")] if m.group("where") else None
+    )
+    return alias, where
+
+
+def _execute_dml_on_root(spark: SparkSession, sql: str, pm, lowering, where_re):
     """Shared path-target wrapper: read latest, lower, commit with the
-    optimistic guard, return one footer-derived metrics row."""
+    optimistic guard, return one footer-derived metrics row.
+
+    FILE-GRANULAR copy-on-write (operators/cow.py): when the latest
+    version is a flat full snapshot and the statement has a WHERE, the
+    lowering runs over ONLY the files holding matching rows; every
+    other file is carried into the new version by hardlink, so bytes
+    written ∝ touched files, not table size (Delta's UPDATE/DELETE
+    write shape). Any ineligibility — no WHERE, delta-chain or
+    partitioned or clone-referenced base, a type-changing SET — falls
+    back to the identical-result full-snapshot publish."""
     import os
 
+    from openaq_data_pipeline_engineering_spark.operators.cow import (
+        commit_file_rewrite,
+        cow_eligible_base,
+        schema_preserved,
+        touched_files_by_predicate,
+    )
     from openaq_data_pipeline_engineering_spark.operators.versioned import (
         read_snapshot,
         snapshot_versions,
@@ -163,7 +196,6 @@ def _execute_dml_on_root(spark: SparkSession, sql: str, pm, lowering):
             "an existing versioned table (INSERT OVERWRITE creates one)"
         )
     base = versions[-1]
-    df = read_snapshot(spark, root, version=base)
     # Splice a synthetic view name over the quoted path (spans come
     # from the same-length masked text, so they index the original);
     # the plain lowering then runs unchanged against target_df.
@@ -172,11 +204,26 @@ def _execute_dml_on_root(spark: SparkSession, sql: str, pm, lowering):
         + "__dml_target__"
         + sql[pm.end("path") + 1 :]
     )
-    result = lowering(spark, rewritten, target_df=df)
-    # Constraints are enforced and the optimistic guard checked by the
-    # commit itself; a conflicting concurrent commit raises
-    # ConcurrentWriteError for the caller to retry.
-    new_v = write_snapshot(result, root, expected_latest=base)
+    alias, where = _statement_alias_where(rewritten, where_re)
+    new_v: int | None = None
+    if where is not None and cow_eligible_base(root, base):
+        vdir = os.path.join(root, f"v={base}")
+        base_df = spark.read.parquet(vdir)
+        touched = touched_files_by_predicate(spark, vdir, where, alias=alias)
+        if touched:
+            subset = spark.read.parquet(*touched)
+            partial = lowering(spark, rewritten, target_df=subset)
+        else:
+            partial = lowering(spark, rewritten, target_df=base_df).limit(0)
+        if schema_preserved(base_df, partial):
+            new_v = commit_file_rewrite(spark, root, base, partial, touched)
+    if new_v is None:
+        df = read_snapshot(spark, root, version=base)
+        result = lowering(spark, rewritten, target_df=df)
+        # Constraints are enforced and the optimistic guard checked by
+        # the commit itself; a conflicting concurrent commit raises
+        # ConcurrentWriteError for the caller to retry.
+        new_v = write_snapshot(result, root, expected_latest=base)
     import pyarrow.parquet as pq
 
     from openaq_data_pipeline_engineering_spark.operators.compact import (
@@ -207,7 +254,9 @@ def execute_update_statement(
     name targets return the post-statement frame (legacy contract)."""
     pm = _UPDATE_PATH_RE.match(_mask_literals(sql))
     if pm:
-        return _execute_dml_on_root(spark, sql, pm, execute_update)
+        return _execute_dml_on_root(
+            spark, sql, pm, execute_update, _UPDATE_RE
+        )
     return execute_update(spark, sql)
 
 
@@ -216,5 +265,7 @@ def execute_delete_statement(
 ) -> DataFrame:
     pm = _DELETE_PATH_RE.match(_mask_literals(sql))
     if pm:
-        return _execute_dml_on_root(spark, sql, pm, execute_delete)
+        return _execute_dml_on_root(
+            spark, sql, pm, execute_delete, _DELETE_RE
+        )
     return execute_delete(spark, sql)

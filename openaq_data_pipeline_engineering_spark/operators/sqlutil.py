@@ -388,11 +388,15 @@ def _zorder_rewrite_partitioned(
     (under a WHERE) are never staged, so they are never swapped.
 
     ``partition_filter`` selects PARTITIONS, never rows (same contract
-    as compact_partitions: a selected partition is rewritten WHOLE).
-    Task count = selected partitions × ``files_per_partition``, floored
-    by the byte-based file target so a 100 TB table still writes
-    ~``target_file_bytes`` files rather than 4 giant ones per
-    partition.
+    as compact_partitions: a selected partition is rewritten WHOLE;
+    partition columns read as STRING holding the raw directory
+    spelling, so quoted literals must match that spelling verbatim —
+    ``month = '1'`` does not select ``month=01`` — while unquoted
+    numeric literals implicit-cast and match any spelling; see
+    compact.compact_partitions). Task count = selected partitions ×
+    ``files_per_partition``, floored by the byte-based file target so
+    a 100 TB table still writes ~``target_file_bytes`` files rather
+    than 4 giant ones per partition.
     """
     import shutil
 
@@ -789,6 +793,19 @@ def execute_alter(spark: SparkSession, sql: str) -> DataFrame:
         )
 
         keys = [k.strip() for k in m.group("keys").split(",")]
+        # On an EMPTY root the key columns cannot be checked against a
+        # schema yet (enable_change_feed validates only when versions
+        # exist), so at minimum reject non-identifier/empty entries at
+        # the statement instead of surfacing a confusing failure during
+        # the first commit's change materialization (ADVICE r9 #4; the
+        # first commit re-validates against its actual schema — see
+        # versioned._materialize_changes).
+        bad = [k for k in keys if not re.fullmatch(r"[A-Za-z_]\w*", k)]
+        if bad:
+            raise UtilStatementError(
+                f"ENABLE CHANGE FEED key list contains invalid "
+                f"identifiers: {bad}"
+            )
         enable_change_feed(spark, m.group("path"), keys)
         return spark.createDataFrame(
             [("change_feed", "enabled", ", ".join(keys))],

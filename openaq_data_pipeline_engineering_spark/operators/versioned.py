@@ -375,6 +375,21 @@ def _materialize_changes(
         return None
     vdir = os.path.join(root, f"v={version}")
     written = spark.read.parquet(vdir)
+    # Keys recorded on an EMPTY root were unvalidated (no schema yet);
+    # check them against the first real schema HERE with an error that
+    # points back at the enablement, instead of a confusing diff
+    # failure at the second commit (ADVICE r9 #4).
+    missing = [k for k in keys if k not in written.columns]
+    if missing:
+        import shutil
+
+        shutil.rmtree(vdir, ignore_errors=True)
+        raise ValueError(
+            f"change-feed key columns {missing} (recorded by ENABLE "
+            f"CHANGE FEED on {root!r}) are not in the written schema "
+            f"{written.columns}; fix the table's cdf_keys before "
+            "committing"
+        )
     base = doc["versions"][-1] if doc["versions"] else 0
     if expected_latest is not None and expected_latest != base:
         # the caller's conditional commit is already doomed; skip the
@@ -1698,7 +1713,19 @@ def versionize_table(root: str) -> int:
     Refuses on an already-versioned root (no marker), on a directory
     with no parquet data, and when ``v=1`` was claimed by a concurrent
     ordinary writer (claim present, marker absent, manifest absent —
-    that claim belongs to someone else's in-flight first write)."""
+    that claim belongs to someone else's in-flight first write).
+
+    The claim-to-marker window is crash-safe via a ROOT-level
+    ``_CONVERTING`` marker written BEFORE the ``v=1`` claim (ADVICE r9
+    #2): a crash between the claim and the in-directory marker used to
+    leave an unmarked empty claim every retry mistook for a concurrent
+    writer's, wedging the conversion until the orphan grace. On retry,
+    a pre-existing root marker plus an EMPTY unmarked ``v=1`` claim is
+    adopted as this conversion's own crashed claim and resumed. (The
+    residual ambiguity — an ordinary writer claiming ``v=1`` of a
+    mid-conversion plain table in the instant before its first data
+    file lands — is the operator error the refusal message already
+    describes: a table being written to cannot be converted.)"""
     from openaq_data_pipeline_engineering_spark.operators.metastore import (
         get_metadata_store,
     )
@@ -1706,17 +1733,26 @@ def versionize_table(root: str) -> int:
     store = get_metadata_store()
     vdir = os.path.join(root, "v=1")
     marker = os.path.join(vdir, _CONVERT_MARKER)
+    root_marker = os.path.join(root, _CONVERT_MARKER)
+
+    def _heal_root_marker() -> None:
+        try:
+            os.remove(root_marker)
+        except FileNotFoundError:
+            pass
+
     doc = _read_manifest_doc(root)
     if doc["versions"]:
         if os.path.exists(marker):
             os.remove(marker)  # crashed after commit: finish healing
+            _heal_root_marker()
             return 1
         raise FileExistsError(f"{root!r} is already a versioned root")
     if not os.path.isdir(root):
         raise FileNotFoundError(root)
 
     def _movable() -> list[str]:
-        keep = {store.MANIFEST_NAME, "_VERSIONS.lock"}
+        keep = {store.MANIFEST_NAME, "_VERSIONS.lock", _CONVERT_MARKER}
         return [
             e
             for e in os.listdir(root)
@@ -1735,17 +1771,36 @@ def versionize_table(root: str) -> int:
             raise FileNotFoundError(
                 f"no parquet data under {root!r} to convert"
             )
+        # Root marker FIRST: it brackets the claim, so a crash anywhere
+        # between here and the in-directory marker is recoverable.
+        root_marker_preexisting = os.path.exists(root_marker)
+        if not root_marker_preexisting:
+            with open(root_marker, "w") as f:
+                f.write("versionize_table in progress")
         if not store.claim_version_dir(root, 1):
-            raise ConcurrentWriteError(
-                f"v=1 of {root!r} is already claimed by another writer; "
-                "a table being written to cannot be converted"
-            )
+            if (
+                root_marker_preexisting
+                and os.path.isdir(vdir)
+                and not os.listdir(vdir)
+            ):
+                # Our own crashed attempt's claim (root marker present,
+                # claim empty and unmarked): adopt and resume.
+                pass
+            else:
+                if not root_marker_preexisting:
+                    _heal_root_marker()  # don't leave OUR fresh marker
+                raise ConcurrentWriteError(
+                    f"v=1 of {root!r} is already claimed by another "
+                    "writer; a table being written to cannot be "
+                    "converted"
+                )
         with open(marker, "w") as f:
             f.write("versionize_table in progress")
     for e in _movable():
         os.rename(os.path.join(root, e), os.path.join(vdir, e))
     _commit_version(root, 1)
     os.remove(marker)
+    _heal_root_marker()
     return 1
 
 

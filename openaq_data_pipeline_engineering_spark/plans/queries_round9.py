@@ -167,10 +167,11 @@ def sql_convert_to_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Change-feed SQL surface: ENABLE CHANGE FEED records the row identity,
 # each full commit then materializes its diff at write time, and
-# table_changes('<root>', 1, 2) reads those change FILES inside a plain
-# SELECT — O(change bytes), no join at query time. The witness drops
-# region-0 rows (deletes), lowercases region-1 names (update pre/post
-# pairs), and adds region-2 rows (inserts) in one second commit.
+# table_changes('<root>', 2, 2) — Delta's INCLUSIVE range contract —
+# reads those change FILES inside a plain SELECT: O(change bytes), no
+# join at query time. The witness drops region-0 rows (deletes),
+# lowercases region-1 names (update pre/post pairs), and adds region-2
+# rows (inserts) in one second commit.
 # --------------------------------------------------------------------------
 @query(
     "sql_table_changes_tvf",
@@ -224,5 +225,5 @@ def sql_table_changes_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_snapshot(v2, root)
     return eng.sql(
         "SELECT _change_type, k, name, _commit_version "
-        f"FROM table_changes('{root}', 1, 2)"
+        f"FROM table_changes('{root}', 2, 2)"  # Delta-inclusive bounds
     )

@@ -350,10 +350,32 @@ class TestChangeFeedSqlSurface:
         got = {
             (r["k"], r["v"], r["_change_type"], r["_commit_version"])
             for r in eng.sql(
+                f"SELECT * FROM table_changes('{root}', 2, 2)"
+            ).collect()
+        }
+        assert got == {
+            (1, "a", "delete", 2),
+            (2, "b", "update_preimage", 2),
+            (2, "B", "update_postimage", 2),
+            (3, "c", "insert", 2),
+        }
+
+    def test_table_changes_tvf_start_is_inclusive_like_delta(
+        self, spark, tmp_path
+    ):
+        """ADVICE r9 #1: the SQL TVF follows DELTA's range contract —
+        table_changes(t, 1, 2) includes version 1's OWN change rows
+        (here the first commit's inserts), not just (1, 2]."""
+        eng, root = self._seed(spark, tmp_path)
+        got = {
+            (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+            for r in eng.sql(
                 f"SELECT * FROM table_changes('{root}', 1, 2)"
             ).collect()
         }
         assert got == {
+            (1, "a", "insert", 1),
+            (2, "b", "insert", 1),
             (1, "a", "delete", 2),
             (2, "b", "update_preimage", 2),
             (2, "B", "update_postimage", 2),
@@ -366,7 +388,7 @@ class TestChangeFeedSqlSurface:
         eng, root = self._seed(spark, tmp_path)
         row = eng.sql(
             "SELECT _change_type, COUNT(*) AS n FROM "
-            f"table_changes('{root}', 1) "
+            f"table_changes('{root}', 2) "
             "GROUP BY _change_type ORDER BY _change_type"
         ).collect()
         assert [(r["_change_type"], r["n"]) for r in row] == [
@@ -382,7 +404,7 @@ class TestChangeFeedSqlSurface:
         got = {
             r["_change_type"]
             for r in eng.sql(
-                "SELECT _change_type FROM table_changes('cdf_tbl', 1, 2)"
+                "SELECT _change_type FROM table_changes('cdf_tbl', 2, 2)"
             ).collect()
         }
         assert got == {
@@ -436,7 +458,7 @@ class TestRewritesComposeWithStatements:
         # inserts upsert, deletes would be handled by a DELETE clause
         m = eng.sql(
             f"MERGE INTO '{tgt}' AS t USING ("
-            f"  SELECT k, v FROM table_changes('{cdc}', 1, 2)"
+            f"  SELECT k, v FROM table_changes('{cdc}', 2, 2)"
             "   WHERE _change_type IN ('insert', 'update_postimage')"
             ") AS s ON t.k = s.k "
             "WHEN MATCHED THEN UPDATE SET v = s.v "
@@ -479,7 +501,7 @@ class TestConcurrentSpliceIsolation:
             barrier.wait()
             rows = eng.sql(
                 "SELECT k, v, _change_type "
-                f"FROM table_changes('{roots[i]}', 1, 2)"
+                f"FROM table_changes('{roots[i]}', 2, 2)"
             ).collect()
             results[f"tvf{i}"] = {tuple(r) for r in rows}
 

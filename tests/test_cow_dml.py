@@ -1,0 +1,375 @@
+"""File-granular copy-on-write DML (operators/cow.py — VERDICT r9 #1/#2).
+
+Pins the write-amplification contract: a path-target UPDATE/DELETE/MERGE
+rewrites ONLY the files containing matched rows, carries every other
+base file by hardlink (inode-equality — the same proof shape as the
+purge-carry test), and on a CDF table derives the change rows from the
+touched files' restricted diff instead of a full-table diff. Fallback
+paths (no WHERE, delta-chain base, type-changing SET, BY SOURCE merges)
+must produce the identical result through the full-snapshot publish.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_engineering_spark.engine import Engine
+from openaq_data_pipeline_engineering_spark.operators.cow import (
+    LAST_COW_STATS,
+    commit_file_rewrite,
+    cow_eligible_base,
+    last_cow_stats,
+)
+from openaq_data_pipeline_engineering_spark.operators.versioned import (
+    ConcurrentWriteError,
+    ConstraintViolationError,
+    add_constraint,
+    append_rows,
+    enable_change_feed,
+    read_snapshot,
+    snapshot_changes,
+    snapshot_versions,
+    table_changes,
+    write_snapshot,
+)
+
+
+def _seed(spark, tmp_path, n=400, files=8, name="t"):
+    """A versioned table whose v1 holds ``files`` hash-partitioned
+    part files (k-partitioned, so a one-key predicate touches exactly
+    one file)."""
+    root = str(tmp_path / name)
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("double").alias("score"),
+    )
+    write_snapshot(df.repartition(files, "k"), root)
+    return root
+
+
+def _inodes(root: str, version: int) -> dict[str, int]:
+    return {
+        os.path.basename(p): os.stat(p).st_ino
+        for p in glob.glob(os.path.join(root, f"v={version}", "*.parquet"))
+        if not os.path.basename(p).startswith(("_", "."))
+    }
+
+
+class TestCowUpdateDelete:
+    def test_one_key_update_rewrites_only_its_file(self, spark, tmp_path):
+        """The directive's metrics-pinned shape: an UPDATE matching one
+        key rewrites only the file containing it; every carried file is
+        the SAME inode as v1's."""
+        root = _seed(spark, tmp_path)
+        v1 = _inodes(root, 1)
+        m = Engine(spark).sql(
+            f"UPDATE '{root}' SET score = score + 100.0 WHERE k = 5"
+        ).first()
+        assert (m["version"], m["base_version"], m["n_rows"]) == (2, 1, 400)
+        stats = last_cow_stats(root)
+        assert stats["files_carried"] == len(v1) - 1
+        assert stats["files_rewritten"] >= 1
+        assert stats["bytes_rewritten"] < sum(
+            os.path.getsize(p)
+            for p in glob.glob(os.path.join(root, "v=1", "*.parquet"))
+        )
+        v2 = _inodes(root, 2)
+        shared = {n for n, ino in v2.items() if v1.get(n) == ino}
+        assert len(shared) == stats["files_carried"]
+        # values: exactly one row changed; history intact
+        latest = read_snapshot(spark, root)
+        assert latest.count() == 400
+        assert latest.filter("k = 5").first()["score"] == 105.0
+        assert latest.filter("k != 5").agg(
+            F.sum("score")
+        ).first()[0] == read_snapshot(spark, root, version=1).filter(
+            "k != 5"
+        ).agg(F.sum("score")).first()[0]
+        assert read_snapshot(spark, root, version=1).filter(
+            "k = 5"
+        ).first()["score"] == 5.0
+
+    def test_delete_carries_untouched_files(self, spark, tmp_path):
+        root = _seed(spark, tmp_path)
+        v1 = _inodes(root, 1)
+        Engine(spark).sql(f"DELETE FROM '{root}' WHERE k = 7")
+        stats = last_cow_stats(root)
+        assert stats["files_carried"] == len(v1) - 1
+        latest = read_snapshot(spark, root)
+        assert latest.count() == 399
+        assert latest.filter("k = 7").count() == 0
+
+    def test_zero_match_update_carries_everything(self, spark, tmp_path):
+        root = _seed(spark, tmp_path)
+        v1 = _inodes(root, 1)
+        m = Engine(spark).sql(
+            f"UPDATE '{root}' SET score = 0.0 WHERE k = -1"
+        ).first()
+        assert m["version"] == 2 and m["n_rows"] == 400
+        stats = last_cow_stats(root)
+        assert stats["files_carried"] == len(v1)
+        assert read_snapshot(spark, root).agg(F.sum("score")).first()[
+            0
+        ] == read_snapshot(spark, root, version=1).agg(F.sum("score")).first()[0]
+
+    def test_unfiltered_update_takes_full_path(self, spark, tmp_path):
+        root = _seed(spark, tmp_path)
+        LAST_COW_STATS.pop(os.path.abspath(root), None)
+        Engine(spark).sql(f"UPDATE '{root}' SET score = score * 2.0")
+        assert last_cow_stats(root) is None  # full-snapshot publish
+        assert read_snapshot(spark, root).agg(F.sum("score")).first()[0] == (
+            2.0
+            * read_snapshot(spark, root, version=1)
+            .agg(F.sum("score"))
+            .first()[0]
+        )
+
+    def test_type_changing_update_falls_back(self, spark, tmp_path):
+        """A SET whose CASE unification widens the column type (long →
+        decimal here) would leave the new directory with mixed footers;
+        the statement must fall back to the full rewrite — and still be
+        correct. (A SET like ``score = 1`` on a double column is NOT
+        type-changing: CASE coerces the literal to double, so the COW
+        path legitimately applies.)"""
+        root = _seed(spark, tmp_path)
+        LAST_COW_STATS.pop(os.path.abspath(root), None)
+        Engine(spark).sql(
+            f"UPDATE '{root}' SET k = CAST(9999 AS DECIMAL(20, 0)) "
+            "WHERE k = 5"
+        )
+        assert last_cow_stats(root) is None
+        latest = read_snapshot(spark, root)
+        assert latest.filter("k = 9999").count() == 1
+        assert latest.filter("k = 5").count() == 0
+        assert latest.count() == 400
+
+    def test_delta_chain_base_falls_back(self, spark, tmp_path):
+        root = _seed(spark, tmp_path, n=50, files=2)
+        append_rows(
+            spark.range(1000, 1010).select(
+                F.col("id").alias("k"), F.lit(1.0).alias("score")
+            ),
+            root,
+        )
+        assert not cow_eligible_base(root, 2)
+        LAST_COW_STATS.pop(os.path.abspath(root), None)
+        Engine(spark).sql(f"DELETE FROM '{root}' WHERE k = 1005")
+        assert last_cow_stats(root) is None
+        assert read_snapshot(spark, root).count() == 59
+
+    def test_alias_qualified_where(self, spark, tmp_path):
+        root = _seed(spark, tmp_path, n=60, files=3)
+        Engine(spark).sql(
+            f"UPDATE '{root}' AS x SET score = 9.0 WHERE x.k = 11"
+        )
+        assert last_cow_stats(root)["files_carried"] == 2
+        assert read_snapshot(spark, root).filter("k = 11").first()[
+            "score"
+        ] == 9.0
+
+
+class TestCowMerge:
+    def test_merge_rewrites_only_matched_files(self, spark, tmp_path):
+        root = _seed(spark, tmp_path)
+        v1 = _inodes(root, 1)
+        spark.createDataFrame(
+            [(5, 500.0), (9999, 1.5)], "k long, score double"
+        ).createOrReplaceTempView("cow_merge_src")
+        m = Engine(spark).sql(
+            f"MERGE INTO '{root}' AS t USING cow_merge_src AS s "
+            "ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET score = s.score "
+            "WHEN NOT MATCHED THEN INSERT *"
+        ).first()
+        assert (m["version"], m["n_rows"]) == (2, 401)
+        stats = last_cow_stats(root)
+        assert stats["files_carried"] == len(v1) - 1
+        v2 = _inodes(root, 2)
+        assert (
+            sum(1 for n, ino in v2.items() if v1.get(n) == ino)
+            == stats["files_carried"]
+        )
+        latest = read_snapshot(spark, root)
+        assert latest.filter("k = 5").first()["score"] == 500.0
+        assert latest.filter("k = 9999").first()["score"] == 1.5
+
+    def test_merge_delete_clause_cow(self, spark, tmp_path):
+        root = _seed(spark, tmp_path, n=100, files=4)
+        spark.createDataFrame([(3,)], "k long").createOrReplaceTempView(
+            "cow_del_src"
+        )
+        Engine(spark).sql(
+            f"MERGE INTO '{root}' AS t USING cow_del_src AS s ON t.k = s.k "
+            "WHEN MATCHED THEN DELETE"
+        )
+        assert last_cow_stats(root)["files_carried"] == 3
+        assert read_snapshot(spark, root).count() == 99
+
+    def test_by_source_merge_falls_back(self, spark, tmp_path):
+        """WHEN NOT MATCHED BY SOURCE acts on UNmatched target rows —
+        potentially every file — so the statement must take the full
+        publish and still be correct."""
+        root = _seed(spark, tmp_path, n=20, files=2)
+        LAST_COW_STATS.pop(os.path.abspath(root), None)
+        spark.createDataFrame(
+            [(1, 10.0)], "k long, score double"
+        ).createOrReplaceTempView("cow_bys_src")
+        Engine(spark).sql(
+            f"MERGE INTO '{root}' AS t USING cow_bys_src AS s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET score = s.score "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+        )
+        assert last_cow_stats(root) is None
+        latest = read_snapshot(spark, root)
+        assert latest.count() == 1
+        assert latest.first()["score"] == 10.0
+
+    def test_strict_ambiguity_still_detected_on_subset(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.sqlmerge import (
+            MergeError,
+        )
+
+        root = _seed(spark, tmp_path, n=20, files=2)
+        spark.createDataFrame(
+            [(1, 1.0), (1, 2.0)], "k long, score double"
+        ).createOrReplaceTempView("cow_dup_src")
+        with pytest.raises(MergeError, match="multiple source rows"):
+            Engine(spark).sql(
+                f"MERGE INTO '{root}' AS t USING cow_dup_src AS s "
+                "ON t.k = s.k WHEN MATCHED THEN UPDATE SET score = s.score"
+            )
+        assert snapshot_versions(root) == [1]  # nothing committed
+
+
+class TestCowChangeFeed:
+    def test_derived_changes_match_full_diff(self, spark, tmp_path):
+        """VERDICT r9 #2: the COW commit derives change rows from the
+        touched files' restricted diff; the result must equal the full
+        snapshot diff row-for-row."""
+        root = str(tmp_path / "cdf")
+        enable_change_feed(spark, root, ["k"])
+        df = spark.range(0, 300).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 5).cast("double").alias("score"),
+        )
+        write_snapshot(df.repartition(6, "k"), root)
+        Engine(spark).sql(
+            f"UPDATE '{root}' SET score = score + 50.0 WHERE k IN (2, 150)"
+        )
+        assert last_cow_stats(root) is not None  # took the COW path
+        derived = {
+            (r["k"], r["score"], r["_change_type"])
+            for r in table_changes(spark, root, 1, 2).select(
+                "k", "score", "_change_type"
+            ).collect()
+        }
+        full = {
+            (r["k"], r["score"], r["_change_type"])
+            for r in snapshot_changes(spark, root, ["k"], 1, 2).collect()
+        }
+        assert derived == full
+        assert derived == {
+            (2, 2.0, "update_preimage"),
+            (2, 52.0, "update_postimage"),
+            (150, 0.0, "update_preimage"),
+            (150, 50.0, "update_postimage"),
+        }
+
+    def test_derived_changes_for_delete_and_insert(self, spark, tmp_path):
+        root = str(tmp_path / "cdf2")
+        enable_change_feed(spark, root, ["k"])
+        write_snapshot(
+            spark.createDataFrame(
+                [(1, 1.0), (2, 2.0), (3, 3.0)], "k long, score double"
+            ).repartition(3, "k"),
+            root,
+        )
+        spark.createDataFrame(
+            [(2, 20.0), (9, 9.0)], "k long, score double"
+        ).createOrReplaceTempView("cow_cdf_src")
+        Engine(spark).sql(
+            f"MERGE INTO '{root}' AS t USING cow_cdf_src AS s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET score = s.score "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        got = {
+            (r["k"], r["score"], r["_change_type"])
+            for r in table_changes(spark, root, 1, 2).select(
+                "k", "score", "_change_type"
+            ).collect()
+        }
+        assert got == {
+            (2, 2.0, "update_preimage"),
+            (2, 20.0, "update_postimage"),
+            (9, 9.0, "insert"),
+        }
+
+    def test_zero_match_cdf_commit_has_empty_changes(self, spark, tmp_path):
+        root = str(tmp_path / "cdf3")
+        enable_change_feed(spark, root, ["k"])
+        write_snapshot(
+            spark.createDataFrame([(1, 1.0)], "k long, score double"), root
+        )
+        Engine(spark).sql(f"DELETE FROM '{root}' WHERE k = 42")
+        assert table_changes(spark, root, 1, 2).count() == 0
+
+
+class TestCowCommitProtocol:
+    def test_stale_base_raises_conflict(self, spark, tmp_path):
+        root = _seed(spark, tmp_path, n=20, files=2)
+        write_snapshot(
+            spark.createDataFrame([(1, 1.0)], "k long, score double"), root
+        )  # v2: the table advances past v1
+        with pytest.raises(ConcurrentWriteError):
+            commit_file_rewrite(
+                spark,
+                root,
+                base=1,
+                rewritten=read_snapshot(spark, root, version=1).limit(0),
+                touched=[],
+            )
+        assert snapshot_versions(root) == [1, 2]  # no orphan committed
+
+    def test_constraint_violation_rejects_rewrite(self, spark, tmp_path):
+        root = _seed(spark, tmp_path, n=20, files=2)
+        add_constraint(spark, root, "score_pos", "score >= 0")
+        with pytest.raises(ConstraintViolationError):
+            Engine(spark).sql(
+                f"UPDATE '{root}' SET score = -5.0 WHERE k = 1"
+            )
+        assert snapshot_versions(root) == [1]
+        assert read_snapshot(spark, root).filter("k = 1").first()[
+            "score"
+        ] == 1.0
+
+    def test_touched_files_must_belong_to_base(self, spark, tmp_path):
+        root = _seed(spark, tmp_path, n=10, files=1)
+        with pytest.raises(ValueError, match="not data files"):
+            commit_file_rewrite(
+                spark,
+                root,
+                base=1,
+                rewritten=read_snapshot(spark, root).limit(0),
+                touched=[str(tmp_path / "bogus.parquet")],
+            )
+
+    def test_vacuum_after_cow_keeps_shared_bytes_alive(self, spark, tmp_path):
+        """Hardlink carry means vacuuming the BASE version must not
+        corrupt the new version: dropping v1's directory only drops one
+        name per shared inode."""
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            vacuum_snapshots,
+        )
+
+        root = _seed(spark, tmp_path)
+        Engine(spark).sql(f"UPDATE '{root}' SET score = 0.0 WHERE k = 5")
+        total_before = read_snapshot(spark, root).agg(F.sum("score")).first()[0]
+        dropped = vacuum_snapshots(root, keep_last=1)
+        assert dropped == [1]
+        assert read_snapshot(spark, root).agg(F.sum("score")).first()[
+            0
+        ] == total_before

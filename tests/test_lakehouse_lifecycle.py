@@ -786,6 +786,7 @@ class TestPathTargetDml:
         publish fails the statement instead of erasing the commit."""
         from openaq_data_pipeline_engineering_spark.operators.sqldml import (
             _DELETE_PATH_RE,
+            _DELETE_RE,
             _execute_dml_on_root,
             execute_delete,
         )
@@ -806,7 +807,7 @@ class TestPathTargetDml:
             return execute_delete(spark_, rewritten, target_df=target_df)
 
         with pytest.raises(ConcurrentWriteError):
-            _execute_dml_on_root(spark, sql, pm, racing_lowering)
+            _execute_dml_on_root(spark, sql, pm, racing_lowering, _DELETE_RE)
         # the interleaved commit survives; the statement changed nothing
         assert read_snapshot(spark, root).count() == 1
 
