@@ -17,6 +17,7 @@ Layout
 """
 
 from openaq_data_pipeline_engineering_spark.engine import Engine, get_spark
+from openaq_data_pipeline_engineering_spark.io import load_versioned, save_versioned
 
-__all__ = ["Engine", "get_spark"]
+__all__ = ["Engine", "get_spark", "load_versioned", "save_versioned"]
 __version__ = "0.1.0"

@@ -55,11 +55,17 @@ def render() -> str:
     current = None
     n_total = len(rows)
     n_oracle = sum(1 for r in rows if r[3])
-    lines.append(
-        f"**{n_total} declared queries, {n_oracle} with value-level "
-        "DuckDB oracles** (the remainder are rows-only by nature: "
-        "stateful streaming, iterative algorithms).\n"
-    )
+    if n_total == n_oracle:
+        lines.append(
+            f"**{n_total} declared queries, all {n_oracle} with "
+            "value-level DuckDB oracles.**\n"
+        )
+    else:
+        lines.append(
+            f"**{n_total} declared queries, {n_oracle} with value-level "
+            "DuckDB oracles** (the remainder are rows-only by nature: "
+            "stateful streaming, iterative algorithms).\n"
+        )
     for module, name, doc, has_oracle in rows:
         if module != current:
             current = module
