@@ -52,6 +52,16 @@ read back as one directory), the statement must carry a predicate
 must preserve the schema (a type-changing SET would leave the new
 directory with mixed footers).
 
+Determinism caveat (same as Delta's): discovery and lowering evaluate
+the predicate / ON condition twice against the immutable base files —
+a NON-deterministic predicate (rand(), current_timestamp at
+sub-statement granularity) or a non-deterministic MERGE source
+subquery could match different rows in the two passes, leaving a
+matched row in a carried file. Deterministic statements (every
+statement the engine's surface generates) are unaffected; the
+full-rewrite fallback paths evaluate once and keep even that shape
+correct.
+
 Reference scope: the reference pipeline has no row-level DML at all
 (its Athena surface, reference utils/athena_utils.py, is read-only and
 its mart is overwritten wholesale, reference etls/openaq_transform_etl.py);
@@ -122,14 +132,20 @@ def touched_files_by_predicate(
     One column-pruned scan: Catalyst pushes the predicate to the
     parquet reader, so row-group min/max stats skip non-matching files
     at footer cost — the scan reads only the predicate's columns of
-    the files that survive skipping."""
+    the files that survive skipping.
+
+    The raw expression goes straight into ``filter`` — NOT wrapped in
+    ``coalesce(expr, false)``: filter already drops NULL-valued rows
+    (identical match semantics), and the wrapper would defeat parquet
+    pushdown (``coalesce(k = 5, false)`` is not a convertible filter;
+    the bare ``k = 5`` pushes as ``isnotnull(k), k = 5`` — verified in
+    tests/test_cow_dml.py::test_discovery_scan_pushes_predicate)."""
     df = spark.read.parquet(vdir)
     if alias:
         df = df.alias(alias)
-    match = F.coalesce(F.expr(predicate), F.lit(False))
     rows = (
         df.withColumn("__cow_file", F.col("_metadata.file_path"))
-        .filter(match)
+        .filter(F.expr(predicate))
         .select("__cow_file")
         .distinct()
         .collect()

@@ -346,6 +346,43 @@ class TestCowCommitProtocol:
             "score"
         ] == 1.0
 
+    def test_racing_cow_updates_never_lose_either(self, spark, tmp_path):
+        """Two concurrent path-target UPDATEs: losers raise
+        ConcurrentWriteError (optimistic guard — never a silent lost
+        update); every SUCCESSFUL statement's effect is present in the
+        final table and row count is stable."""
+        import threading
+
+        root = _seed(spark, tmp_path, n=100, files=4)
+        outcomes: dict[int, str] = {}
+        barrier = threading.Barrier(2)
+
+        def run(i: int):
+            barrier.wait()
+            try:
+                Engine(spark).sql(
+                    f"UPDATE '{root}' SET score = {1000.0 + i} "
+                    f"WHERE k = {i}"
+                )
+                outcomes[i] = "ok"
+            except ConcurrentWriteError:
+                outcomes[i] = "conflict"
+
+        ts = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert "ok" in outcomes.values()  # at least one landed
+        latest = read_snapshot(spark, root)
+        assert latest.count() == 100
+        for i, res in outcomes.items():
+            got = latest.filter(f"k = {i}").first()["score"]
+            if res == "ok":
+                assert got == 1000.0 + i
+            else:
+                assert got == float(i % 7)  # untouched
+
     def test_touched_files_must_belong_to_base(self, spark, tmp_path):
         root = _seed(spark, tmp_path, n=10, files=1)
         with pytest.raises(ValueError, match="not data files"):
@@ -356,6 +393,24 @@ class TestCowCommitProtocol:
                 rewritten=read_snapshot(spark, root).limit(0),
                 touched=[str(tmp_path / "bogus.parquet")],
             )
+
+    def test_discovery_scan_pushes_predicate(self, spark, tmp_path):
+        """The touched-file discovery must reach the parquet reader as
+        a PUSHED filter (row-group stats then skip non-matching files
+        at footer cost) — a coalesce-wrapped predicate would silently
+        read every row group of the predicate columns."""
+        root = _seed(spark, tmp_path, n=100, files=4)
+        vdir = os.path.join(root, "v=1")
+        plan = (
+            spark.read.parquet(vdir)
+            .withColumn("__cow_file", F.col("_metadata.file_path"))
+            .filter(F.expr("k = 5"))
+            .select("__cow_file")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedFilters: [IsNotNull(k), EqualTo(k,5)]" in plan, plan
 
     def test_vacuum_after_cow_keeps_shared_bytes_alive(self, spark, tmp_path):
         """Hardlink carry means vacuuming the BASE version must not
