@@ -545,11 +545,25 @@ def checkpoint_appends(
     root: str,
     txn_id: str | None = None,
     _max_conflict_retries: int = 3,
+    compact: bool = False,
 ) -> int:
-    """Re-base an append chain: write the CURRENT resolved content as
+    """Re-base an append chain: publish the CURRENT resolved content as
     one new FULL version (Delta checkpoint / OPTIMIZE shape). After
     this commit, :func:`vacuum_snapshots` can reclaim the whole prior
     chain; readers pinned on old versions still resolve until then.
+
+    ZERO-COPY by default: when every directory in the chain carries the
+    SAME parquet schema (one footer read per directory), the new full
+    version is built by HARDLINKING every chain file into the claimed
+    directory — zero data bytes written, O(files) metadata ops, exactly
+    Delta's checkpoint cost model (a Delta checkpoint compacts the LOG;
+    data files are shared between versions by reference). The rebase's
+    contract is bounding READ amplification (directories per read),
+    which the link merge satisfies; pass ``compact=True`` (or use
+    ``OPTIMIZE '<root>'``) when small-file compaction is ALSO wanted —
+    that path rewrites through Spark. Schema-evolved chains
+    (mergeSchema reads) fall back to the rewrite automatically: their
+    files cannot share one directory.
 
     This is a read-modify-write: the checkpoint's content is whatever
     the table held at read time, so the commit is CONDITIONAL on the
@@ -567,6 +581,10 @@ def checkpoint_appends(
             raise FileNotFoundError(f"no committed versions under {root}")
         base = versions[-1]
         try:
+            if not compact:
+                v = _checkpoint_zero_copy(spark, root, base, txn_id)
+                if v is not None:
+                    return v
             return write_snapshot(
                 read_snapshot(spark, root, version=base),
                 root,
@@ -576,6 +594,108 @@ def checkpoint_appends(
         except ConcurrentWriteError as e:
             last_err = e
     raise last_err
+
+
+def _dir_footer_schema(d: str):
+    """Arrow schema of one data file of ``d`` (files within a directory
+    share the writing job's schema), metadata stripped so cosmetic
+    pandas/Spark annotations never block a zero-copy rebase; None for
+    a directory with no data files (an empty delta constrains
+    nothing)."""
+    import pyarrow.parquet as pq
+
+    from openaq_data_pipeline_engineering_spark.operators.compact import (
+        iter_data_parquet_files,
+    )
+
+    for p in iter_data_parquet_files(d):
+        return pq.ParquetFile(p).schema_arrow.remove_metadata()
+    return None
+
+
+def _checkpoint_zero_copy(
+    spark: SparkSession, root: str, base: int, txn_id: str | None
+) -> int | None:
+    """Hardlink-merge rebase: returns the committed version, or None
+    when ineligible (schema-evolved chain, clone-referenced
+    directories on another filesystem are still fine — link falls back
+    to copy2 per file). Raises ConcurrentWriteError on a commit
+    conflict exactly like the rewrite path."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from openaq_data_pipeline_engineering_spark.operators.compact import (
+        iter_data_parquet_files,
+    )
+    from openaq_data_pipeline_engineering_spark.operators.metastore import (
+        get_metadata_store,
+    )
+
+    if txn_id is not None:
+        _, txns = _read_manifest_full(root)
+        if txn_id in txns:
+            return txns[txn_id]  # replay: already committed
+    doc = _read_manifest_doc(root)
+    if base not in doc["versions"]:
+        raise ConcurrentWriteError(
+            f"table {root!r} no longer has v{base}; re-read and retry"
+        )
+    paths = _resolve_version_paths(root, doc, base)
+    schemas = [s for s in (_dir_footer_schema(p) for p in paths) if s is not None]
+    if schemas and any(not s.equals(schemas[0]) for s in schemas[1:]):
+        return None  # evolved chain: one directory can't hold both schemas
+    store = get_metadata_store()
+    for _ in range(16):
+        candidate = (
+            max(_read_manifest(root) + _existing_version_dirs(root), default=0)
+            + 1
+        )
+        if store.claim_version_dir(root, candidate):
+            break
+    else:
+        raise RuntimeError(f"could not allocate a version under {root}")
+    new_dir = os.path.join(root, f"v={candidate}")
+    try:
+        for src_dir in paths:
+            for src in iter_data_parquet_files(src_dir):
+                dst = os.path.join(new_dir, os.path.basename(src))
+                n = 0
+                while os.path.exists(dst):
+                    n += 1
+                    dst = os.path.join(
+                        new_dir, f"rebase-{n}-{os.path.basename(src)}"
+                    )
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
+        if doc["cdf_keys"]:
+            # A rebase is content-preserving: its change set is EMPTY
+            # by construction — written as typed empty change files so
+            # table_changes over the range stays servable without the
+            # full-table diff a write_snapshot commit would run.
+            empty = (
+                read_snapshot(spark, root, version=base)
+                .limit(0)
+                .withColumn("_change_type", F.lit(""))
+            )
+            empty.write.mode("overwrite").parquet(
+                os.path.join(new_dir, "_changes")
+            )
+        # Content identical to the committed v=base -> every recorded
+        # constraint already holds on it (the same induction the COW
+        # commit documents); the commit re-checks the set under CAS.
+        return _commit_version(
+            root,
+            candidate,
+            txn_id,
+            expected_latest=base,
+            validated_constraints=frozenset(doc["constraints"]),
+        )
+    except BaseException:
+        shutil.rmtree(new_dir, ignore_errors=True)
+        raise
 
 
 def _allocate_and_write(df: DataFrame, root: str, max_retries: int = 16) -> int:

@@ -1,0 +1,181 @@
+"""Zero-copy append-chain rebase: checkpoint_appends hardlink-merges
+the chain into the new full version when every directory shares one
+parquet schema — zero data bytes written (Delta's checkpoint cost
+model: data files shared by reference). Schema-evolved chains fall
+back to the Spark rewrite; ``compact=True`` forces the rewrite."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_engineering_spark.operators.versioned import (
+    append_rows,
+    checkpoint_appends,
+    enable_change_feed,
+    read_snapshot,
+    snapshot_modes,
+    snapshot_versions,
+    table_changes,
+    vacuum_snapshots,
+    write_snapshot,
+)
+
+
+def _df(spark, rows, schema="k long, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _inodes(root: str, version: int) -> set[int]:
+    return {
+        os.stat(p).st_ino
+        for p in glob.glob(os.path.join(root, f"v={version}", "*.parquet"))
+        if not os.path.basename(p).startswith(("_", "."))
+    }
+
+
+class TestZeroCopyRebase:
+    def test_rebase_links_instead_of_rewriting(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        write_snapshot(_df(spark, [(1, "a")]), root)
+        append_rows(_df(spark, [(2, "b")]), root)
+        append_rows(_df(spark, [(3, "c")]), root)
+        chain_inodes = _inodes(root, 1) | _inodes(root, 2) | _inodes(root, 3)
+        v = checkpoint_appends(spark, root)
+        assert snapshot_modes(root).get(v, "full") == "full"
+        new = _inodes(root, v)
+        # every data file of the rebase IS a chain file (same inode) —
+        # zero data bytes written
+        assert new and new <= chain_inodes
+        assert _rows(read_snapshot(spark, root)) == {
+            (1, "a"),
+            (2, "b"),
+            (3, "c"),
+        }
+
+    def test_vacuum_after_zero_copy_rebase_is_safe(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        write_snapshot(_df(spark, [(1, "a")]), root)
+        append_rows(_df(spark, [(2, "b")]), root)
+        v = checkpoint_appends(spark, root)
+        dropped = vacuum_snapshots(root, keep_last=1)
+        assert dropped == [1, 2]
+        # dropping the chain dirs only drops link NAMES; the rebased
+        # version still reads every row
+        assert _rows(read_snapshot(spark, root, version=v)) == {
+            (1, "a"),
+            (2, "b"),
+        }
+
+    def test_evolved_chain_falls_back_to_rewrite(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        write_snapshot(_df(spark, [(1, "a")]), root)
+        append_rows(
+            spark.createDataFrame(
+                [(2, "b", 7.5)], "k long, v string, score double"
+            ),
+            root,
+        )
+        chain_inodes = _inodes(root, 1) | _inodes(root, 2)
+        v = checkpoint_appends(spark, root)
+        assert _inodes(root, v).isdisjoint(chain_inodes)  # rewritten
+        got = {
+            (r["k"], r["v"], r["score"])
+            for r in read_snapshot(spark, root, version=v).collect()
+        }
+        assert got == {(1, "a", None), (2, "b", 7.5)}
+
+    def test_compact_true_forces_rewrite(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        write_snapshot(_df(spark, [(1, "a")]), root)
+        append_rows(_df(spark, [(2, "b")]), root)
+        chain_inodes = _inodes(root, 1) | _inodes(root, 2)
+        v = checkpoint_appends(spark, root, compact=True)
+        assert _inodes(root, v).isdisjoint(chain_inodes)
+        assert read_snapshot(spark, root, version=v).count() == 2
+
+    def test_txn_dedupe_on_zero_copy_path(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        write_snapshot(_df(spark, [(1, "a")]), root)
+        append_rows(_df(spark, [(2, "b")]), root)
+        v = checkpoint_appends(spark, root, txn_id="ckpt-0")
+        replay = checkpoint_appends(spark, root, txn_id="ckpt-0")
+        assert replay == v
+        assert snapshot_versions(root)[-1] == v
+
+    def test_cdf_table_rebase_has_empty_change_set(self, spark, tmp_path):
+        """A rebase is content-preserving: its change files must exist
+        (table_changes over the range stays servable) and be EMPTY —
+        and no full-table diff is needed to produce them."""
+        root = str(tmp_path / "t")
+        enable_change_feed(spark, root, ["k"])
+        write_snapshot(_df(spark, [(1, "a"), (2, "b")]), root)  # v1
+        append_rows(_df(spark, [(3, "c")]), root)  # v2 delta
+        v = checkpoint_appends(spark, root)  # v3 zero-copy
+        ch = table_changes(spark, root, v_from=0, v_to=v)
+        by_version = {
+            r["_commit_version"]: r["_change_type"]
+            for r in ch.collect()
+            if r["_commit_version"] == v
+        }
+        assert by_version == {}  # the rebase contributed zero change rows
+        # the rest of the range still serves
+        assert ch.filter(F.col("_commit_version") == 1).count() == 2
+        assert ch.filter(F.col("_commit_version") == 2).count() == 1
+        assert _rows(
+            read_snapshot(spark, root, version=v).select("k", "v")
+        ) == {(1, "a"), (2, "b"), (3, "c")}
+
+    def test_auto_rebase_policy_uses_zero_copy(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        write_snapshot(_df(spark, [(0, "base")]), root)
+        pre_inodes: set[int] = set()
+        for i in range(3):
+            append_rows(
+                _df(spark, [(i + 1, "d")]), root, max_chain_deltas=2
+            )
+        # the policy checkpointed; the rebase version's files are links
+        versions = snapshot_versions(root)
+        modes = snapshot_modes(root)
+        fulls = [v for v in versions[1:] if v not in modes]
+        assert fulls, (versions, modes)
+        for v in versions:
+            pre_inodes |= _inodes(root, v)
+        assert _inodes(root, fulls[-1]) <= pre_inodes
+        assert read_snapshot(spark, root).count() == 4
+
+    def test_conflict_retries_against_racer(self, spark, tmp_path):
+        """A commit landing between the rebase's read and publish makes
+        the conditional commit conflict; checkpoint retries and the
+        final content includes the racer's rows."""
+        from openaq_data_pipeline_engineering_spark.operators import (
+            versioned as V,
+        )
+
+        root = str(tmp_path / "t")
+        write_snapshot(_df(spark, [(1, "a")]), root)
+        append_rows(_df(spark, [(2, "b")]), root)
+        real = V._commit_version
+        fired = {"n": 0}
+
+        def racing_commit(r, version, *a, **kw):
+            if fired["n"] == 0 and kw.get("expected_latest") is not None:
+                fired["n"] = 1
+                append_rows(_df(spark, [(9, "racer")]), root)
+            return real(r, version, *a, **kw)
+
+        try:
+            V._commit_version = racing_commit
+            v = checkpoint_appends(spark, root)
+        finally:
+            V._commit_version = real
+        assert fired["n"] == 1
+        assert (9, "racer") in _rows(read_snapshot(spark, root))
+        assert read_snapshot(spark, root).count() == 3
