@@ -118,10 +118,7 @@ def cow_eligible_base(root: str, base: int) -> bool:
     vdir = base_version_dir(root, base)
     if not os.path.isdir(vdir):
         return False  # clone-referenced: data lives under the source
-    for p in iter_data_parquet_files(vdir):
-        if os.path.dirname(p) != vdir:
-            return False  # partition subdirectories: not flat
-    return True
+    return is_flat_dir(vdir)  # partition subdirectories: not flat
 
 
 def touched_files_by_predicate(
@@ -179,6 +176,63 @@ def touched_files_by_join(
     return sorted(local_path(r["__cow_file"]) for r in rows)
 
 
+def touched_files_by_keys(
+    spark: SparkSession, vdir: str, delta: DataFrame, keys: list[str]
+) -> list[str]:
+    """Data files of ``vdir`` holding at least one row whose key tuple
+    appears in ``delta`` — the keyed-upsert form of discovery (one LEFT
+    SEMI join on null-safe key equality; the delta's distinct key set
+    is tiny relative to the table and broadcasts)."""
+    t = spark.read.parquet(vdir).withColumn(
+        "__cow_file", F.col("_metadata.file_path")
+    )
+    d = F.broadcast(delta.select(*keys).distinct()).alias("__cow_d")
+    t = t.alias("__cow_t")
+    cond = None
+    for k in keys:
+        this = F.col(f"__cow_t.{k}").eqNullSafe(F.col(f"__cow_d.{k}"))
+        cond = this if cond is None else cond & this
+    rows = (
+        t.join(d, cond, "left_semi")
+        .select("__cow_file")
+        .distinct()
+        .collect()
+    )
+    return sorted(local_path(r["__cow_file"]) for r in rows)
+
+
+def link_files(srcs: list[str], dst_dir: str, prefix: str = "carried") -> int:
+    """Hardlink every file in ``srcs`` into ``dst_dir`` (collision-
+    renamed with ``prefix``; cross-device falls back to a real copy).
+    Returns the total bytes carried. The shared carry primitive of the
+    COW commit, the zero-copy rebase, and the file-granular purge."""
+    os.makedirs(dst_dir, exist_ok=True)
+    total = 0
+    for src in srcs:
+        dst = os.path.join(dst_dir, os.path.basename(src))
+        n = 0
+        while os.path.exists(dst):
+            n += 1
+            dst = os.path.join(
+                dst_dir, f"{prefix}-{n}-{os.path.basename(src)}"
+            )
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+        total += os.path.getsize(src)
+    return total
+
+
+def is_flat_dir(vdir: str) -> bool:
+    """True when every data file sits directly under ``vdir`` (no Hive
+    partition subdirectories — the layout a flat carry preserves)."""
+    for p in iter_data_parquet_files(vdir):
+        if os.path.dirname(p) != vdir:
+            return False
+    return True
+
+
 def schema_preserved(base: DataFrame, rewritten: DataFrame) -> bool:
     """Same column names and types in order (nullability ignored —
     parquet files in one directory may differ there harmlessly). A
@@ -228,8 +282,15 @@ def commit_file_rewrite(
         _existing_version_dirs,
         _read_manifest,
         _read_manifest_doc,
+        _read_manifest_full,
     )
 
+    if txn_id is not None:
+        # Idempotent replay short-circuits BEFORE any work, matching
+        # write_snapshot's entry check (the commit re-checks under CAS).
+        _, txns = _read_manifest_full(root)
+        if txn_id in txns:
+            return txns[txn_id]
     store = get_metadata_store()
     vdir_base = base_version_dir(root, base)
     all_files = {os.path.realpath(p) for p in iter_data_parquet_files(vdir_base)}
@@ -274,20 +335,7 @@ def commit_file_rewrite(
             os.path.getsize(p) for p in iter_data_parquet_files(new_dir)
         )
         files_rewritten = sum(1 for _ in iter_data_parquet_files(new_dir))
-        bytes_carried = 0
-        for src in carried:
-            dst = os.path.join(new_dir, os.path.basename(src))
-            n = 0
-            while os.path.exists(dst):  # part-name collision: paranoia
-                n += 1
-                dst = os.path.join(
-                    new_dir, f"carried-{n}-{os.path.basename(src)}"
-                )
-            try:
-                os.link(src, dst)
-            except OSError:
-                shutil.copy2(src, dst)
-            bytes_carried += os.path.getsize(src)
+        bytes_carried = link_files(carried, new_dir)
         version = _commit_version(
             root,
             candidate,

@@ -2165,7 +2165,39 @@ def purge_rows(
         shutil.rmtree(tmp, ignore_errors=True)
         if n_purged:
             matches = F.coalesce(F.expr(predicate), F.lit(False))
-            df.filter(~matches).write.mode("overwrite").parquet(tmp)
+            # FILE-GRANULAR rewrite (operators/cow.py): on a flat
+            # directory, only the files that CONTAIN matching rows are
+            # rewritten without them; every other file is hardlinked
+            # into the staging dir — per-version erasure I/O becomes
+            # O(files holding matches), not O(version bytes). Matches
+            # usually cluster (one user's rows, one key range), so a
+            # 100 TB retained history purges at the cost of the files
+            # the subject actually occupies. Partitioned (adopted)
+            # layouts keep the whole-version rewrite.
+            from openaq_data_pipeline_engineering_spark.operators.compact import (
+                iter_data_parquet_files,
+            )
+            from openaq_data_pipeline_engineering_spark.operators.cow import (
+                is_flat_dir,
+                link_files,
+                touched_files_by_predicate,
+            )
+
+            if is_flat_dir(path):
+                touched = touched_files_by_predicate(spark, path, predicate)
+                untouched = sorted(
+                    {
+                        os.path.realpath(p)
+                        for p in iter_data_parquet_files(path)
+                    }
+                    - {os.path.realpath(p) for p in touched}
+                )
+                spark.read.parquet(*touched).filter(~matches).write.mode(
+                    "overwrite"
+                ).parquet(tmp)
+                link_files(untouched, tmp)
+            else:
+                df.filter(~matches).write.mode("overwrite").parquet(tmp)
         else:
             # only the CHANGE files match (a purged row's pre-image in
             # the version that deleted it); the data itself is

@@ -124,14 +124,58 @@ def upsert_batch(
     # lost-update anomaly the r8 advisor closed in checkpoint/OPTIMIZE.
     # On conflict: re-read, re-merge, retry; the txn_id still dedupes a
     # REPLAY of this same batch at any point.
+    # FILE-GRANULAR commit (operators/cow.py): per batch the write was
+    # O(table) — read latest, merge, write a COMPLETE new version, so a
+    # long-running stream re-wrote its accumulated state every
+    # micro-batch. When the latest version is a flat full snapshot, the
+    # merge now runs over ONLY the files whose keys the batch touches
+    # (one broadcast left-semi join on the collapsed batch's key set);
+    # every other file is hardlink-carried. Per-batch write I/O becomes
+    # O(touched files + batch), matching the delta-append sinks.
+    # Ineligible bases (delta chains, adopted partitioned layouts,
+    # schema-evolving batches) keep the identical-result full publish.
+    from openaq_data_pipeline_engineering_spark.operators.cow import (
+        commit_file_rewrite,
+        cow_eligible_base,
+        schema_preserved,
+        touched_files_by_keys,
+    )
+
     last_err: versioned.ConcurrentWriteError | None = None
     for _ in range(8):
         versions = versioned.snapshot_versions(target_dir)
         if not versions:
             _migrate_legacy_layout(spark, target_dir)
             versions = versioned.snapshot_versions(target_dir)
+        txn_id = f"{txn_app_id}-{batch_id}"
         if versions:
             expected = versions[-1]
+            if cow_eligible_base(target_dir, expected):
+                import os as _os
+
+                vdir = _os.path.join(target_dir, f"v={expected}")
+                base_df = spark.read.parquet(vdir)
+                touched = touched_files_by_keys(spark, vdir, delta, keys)
+                subset = (
+                    spark.read.parquet(*touched)
+                    if touched
+                    else base_df.limit(0)
+                )
+                merged_sub = merge_upsert(subset, delta, keys)
+                if schema_preserved(base_df, merged_sub):
+                    try:
+                        commit_file_rewrite(
+                            spark,
+                            target_dir,
+                            expected,
+                            merged_sub,
+                            touched,
+                            txn_id=txn_id,
+                        )
+                        break
+                    except versioned.ConcurrentWriteError as e:
+                        last_err = e
+                        continue
             base = versioned.read_snapshot(
                 spark, target_dir, version=expected
             )
@@ -143,7 +187,7 @@ def upsert_batch(
             versioned.write_snapshot(
                 merged,
                 target_dir,
-                txn_id=f"{txn_app_id}-{batch_id}",
+                txn_id=txn_id,
                 expected_latest=expected,
             )
             break

@@ -412,6 +412,36 @@ class TestCowCommitProtocol:
         )
         assert "PushedFilters: [IsNotNull(k), EqualTo(k,5)]" in plan, plan
 
+    def test_purge_rewrites_only_files_holding_matches(self, spark, tmp_path):
+        """purge_rows is file-granular on flat versions: the rewrite of
+        each retained version touches only the files containing
+        matching rows; every other file is hardlinked into the staged
+        directory (erasure I/O ∝ files the subject occupies). The
+        matching inode must lose ALL names across versions."""
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            purge_rows,
+        )
+
+        root = _seed(spark, tmp_path)
+        # v2 = zero-match COW update: all 8 files carried, so v1 and v2
+        # SHARE every inode — the purge must rewrite the k=5 file in
+        # BOTH versions and carry the rest in both
+        Engine(spark).sql(f"UPDATE '{root}' SET score = 0.0 WHERE k = -1")
+        v1_before, v2_before = _inodes(root, 1), _inodes(root, 2)
+        results = purge_rows(
+            spark, root, "k = 5", orphan_min_age_seconds=0
+        )
+        assert {(v, p) for v, p, _ in results} == {(1, 1), (2, 1)}
+        for version, before in ((1, v1_before), (2, v2_before)):
+            after = _inodes(root, version)
+            shared = sum(
+                1 for n, ino in after.items() if before.get(n) == ino
+            )
+            assert shared == len(before) - 1  # only the k=5 file rewrote
+            df = read_snapshot(spark, root, version=version)
+            assert df.filter("k = 5").count() == 0
+            assert df.count() == 399
+
     def test_vacuum_after_cow_keeps_shared_bytes_alive(self, spark, tmp_path):
         """Hardlink carry means vacuuming the BASE version must not
         corrupt the new version: dropping v1's directory only drops one
