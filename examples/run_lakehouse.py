@@ -257,6 +257,41 @@ def main() -> None:
     ).collect():
         print(f"  change: {r['_change_type']:17s} k={r['k']} "
               f"parameter={r['parameter']}")
+
+    # -- 9. round-10 surfaces: the save facade + file-granular DML ----
+    # DataFrameWriter-parity facade: no operator imports needed.
+    from openaq_data_pipeline_engineering_spark import load_versioned, save_versioned
+
+    facade = os.path.join(workdir, "facade_table")
+    save_versioned(
+        spark.range(0, 1000).selectExpr(
+            "id AS k", "cast(id % 9 as double) AS score"
+        ).repartition(8, "k"),
+        facade,
+    )
+    save_versioned(
+        spark.createDataFrame([(5000, 1.0)], "k long, score double"),
+        facade,
+        mode="append",
+    )
+    print(f"facade: latest holds {load_versioned(spark, facade).count()} rows")
+
+    # A one-key UPDATE rewrites only the file containing the key; the
+    # other files carry into the new version by hardlink (zero copy).
+    from openaq_data_pipeline_engineering_spark.operators.cow import last_cow_stats
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        checkpoint_appends,
+    )
+
+    checkpoint_appends(spark, facade)  # zero-copy chain rebase first
+    eng.sql(f"UPDATE '{facade}' SET score = score + 100.0 WHERE k = 7")
+    s = last_cow_stats(facade)
+    print(
+        "file-granular UPDATE: rewrote "
+        f"{s['files_rewritten']} file(s) ({s['bytes_rewritten']} B), "
+        f"hardlink-carried {s['files_carried']} "
+        f"({s['bytes_carried']} B untouched)"
+    )
     spark.stop()
 
 
