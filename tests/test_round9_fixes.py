@@ -148,7 +148,11 @@ class TestReadModifyWriteGuards:
         """ADVICE #1: a concurrent append landing between the
         checkpoint's read and its publish must NOT be erased — the
         conditional commit fails, the checkpoint re-reads, and the
-        final full version contains the interloper's rows."""
+        final full version contains the interloper's rows. This pins
+        the REWRITE path (compact=True), whose capture point is the
+        read_snapshot call the hook interleaves on; the zero-copy
+        rebase's equivalent race is pinned by
+        test_zero_copy_rebase.py::test_conflict_retries_against_racer."""
         root = str(tmp_path / "t")
         write_snapshot(_df(spark, [(1, "a")]), root)  # v1
         append_rows(_df(spark, [(2, "b")]), root)  # v2
@@ -164,7 +168,7 @@ class TestReadModifyWriteGuards:
             return df
 
         monkeypatch.setattr(versioned, "read_snapshot", interleaved)
-        v = checkpoint_appends(spark, root)
+        v = checkpoint_appends(spark, root, compact=True)
         monkeypatch.undo()
         assert snapshot_modes(root).get(v, "full") == "full"
         # the lost-update check: (3, "c") survived the checkpoint
