@@ -121,6 +121,48 @@ def cow_eligible_base(root: str, base: int) -> bool:
     return is_flat_dir(vdir)  # partition subdirectories: not flat
 
 
+def ensure_cow_base(spark: SparkSession, root: str) -> int | None:
+    """The version a file-granular commit can rewrite against, or None.
+
+    The latest version when it is already COW-eligible; when it is an
+    append-chain DELTA or a RESTORE commit, try a ZERO-COPY rebase
+    first (versioned._checkpoint_zero_copy — hardlink merge, no data
+    bytes) and return the rebased version. This closes the gap where a
+    one-key UPDATE on a table whose latest commit happened to be an
+    append fell back to rewriting the WHOLE table: now it costs one
+    link-merge commit plus the touched-file rewrite. A clone-referenced
+    or restore base materializes locally the same way (links on the
+    same filesystem, real copies across devices) and is file-granular
+    from then on. Returns None — caller takes the full-rewrite path —
+    for partitioned layouts, schema-evolved chains, and when a racer
+    commits mid-rebase (the statement-level retry re-enters here).
+    """
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        ConcurrentWriteError,
+        _checkpoint_zero_copy,
+        _read_manifest_doc,
+        snapshot_versions,
+    )
+
+    versions = snapshot_versions(root)
+    if not versions:
+        return None
+    base = versions[-1]
+    if cow_eligible_base(root, base):
+        return base
+    mode = _read_manifest_doc(root)["modes"].get(base, "full")
+    if mode == "delta" or mode.startswith("restore:") or not os.path.isdir(
+        base_version_dir(root, base)
+    ):
+        try:
+            rebased = _checkpoint_zero_copy(spark, root, base, None)
+        except ConcurrentWriteError:
+            return None  # racer advanced the table mid-rebase
+        if rebased is not None and cow_eligible_base(root, rebased):
+            return rebased
+    return None
+
+
 def touched_files_by_predicate(
     spark: SparkSession, vdir: str, predicate: str, alias: str | None = None
 ) -> list[str]:

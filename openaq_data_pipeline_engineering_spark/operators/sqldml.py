@@ -163,23 +163,31 @@ def _execute_dml_on_root(spark: SparkSession, sql: str, pm, lowering, where_re):
     """Shared path-target wrapper: read latest, lower, commit with the
     optimistic guard, return one footer-derived metrics row.
 
-    FILE-GRANULAR copy-on-write (operators/cow.py): when the latest
-    version is a flat full snapshot and the statement has a WHERE, the
-    lowering runs over ONLY the files holding matching rows; every
-    other file is carried into the new version by hardlink, so bytes
-    written ∝ touched files, not table size (Delta's UPDATE/DELETE
-    write shape). Any ineligibility — no WHERE, delta-chain or
-    partitioned or clone-referenced base, a type-changing SET — falls
-    back to the identical-result full-snapshot publish."""
+    FILE-GRANULAR copy-on-write (operators/cow.py): when the statement
+    has a WHERE and the latest version is (or can be zero-copy-rebased
+    to — delta chains, restores, clone references) a flat full
+    snapshot, the lowering runs over ONLY the files holding matching
+    rows; every other file is carried into the new version by
+    hardlink, so bytes written ∝ touched files, not table size
+    (Delta's UPDATE/DELETE write shape). Any ineligibility — no WHERE,
+    partitioned base, a type-changing SET — falls back to the
+    identical-result full-snapshot publish.
+
+    CONFLICT RETRY (Delta parity): a concurrent commit between the
+    statement's read and its conditional publish conflicts; the
+    statement re-reads the new latest and re-executes, up to 3
+    attempts, then surfaces :class:`versioned.ConcurrentWriteError` —
+    re-executing against latest is exactly the serializable outcome."""
     import os
 
     from openaq_data_pipeline_engineering_spark.operators.cow import (
         commit_file_rewrite,
-        cow_eligible_base,
+        ensure_cow_base,
         schema_preserved,
         touched_files_by_predicate,
     )
     from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        ConcurrentWriteError,
         read_snapshot,
         snapshot_versions,
         write_snapshot,
@@ -189,13 +197,6 @@ def _execute_dml_on_root(spark: SparkSession, sql: str, pm, lowering, where_re):
     # literal, so its characters are masked out); spans are same-length
     # aligned, so slice the ORIGINAL statement for the real path.
     root = sql[pm.start("path") : pm.end("path")]
-    versions = snapshot_versions(root)
-    if not versions:
-        raise MergeError(
-            f"{root!r} has no committed versions; path-target DML needs "
-            "an existing versioned table (INSERT OVERWRITE creates one)"
-        )
-    base = versions[-1]
     # Splice a synthetic view name over the quoted path (spans come
     # from the same-length masked text, so they index the original);
     # the plain lowering then runs unchanged against target_df.
@@ -206,24 +207,49 @@ def _execute_dml_on_root(spark: SparkSession, sql: str, pm, lowering, where_re):
     )
     alias, where = _statement_alias_where(rewritten, where_re)
     new_v: int | None = None
-    if where is not None and cow_eligible_base(root, base):
-        vdir = os.path.join(root, f"v={base}")
-        base_df = spark.read.parquet(vdir)
-        touched = touched_files_by_predicate(spark, vdir, where, alias=alias)
-        if touched:
-            subset = spark.read.parquet(*touched)
-            partial = lowering(spark, rewritten, target_df=subset)
-        else:
-            partial = lowering(spark, rewritten, target_df=base_df).limit(0)
-        if schema_preserved(base_df, partial):
-            new_v = commit_file_rewrite(spark, root, base, partial, touched)
-    if new_v is None:
-        df = read_snapshot(spark, root, version=base)
-        result = lowering(spark, rewritten, target_df=df)
-        # Constraints are enforced and the optimistic guard checked by
-        # the commit itself; a conflicting concurrent commit raises
-        # ConcurrentWriteError for the caller to retry.
-        new_v = write_snapshot(result, root, expected_latest=base)
+    for attempt in range(3):
+        versions = snapshot_versions(root)
+        if not versions:
+            raise MergeError(
+                f"{root!r} has no committed versions; path-target DML "
+                "needs an existing versioned table (INSERT OVERWRITE "
+                "creates one)"
+            )
+        base = versions[-1]
+        try:
+            if where is not None:
+                cow_base = ensure_cow_base(spark, root)
+                if cow_base is not None:
+                    base = cow_base
+                    vdir = os.path.join(root, f"v={cow_base}")
+                    base_df = spark.read.parquet(vdir)
+                    touched = touched_files_by_predicate(
+                        spark, vdir, where, alias=alias
+                    )
+                    if touched:
+                        subset = spark.read.parquet(*touched)
+                        partial = lowering(
+                            spark, rewritten, target_df=subset
+                        )
+                    else:
+                        partial = lowering(
+                            spark, rewritten, target_df=base_df
+                        ).limit(0)
+                    if schema_preserved(base_df, partial):
+                        new_v = commit_file_rewrite(
+                            spark, root, cow_base, partial, touched
+                        )
+            if new_v is None:
+                df = read_snapshot(spark, root, version=base)
+                result = lowering(spark, rewritten, target_df=df)
+                # Constraints are enforced and the optimistic guard
+                # checked by the commit itself.
+                new_v = write_snapshot(result, root, expected_latest=base)
+            break
+        except ConcurrentWriteError:
+            if attempt == 2:
+                raise
+    assert new_v is not None
     import pyarrow.parquet as pq
 
     from openaq_data_pipeline_engineering_spark.operators.compact import (

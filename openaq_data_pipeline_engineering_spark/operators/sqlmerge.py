@@ -780,7 +780,6 @@ def execute_merge_statement(
             "needs an existing versioned table (INSERT OVERWRITE "
             "creates one)"
         )
-    base = versions[-1]
     rewritten = (
         sql[: pm.start("path") - 1]
         + "__merge_target__"
@@ -792,54 +791,76 @@ def execute_merge_statement(
     # other base file by hardlink. Rows in carried files match no
     # source row by construction, so the merge lowering over the
     # touched subset — NOT MATCHED inserts included — unions with the
-    # carried files to exactly the full-table merge result.
+    # carried files to exactly the full-table merge result. A
+    # delta-chain / restore / clone-referenced latest is first
+    # zero-copy-rebased to a flat full version (ensure_cow_base).
     # Ineligible (identical-result full publish instead): WHEN NOT
     # MATCHED BY SOURCE clauses (they act on UNmatched target rows —
     # potentially every file), schema evolution (carried files would
-    # lack the new columns), non-flat/chained/clone-referenced base,
-    # or a lowering that changes a column type.
+    # lack the new columns), partitioned bases, or a lowering that
+    # changes a column type. On a commit CONFLICT the statement
+    # re-reads the new latest and re-executes (3 attempts — Delta's
+    # MERGE retry shape), then surfaces ConcurrentWriteError.
     from openaq_data_pipeline_engineering_spark.operators.cow import (
         commit_file_rewrite,
-        cow_eligible_base,
+        ensure_cow_base,
         schema_preserved,
         touched_files_by_join,
+    )
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        ConcurrentWriteError,
     )
 
     new_v: int | None = None
     st = parse_merge(rewritten)
-    if not st.by_source and not evolve_schema and cow_eligible_base(root, base):
-        vdir = os.path.join(root, f"v={base}")
-        source_df = (
-            spark.sql(st.source[1:-1])
-            if st.source.startswith("(")
-            else spark.table(st.source)
-        )
-        touched = touched_files_by_join(
-            spark, vdir, source_df, st.on, st.t_alias, st.s_alias
-        )
-        base_df = spark.read.parquet(vdir)
-        subset = spark.read.parquet(*touched) if touched else base_df.limit(0)
-        partial = execute_merge(spark, rewritten, target_df=subset)
-        if schema_preserved(base_df, partial):
-            try:
-                new_v = commit_file_rewrite(
-                    spark, root, base, partial, touched
-                )
-            finally:
-                release_merge_cache(partial)
-        else:
-            release_merge_cache(partial)
-    if new_v is None:
-        target = read_snapshot(spark, root, version=base)
-        result = execute_merge(
-            spark, rewritten, target_df=target, evolve_schema=evolve_schema
-        )
+    for attempt in range(3):
+        base = snapshot_versions(root)[-1]
         try:
-            new_v = write_snapshot(result, root, expected_latest=base)
-        finally:
-            # the pinned join cache is useless once published — or once
-            # the commit failed (constraint violation / racing writer)
-            release_merge_cache(result)
+            if not st.by_source and not evolve_schema:
+                cow_base = ensure_cow_base(spark, root)
+                if cow_base is not None:
+                    base = cow_base
+                    vdir = os.path.join(root, f"v={cow_base}")
+                    source_df = (
+                        spark.sql(st.source[1:-1])
+                        if st.source.startswith("(")
+                        else spark.table(st.source)
+                    )
+                    touched = touched_files_by_join(
+                        spark, vdir, source_df, st.on, st.t_alias, st.s_alias
+                    )
+                    base_df = spark.read.parquet(vdir)
+                    subset = (
+                        spark.read.parquet(*touched)
+                        if touched
+                        else base_df.limit(0)
+                    )
+                    partial = execute_merge(spark, rewritten, target_df=subset)
+                    try:
+                        if schema_preserved(base_df, partial):
+                            new_v = commit_file_rewrite(
+                                spark, root, cow_base, partial, touched
+                            )
+                    finally:
+                        release_merge_cache(partial)
+            if new_v is None:
+                target = read_snapshot(spark, root, version=base)
+                result = execute_merge(
+                    spark,
+                    rewritten,
+                    target_df=target,
+                    evolve_schema=evolve_schema,
+                )
+                try:
+                    new_v = write_snapshot(result, root, expected_latest=base)
+                finally:
+                    # the pinned join cache is useless once published —
+                    # or once the commit failed
+                    release_merge_cache(result)
+            break
+        except ConcurrentWriteError:
+            if attempt == 2:
+                raise
     n_rows = sum(
         pq.ParquetFile(p).metadata.num_rows
         for p in iter_data_parquet_files(os.path.join(root, f"v={new_v}"))

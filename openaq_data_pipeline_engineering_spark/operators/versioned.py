@@ -598,10 +598,13 @@ def checkpoint_appends(
 
 def _dir_footer_schema(d: str):
     """Arrow schema of one data file of ``d`` (files within a directory
-    share the writing job's schema), metadata stripped so cosmetic
-    pandas/Spark annotations never block a zero-copy rebase; None for
-    a directory with no data files (an empty delta constrains
-    nothing)."""
+    share the writing job's schema), metadata stripped and top-level
+    nullability NORMALIZED (all-nullable): Spark reads parquet columns
+    as nullable regardless of the footer's REQUIRED/OPTIONAL flag, so
+    files differing only there mix safely in one directory and must
+    not block a zero-copy rebase. None for a directory with no data
+    files (an empty delta constrains nothing)."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     from openaq_data_pipeline_engineering_spark.operators.compact import (
@@ -609,7 +612,8 @@ def _dir_footer_schema(d: str):
     )
 
     for p in iter_data_parquet_files(d):
-        return pq.ParquetFile(p).schema_arrow.remove_metadata()
+        s = pq.ParquetFile(p).schema_arrow.remove_metadata()
+        return pa.schema([f.with_nullable(True) for f in s])
     return None
 
 
@@ -642,6 +646,16 @@ def _checkpoint_zero_copy(
             f"table {root!r} no longer has v{base}; re-read and retry"
         )
     paths = _resolve_version_paths(root, doc, base)
+    from openaq_data_pipeline_engineering_spark.operators.cow import (
+        is_flat_dir,
+    )
+
+    if any(not is_flat_dir(p) for p in paths):
+        # A Hive-partitioned directory (adopted via versionize_table)
+        # keeps partition VALUES in subdirectory names; linking its
+        # files flat would silently drop those columns — rewrite
+        # instead.
+        return None
     schemas = [s for s in (_dir_footer_schema(p) for p in paths) if s is not None]
     if schemas and any(not s.equals(schemas[0]) for s in schemas[1:]):
         return None  # evolved chain: one directory can't hold both schemas

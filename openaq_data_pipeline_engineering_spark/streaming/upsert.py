@@ -136,7 +136,7 @@ def upsert_batch(
     # schema-evolving batches) keep the identical-result full publish.
     from openaq_data_pipeline_engineering_spark.operators.cow import (
         commit_file_rewrite,
-        cow_eligible_base,
+        ensure_cow_base,
         schema_preserved,
         touched_files_by_keys,
     )
@@ -150,9 +150,11 @@ def upsert_batch(
         txn_id = f"{txn_app_id}-{batch_id}"
         if versions:
             expected = versions[-1]
-            if cow_eligible_base(target_dir, expected):
+            cow_base = ensure_cow_base(spark, target_dir)
+            if cow_base is not None:
                 import os as _os
 
+                expected = cow_base
                 vdir = _os.path.join(target_dir, f"v={expected}")
                 base_df = spark.read.parquet(vdir)
                 touched = touched_files_by_keys(spark, vdir, delta, keys)

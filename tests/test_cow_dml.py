@@ -147,7 +147,15 @@ class TestCowUpdateDelete:
         assert latest.filter("k = 5").count() == 0
         assert latest.count() == 400
 
-    def test_delta_chain_base_falls_back(self, spark, tmp_path):
+    def test_delta_chain_base_rebases_then_cow(self, spark, tmp_path):
+        """A DML statement on a table whose latest commit is an append
+        DELTA first zero-copy-rebases the chain (hardlink merge — no
+        data bytes) and then runs file-granular: the old behavior was a
+        FULL table rewrite."""
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            snapshot_modes,
+        )
+
         root = _seed(spark, tmp_path, n=50, files=2)
         append_rows(
             spark.range(1000, 1010).select(
@@ -158,8 +166,14 @@ class TestCowUpdateDelete:
         assert not cow_eligible_base(root, 2)
         LAST_COW_STATS.pop(os.path.abspath(root), None)
         Engine(spark).sql(f"DELETE FROM '{root}' WHERE k = 1005")
-        assert last_cow_stats(root) is None
-        assert read_snapshot(spark, root).count() == 59
+        stats = last_cow_stats(root)
+        assert stats is not None  # COW ran against the rebased base
+        assert snapshot_versions(root) == [1, 2, 3, 4]
+        assert snapshot_modes(root).get(3, "full") == "full"  # the rebase
+        assert stats["version"] == 4 and stats["files_carried"] >= 1
+        latest = read_snapshot(spark, root)
+        assert latest.count() == 59
+        assert latest.filter("k = 1005").count() == 0
 
     def test_alias_qualified_where(self, spark, tmp_path):
         root = _seed(spark, tmp_path, n=60, files=3)
