@@ -179,3 +179,41 @@ class TestZeroCopyRebase:
         assert fired["n"] == 1
         assert (9, "racer") in _rows(read_snapshot(spark, root))
         assert read_snapshot(spark, root).count() == 3
+
+
+class TestAdoptedPartitionedChains:
+    def test_rebase_never_flattens_partitioned_chain(self, spark, tmp_path):
+        """An adopted Hive-partitioned v1 keeps partition VALUES in
+        directory names. A flat link-merge would silently drop that
+        column, so _checkpoint_zero_copy must refuse (return None) and
+        the checkpoint fall back to the rewrite path — where Spark's
+        own CONFLICTING_DIRECTORY_STRUCTURES error on the mixed
+        flat/partitioned chain read surfaces LOUDLY (appending flat
+        data to an adopted partitioned root is the caller's modeling
+        error; the guard's job is that it can never become silent
+        data corruption)."""
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            _checkpoint_zero_copy,
+        )
+
+        root = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(1, "01"), (2, "02")], "k long, month string"
+        ).write.partitionBy("month").parquet(root)
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            versionize_table,
+        )
+
+        versionize_table(root)
+        append_rows(
+            spark.createDataFrame([(3, "03")], "k long, month string"),
+            root,
+        )
+        # the zero-copy path refuses the non-flat chain...
+        assert _checkpoint_zero_copy(spark, root, 2, None) is None
+        # ...and the rewrite path surfaces Spark's loud mixed-layout
+        # error instead of producing a column-dropping merge
+        with pytest.raises(Exception, match="CONFLICTING_DIRECTORY"):
+            checkpoint_appends(spark, root)
+        # the adopted version itself stays intact and readable
+        assert read_snapshot(spark, root, version=1).count() == 2
