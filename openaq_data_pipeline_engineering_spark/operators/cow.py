@@ -102,6 +102,14 @@ from openaq_data_pipeline_engineering_spark.operators.compact import (
 # protocol decision ever does.
 LAST_COW_STATS: dict[str, dict] = {}
 
+# Per-commit write-amplification sidecar (VERDICT r10 #8): every
+# file-granular commit persists its stats as a tiny JSON file inside
+# its version directory (underscore-prefixed — invisible to every data
+# read), so DESCRIBE HISTORY can report write amplification per commit
+# across processes and sessions, not just via the in-process
+# LAST_COW_STATS.
+COW_STATS_SIDECAR = "_cow_stats.json"
+
 
 def local_path(uri: str) -> str:
     """``_metadata.file_path`` URI -> local filesystem path."""
@@ -183,9 +191,58 @@ def ensure_cow_base(spark: SparkSession, root: str) -> int | None:
     return None
 
 
+# Expression spellings that are CONSTANT within one query but differ
+# between two queries — Spark marks them deterministic (the optimizer
+# folds them to a literal per query), yet COW's discovery job and
+# lowering job are TWO queries, so they would disagree. The scan is
+# textual over the ANALYZED plan (where they still appear unfolded);
+# a false positive (a column literally named current_timestamp) just
+# costs the full-rewrite fallback, never correctness.
+_PER_QUERY_CONSTANT_FNS = (
+    "current_timestamp()",
+    "current_date(",
+    "now()",
+    "localtimestamp()",
+    "current_timezone()",
+    "unix_timestamp()",
+)
+
+
+def plan_is_cow_safe(df: DataFrame) -> bool:
+    """True when every expression of ``df``'s ANALYZED plan (children
+    and subquery plans included) is deterministic AND free of
+    per-query-constant time functions — the precondition for
+    evaluating a DML predicate / MERGE source TWICE (touched-file
+    discovery, then the lowering) with identical matches (ADVICE r10
+    #1; Delta rejects non-deterministic DML conditions outright — here
+    an unsafe plan just falls back to the single-evaluation full
+    rewrite, which keeps even that shape correct)."""
+
+    def node_ok(plan) -> bool:
+        exprs = plan.expressions()
+        for i in range(exprs.length()):
+            if not exprs.apply(i).deterministic():
+                return False
+        ch = plan.children()
+        for i in range(ch.length()):
+            if not node_ok(ch.apply(i)):
+                return False
+        sq = plan.subqueries()
+        for i in range(sq.length()):
+            if not node_ok(sq.apply(i)):
+                return False
+        return True
+
+    analyzed = df._jdf.queryExecution().analyzed()
+    if not node_ok(analyzed):
+        return False
+    text = analyzed.toString().lower()
+    return not any(fn in text for fn in _PER_QUERY_CONSTANT_FNS)
+
+
 def touched_files_by_predicate(
     spark: SparkSession, vdir: str, predicate: str, alias: str | None = None
-) -> list[str]:
+) -> list[str] | None:
     """Data files of ``vdir`` holding at least one row matching
     ``predicate`` (NULL = no match, the DML lowering's semantics).
     One column-pruned scan: Catalyst pushes the predicate to the
@@ -198,17 +255,22 @@ def touched_files_by_predicate(
     (identical match semantics), and the wrapper would defeat parquet
     pushdown (``coalesce(k = 5, false)`` is not a convertible filter;
     the bare ``k = 5`` pushes as ``isnotnull(k), k = 5`` — verified in
-    tests/test_cow_dml.py::test_discovery_scan_pushes_predicate)."""
+    tests/test_cow_dml.py::test_discovery_scan_pushes_predicate).
+
+    Returns None — caller must take the full-rewrite fallback — when
+    the predicate is NOT safe to evaluate twice (non-deterministic or
+    per-query-constant time functions, :func:`plan_is_cow_safe`):
+    discovery and lowering could match different rows, leaving a
+    matched row in a carried file."""
     df = spark.read.parquet(vdir)
     if alias:
         df = df.alias(alias)
-    rows = (
-        df.withColumn("__cow_file", F.col("_metadata.file_path"))
-        .filter(F.expr(predicate))
-        .select("__cow_file")
-        .distinct()
-        .collect()
-    )
+    filtered = df.withColumn(
+        "__cow_file", F.col("_metadata.file_path")
+    ).filter(F.expr(predicate))
+    if not plan_is_cow_safe(filtered):
+        return None
+    rows = filtered.select("__cow_file").distinct().collect()
     return sorted(local_path(r["__cow_file"]) for r in rows)
 
 
@@ -219,32 +281,36 @@ def touched_files_by_join(
     on: str,
     t_alias: str,
     s_alias: str,
-) -> list[str]:
+) -> list[str] | None:
     """Data files of ``vdir`` holding at least one target row that
     matches a source row on the MERGE ON condition — a LEFT SEMI join
     projecting only ``_metadata.file_path`` (broadcast when the source
-    is small, the normal MERGE shape)."""
+    is small, the normal MERGE shape). Returns None — full-rewrite
+    fallback — when the ON condition or the SOURCE plan is unsafe to
+    evaluate twice (:func:`plan_is_cow_safe`): a non-deterministic
+    source subquery could match rows discovery left in carried
+    files."""
     t = (
         spark.read.parquet(vdir)
         .withColumn("__cow_file", F.col("_metadata.file_path"))
         .alias(t_alias)
     )
-    rows = (
-        t.join(source_df.alias(s_alias), F.expr(on), "left_semi")
-        .select("__cow_file")
-        .distinct()
-        .collect()
-    )
+    joined = t.join(source_df.alias(s_alias), F.expr(on), "left_semi")
+    if not plan_is_cow_safe(joined):
+        return None
+    rows = joined.select("__cow_file").distinct().collect()
     return sorted(local_path(r["__cow_file"]) for r in rows)
 
 
 def touched_files_by_keys(
     spark: SparkSession, vdir: str, delta: DataFrame, keys: list[str]
-) -> list[str]:
+) -> list[str] | None:
     """Data files of ``vdir`` holding at least one row whose key tuple
     appears in ``delta`` — the keyed-upsert form of discovery (one LEFT
     SEMI join on null-safe key equality; the delta's distinct key set
-    is tiny relative to the table and broadcasts)."""
+    is tiny relative to the table and broadcasts). Returns None —
+    full-rewrite fallback — when the delta's plan is unsafe to
+    evaluate twice (:func:`plan_is_cow_safe`)."""
     t = spark.read.parquet(vdir).withColumn(
         "__cow_file", F.col("_metadata.file_path")
     )
@@ -254,12 +320,10 @@ def touched_files_by_keys(
     for k in keys:
         this = F.col(f"__cow_t.{k}").eqNullSafe(F.col(f"__cow_d.{k}"))
         cond = this if cond is None else cond & this
-    rows = (
-        t.join(d, cond, "left_semi")
-        .select("__cow_file")
-        .distinct()
-        .collect()
-    )
+    joined = t.join(d, cond, "left_semi")
+    if not plan_is_cow_safe(joined):
+        return None
+    rows = joined.select("__cow_file").distinct().collect()
     return sorted(local_path(r["__cow_file"]) for r in rows)
 
 
@@ -503,6 +567,19 @@ def commit_file_rewrite(
         bytes_carried = link_files_relative(
             carried, os.path.realpath(vdir_base), new_dir
         )
+        import json
+
+        with open(os.path.join(new_dir, COW_STATS_SIDECAR), "w") as f:
+            json.dump(
+                {
+                    "base_version": base,
+                    "files_rewritten": files_rewritten,
+                    "files_carried": len(carried),
+                    "bytes_rewritten": bytes_rewritten,
+                    "bytes_carried": bytes_carried,
+                },
+                f,
+            )
         version = _commit_version(
             root,
             candidate,

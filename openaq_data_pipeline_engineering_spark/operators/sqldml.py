@@ -221,15 +221,39 @@ def _execute_dml_on_root(spark: SparkSession, sql: str, pm, lowering, where_re):
         base = versions[-1]
         try:
             if where is not None:
-                cow_base = ensure_cow_base(spark, root)
+                # ADVICE r10 #3: probe the lowering's schema on a
+                # zero-row frame BEFORE ensure_cow_base — a
+                # type-changing SET falls back to the full rewrite
+                # anyway, so don't pay (and commit) a zero-copy rebase
+                # of a chain/restore base for it. Analysis-only: no
+                # job runs over the limit(0) frame.
+                latest_df = read_snapshot(spark, root, version=base)
+                probe = lowering(
+                    spark, rewritten, target_df=latest_df.limit(0)
+                )
+                cow_base = (
+                    ensure_cow_base(spark, root)
+                    if schema_preserved(latest_df, probe)
+                    else None
+                )
                 if cow_base is not None:
                     base = cow_base
                     vdir = os.path.join(root, f"v={cow_base}")
                     base_df = spark.read.parquet(vdir)
+                    # None = predicate unsafe to evaluate twice
+                    # (non-deterministic / per-query time fns, ADVICE
+                    # r10 #1) -> single-evaluation full rewrite below
                     touched = touched_files_by_predicate(
                         spark, vdir, where, alias=alias
                     )
-                    if touched:
+                    if touched == []:
+                        # ZERO files matched: Delta's no-op DML shape
+                        # (ADVICE r10 #4) — return the current version
+                        # WITHOUT committing (no version churn, no
+                        # empty CDF sidecar); the metrics row keeps its
+                        # shape with version == base_version.
+                        new_v = cow_base
+                    elif touched is not None:
                         # schema-pinned basePath read: partitioned
                         # bases keep their key=value partition columns
                         # (and the full directory's inferred types)
@@ -239,14 +263,10 @@ def _execute_dml_on_root(spark: SparkSession, sql: str, pm, lowering, where_re):
                         partial = lowering(
                             spark, rewritten, target_df=subset
                         )
-                    else:
-                        partial = lowering(
-                            spark, rewritten, target_df=base_df
-                        ).limit(0)
-                    if schema_preserved(base_df, partial):
-                        new_v = commit_file_rewrite(
-                            spark, root, cow_base, partial, touched
-                        )
+                        if schema_preserved(base_df, partial):
+                            new_v = commit_file_rewrite(
+                                spark, root, cow_base, partial, touched
+                            )
             if new_v is None:
                 df = read_snapshot(spark, root, version=base)
                 result = lowering(spark, rewritten, target_df=df)

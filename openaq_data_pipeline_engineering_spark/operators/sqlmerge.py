@@ -736,6 +736,30 @@ _MERGE_PATH_RE = re.compile(
 )
 
 
+def _touched_by_target_condition(
+    spark, vdir: str, cond: str, t_alias: str
+) -> list[str] | None:
+    """Candidate files for a CONDITIONED ``WHEN NOT MATCHED BY SOURCE``
+    clause (VERDICT r10 #6): files holding at least one row satisfying
+    the clause's AND condition — the same predicate-pushed
+    ``_metadata.file_path`` scan UPDATE's WHERE discovery uses. A
+    SUPERSET of the affected files (the condition ignores matchedness)
+    — safe: extra files rewrite to themselves. None — caller falls back
+    to the full publish — when the condition references SOURCE columns
+    (unresolvable on the target-only scan) or is unsafe to evaluate
+    twice."""
+    from openaq_data_pipeline_engineering_spark.operators.cow import (
+        touched_files_by_predicate,
+    )
+
+    try:
+        return touched_files_by_predicate(spark, vdir, cond, alias=t_alias)
+    except Exception:
+        # unresolvable against the target alone (source-column
+        # reference) — the full-rewrite fallback is always correct
+        return None
+
+
 def execute_merge_statement(
     spark: SparkSession, sql: str, evolve_schema: bool = False
 ) -> DataFrame:
@@ -796,10 +820,19 @@ def execute_merge_statement(
     # zero-copy-rebased to a flat full version (ensure_cow_base).
     # Hive-partitioned bases are file-granular too (VERDICT r10 #1):
     # the subset read pins partition columns via basePath and the
-    # commit republishes touched rows through partitionBy. Ineligible
-    # (identical-result full publish instead): WHEN NOT MATCHED BY
-    # SOURCE clauses (they act on UNmatched target rows — potentially
-    # every file), schema evolution (carried files would lack the new
+    # commit republishes touched rows through partitionBy.
+    # CONDITIONED "WHEN NOT MATCHED BY SOURCE" clauses are
+    # file-granular as well (VERDICT r10 #6): a by-source clause with
+    # an AND condition can only affect rows where the condition is
+    # TRUE, so its candidate files are discoverable by the same
+    # predicate-pushed scan UPDATE's WHERE uses; the touched set is
+    # the UNION of the ON-join files and each clause-condition's
+    # files (a superset is always safe — extra files just rewrite to
+    # themselves). Ineligible (identical-result full publish
+    # instead): an UNconditioned by-source clause (acts on unmatched
+    # target rows — potentially every file), a by-source condition
+    # referencing SOURCE columns (not evaluable on a target-only
+    # scan), schema evolution (carried files would lack the new
     # columns), mixed flat/partitioned bases, or a lowering that
     # changes a column type. On a commit CONFLICT the statement
     # re-reads the new latest and re-executes (3 attempts — Delta's
@@ -817,10 +850,13 @@ def execute_merge_statement(
 
     new_v: int | None = None
     st = parse_merge(rewritten)
+    cow_capable = not evolve_schema and all(
+        c.cond is not None for _, c in st.by_source
+    )
     for attempt in range(3):
         base = snapshot_versions(root)[-1]
         try:
-            if not st.by_source and not evolve_schema:
+            if cow_capable:
                 cow_base = ensure_cow_base(spark, root)
                 if cow_base is not None:
                     base = cow_base
@@ -830,27 +866,44 @@ def execute_merge_statement(
                         if st.source.startswith("(")
                         else spark.table(st.source)
                     )
+                    # None = ON condition or source plan unsafe to
+                    # evaluate twice (non-deterministic subquery,
+                    # ADVICE r10 #1) -> single-evaluation full publish
                     touched = touched_files_by_join(
                         spark, vdir, source_df, st.on, st.t_alias, st.s_alias
                     )
-                    base_df = spark.read.parquet(vdir)
-                    subset = (
-                        # schema-pinned basePath read: partitioned
-                        # bases keep their key=value partition columns
-                        read_touched_subset(
-                            spark, vdir, touched, base_df.schema
+                    for _, c in st.by_source:
+                        if touched is None:
+                            break
+                        extra = _touched_by_target_condition(
+                            spark, vdir, c.cond, st.t_alias
                         )
-                        if touched
-                        else base_df.limit(0)
-                    )
-                    partial = execute_merge(spark, rewritten, target_df=subset)
-                    try:
-                        if schema_preserved(base_df, partial):
-                            new_v = commit_file_rewrite(
-                                spark, root, cow_base, partial, touched
+                        touched = (
+                            sorted(set(touched) | set(extra))
+                            if extra is not None
+                            else None
+                        )
+                    if touched is not None:
+                        base_df = spark.read.parquet(vdir)
+                        subset = (
+                            # schema-pinned basePath read: partitioned
+                            # bases keep their key=value partition cols
+                            read_touched_subset(
+                                spark, vdir, touched, base_df.schema
                             )
-                    finally:
-                        release_merge_cache(partial)
+                            if touched
+                            else base_df.limit(0)
+                        )
+                        partial = execute_merge(
+                            spark, rewritten, target_df=subset
+                        )
+                        try:
+                            if schema_preserved(base_df, partial):
+                                new_v = commit_file_rewrite(
+                                    spark, root, cow_base, partial, touched
+                                )
+                        finally:
+                            release_merge_cache(partial)
             if new_v is None:
                 target = read_snapshot(spark, root, version=base)
                 result = execute_merge(

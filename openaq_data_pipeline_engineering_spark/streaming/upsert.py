@@ -161,31 +161,34 @@ def upsert_batch(
                 expected = cow_base
                 vdir = _os.path.join(target_dir, f"v={expected}")
                 base_df = spark.read.parquet(vdir)
+                # None = delta plan unsafe to evaluate twice (ADVICE
+                # r10 #1) -> single-evaluation full publish below
                 touched = touched_files_by_keys(spark, vdir, delta, keys)
-                subset = (
-                    # schema-pinned basePath read: partitioned bases
-                    # keep their key=value partition columns
-                    read_touched_subset(
-                        spark, vdir, touched, base_df.schema
-                    )
-                    if touched
-                    else base_df.limit(0)
-                )
-                merged_sub = merge_upsert(subset, delta, keys)
-                if schema_preserved(base_df, merged_sub):
-                    try:
-                        commit_file_rewrite(
-                            spark,
-                            target_dir,
-                            expected,
-                            merged_sub,
-                            touched,
-                            txn_id=txn_id,
+                if touched is not None:
+                    subset = (
+                        # schema-pinned basePath read: partitioned
+                        # bases keep their key=value partition columns
+                        read_touched_subset(
+                            spark, vdir, touched, base_df.schema
                         )
-                        break
-                    except versioned.ConcurrentWriteError as e:
-                        last_err = e
-                        continue
+                        if touched
+                        else base_df.limit(0)
+                    )
+                    merged_sub = merge_upsert(subset, delta, keys)
+                    if schema_preserved(base_df, merged_sub):
+                        try:
+                            commit_file_rewrite(
+                                spark,
+                                target_dir,
+                                expected,
+                                merged_sub,
+                                touched,
+                                txn_id=txn_id,
+                            )
+                            break
+                        except versioned.ConcurrentWriteError as e:
+                            last_err = e
+                            continue
             base = versioned.read_snapshot(
                 spark, target_dir, version=expected
             )

@@ -103,15 +103,20 @@ class TestCowUpdateDelete:
         assert latest.count() == 399
         assert latest.filter("k = 7").count() == 0
 
-    def test_zero_match_update_carries_everything(self, spark, tmp_path):
+    def test_zero_match_update_is_a_noop(self, spark, tmp_path):
+        """ADVICE r10 #4 (Delta parity): a WHERE that matches NO files
+        returns the current version WITHOUT committing — no version
+        churn, no empty-rewrite carry, no CDF sidecar. The metrics row
+        keeps its shape with version == base_version."""
         root = _seed(spark, tmp_path)
-        v1 = _inodes(root, 1)
+        LAST_COW_STATS.pop(os.path.abspath(root), None)
         m = Engine(spark).sql(
             f"UPDATE '{root}' SET score = 0.0 WHERE k = -1"
         ).first()
-        assert m["version"] == 2 and m["n_rows"] == 400
-        stats = last_cow_stats(root)
-        assert stats["files_carried"] == len(v1)
+        assert m["version"] == 1 and m["base_version"] == 1
+        assert m["n_rows"] == 400
+        assert snapshot_versions(root) == [1]  # nothing committed
+        assert last_cow_stats(root) is None
         assert read_snapshot(spark, root).agg(F.sum("score")).first()[
             0
         ] == read_snapshot(spark, root, version=1).agg(F.sum("score")).first()[0]
@@ -174,6 +179,35 @@ class TestCowUpdateDelete:
         latest = read_snapshot(spark, root)
         assert latest.count() == 59
         assert latest.filter("k = 1005").count() == 0
+
+    def test_type_changing_update_on_chain_skips_rebase(
+        self, spark, tmp_path
+    ):
+        """ADVICE r10 #3: a type-changing SET on a delta-chain base
+        must NOT commit a zero-copy rebase version first (it would
+        fall back to the full rewrite anyway): the schema probe runs
+        BEFORE ensure_cow_base, so the statement publishes exactly ONE
+        new version."""
+        root = _seed(spark, tmp_path, n=50, files=2)
+        append_rows(
+            spark.range(1000, 1010).select(
+                F.col("id").alias("k"), F.lit(1.0).alias("score")
+            ),
+            root,
+        )
+        LAST_COW_STATS.pop(os.path.abspath(root), None)
+        Engine(spark).sql(
+            f"UPDATE '{root}' SET k = CAST(9999 AS DECIMAL(20, 0)) "
+            "WHERE k = 3"
+        )
+        assert last_cow_stats(root) is None  # full publish, no COW
+        # v1 full, v2 delta, v3 THE statement — no interleaved rebase
+        assert snapshot_versions(root) == [1, 2, 3]
+        latest = read_snapshot(spark, root)
+        assert latest.count() == 60
+        assert latest.schema["k"].dataType.simpleString().startswith(
+            "decimal"
+        )
 
     def test_alias_qualified_where(self, spark, tmp_path):
         root = _seed(spark, tmp_path, n=60, files=3)
@@ -241,6 +275,58 @@ class TestCowMerge:
         latest = read_snapshot(spark, root)
         assert latest.count() == 1
         assert latest.first()["score"] == 10.0
+
+    def test_conditioned_by_source_merge_is_file_granular(
+        self, spark, tmp_path
+    ):
+        """VERDICT r10 #6: a by-source clause WITH an AND condition
+        bounds its candidate files by the same predicate-pushed scan as
+        UPDATE's WHERE — the statement rewrites only the ON-join files
+        plus the condition's files and carries the rest by inode."""
+        root = _seed(spark, tmp_path)  # 400 rows, 8 files
+        v1 = _inodes(root, 1)
+        LAST_COW_STATS.pop(os.path.abspath(root), None)
+        spark.createDataFrame(
+            [(5, 500.0)], "k long, score double"
+        ).createOrReplaceTempView("cow_bys_cond_src")
+        Engine(spark).sql(
+            f"MERGE INTO '{root}' AS t USING cow_bys_cond_src AS s "
+            "ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET score = s.score "
+            "WHEN NOT MATCHED BY SOURCE AND t.k = 9 THEN DELETE"
+        )
+        stats = last_cow_stats(root)
+        assert stats is not None, "conditioned by-source should COW"
+        # at most 2 files touched (k=5's and k=9's), at least 6 carried
+        assert stats["files_rewritten"] <= 2
+        assert stats["files_carried"] >= len(v1) - 2
+        v2 = _inodes(root, stats["version"])
+        shared = sum(1 for n, ino in v2.items() if v1.get(n) == ino)
+        assert shared == stats["files_carried"]
+        latest = read_snapshot(spark, root)
+        assert latest.count() == 399
+        assert latest.filter("k = 9").count() == 0
+        assert latest.filter("k = 5").first()["score"] == 500.0
+
+    def test_by_source_condition_on_source_column_falls_back(
+        self, spark, tmp_path
+    ):
+        """A by-source AND condition referencing SOURCE columns cannot
+        be evaluated on a target-only scan — full publish, still
+        correct. (Source columns are NULL for by-source rows, so the
+        condition is never TRUE and no row is deleted.)"""
+        root = _seed(spark, tmp_path, n=20, files=2)
+        LAST_COW_STATS.pop(os.path.abspath(root), None)
+        spark.createDataFrame(
+            [(1, 10.0)], "k long, score double"
+        ).createOrReplaceTempView("cow_bys_srccol")
+        Engine(spark).sql(
+            f"MERGE INTO '{root}' AS t USING cow_bys_srccol AS s "
+            "ON t.k = s.k "
+            "WHEN NOT MATCHED BY SOURCE AND s.score > 0 THEN DELETE"
+        )
+        assert last_cow_stats(root) is None
+        assert read_snapshot(spark, root).count() == 20
 
     def test_strict_ambiguity_still_detected_on_subset(self, spark, tmp_path):
         from openaq_data_pipeline_engineering_spark.operators.sqlmerge import (
@@ -322,14 +408,95 @@ class TestCowChangeFeed:
             (9, 9.0, "insert"),
         }
 
-    def test_zero_match_cdf_commit_has_empty_changes(self, spark, tmp_path):
+    def test_zero_match_cdf_delete_skips_commit(self, spark, tmp_path):
+        """ADVICE r10 #4: a zero-match DELETE on a CDF table commits
+        NOTHING — no new version, no empty change sidecar (Delta's
+        no-op DML behavior). table_changes over the table stays
+        empty because the table is still at v1."""
         root = str(tmp_path / "cdf3")
         enable_change_feed(spark, root, ["k"])
         write_snapshot(
             spark.createDataFrame([(1, 1.0)], "k long, score double"), root
         )
-        Engine(spark).sql(f"DELETE FROM '{root}' WHERE k = 42")
-        assert table_changes(spark, root, 1, 2).count() == 0
+        m = Engine(spark).sql(f"DELETE FROM '{root}' WHERE k = 42").first()
+        assert m["version"] == 1 and m["base_version"] == 1
+        assert snapshot_versions(root) == [1]
+        assert table_changes(spark, root, 1).count() == 0
+
+
+class TestCowDeterminismGuard:
+    """ADVICE r10 #1: COW evaluates the predicate/source TWICE
+    (discovery, then lowering). A non-deterministic or
+    per-query-constant-time expression could match different rows in
+    the two passes — the guard forces the single-evaluation full
+    rewrite, which stays correct for any expression."""
+
+    def test_plan_is_cow_safe(self, spark):
+        from openaq_data_pipeline_engineering_spark.operators.cow import (
+            plan_is_cow_safe,
+        )
+
+        df = spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("v")
+        )
+        assert plan_is_cow_safe(df.filter("k = 5"))
+        assert not plan_is_cow_safe(df.filter("rand() < 0.5"))
+        assert not plan_is_cow_safe(
+            df.filter(F.expr("v = cast(substring(uuid(), 1, 1) as int)"))
+        )
+        # deterministic per Spark's flag, but constant PER QUERY — two
+        # jobs see two values
+        assert not plan_is_cow_safe(
+            df.filter("k = unix_timestamp(current_timestamp()) % 10")
+        )
+        # non-determinism hidden in a subquery
+        assert not plan_is_cow_safe(
+            df.filter(
+                "k IN (SELECT id FROM (SELECT id, rand() r FROM range(5)) "
+                "WHERE r < 2)"
+            )
+        )
+        assert plan_is_cow_safe(df.filter("k IN (SELECT id FROM range(5))"))
+
+    def test_rand_predicate_falls_back_to_full_rewrite(
+        self, spark, tmp_path
+    ):
+        root = _seed(spark, tmp_path)
+        LAST_COW_STATS.pop(os.path.abspath(root), None)
+        m = Engine(spark).sql(
+            f"UPDATE '{root}' SET score = 0.0 WHERE rand() <= 1.0"
+        ).first()
+        assert last_cow_stats(root) is None  # full-snapshot publish
+        assert m["version"] == 2
+        assert (
+            read_snapshot(spark, root).agg(F.sum("score")).first()[0] == 0.0
+        )
+
+    def test_current_timestamp_delete_falls_back(self, spark, tmp_path):
+        root = _seed(spark, tmp_path)
+        LAST_COW_STATS.pop(os.path.abspath(root), None)
+        m = Engine(spark).sql(
+            f"DELETE FROM '{root}' "
+            "WHERE unix_timestamp(current_timestamp()) > 0"
+        ).first()
+        assert last_cow_stats(root) is None
+        assert m["version"] == 2 and m["n_rows"] == 0
+
+    def test_nondeterministic_merge_source_falls_back(
+        self, spark, tmp_path
+    ):
+        root = _seed(spark, tmp_path)
+        LAST_COW_STATS.pop(os.path.abspath(root), None)
+        m = Engine(spark).sql(
+            f"MERGE INTO '{root}' AS t USING "
+            "(SELECT 7 AS k, rand() AS r) AS s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET score = 0.0"
+        ).first()
+        assert last_cow_stats(root) is None  # full publish
+        assert m["version"] == 2
+        assert read_snapshot(spark, root).filter("k = 7").first()[
+            "score"
+        ] == 0.0
 
 
 class TestCowCommitProtocol:
@@ -437,10 +604,11 @@ class TestCowCommitProtocol:
         )
 
         root = _seed(spark, tmp_path)
-        # v2 = zero-match COW update: all 8 files carried, so v1 and v2
-        # SHARE every inode — the purge must rewrite the k=5 file in
-        # BOTH versions and carry the rest in both
-        Engine(spark).sql(f"UPDATE '{root}' SET score = 0.0 WHERE k = -1")
+        # v2 = one-key COW update on k=6 (a DIFFERENT file than k=5's):
+        # the k=5 file is carried, so v1 and v2 SHARE its inode — the
+        # purge must rewrite that shared file in BOTH versions and
+        # carry the rest in both
+        Engine(spark).sql(f"UPDATE '{root}' SET score = 0.0 WHERE k = 6")
         v1_before, v2_before = _inodes(root, 1), _inodes(root, 2)
         results = purge_rows(
             spark, root, "k = 5", orphan_min_age_seconds=0

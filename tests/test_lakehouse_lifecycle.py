@@ -802,8 +802,13 @@ class TestPathTargetDml:
         pm = _DELETE_PATH_RE.match(_mask_literals(sql))
 
         def racing_lowering(spark_, rewritten, target_df=None):
-            # interleave another commit AFTER the statement's read
-            write_snapshot(_k(spark_, 99), root)
+            # interleave another commit AFTER the statement's read —
+            # but NOT during the zero-row SCHEMA PROBE (ADVICE r10 #3
+            # runs the lowering once analysis-only before the read);
+            # the racer keeps k=1 present so every retry's read still
+            # matches and re-conflicts until attempts are exhausted
+            if target_df is not None and not target_df.isEmpty():
+                write_snapshot(_k(spark_, 1), root)
             return execute_delete(spark_, rewritten, target_df=target_df)
 
         with pytest.raises(ConcurrentWriteError):
