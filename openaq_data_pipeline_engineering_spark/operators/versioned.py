@@ -1331,9 +1331,59 @@ def vacuum_snapshots(
         return doc, (drop, orphans)
 
     drop, orphans = _manifest_txn(root, decide)
+    _record_vacuum_freed(root, drop, orphans)
     for v in drop + orphans:
         shutil.rmtree(os.path.join(root, f"v={v}"), ignore_errors=True)
     return drop
+
+
+# Diagnostics: last vacuum's REFCOUNT-AWARE freed-bytes per dropped
+# version (abspath(root) -> {"freed_bytes": {v: n}, "total_freed": n,
+# "still_referenced_bytes": n}). With COW/rebase/purge all carrying by
+# HARDLINK, deleting a version's directory frees an inode's bytes only
+# when the LAST name dies — a vacuum of a carried-from base usually
+# reclaims far less than the directory's apparent size (VERDICT r10
+# #5: operators should see that, not be surprised by it). Tests and
+# DESCRIBE-level reporting read this; no protocol decision does.
+LAST_VACUUM_STATS: dict[str, dict] = {}
+
+
+def _record_vacuum_freed(
+    root: str, drop: list[int], orphans: list[int]
+) -> None:
+    """Compute, BEFORE deletion, which bytes the rmtree of the dropped
+    directories will actually free: an inode is freed iff every one of
+    its ``st_nlink`` names lives inside the dropped set (names in kept
+    versions, other roots, or clones keep it alive). Bytes are
+    attributed to the LOWEST dropped version holding the inode. Pure
+    os.stat over the dropped dirs — O(dropped files), no data read."""
+    from openaq_data_pipeline_engineering_spark.operators.compact import (
+        iter_data_parquet_files,
+    )
+
+    names_in_drop: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
+    for v in sorted(drop + orphans):
+        d = os.path.join(root, f"v={v}")
+        if not os.path.isdir(d):
+            continue
+        for p in iter_data_parquet_files(d):
+            st = os.stat(p)
+            names_in_drop.setdefault((st.st_dev, st.st_ino), []).append(
+                (v, st.st_size, st.st_nlink)
+            )
+    freed: dict[int, int] = {v: 0 for v in drop}
+    still_referenced = 0
+    for _ino, names in names_in_drop.items():
+        v0, size, nlink = min(names)
+        if len(names) >= nlink:  # every remaining name is being dropped
+            freed[v0] = freed.get(v0, 0) + size
+        else:
+            still_referenced += size
+    LAST_VACUUM_STATS[os.path.abspath(root)] = {
+        "freed_bytes": {v: freed.get(v, 0) for v in drop},
+        "total_freed": sum(freed.values()),
+        "still_referenced_bytes": still_referenced,
+    }
 
 
 def snapshot_changes(

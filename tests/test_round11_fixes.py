@@ -1,0 +1,168 @@
+"""Round-11 ADVICE/VERDICT fixes.
+
+- versionize_table resumes a MID-MOVE crashed conversion (in-directory
+  _CONVERTING marker present, some entries already moved) instead of
+  wedging on 'claimed by another writer' (ADVICE r10 #2).
+- The zero-match UPDATE/DELETE no-op, the determinism guard, and the
+  rebase deferral are pinned in tests/test_cow_dml.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from openaq_data_pipeline_engineering_spark.operators.versioned import (
+    read_snapshot,
+    snapshot_versions,
+    versionize_table,
+)
+
+
+def _plain_partitioned_table(spark, root: str) -> None:
+    spark.createDataFrame(
+        [(i, (i % 3) + 1, float(i)) for i in range(30)],
+        "k long, m int, score double",
+    ).repartition(3, "k").write.partitionBy("m").parquet(root)
+
+
+class TestHardlinkSpaceAccounting:
+    """VERDICT r10 #5 / #8: with COW, rebase and purge all carrying by
+    hardlink, operators need refcount-aware space numbers — DESCRIBE
+    DETAIL reports logical vs physical (deduped-inode) bytes, VACUUM
+    reports bytes ACTUALLY freed, and DESCRIBE HISTORY exposes each
+    COW commit's write amplification from its persisted sidecar."""
+
+    def _seed_and_update(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            write_snapshot,
+        )
+
+        root = str(tmp_path / "t")
+        df = spark.range(0, 400).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).cast("double").alias("score"),
+        )
+        write_snapshot(df.repartition(8, "k"), root)
+        from openaq_data_pipeline_engineering_spark.engine import Engine
+
+        Engine(spark).sql(
+            f"UPDATE '{root}' SET score = 0.0 WHERE k = 5"
+        ).first()
+        return root
+
+    def test_describe_detail_logical_vs_physical(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.engine import Engine
+
+        root = self._seed_and_update(spark, tmp_path)
+        row = Engine(spark).sql(f"DESCRIBE DETAIL '{root}'").first()
+        # two versions share 7 of 8 files: physical is well below
+        # logical, and 14 names (7 inodes x 2 versions) are shared
+        assert row["total_logical_bytes"] > row["total_physical_bytes"]
+        assert row["n_shared_inode_files"] == 14
+        # physical = v1's 8 files + v2's 1 rewritten file
+        assert (
+            row["total_physical_bytes"]
+            < 0.75 * row["total_logical_bytes"]
+        )
+
+    def test_vacuum_freed_bytes_refcount_aware(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.engine import Engine
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            read_snapshot,
+        )
+
+        root = self._seed_and_update(spark, tmp_path)
+        detail = Engine(spark).sql(f"DESCRIBE DETAIL '{root}'").first()
+        v1_bytes = (
+            detail["total_logical_bytes"] - detail["size_bytes"]
+        )  # v1's directory footprint
+        rows = Engine(spark).sql(
+            f"VACUUM '{root}' RETAIN 1 VERSIONS"
+        ).collect()
+        assert [r["dropped_version"] for r in rows] == [1]
+        freed = rows[0]["freed_bytes"]
+        # only the pre-image of the ONE rewritten file actually frees;
+        # the 7 carried files' inodes survive in v=2
+        assert 0 < freed < v1_bytes
+        latest = read_snapshot(spark, root)
+        assert latest.count() == 400
+        assert latest.filter("k = 5").first()["score"] == 0.0
+
+    def test_describe_history_reports_cow_write_amplification(
+        self, spark, tmp_path
+    ):
+        from openaq_data_pipeline_engineering_spark.engine import Engine
+
+        root = self._seed_and_update(spark, tmp_path)
+        hist = {
+            r["version"]: r
+            for r in Engine(spark)
+            .sql(f"DESCRIBE HISTORY '{root}'")
+            .collect()
+        }
+        assert hist[1]["files_carried"] is None  # plain write
+        assert hist[2]["files_carried"] == 7
+        assert hist[2]["files_rewritten"] == 1
+        assert 0 < hist[2]["bytes_rewritten"] < hist[2]["bytes_carried"]
+
+
+class TestVersionizeCrashRecovery:
+    def _simulate_crash_mid_move(self, root: str, move_fraction: float):
+        """Reproduce versionize_table's on-disk state after a crash
+        mid-move: root marker written, v=1 claimed, in-directory marker
+        written, the first ``move_fraction`` of the movable entries
+        renamed into v=1."""
+        vdir = os.path.join(root, "v=1")
+        with open(os.path.join(root, "_CONVERTING"), "w") as f:
+            f.write("versionize_table in progress")
+        os.mkdir(vdir)  # the local claim
+        with open(os.path.join(vdir, "_CONVERTING"), "w") as f:
+            f.write("versionize_table in progress")
+        movable = sorted(
+            e
+            for e in os.listdir(root)
+            if e not in ("_CONVERTING", "v=1")
+        )
+        for e in movable[: max(1, int(len(movable) * move_fraction))]:
+            os.rename(os.path.join(root, e), os.path.join(vdir, e))
+
+    def test_resumes_after_mid_move_crash(self, spark, tmp_path):
+        """ADVICE r10 #2: root marker + in-dir marker + partially-moved
+        entries = OUR crashed attempt; the retry must adopt it, move
+        the remaining entries, and commit — not raise
+        ConcurrentWriteError forever."""
+        root = str(tmp_path / "t")
+        _plain_partitioned_table(spark, root)
+        self._simulate_crash_mid_move(root, move_fraction=0.5)
+        assert versionize_table(root) == 1
+        assert snapshot_versions(root) == [1]
+        assert read_snapshot(spark, root).count() == 30
+        # markers healed
+        assert not os.path.exists(os.path.join(root, "_CONVERTING"))
+        assert not os.path.exists(os.path.join(root, "v=1", "_CONVERTING"))
+
+    def test_resumes_after_marker_written_nothing_moved(
+        self, spark, tmp_path
+    ):
+        root = str(tmp_path / "t2")
+        _plain_partitioned_table(spark, root)
+        self._simulate_crash_mid_move(root, move_fraction=0.0)
+        assert versionize_table(root) == 1
+        assert read_snapshot(spark, root).count() == 30
+
+    def test_resume_is_idempotent_after_commit(self, spark, tmp_path):
+        """Crash AFTER the commit but BEFORE marker removal: the retry
+        heals the stale markers and reports success."""
+        root = str(tmp_path / "t3")
+        _plain_partitioned_table(spark, root)
+        assert versionize_table(root) == 1
+        # re-create the post-commit crash state
+        with open(os.path.join(root, "_CONVERTING"), "w") as f:
+            f.write("x")
+        with open(os.path.join(root, "v=1", "_CONVERTING"), "w") as f:
+            f.write("x")
+        assert versionize_table(root) == 1
+        assert not os.path.exists(os.path.join(root, "_CONVERTING"))
+        assert read_snapshot(spark, root).count() == 30
