@@ -86,6 +86,7 @@ this write path exists for the engine's own lakehouse layer.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 from urllib.parse import unquote, urlparse
 
@@ -240,6 +241,111 @@ def plan_is_cow_safe(df: DataFrame) -> bool:
     return not any(fn in text for fn in _PER_QUERY_CONSTANT_FNS)
 
 
+# Top-level AND conjuncts of the shape `col <op> literal` (optionally
+# alias-qualified, either operand order) — the fragment of predicate
+# language the persisted skipstats manifest can prune on. Anything the
+# regex does not FULLY match is ignored (ignoring a conjunct only
+# widens the candidate set — sound); a predicate with no usable
+# conjunct skips the manifest route entirely.
+_CONJ_RE = re.compile(
+    r"^\s*(?:(?P<q1>\w+)\s*\.\s*)?(?P<col>\w+)\s*"
+    r"(?P<op><=|>=|=|<|>)\s*"
+    r"(?P<lit>-?\d+(?:\.\d+)?|'[^']*')\s*$"
+)
+_REV_OP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "="}
+
+
+def _simple_conjuncts(predicate: str) -> list[tuple[str, str, object]]:
+    """(column, op, literal) for every top-level AND conjunct of the
+    supported shape; literal-side-first comparisons are normalized
+    (``5 > k`` -> ``k < 5``)."""
+    out: list[tuple[str, str, object]] = []
+    for part in re.split(r"(?i)\bAND\b", predicate):
+        m = _CONJ_RE.match(part)
+        col, op, lit = None, None, None
+        if m:
+            col, op, lit = m.group("col"), m.group("op"), m.group("lit")
+        else:
+            rev = re.match(
+                r"^\s*(?P<lit>-?\d+(?:\.\d+)?|'[^']*')\s*"
+                r"(?P<op><=|>=|=|<|>)\s*"
+                r"(?:(?P<q1>\w+)\s*\.\s*)?(?P<col>\w+)\s*$",
+                part,
+            )
+            if rev:
+                col = rev.group("col")
+                op = _REV_OP[rev.group("op")]
+                lit = rev.group("lit")
+        if col is None:
+            continue
+        value: object
+        if lit.startswith("'"):
+            value = lit[1:-1]
+        elif "." in lit:
+            value = float(lit)
+        else:
+            value = int(lit)
+        out.append((col, op, value))
+    return out
+
+
+def _manifest_candidates(
+    spark: SparkSession, vdir: str, predicate: str
+) -> list[str] | None:
+    """Candidate file paths from the PERSISTED skipstats manifest
+    (VERDICT r10 #4) — None when the manifest route does not apply
+    (no manifest, no prunable conjunct, or the manifest is stale /
+    incomplete for this directory), in which case the caller falls
+    back to the footer-stat discovery scan.
+
+    Soundness: only conjuncts of the form ``col <op> literal`` on
+    manifest-covered columns prune; every other conjunct is ignored
+    (candidates only widen). Rows with NULL in a compared column can
+    never satisfy a comparison, so a file is excludable purely on its
+    non-null [min, max]. Staleness guard: the manifest's rel-path set
+    must EQUAL the directory's on-disk data files (one cheap listing,
+    no footer reads) — any mismatch (a purge rewrote the version in
+    place, a collision-renamed carry) disables the route."""
+    from pyspark.sql import functions as SF
+
+    from openaq_data_pipeline_engineering_spark.operators.skipstats import (
+        SKIPSTATS_DIR,
+        manifest_key_cols,
+    )
+
+    mdir = os.path.join(vdir, SKIPSTATS_DIR)
+    if not os.path.isdir(mdir):
+        return None
+    mdf = spark.read.parquet(mdir)
+    covered = set(manifest_key_cols(mdf))
+    conjs = [
+        (c, op, v)
+        for c, op, v in _simple_conjuncts(predicate)
+        if c in covered
+    ]
+    if not conjs:
+        return None
+    on_disk = {
+        os.path.relpath(p, vdir) for p in iter_data_parquet_files(vdir)
+    }
+    rels = [r["rel_path"] for r in mdf.select("rel_path").collect()]
+    if set(rels) != on_disk or len(rels) != len(on_disk):
+        return None  # stale/incomplete manifest: fall back, stay exact
+    cond = None
+    for c, op, v in conjs:
+        lo, hi = SF.col(f"{c}_min"), SF.col(f"{c}_max")
+        this = {
+            "=": (lo <= SF.lit(v)) & (hi >= SF.lit(v)),
+            "<": lo < SF.lit(v),
+            "<=": lo <= SF.lit(v),
+            ">": hi > SF.lit(v),
+            ">=": hi >= SF.lit(v),
+        }[op]
+        cond = this if cond is None else cond & this
+    cands = [r["rel_path"] for r in mdf.filter(cond).select("rel_path").collect()]
+    return sorted(os.path.join(vdir, r) for r in cands)
+
+
 def touched_files_by_predicate(
     spark: SparkSession, vdir: str, predicate: str, alias: str | None = None
 ) -> list[str] | None:
@@ -261,8 +367,19 @@ def touched_files_by_predicate(
     the predicate is NOT safe to evaluate twice (non-deterministic or
     per-query-constant time functions, :func:`plan_is_cow_safe`):
     discovery and lowering could match different rows, leaving a
-    matched row in a carried file."""
+    matched row in a carried file.
+
+    MANIFEST route (VERDICT r10 #4): when the version carries a
+    persisted skipstats sidecar (operators/skipstats.write_manifest)
+    and the predicate has a prunable ``col <op> literal`` conjunct on
+    a covered column, the exact scan is restricted to the manifest's
+    candidate files — discovery cost becomes one tiny manifest read
+    plus the candidates' footers instead of EVERY file's footer (at
+    2,000+ files per version the footer pass dominates; see PLANS.md
+    round-11 A/B). The restricted scan still evaluates the EXACT
+    predicate, so the touched set is identical to the full scan's."""
     df = spark.read.parquet(vdir)
+    base_schema = df.schema
     if alias:
         df = df.alias(alias)
     filtered = df.withColumn(
@@ -270,6 +387,18 @@ def touched_files_by_predicate(
     ).filter(F.expr(predicate))
     if not plan_is_cow_safe(filtered):
         return None
+    cands = _manifest_candidates(spark, vdir, predicate)
+    if cands is not None:
+        if not cands:
+            return []
+        sub = spark.read.schema(base_schema).option(
+            "basePath", vdir
+        ).parquet(*cands)
+        if alias:
+            sub = sub.alias(alias)
+        filtered = sub.withColumn(
+            "__cow_file", F.col("_metadata.file_path")
+        ).filter(F.expr(predicate))
     rows = filtered.select("__cow_file").distinct().collect()
     return sorted(local_path(r["__cow_file"]) for r in rows)
 
@@ -567,6 +696,7 @@ def commit_file_rewrite(
         bytes_carried = link_files_relative(
             carried, os.path.realpath(vdir_base), new_dir
         )
+        _carry_manifest(spark, vdir_base, new_dir)
         import json
 
         with open(os.path.join(new_dir, COW_STATS_SIDECAR), "w") as f:
@@ -601,6 +731,76 @@ def commit_file_rewrite(
         "bytes_carried": bytes_carried,
     }
     return version
+
+
+def _carry_manifest(spark: SparkSession, vdir_base: str, new_dir: str) -> None:
+    """Maintain the persisted skipstats manifest ACROSS a COW commit
+    (VERDICT r10 #4): when the base version carries one, the new
+    version gets a manifest too — carried files' stats rows copy
+    forward verbatim (a hardlinked file keeps its content AND its rel
+    path), and only the files NOT inherited by rel path (the rewritten
+    files, plus any collision-renamed carry) get fresh stats from one
+    scan bounded to exactly those files. Maintenance cost O(touched),
+    matching the commit itself — the manifest never needs a full-table
+    rebuild (Delta's per-file stats ride the commit log the same way).
+    Best-effort: any failure leaves the new version without a manifest
+    (discovery falls back to the footer scan — correct, just slower).
+    The candidate-rel filter uses an ``isin`` literal list (fine at
+    thousands of files; a million-file table would broadcast-join the
+    listing instead)."""
+    from openaq_data_pipeline_engineering_spark.operators.skipstats import (
+        SKIPSTATS_DIR,
+        file_stats,
+        manifest_key_cols,
+        relativize_stats,
+    )
+
+    mdir = os.path.join(vdir_base, SKIPSTATS_DIR)
+    if not os.path.isdir(mdir):
+        return
+    try:
+        mdf = spark.read.parquet(mdir)
+        cols = manifest_key_cols(mdf)
+        new_rels = {
+            os.path.relpath(p, new_dir)
+            for p in iter_data_parquet_files(new_dir)
+        }
+        base_rels = {
+            os.path.relpath(p, vdir_base)
+            for p in iter_data_parquet_files(vdir_base)
+        }
+        inherited = sorted(new_rels & base_rels)
+        fresh = sorted(new_rels - base_rels)
+        parts = []
+        if inherited:
+            parts.append(mdf.filter(F.col("rel_path").isin(inherited)))
+        if fresh:
+            fdf = spark.read.schema(
+                spark.read.parquet(new_dir).schema
+            ).option("basePath", new_dir).parquet(
+                *[os.path.join(new_dir, r) for r in fresh]
+            )
+            parts.append(
+                relativize_stats(
+                    file_stats(fdf, cols, use_path=True), new_dir
+                )
+            )
+        if not parts:
+            return
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(new_dir, SKIPSTATS_DIR)
+        )
+    except Exception:
+        # optimization only — a half-written manifest must not survive
+        # (the consumer's completeness check would reject it anyway,
+        # but don't leave debris), and a manifest failure must never
+        # fail the COMMIT
+        shutil.rmtree(
+            os.path.join(new_dir, SKIPSTATS_DIR), ignore_errors=True
+        )
 
 
 def last_cow_stats(root: str) -> dict | None:

@@ -16,6 +16,8 @@ re-read; no driver-side file walking.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -103,6 +105,65 @@ def candidate_files_box(
         )
         cond = this if cond is None else cond & this
     return stats.filter(cond).select("file_name")
+
+
+# ---------------------------------------------------------------------------
+# PERSISTED manifest (VERDICT r10 #4): the DataFrame manifest above,
+# materialized as a `_skipstats/` parquet sidecar INSIDE a versioned
+# table's immutable version directory, keyed by the data file's path
+# RELATIVE to the directory (stable under hardlink carry — a carried
+# file keeps its rel path, so COW commits carry its stats row forward
+# verbatim). DML touched-file discovery consults it before the footer
+# scan: at ~2,000+ files per version the discovery job stops opening
+# every footer and reads one tiny manifest instead.
+# ---------------------------------------------------------------------------
+
+SKIPSTATS_DIR = "_skipstats"
+
+
+def write_manifest(
+    spark, vdir: str, key_cols: list[str]
+) -> int:
+    """Materialize the per-file min/max manifest for every data file of
+    ``vdir`` into ``<vdir>/_skipstats/`` (underscore-prefixed:
+    invisible to every data read). Returns the number of files
+    described. One aggregation keyed by ``_metadata.file_path``
+    (shuffle ∝ |files|, map-side combined); the path is relativized
+    DISTRIBUTEDLY (no driver-side file loop)."""
+    import os
+
+    df = spark.read.parquet(vdir)
+    stats = file_stats(df, key_cols, use_path=True)
+    # Spark renders local file paths as "file:<abs>"; strip the vdir
+    # prefix to the rel path. Both spellings guarded (file: / file://).
+    out = relativize_stats(stats, vdir)
+    out.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(vdir, SKIPSTATS_DIR)
+    )
+    return int(
+        spark.read.parquet(os.path.join(vdir, SKIPSTATS_DIR)).count()
+    )
+
+
+def manifest_key_cols(mdf: DataFrame) -> list[str]:
+    """The key columns a persisted manifest describes (every ``*_min``
+    column name, order preserved)."""
+    return [c[: -len("_min")] for c in mdf.columns if c.endswith("_min")]
+
+
+def relativize_stats(stats: DataFrame, vdir: str) -> DataFrame:
+    """``file_stats(..., use_path=True)`` output -> persisted-manifest
+    row shape: the absolute ``file_name`` URI becomes ``rel_path``
+    relative to ``vdir`` (distributed regexp, no driver loop)."""
+    import os
+
+    abs_dir = os.path.abspath(vdir)
+    rel = F.regexp_replace(
+        F.regexp_replace("file_name", "^file:(//)?", ""),
+        "^" + re.escape(abs_dir) + "/",
+        "",
+    )
+    return stats.withColumn("rel_path", rel).drop("file_name")
 
 
 def pruned_read_box(

@@ -1,0 +1,123 @@
+"""COW touched-file discovery at realistic file counts (VERDICT r10 #4).
+
+The round-10 A/B used a 32-file table; footer-stat discovery cost grows
+with file count (every file's parquet footer is opened even when
+row-group stats then skip its pages). This probe builds a versioned
+table with ~N_FILES part files, then times a one-key UPDATE's discovery
+three ways:
+
+  A. footer-scan discovery (no manifest)            — the fallback path
+  B. manifest-backed discovery (skipstats sidecar)  — the preferred path
+  C. the full UPDATE statement end-to-end with the manifest present
+
+and verifies both discovery routes return the SAME touched set. Run:
+
+    python tools/discovery_probe.py [n_files] [rows_per_file]
+
+Alternating A/B within one process; absolute times are host-dependent,
+the RATIO is the result.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from openaq_data_pipeline_engineering_spark.engine import Engine, get_spark
+from openaq_data_pipeline_engineering_spark.operators.cow import (
+    last_cow_stats,
+    touched_files_by_predicate,
+)
+from openaq_data_pipeline_engineering_spark.operators.skipstats import (
+    SKIPSTATS_DIR,
+    write_manifest,
+)
+from openaq_data_pipeline_engineering_spark.operators.versioned import (
+    write_snapshot,
+)
+
+
+def main() -> int:
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    rows_per_file = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    base = tempfile.mkdtemp(prefix="discovery_probe_")
+    root = os.path.join(base, "t")
+    n = n_files * rows_per_file
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    # range-partitioned by k so file min/max ranges are TIGHT — the
+    # realistic layout for manifest pruning (an OPTIMIZE ZORDER or a
+    # sorted ingest produces exactly this)
+    write_snapshot(df.repartitionByRange(n_files, "k"), root)
+    vdir = os.path.join(root, "v=1")
+    got_files = sum(1 for _ in __import__(
+        "openaq_data_pipeline_engineering_spark.operators.compact",
+        fromlist=["iter_data_parquet_files"],
+    ).iter_data_parquet_files(vdir))
+    pred = f"k = {n // 2}"
+
+    def timed(fn, reps=3):
+        best = float("inf")
+        out = None
+        for _ in range(reps):
+            t0 = time.time()
+            out = fn()
+            best = min(best, time.time() - t0)
+        return best, out
+
+    # A: footer-scan (no manifest yet)
+    t_scan, touched_scan = timed(
+        lambda: touched_files_by_predicate(spark, vdir, pred)
+    )
+    # build the manifest (one-time maintenance cost, also timed)
+    t0 = time.time()
+    n_manifest = write_manifest(spark, vdir, ["k"])
+    t_build = time.time() - t0
+    # B: manifest-backed
+    t_manifest, touched_manifest = timed(
+        lambda: touched_files_by_predicate(spark, vdir, pred)
+    )
+    assert touched_scan == touched_manifest, "routes disagree!"
+    # C: full UPDATE end-to-end with the manifest present
+    t0 = time.time()
+    Engine(spark).sql(
+        f"UPDATE '{root}' SET v = 0.0 WHERE k = {n // 2}"
+    ).first()
+    t_update = time.time() - t0
+    stats = last_cow_stats(root) or {}
+    # the COW commit carried the manifest forward
+    carried_manifest = os.path.isdir(
+        os.path.join(root, f"v={stats.get('version')}", SKIPSTATS_DIR)
+    )
+    print(
+        {
+            "n_files": got_files,
+            "n_rows": n,
+            "manifest_rows": n_manifest,
+            "touched": len(touched_scan),
+            "discovery_footer_scan_s": round(t_scan, 3),
+            "discovery_manifest_s": round(t_manifest, 3),
+            "speedup": round(t_scan / max(t_manifest, 1e-9), 2),
+            "manifest_build_s": round(t_build, 3),
+            "update_e2e_s": round(t_update, 3),
+            "files_rewritten": stats.get("files_rewritten"),
+            "files_carried": stats.get("files_carried"),
+            "manifest_carried_to_new_version": carried_manifest,
+        }
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
