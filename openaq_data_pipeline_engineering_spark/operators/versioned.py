@@ -237,16 +237,16 @@ class _OutOfOrderCommitRejected(ConcurrentWriteError):
 
 
 class PartitionedAppendError(ValueError):
-    """A flat :func:`append_rows` delta onto a Hive-PARTITIONED base
-    version (a ``versionize_table`` adoption, or a restore/clone of
-    one) would commit a chain every subsequent read fails on — Spark
-    refuses to union a partitioned directory with a flat one
-    (CONFLICTING_DIRECTORY_STRUCTURES), because the partition VALUES
-    live in the partitioned side's directory names. Rejected at COMMIT
-    time (VERDICT r10 #2) instead of poisoning the table: the append
-    would succeed, then every ``read_snapshot`` of the new latest —
-    and every downstream statement — would fail loudly until the
-    delta version is manually removed."""
+    """An :func:`append_rows` delta that cannot match its base
+    version's Hive-PARTITIONED layout (a ``versionize_table``
+    adoption, a restore/clone of one, or a ``partition_by`` write)
+    would commit a chain every subsequent read fails on — a flat delta
+    next to a partitioned base cannot union in one read, because the
+    partition VALUES live in the partitioned side's directory names.
+    Rejected at COMMIT time (VERDICT r10 #2) instead of poisoning the
+    table. Appends whose batch CONTAINS the partition columns don't
+    raise at all — they auto-publish the delta partitioned by the
+    base's layout and the chain read unions per-directory."""
 
 
 def _has_partition_subdirs(d: str) -> bool:
@@ -263,14 +263,49 @@ def _has_partition_subdirs(d: str) -> bool:
         return False
 
 
+def _dir_layout_cheap(d: str) -> list[str] | None:
+    """Partition-column sequence of ``d`` from ONE data file's relative
+    path ([] = flat) — O(top-level scandir + one walk step), the
+    append-hot-path twin of :func:`cow.partition_layout` (which
+    verifies EVERY file; consistency of our own written dirs is
+    guaranteed by partitionBy, and an inconsistent adopted dir fails
+    loudly at read time regardless). None when ``d`` has no data
+    files."""
+    from openaq_data_pipeline_engineering_spark.operators.compact import (
+        iter_data_parquet_files,
+    )
+
+    if not _has_partition_subdirs(d):
+        for _ in iter_data_parquet_files(d):
+            return []
+        return None
+    for p in iter_data_parquet_files(d):
+        rel = os.path.relpath(os.path.dirname(p), d)
+        segs = [] if rel == "." else rel.split(os.sep)
+        return [s.split("=", 1)[0] for s in segs if "=" in s]
+    return None
+
+
 def write_snapshot(
     df: DataFrame,
     root: str,
     _max_retries: int = 16,
     txn_id: str | None = None,
     expected_latest: int | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as the next version; returns the version number.
+
+    ``partition_by`` publishes the version HIVE-PARTITIONED by those
+    columns (``key=value/`` subdirectories) — the native way to create
+    the partitioned layout ``versionize_table`` adopts from existing
+    tables. Partitioned versions are first-class everywhere:
+    file-granular DML rewrites only touched partition files (the
+    operators/cow.py carry links untouched files at their subpaths),
+    appends auto-match the layout, and the zero-copy rebase merges at
+    relative subpaths. Reads return the partition columns with Spark's
+    ordinary partition-value inference — exactly what a plain read of
+    the adopted table produces.
 
     ``expected_latest`` opts into OPTIMISTIC CONCURRENCY for
     read-modify-write transactions: pass the version the new content
@@ -344,7 +379,9 @@ def write_snapshot(
         if txn_id in txns:
             return txns[txn_id]  # replay: already committed, no write
     for attempt in range(_max_retries):
-        version = _allocate_and_write(df, root, _max_retries)
+        version = _allocate_and_write(
+            df, root, _max_retries, partition_by=partition_by
+        )
         validated = _enforce_constraints(df.sparkSession, root, version)
         cdf_base = _materialize_changes(
             df.sparkSession, root, version, expected_latest
@@ -520,33 +557,57 @@ def append_rows(
             return txns[txn_id]  # replay: already committed, no write
     if max_chain_deltas is not None and max_chain_deltas < 1:
         raise ValueError("max_chain_deltas must be >= 1")
-    # Commit-time layout guard (VERDICT r10 #2): refuse to chain a flat
-    # delta onto a Hive-partitioned base — the commit would succeed and
-    # every subsequent chain READ would fail with Spark's
-    # CONFLICTING_DIRECTORY_STRUCTURES. One scandir per chain directory
-    # (chains are bounded by the rebase policy), no file walk.
+    # Commit-time layout handling (VERDICT r10 #2): a delta chained
+    # onto a Hive-partitioned base must MATCH the base's layout, or
+    # every subsequent chain READ fails with Spark's
+    # CONFLICTING_DIRECTORY_STRUCTURES. When the batch carries the
+    # partition columns, the delta auto-publishes PARTITIONED by the
+    # base's layout (read_snapshot unions partitioned chains
+    # per-directory); when it can't — columns missing, or the chain
+    # already mixes layouts — the append is rejected loudly instead of
+    # poisoning the table. One scandir + one walk step per chain
+    # directory (chains are bounded by the rebase policy).
     doc = _read_manifest_doc(root)
+    partition_by: list[str] | None = None
     if doc["versions"]:
         latest = doc["versions"][-1]
-        partitioned = [
-            p
-            for p in _resolve_version_paths(root, doc, latest)
-            if _has_partition_subdirs(p)
-        ]
-        if partitioned:
-            raise PartitionedAppendError(
-                f"cannot append a flat delta to {root!r}: its latest "
-                f"version (v={latest}) reads through Hive-PARTITIONED "
-                f"data ({partitioned[0]!r}) — the chain read would fail "
-                "with CONFLICTING_DIRECTORY_STRUCTURES. Re-base the "
-                "table to a flat layout first (checkpoint_appends / "
-                "OPTIMIZE '<root>' rewrites partition columns into data "
-                "columns), or mutate it with partitioned-aware DML "
-                "(UPDATE/DELETE/MERGE), or re-publish with "
-                "write_snapshot."
+        layouts = {
+            tuple(lo)
+            for lo in (
+                _dir_layout_cheap(p)
+                for p in _resolve_version_paths(root, doc, latest)
             )
+            if lo is not None
+        }
+        if len(layouts) > 1:
+            raise PartitionedAppendError(
+                f"cannot append to {root!r}: its latest version "
+                f"(v={latest}) reads through MIXED directory layouts "
+                f"({sorted(layouts)}) — re-base to one layout first "
+                "(checkpoint_appends / OPTIMIZE '<root>' rewrites "
+                "partition columns into data columns)."
+            )
+        layout = list(layouts.pop()) if layouts else []
+        if layout:
+            missing = [c for c in layout if c not in df.columns]
+            if missing:
+                raise PartitionedAppendError(
+                    f"cannot append a flat delta to {root!r}: its "
+                    f"latest version (v={latest}) is Hive-PARTITIONED "
+                    f"by {layout} and the batch lacks column(s) "
+                    f"{missing} — the chain read would fail with "
+                    "CONFLICTING_DIRECTORY_STRUCTURES. Include the "
+                    "partition column(s) in the batch (the delta then "
+                    "auto-publishes partitioned), re-base the table to "
+                    "a flat layout first (checkpoint_appends / "
+                    "OPTIMIZE '<root>'), or mutate it with "
+                    "partition-aware DML (UPDATE/DELETE/MERGE)."
+                )
+            partition_by = layout
     for attempt in range(_max_retries):
-        version = _allocate_and_write(df, root, _max_retries)
+        version = _allocate_and_write(
+            df, root, _max_retries, partition_by=partition_by
+        )
         validated = _enforce_constraints(df.sparkSession, root, version)
         try:
             committed = _commit_version(
@@ -777,9 +838,15 @@ def _checkpoint_zero_copy(
         raise
 
 
-def _allocate_and_write(df: DataFrame, root: str, max_retries: int = 16) -> int:
+def _allocate_and_write(
+    df: DataFrame,
+    root: str,
+    max_retries: int = 16,
+    partition_by: list[str] | None = None,
+) -> int:
     """Phase 1 of the commit protocol: claim the next ``v=<N>`` dir and
-    write the data into it. The directory is invisible to readers until
+    write the data into it (Hive-partitioned by ``partition_by`` when
+    given). The directory is invisible to readers until
     :func:`_commit_version` publishes it.
 
     The claim is ``os.mkdir`` — ATOMIC under concurrency, unlike
@@ -802,7 +869,10 @@ def _allocate_and_write(df: DataFrame, root: str, max_retries: int = 16) -> int:
         if not store.claim_version_dir(root, candidate):
             continue  # claimed by a concurrent writer
         # Overwrite is safe: this writer owns the claimed (empty) dir.
-        df.write.mode("overwrite").parquet(os.path.join(root, f"v={candidate}"))
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(os.path.join(root, f"v={candidate}"))
         return candidate
     raise RuntimeError(
         f"could not allocate a version under {root} after "
@@ -977,6 +1047,42 @@ def read_snapshot(
     paths = _resolve_version_paths(root, doc, version)
     if len(paths) == 1:
         return spark.read.parquet(paths[0])
+    layouts = {
+        tuple(lo)
+        for lo in (_dir_layout_cheap(p) for p in paths)
+        if lo is not None
+    }
+    if layouts != {()} and len(layouts) == 1:
+        # PARTITIONED chain, ONE shared layout (a partition_by base or
+        # adopted layout plus auto-partitioned deltas): a single
+        # multi-path read would either reject the layouts or, under a
+        # common basePath, misparse the v=N segment as a partition
+        # column — so read each directory with its OWN partition
+        # discovery and union BY NAME (allowMissingColumns = the
+        # mergeSchema null-backfill for evolved appends). Empty delta
+        # directories (a partitionBy of zero rows writes no files)
+        # contribute nothing and are skipped. MIXED chains fall through
+        # to the plain multi-path read below, which surfaces Spark's
+        # loud CONFLICTING_DIRECTORY_STRUCTURES instead of silently
+        # normalizing the partitioned side's value spellings.
+        from openaq_data_pipeline_engineering_spark.operators.compact import (
+            iter_data_parquet_files,
+        )
+
+        parts = [
+            spark.read.parquet(p)
+            for p in paths
+            if any(True for _ in iter_data_parquet_files(p))
+        ]
+        if not parts:
+            raise FileNotFoundError(
+                f"no data files in any directory of v={version} "
+                f"under {root!r}"
+            )
+        out = parts[0]
+        for q in parts[1:]:
+            out = out.unionByName(q, allowMissingColumns=True)
+        return out
     return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 

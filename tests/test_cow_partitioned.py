@@ -309,34 +309,82 @@ class TestPartitionedPurge:
         assert out.filter("m NOT IN (1, 2, 3)").count() == 0
 
 
-class TestPartitionedAppendGuardStillComposes:
-    def test_update_then_checkpoint_then_append(self, spark, tmp_path):
-        """After partitioned DML the table stays partitioned (appends
-        still guarded); OPTIMIZE-style checkpoint flattens it and
-        appends then commit normally."""
+class TestNativePartitionedWrites:
+    def test_write_snapshot_partition_by(self, spark, tmp_path):
+        """write_snapshot(partition_by=...) creates the partitioned
+        layout natively (no versionize_table adoption needed); COW DML,
+        auto-partitioned appends, and time travel all compose."""
+        from openaq_data_pipeline_engineering_spark.operators.cow import (
+            cow_eligible_base,
+            last_cow_stats,
+        )
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            append_rows,
+            write_snapshot,
+        )
+
+        root = str(tmp_path / "native")
+        df = spark.createDataFrame(
+            [(i, (i % 3) + 1, float(i)) for i in range(30)],
+            "k long, m int, score double",
+        )
+        write_snapshot(df.repartition(3, "k"), root, partition_by=["m"])
+        assert os.path.isdir(os.path.join(root, "v=1", "m=2"))
+        assert cow_eligible_base(root, 1)
+        Engine(spark).sql(
+            f"UPDATE '{root}' SET score = 0.0 WHERE k = 7"
+        ).first()
+        stats = last_cow_stats(root)
+        assert stats is not None and stats["files_rewritten"] == 1
+        append_rows(
+            spark.createDataFrame([(50, 9, 5.0)], "k long, m int, score double"),
+            root,
+        )
+        out = read_snapshot(spark, root)
+        assert out.count() == 31
+        assert out.filter("m = 9").first()["k"] == 50
+        assert out.filter("k = 7").first()["score"] == 0.0
+        assert read_snapshot(spark, root, version=1).count() == 30
+
+
+class TestPartitionedAppendComposes:
+    def test_update_then_append_then_update(self, spark, tmp_path):
+        """After partitioned DML the table stays partitioned; an append
+        whose batch carries the partition column auto-publishes a
+        PARTITIONED delta, a layout-incapable batch is rejected, and a
+        subsequent UPDATE rebases the chain zero-copy then runs
+        file-granular against the merged partitioned base."""
         import pytest
 
+        from openaq_data_pipeline_engineering_spark.operators.cow import (
+            last_cow_stats,
+        )
         from openaq_data_pipeline_engineering_spark.operators.versioned import (
             PartitionedAppendError,
             append_rows,
-            checkpoint_appends,
         )
 
         root = _seed_partitioned(spark, tmp_path)
-        Engine(spark).sql(f"DELETE FROM '{root}' WHERE k = 0").first()
-        with pytest.raises(PartitionedAppendError):
+        Engine(spark).sql(f"DELETE FROM '{root}' WHERE k = 0").first()  # v2
+        with pytest.raises(PartitionedAppendError, match="lacks column"):
             append_rows(
-                spark.createDataFrame(
-                    [(500, 1, 0.0)], "k long, m int, score double"
-                ),
+                spark.createDataFrame([(500, 0.0)], "k long, score double"),
                 root,
             )
-        checkpoint_appends(spark, root, compact=True)
-        append_rows(
+        append_rows(  # carries the partition column -> partitioned delta
             spark.createDataFrame(
                 [(500, 1, 0.0)], "k long, m int, score double"
             ),
             root,
-        )
+        )  # v3
         assert read_snapshot(spark, root).count() == 30
-        assert snapshot_versions(root) == [1, 2, 3, 4]
+        assert snapshot_versions(root) == [1, 2, 3]
+        Engine(spark).sql(
+            f"UPDATE '{root}' SET score = -1.0 WHERE k = 500"
+        ).first()
+        stats = last_cow_stats(root)
+        assert stats is not None  # rebased (v4) then COW (v5)
+        out = read_snapshot(spark, root)
+        assert out.count() == 30
+        assert out.filter("k = 500").first()["score"] == -1.0
+        assert out.filter("k = 500").first()["m"] == 1  # partition kept

@@ -182,12 +182,13 @@ class TestZeroCopyRebase:
 
 
 class TestAdoptedPartitionedChains:
-    def test_append_rejected_at_commit_time(self, spark, tmp_path):
-        """VERDICT r10 #2: a flat append onto an adopted
-        Hive-partitioned v1 is rejected AT COMMIT TIME with a pointed
-        layout error — not committed as a chain that fails on every
-        subsequent read. Nothing is published: the table stays at v1,
-        intact and readable."""
+    def test_layoutless_append_rejected_at_commit_time(self, spark, tmp_path):
+        """VERDICT r10 #2: an append whose batch CANNOT match the
+        adopted Hive-partitioned layout (partition column absent) is
+        rejected AT COMMIT TIME with a pointed layout error — not
+        committed as a chain that fails on every subsequent read.
+        Nothing is published: the table stays at v1, intact and
+        readable."""
         from openaq_data_pipeline_engineering_spark.operators.versioned import (
             PartitionedAppendError,
             versionize_table,
@@ -201,10 +202,7 @@ class TestAdoptedPartitionedChains:
         with pytest.raises(
             PartitionedAppendError, match="CONFLICTING_DIRECTORY"
         ):
-            append_rows(
-                spark.createDataFrame([(3, "03")], "k long, month string"),
-                root,
-            )
+            append_rows(spark.createDataFrame([(3,)], "k long"), root)
         assert snapshot_versions(root) == [1]
         assert read_snapshot(spark, root).count() == 2
         # the named remedy works: OPTIMIZE/checkpoint flattens the
@@ -216,6 +214,40 @@ class TestAdoptedPartitionedChains:
             spark.createDataFrame([(3, 3)], "k long, month int"), root
         )
         assert _rows(read_snapshot(spark, root)) == {(1, 1), (2, 2), (3, 3)}
+
+    def test_append_with_partition_columns_auto_partitions(
+        self, spark, tmp_path
+    ):
+        """A batch that CONTAINS the base's partition columns
+        auto-publishes its delta PARTITIONED by the base layout; the
+        chain read unions per-directory with partition values intact,
+        and the zero-copy rebase merges the chain at relative
+        subpaths."""
+        import os
+
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            snapshot_modes,
+            versionize_table,
+        )
+
+        root = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(1, 1), (2, 2)], "k long, month int"
+        ).write.partitionBy("month").parquet(root)
+        versionize_table(root)
+        append_rows(
+            spark.createDataFrame([(3, 3), (4, 1)], "k long, month int"),
+            root,
+        )
+        assert snapshot_modes(root).get(2) == "delta"
+        # the delta directory itself is partitioned
+        assert os.path.isdir(os.path.join(root, "v=2", "month=3"))
+        got = _rows(read_snapshot(spark, root))
+        assert got == {(1, 1), (2, 2), (3, 3), (4, 1)}
+        # zero-copy rebase merges the same-layout chain by subpath
+        v = checkpoint_appends(spark, root)
+        assert _rows(read_snapshot(spark, root, version=v)) == got
+        assert os.path.isdir(os.path.join(root, f"v={v}", "month=3"))
 
     def test_rebase_never_flattens_partitioned_chain(self, spark, tmp_path):
         """An adopted Hive-partitioned v1 keeps partition VALUES in
