@@ -528,17 +528,47 @@ def _optimize_versioned(
             raise FileNotFoundError(f"no committed versions under {root}")
         base = versions[-1]
         df = read_snapshot(spark, root, version=base)
-        before_files, before_bytes = _paths_stats(
-            resolve_version_paths(root, base)
+        paths = resolve_version_paths(root, base)
+        before_files, before_bytes = _paths_stats(paths)
+        # LAYOUT PRESERVATION: a one-layout Hive-partitioned base (a
+        # partition_by write or versionize_table adoption, plus any
+        # auto-partitioned deltas) re-publishes PARTITIONED — OPTIMIZE
+        # compacts within the layout instead of silently flattening
+        # partition columns into data columns. Mixed/flat chains keep
+        # the flat rewrite (flattening a mixed chain is the documented
+        # content-preserving repair).
+        from openaq_data_pipeline_engineering_spark.operators.cow import (
+            partition_layout,
+        )
+
+        layouts = {
+            tuple(lo)
+            for lo in (partition_layout(p) for p in paths)
+            if lo is not None
+        }
+        part_by = (
+            list(layouts.pop())
+            if len(layouts) == 1 and layouts != {()}
+            else None
         )
         if cols:
-            df = df.repartitionByRange(n_files, _zorder_key(cols))
+            zcols = [F.col(c) for c in (part_by or [])] + [_zorder_key(cols)]
+            df = df.repartitionByRange(n_files, *zcols)
+        elif part_by:
+            # compact within partitions: co-locate each partition's
+            # rows so partitionBy emits few files per key=value dir
+            df = df.repartitionByRange(
+                max(1, -(-before_bytes // target_file_bytes)),
+                *[F.col(c) for c in part_by],
+            )
         else:
             df = df.repartition(
                 max(1, -(-before_bytes // target_file_bytes))
             )
         try:
-            new_v = write_snapshot(df, root, expected_latest=base)
+            new_v = write_snapshot(
+                df, root, expected_latest=base, partition_by=part_by
+            )
             break
         except ConcurrentWriteError as e:
             last_err = e

@@ -584,8 +584,8 @@ def append_rows(
                 f"cannot append to {root!r}: its latest version "
                 f"(v={latest}) reads through MIXED directory layouts "
                 f"({sorted(layouts)}) — re-base to one layout first "
-                "(checkpoint_appends / OPTIMIZE '<root>' rewrites "
-                "partition columns into data columns)."
+                "(checkpoint_appends(compact=True) rewrites partition "
+                "columns into data columns)."
             )
         layout = list(layouts.pop()) if layouts else []
         if layout:
@@ -599,9 +599,9 @@ def append_rows(
                     "CONFLICTING_DIRECTORY_STRUCTURES. Include the "
                     "partition column(s) in the batch (the delta then "
                     "auto-publishes partitioned), re-base the table to "
-                    "a flat layout first (checkpoint_appends / "
-                    "OPTIMIZE '<root>'), or mutate it with "
-                    "partition-aware DML (UPDATE/DELETE/MERGE)."
+                    "a flat layout first "
+                    "(checkpoint_appends(compact=True)), or mutate it "
+                    "with partition-aware DML (UPDATE/DELETE/MERGE)."
                 )
             partition_by = layout
     for attempt in range(_max_retries):

@@ -283,6 +283,46 @@ class TestPartitionedRebaseAndFallback:
         assert read_snapshot(spark, root, version=3).count() == 30
 
 
+class TestPartitionedOptimize:
+    def test_optimize_preserves_layout(self, spark, tmp_path):
+        """OPTIMIZE '<root>' on a one-layout partitioned base compacts
+        WITHIN the layout (the new full version keeps its key=value
+        directories) instead of silently flattening the partition
+        columns into data columns."""
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            append_rows,
+        )
+
+        root = _seed_partitioned(spark, tmp_path)
+        # a few auto-partitioned small-file deltas worth compacting
+        for i in (100, 101, 102):
+            append_rows(
+                spark.createDataFrame(
+                    [(i, (i % 3) + 1, float(i))],
+                    "k long, m int, score double",
+                ),
+                root,
+            )
+        before = sorted(
+            tuple(r) for r in read_snapshot(spark, root).collect()
+        )
+        Engine(spark).sql(f"OPTIMIZE '{root}'").first()
+        latest = read_snapshot(spark, root)
+        assert sorted(tuple(r) for r in latest.collect()) == before
+        # the optimized version directory is still partitioned
+        vdirs = sorted(
+            d
+            for d in os.listdir(root)
+            if d.startswith("v=") and d[2:].isdigit()
+        )
+        top = os.path.join(root, vdirs[-1])
+        subdirs = {
+            e for e in os.listdir(top) if os.path.isdir(os.path.join(top, e))
+        }
+        assert any(e.startswith("m=") for e in subdirs), subdirs
+        assert latest.schema["m"].dataType.simpleString() == "int"
+
+
 class TestPartitionedPurge:
     def test_purge_preserves_layout_and_carries_untouched(
         self, spark, tmp_path
