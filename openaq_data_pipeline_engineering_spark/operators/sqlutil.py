@@ -817,10 +817,36 @@ def execute_insert(spark: SparkSession, sql: str) -> DataFrame:
             ]
         )
     if mode == "INTO":
+        # a Hive-partitioned target auto-publishes the delta
+        # PARTITIONED by the base layout (append_rows probes it)
         version = append_rows(df, root)
         vmode = "delta"
     else:
-        version = write_snapshot(df, root)
+        # INSERT OVERWRITE preserves an existing one-layout partitioned
+        # target (Delta keeps table partitioning on overwrite); a fresh
+        # root or flat/mixed target writes flat as before
+        part_by = None
+        if has_versions:
+            from openaq_data_pipeline_engineering_spark.operators.cow import (
+                partition_layout,
+            )
+            from openaq_data_pipeline_engineering_spark.operators.versioned import (
+                resolve_version_paths,
+            )
+
+            layouts = {
+                tuple(lo)
+                for lo in (
+                    partition_layout(p)
+                    for p in resolve_version_paths(root)
+                )
+                if lo is not None
+            }
+            if len(layouts) == 1 and layouts != {()}:
+                cand = list(layouts.pop())
+                if all(c in df.columns for c in cand):
+                    part_by = cand
+        version = write_snapshot(df, root, partition_by=part_by)
         vmode = "full"
     n_rows = _footer_row_count(os.path.join(root, f"v={version}"))
     return spark.createDataFrame(

@@ -387,6 +387,39 @@ class TestNativePartitionedWrites:
         assert read_snapshot(spark, root, version=1).count() == 30
 
 
+class TestPartitionedInsertStatements:
+    def test_insert_into_and_overwrite_preserve_layout(
+        self, spark, tmp_path
+    ):
+        """INSERT INTO a partitioned root publishes a partitioned delta
+        (append auto-match); INSERT OVERWRITE re-publishes PARTITIONED
+        like Delta keeps table partitioning on overwrite. Positional
+        alignment follows the READ schema, where partition columns come
+        LAST (k, score, m)."""
+        root = _seed_partitioned(spark, tmp_path)
+        Engine(spark).sql(
+            f"INSERT INTO '{root}' VALUES (100, 1.5, 7)"
+        ).first()
+        assert os.path.isdir(os.path.join(root, "v=2", "m=7"))
+        out = read_snapshot(spark, root)
+        assert out.count() == 31
+        assert out.filter("m = 7").first()["k"] == 100
+        Engine(spark).sql(
+            f"INSERT OVERWRITE '{root}' "
+            f"SELECT k, score, m FROM parquet.`{root}/v=1` WHERE m = 2"
+        ).first()
+        vdirs = sorted(
+            int(d[2:])
+            for d in os.listdir(root)
+            if d.startswith("v=") and d[2:].isdigit()
+        )
+        top = os.path.join(root, f"v={vdirs[-1]}")
+        assert os.path.isdir(os.path.join(top, "m=2"))
+        latest = read_snapshot(spark, root)
+        assert latest.count() == 10
+        assert latest.select("m").distinct().collect()[0]["m"] == 2
+
+
 class TestPartitionedAppendComposes:
     def test_update_then_append_then_update(self, spark, tmp_path):
         """After partitioned DML the table stays partitioned; an append
