@@ -114,6 +114,7 @@ class _FilePartition(InputPartition):
         kind: str = "data",
         version: int = 0,
         row_group: int | None = None,
+        const_cols: dict[str, str | None] | None = None,
     ):
         self.path = path
         self.columns = columns
@@ -127,29 +128,59 @@ class _FilePartition(InputPartition):
         # a large commit file fans out across executors at row-group
         # granularity exactly like Spark's own parquet scan planning.
         self.row_group = row_group
+        # Hive-partitioned commit directories keep partition VALUES in
+        # key=value/ path segments, not in the files: each file's
+        # constant columns (raw directory-string values, None for
+        # __HIVE_DEFAULT_PARTITION__) are attached at read time, cast
+        # to the stream schema's type — an auto-partitioned append's
+        # rows stream with their partition columns intact.
+        self.const_cols = const_cols or {}
 
 
 def _split_file_partitions(
     d: str, columns: list[str], kind: str, version: int
 ) -> list[_FilePartition]:
-    """One InputPartition per parquet ROW GROUP of every file in
-    ``d`` (single-group files stay one whole-file partition). The
-    driver reads only footers — the same metadata Spark's scan
-    planning reads — so a wide commit splits into row-group tasks
-    instead of one task per (possibly GB-sized) file."""
+    """One InputPartition per parquet ROW GROUP of every data file
+    under ``d`` — RECURSIVE, so a Hive-partitioned commit directory
+    (an auto-partitioned append delta) contributes every file with its
+    path-encoded partition values as const_cols (a top-level-only
+    listing would silently DROP those rows from the stream).
+    Single-group files stay one whole-file partition. The driver reads
+    only footers — the same metadata Spark's scan planning reads — so
+    a wide commit splits into row-group tasks instead of one task per
+    (possibly GB-sized) file."""
+    from urllib.parse import unquote
+
     import pyarrow.parquet as pq
 
+    from openaq_data_pipeline_engineering_spark.operators.compact import (
+        iter_data_parquet_files,
+    )
+
     parts: list[_FilePartition] = []
-    for name in sorted(os.listdir(d)):
-        if not name.endswith(".parquet"):
-            continue
-        path = os.path.join(d, name)
+    for path in sorted(iter_data_parquet_files(d)):
+        rel = os.path.relpath(os.path.dirname(path), d)
+        consts: dict[str, str | None] = {}
+        for seg in ([] if rel == "." else rel.split(os.sep)):
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                consts[k] = (
+                    None
+                    if v == "__HIVE_DEFAULT_PARTITION__"
+                    else unquote(v)
+                )
         n_groups = pq.ParquetFile(path).metadata.num_row_groups
         if n_groups <= 1:
-            parts.append(_FilePartition(path, columns, kind, version))
+            parts.append(
+                _FilePartition(
+                    path, columns, kind, version, const_cols=consts
+                )
+            )
         else:
             parts.extend(
-                _FilePartition(path, columns, kind, version, rg)
+                _FilePartition(
+                    path, columns, kind, version, rg, const_cols=consts
+                )
                 for rg in range(n_groups)
             )
     return parts
@@ -374,7 +405,8 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
 
         if not partition.columns and partition.kind == "data":
             return iter([])
-        read_cols = list(partition.columns)
+        consts = getattr(partition, "const_cols", None) or {}
+        read_cols = [c for c in partition.columns if c not in consts]
         if partition.kind == "cdf":
             read_cols = read_cols + [CDF_TYPE_COL]  # stored in the file
         if getattr(partition, "row_group", None) is not None:
@@ -393,6 +425,21 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
         target = pa.schema([full.field(c) for c in read_cols])
         if table.schema != target:
             table = table.cast(target)
+        for c, raw in consts.items():
+            # path-encoded partition value -> one constant column, cast
+            # from its directory string to the stream schema's type
+            # (the same cast Spark's partition inference applies); a
+            # value that cannot cast fails LOUDLY here
+            field = full.field(c)
+            if raw is None:
+                arr = pa.nulls(table.num_rows, field.type)
+            else:
+                arr = pa.array(
+                    [raw] * table.num_rows, type=pa.string()
+                ).cast(field.type)
+            table = table.append_column(c, arr)
+        if consts and partition.kind == "data":
+            table = table.select(partition.columns)
         if partition.kind == "insert":
             table = table.append_column(
                 CDF_TYPE_COL,
@@ -442,17 +489,35 @@ class VersionedFeedDataSource(DataSource):
             if cdf
             else ""
         )
+        from openaq_data_pipeline_engineering_spark.operators.compact import (
+            iter_data_parquet_files,
+        )
+
         for d in reversed(resolve_version_paths(root)):
-            for name in sorted(os.listdir(d)):
-                if name.endswith(".parquet"):
-                    return (
-                        _arrow_to_ddl(
-                            pq.ParquetFile(
-                                os.path.join(d, name)
-                            ).schema_arrow
-                        )
-                        + suffix
-                    )
+            first = next(iter_data_parquet_files(d), None)
+            if first is None:
+                continue
+            if os.path.dirname(first) == d:
+                return (
+                    _arrow_to_ddl(pq.ParquetFile(first).schema_arrow)
+                    + suffix
+                )
+            # Hive-partitioned commit directory: the partition columns
+            # live in key=value/ path segments, not the footers —
+            # discover them (names + inferred types) with pyarrow's
+            # hive partitioning. Ints infer as int (like Spark); rarer
+            # spellings (dates…) may infer as string where Spark's
+            # batch read infers date — pass an explicit .schema(...)
+            # when that matters.
+            import pyarrow.dataset as pads
+
+            dset = pads.dataset(
+                d,
+                format="parquet",
+                partitioning="hive",
+                ignore_prefixes=["_", "."],
+            )
+            return _arrow_to_ddl(dset.schema) + suffix
         raise FileNotFoundError(f"no parquet data under {root!r}")
 
     def streamReader(self, schema) -> VersionedFeedStreamReader:

@@ -464,3 +464,45 @@ def test_byte_admission_weighs_change_files_in_cdf_mode(spark, tmp_path):
         "CDF admission must weigh the small change set, not the data: "
         f"cdf={cdf_v2} data={data_v2}"
     )
+
+
+def test_partitioned_append_deltas_stream_with_partition_values(
+    spark, tmp_path
+):
+    """An auto-partitioned append delta (Hive key=value subdirs) must
+    stream its rows WITH the path-encoded partition values — a
+    top-level-only listing would silently drop every row of such a
+    commit; schema inference must likewise see through the layout."""
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        write_snapshot as _ws,
+    )
+
+    root = str(tmp_path / "p")
+    _ws(
+        spark.createDataFrame(
+            [(1, 1, "a"), (2, 2, "b")], "k long, m int, tag string"
+        ),
+        root,
+        partition_by=["m"],
+    )  # v1 full (skipped by the tail)
+    append_rows(
+        spark.createDataFrame(
+            [(3, 3, "c"), (4, 1, "d")], "k long, m int, tag string"
+        ),
+        root,
+    )  # v2: auto-partitioned delta (m=3/, m=1/ subdirs)
+    register_versioned_feed(spark)
+    stream = (
+        spark.readStream.format("versioned_feed")
+        .option("root", root)
+        .option("startingVersion", "1")
+        .load()
+    )
+    assert "m" in stream.schema.fieldNames()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(stream, out, ckpt)
+    got = sorted(
+        (r["k"], r["m"], r["tag"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(3, 3, "c"), (4, 1, "d")]
