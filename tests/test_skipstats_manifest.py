@@ -128,6 +128,40 @@ class TestManifestDiscovery:
         assert out.filter("k = 78").first()["score"] == 1.5
         assert out.count() == 500
 
+    def test_partitioned_cow_carries_manifest(self, spark, tmp_path):
+        """The O(touched) manifest carry-forward composes with the
+        partitioned COW commit: carried rows keep their key=value rel
+        paths, rewritten files get fresh stats, and the new version's
+        manifest still prunes exactly."""
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            versionize_table,
+        )
+
+        root = str(tmp_path / "pc")
+        spark.createDataFrame(
+            [(i, (i % 3) + 1, float(i)) for i in range(60)],
+            "k long, m int, score double",
+        ).repartition(2, "k").write.partitionBy("m").parquet(root)
+        versionize_table(root)
+        vdir = os.path.join(root, "v=1")
+        write_manifest(spark, vdir, ["k"])
+        Engine(spark).sql(
+            f"UPDATE '{root}' SET score = 0.0 WHERE k = 7"
+        ).first()
+        stats = last_cow_stats(root)
+        assert stats is not None
+        v2dir = os.path.join(root, f"v={stats['version']}")
+        assert os.path.isdir(os.path.join(v2dir, SKIPSTATS_DIR))
+        cands = _manifest_candidates(spark, v2dir, "k = 7")
+        assert cands is not None
+        assert touched_files_by_predicate(spark, v2dir, "k = 7") == sorted(
+            set(cands)
+            & set(touched_files_by_predicate(spark, v2dir, "k = 7"))
+        )
+        out = read_snapshot(spark, root)
+        assert out.filter("k = 7").first()["score"] == 0.0
+        assert out.count() == 60
+
     def test_partitioned_manifest_roundtrip(self, spark, tmp_path):
         from openaq_data_pipeline_engineering_spark.operators.versioned import (
             versionize_table,
