@@ -241,51 +241,93 @@ def plan_is_cow_safe(df: DataFrame) -> bool:
     return not any(fn in text for fn in _PER_QUERY_CONSTANT_FNS)
 
 
-# Top-level AND conjuncts of the shape `col <op> literal` (optionally
-# alias-qualified, either operand order) — the fragment of predicate
-# language the persisted skipstats manifest can prune on. Anything the
-# regex does not FULLY match is ignored (ignoring a conjunct only
-# widens the candidate set — sound); a predicate with no usable
-# conjunct skips the manifest route entirely.
+# Top-level AND conjuncts of the shapes `col <op> literal`,
+# `col IN (lit, ...)`, and `col BETWEEN lit AND lit` (optionally
+# alias-qualified; comparisons accept either operand order) — the
+# fragment of predicate language the persisted skipstats manifest can
+# prune on. Anything a regex does not FULLY match is ignored (ignoring
+# a conjunct only widens the candidate set — sound); a predicate with
+# no usable conjunct skips the manifest route entirely.
+_LIT = r"-?\d+(?:\.\d+)?|'[^']*'"
 _CONJ_RE = re.compile(
     r"^\s*(?:(?P<q1>\w+)\s*\.\s*)?(?P<col>\w+)\s*"
     r"(?P<op><=|>=|=|<|>)\s*"
-    r"(?P<lit>-?\d+(?:\.\d+)?|'[^']*')\s*$"
+    rf"(?P<lit>{_LIT})\s*$"
+)
+_IN_RE = re.compile(
+    r"^\s*(?:(?P<q1>\w+)\s*\.\s*)?(?P<col>\w+)\s+IN\s*"
+    rf"\(\s*(?P<lits>(?:{_LIT})(?:\s*,\s*(?:{_LIT}))*)\s*\)\s*$",
+    re.IGNORECASE,
+)
+# BETWEEN's inner AND is protected from the top-level split by masking
+# it first; the placeholder keeps offsets stable for the regexes.
+_BETWEEN_RE = re.compile(
+    r"^\s*(?:(?P<q1>\w+)\s*\.\s*)?(?P<col>\w+)\s+BETWEEN\s+"
+    rf"(?P<lo>{_LIT})\s+<BTWAND>\s+(?P<hi>{_LIT})\s*$",
+    re.IGNORECASE,
 )
 _REV_OP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "="}
 
 
+def _lit_value(lit: str) -> object:
+    if lit.startswith("'"):
+        return lit[1:-1]
+    if "." in lit:
+        return float(lit)
+    return int(lit)
+
+
 def _simple_conjuncts(predicate: str) -> list[tuple[str, str, object]]:
-    """(column, op, literal) for every top-level AND conjunct of the
-    supported shape; literal-side-first comparisons are normalized
-    (``5 > k`` -> ``k < 5``)."""
+    """(column, op, payload) for every top-level AND conjunct of the
+    supported shapes — op ∈ {=, <, <=, >, >=} with a scalar payload,
+    ``in`` with a list payload, ``between`` with a (lo, hi) payload.
+    Literal-side-first comparisons are normalized (``5 > k`` ->
+    ``k < 5``)."""
+    masked = re.sub(
+        r"(?i)\bBETWEEN\s+(" + _LIT + r")\s+AND\s+",
+        lambda m: f"BETWEEN {m.group(1)} <BTWAND> ",
+        predicate,
+    )
     out: list[tuple[str, str, object]] = []
-    for part in re.split(r"(?i)\bAND\b", predicate):
+    for part in re.split(r"(?i)\bAND\b", masked):
         m = _CONJ_RE.match(part)
-        col, op, lit = None, None, None
         if m:
-            col, op, lit = m.group("col"), m.group("op"), m.group("lit")
-        else:
-            rev = re.match(
-                r"^\s*(?P<lit>-?\d+(?:\.\d+)?|'[^']*')\s*"
-                r"(?P<op><=|>=|=|<|>)\s*"
-                r"(?:(?P<q1>\w+)\s*\.\s*)?(?P<col>\w+)\s*$",
-                part,
+            out.append(
+                (m.group("col"), m.group("op"), _lit_value(m.group("lit")))
             )
-            if rev:
-                col = rev.group("col")
-                op = _REV_OP[rev.group("op")]
-                lit = rev.group("lit")
-        if col is None:
             continue
-        value: object
-        if lit.startswith("'"):
-            value = lit[1:-1]
-        elif "." in lit:
-            value = float(lit)
-        else:
-            value = int(lit)
-        out.append((col, op, value))
+        rev = re.match(
+            rf"^\s*(?P<lit>{_LIT})\s*(?P<op><=|>=|=|<|>)\s*"
+            r"(?:(?P<q1>\w+)\s*\.\s*)?(?P<col>\w+)\s*$",
+            part,
+        )
+        if rev:
+            out.append(
+                (
+                    rev.group("col"),
+                    _REV_OP[rev.group("op")],
+                    _lit_value(rev.group("lit")),
+                )
+            )
+            continue
+        m = _IN_RE.match(part)
+        if m:
+            vals = [
+                _lit_value(x.strip())
+                for x in re.findall(_LIT, m.group("lits"))
+            ]
+            if vals:
+                out.append((m.group("col"), "in", vals))
+            continue
+        m = _BETWEEN_RE.match(part)
+        if m:
+            out.append(
+                (
+                    m.group("col"),
+                    "between",
+                    (_lit_value(m.group("lo")), _lit_value(m.group("hi"))),
+                )
+            )
     return out
 
 
@@ -334,13 +376,22 @@ def _manifest_candidates(
     cond = None
     for c, op, v in conjs:
         lo, hi = SF.col(f"{c}_min"), SF.col(f"{c}_max")
-        this = {
-            "=": (lo <= SF.lit(v)) & (hi >= SF.lit(v)),
-            "<": lo < SF.lit(v),
-            "<=": lo <= SF.lit(v),
-            ">": hi > SF.lit(v),
-            ">=": hi >= SF.lit(v),
-        }[op]
+        if op == "in":
+            this = None
+            for x in v:  # union of point candidates
+                t = (lo <= SF.lit(x)) & (hi >= SF.lit(x))
+                this = t if this is None else this | t
+        elif op == "between":
+            b_lo, b_hi = v
+            this = (lo <= SF.lit(b_hi)) & (hi >= SF.lit(b_lo))
+        else:
+            this = {
+                "=": (lo <= SF.lit(v)) & (hi >= SF.lit(v)),
+                "<": lo < SF.lit(v),
+                "<=": lo <= SF.lit(v),
+                ">": hi > SF.lit(v),
+                ">=": hi >= SF.lit(v),
+            }[op]
         cond = this if cond is None else cond & this
     cands = [r["rel_path"] for r in mdf.filter(cond).select("rel_path").collect()]
     return sorted(os.path.join(vdir, r) for r in cands)
@@ -431,29 +482,103 @@ def touched_files_by_join(
     return sorted(local_path(r["__cow_file"]) for r in rows)
 
 
+def _manifest_box_candidates(
+    spark: SparkSession, vdir: str, delta: DataFrame, keys: list[str]
+) -> list[str] | None:
+    """Manifest candidates for a keyed-upsert batch: files whose
+    per-key [min, max] ranges intersect the DELTA's overall key box —
+    one tiny aggregate over the collapsed micro-batch, one manifest
+    filter, zero data-file footers. Coarse but SOUND (a file outside
+    the box can hold no matching key; the exact semi join still runs
+    over the candidates). None when the route does not apply: no
+    manifest, a key column the manifest does not cover, a stale
+    manifest (same completeness check as the predicate route), or a
+    batch with NULL keys (manifest min/max exclude nulls, so the box
+    cannot bound null-safe matches)."""
+    from openaq_data_pipeline_engineering_spark.operators.skipstats import (
+        SKIPSTATS_DIR,
+        manifest_key_cols,
+    )
+
+    mdir = os.path.join(vdir, SKIPSTATS_DIR)
+    if not os.path.isdir(mdir):
+        return None
+    mdf = spark.read.parquet(mdir)
+    if not set(keys) <= set(manifest_key_cols(mdf)):
+        return None
+    on_disk = {
+        os.path.relpath(p, vdir) for p in iter_data_parquet_files(vdir)
+    }
+    rels = [r["rel_path"] for r in mdf.select("rel_path").collect()]
+    if set(rels) != on_disk or len(rels) != len(on_disk):
+        return None  # stale/incomplete manifest
+    aggs = []
+    for k in keys:
+        aggs.append(F.min(k).alias(f"__lo_{k}"))
+        aggs.append(F.max(k).alias(f"__hi_{k}"))
+        aggs.append(
+            F.sum(F.when(F.col(k).isNull(), 1).otherwise(0)).alias(
+                f"__nulls_{k}"
+            )
+        )
+    b = delta.agg(*aggs).first()
+    cond = None
+    for k in keys:
+        if b[f"__nulls_{k}"] or b[f"__lo_{k}"] is None:
+            return None  # null keys: the box cannot bound them
+        this = (F.col(f"{k}_min") <= F.lit(b[f"__hi_{k}"])) & (
+            F.col(f"{k}_max") >= F.lit(b[f"__lo_{k}"])
+        )
+        cond = this if cond is None else cond & this
+    cands = [
+        r["rel_path"] for r in mdf.filter(cond).select("rel_path").collect()
+    ]
+    return sorted(os.path.join(vdir, r) for r in cands)
+
+
 def touched_files_by_keys(
     spark: SparkSession, vdir: str, delta: DataFrame, keys: list[str]
 ) -> list[str] | None:
     """Data files of ``vdir`` holding at least one row whose key tuple
     appears in ``delta`` — the keyed-upsert form of discovery (one LEFT
     SEMI join on null-safe key equality; the delta's distinct key set
-    is tiny relative to the table and broadcasts). Returns None —
-    full-rewrite fallback — when the delta's plan is unsafe to
+    is tiny relative to the table and broadcasts). When the version
+    carries a skipstats manifest covering the key columns, the scan is
+    first restricted to the manifest's key-box candidates
+    (:func:`_manifest_box_candidates`) — a clustered sink's per-batch
+    discovery then opens only the candidate files' footers. Returns
+    None — full-rewrite fallback — when the delta's plan is unsafe to
     evaluate twice (:func:`plan_is_cow_safe`)."""
-    t = spark.read.parquet(vdir).withColumn(
-        "__cow_file", F.col("_metadata.file_path")
-    )
+    base_schema = spark.read.parquet(vdir).schema
+    t = spark.read.parquet(vdir)
     d = F.broadcast(delta.select(*keys).distinct()).alias("__cow_d")
-    t = t.alias("__cow_t")
-    cond = None
-    for k in keys:
-        this = F.col(f"__cow_t.{k}").eqNullSafe(F.col(f"__cow_d.{k}"))
-        cond = this if cond is None else cond & this
-    joined = t.join(d, cond, "left_semi")
-    if not plan_is_cow_safe(joined):
+
+    def _discover(frame: DataFrame) -> list[str]:
+        tt = frame.withColumn(
+            "__cow_file", F.col("_metadata.file_path")
+        ).alias("__cow_t")
+        cond = None
+        for k in keys:
+            this = F.col(f"__cow_t.{k}").eqNullSafe(F.col(f"__cow_d.{k}"))
+            cond = this if cond is None else cond & this
+        joined = tt.join(d, cond, "left_semi")
+        if not plan_is_cow_safe(joined):
+            return None
+        rows = joined.select("__cow_file").distinct().collect()
+        return sorted(local_path(r["__cow_file"]) for r in rows)
+
+    if not plan_is_cow_safe(delta):
         return None
-    rows = joined.select("__cow_file").distinct().collect()
-    return sorted(local_path(r["__cow_file"]) for r in rows)
+    cands = _manifest_box_candidates(spark, vdir, delta, keys)
+    if cands is not None:
+        if not cands:
+            return []
+        return _discover(
+            spark.read.schema(base_schema)
+            .option("basePath", vdir)
+            .parquet(*cands)
+        )
+    return _discover(t)
 
 
 def link_files(srcs: list[str], dst_dir: str, prefix: str = "carried") -> int:

@@ -58,7 +58,19 @@ class TestSimpleConjuncts:
         assert _simple_conjuncts("score = 2.5") == [("score", "=", 2.5)]
         # unsupported conjuncts are dropped, supported ones kept
         assert _simple_conjuncts("k % 2 = 0 AND k > 7") == [("k", ">", 7)]
-        assert _simple_conjuncts("k IN (1, 2)") == []
+        assert _simple_conjuncts("k IN (1, 2)") == [("k", "in", [1, 2])]
+        assert _simple_conjuncts("t.tag IN ('a', 'b')") == [
+            ("tag", "in", ["a", "b"])
+        ]
+        assert _simple_conjuncts("k BETWEEN 3 AND 9") == [
+            ("k", "between", (3, 9))
+        ]
+        # BETWEEN's inner AND must not break the top-level split
+        assert _simple_conjuncts("k BETWEEN 3 AND 9 AND tag = 'x'") == [
+            ("k", "between", (3, 9)),
+            ("tag", "=", "x"),
+        ]
+        assert _simple_conjuncts("k IN (SELECT x FROM t)") == []
 
 
 class TestManifestDiscovery:
@@ -87,6 +99,52 @@ class TestManifestDiscovery:
         assert _manifest_candidates(spark, vdir, "k = -5") == []
         # unsupported predicate: no manifest route
         assert _manifest_candidates(spark, vdir, "k % 7 = 0") is None
+        # IN: union of point candidates (two keys, far apart -> 2 files)
+        in_c = _manifest_candidates(spark, vdir, "k IN (5, 450)")
+        assert in_c is not None and len(in_c) == 2
+        # BETWEEN: one contiguous range (50 rows over 10 range files)
+        bt_c = _manifest_candidates(spark, vdir, "k BETWEEN 100 AND 149")
+        assert bt_c is not None and 1 <= len(bt_c) <= 2
+        for pred in ("k IN (5, 450)", "k BETWEEN 100 AND 149"):
+            assert touched_files_by_predicate(
+                spark, vdir, pred
+            ) == sorted(
+                set(touched_files_by_predicate(spark, vdir, pred))
+            )
+
+    def test_upsert_box_candidates(self, spark, tmp_path):
+        """Keyed-upsert discovery restricts its semi-join scan to the
+        manifest's key-box candidates — same touched set as the full
+        scan; null keys or uncovered columns fall back."""
+        from openaq_data_pipeline_engineering_spark.operators.cow import (
+            _manifest_box_candidates,
+            touched_files_by_keys,
+        )
+
+        root, vdir = _seed(spark, tmp_path)
+        delta = spark.createDataFrame(
+            [(77, 0.0, "zz"), (81, 1.0, "yy")],
+            "k long, score double, tag string",
+        )
+        before = touched_files_by_keys(spark, vdir, delta, ["k"])
+        write_manifest(spark, vdir, ["k"])
+        cands = _manifest_box_candidates(spark, vdir, delta, ["k"])
+        assert cands is not None and len(cands) <= 2  # tight range files
+        assert touched_files_by_keys(spark, vdir, delta, ["k"]) == before
+        # uncovered key column: no box route (falls back, still exact)
+        assert (
+            _manifest_box_candidates(spark, vdir, delta, ["k", "tag"])
+            is None
+        )
+        assert (
+            touched_files_by_keys(spark, vdir, delta, ["k", "tag"])
+            == touched_files_by_keys(spark, vdir, delta, ["k", "tag"])
+        )
+        # a NULL key cannot be bounded by min/max: fall back
+        nulld = spark.createDataFrame(
+            [(None, 0.0, "n")], "k long, score double, tag string"
+        )
+        assert _manifest_box_candidates(spark, vdir, nulld, ["k"]) is None
 
     def test_stale_manifest_falls_back(self, spark, tmp_path):
         """A manifest whose rel-path set no longer equals the on-disk
