@@ -282,7 +282,28 @@ def _simple_conjuncts(predicate: str) -> list[tuple[str, str, object]]:
     supported shapes — op ∈ {=, <, <=, >, >=} with a scalar payload,
     ``in`` with a list payload, ``between`` with a (lo, hi) payload.
     Literal-side-first comparisons are normalized (``5 > k`` ->
-    ``k < 5``)."""
+    ``k < 5``).
+
+    OR/NOT bail-out (ADVICE r11 #1): splitting on ``AND`` is only a
+    conjunct decomposition when the predicate is a pure top-level
+    conjunction. ``a = 1 OR b = 2 AND c = 3`` splits into
+    ``a = 1 OR b = 2`` (ignored) and ``c = 3`` (matched) — but
+    ``c = 3`` is NOT a conjunct of that predicate (rows with a = 1
+    satisfy it regardless of c), so pruning on it would silently skip
+    matching files. Same for NOT: ``NOT (a = 1 AND b = 2)`` shears
+    into a fully-matching middle part. Any ``OR``/``NOT`` keyword
+    OUTSIDE a string literal therefore disables extraction entirely
+    (returns []); the caller's manifest route falls back to the exact
+    footer-stat scan — sound, just unpruned. The keyword scan runs on
+    the literal-MASKED text so a value like ``'majOR'`` cannot
+    false-positive (and a false positive would only cost pruning,
+    never correctness)."""
+    from openaq_data_pipeline_engineering_spark.operators.sqlmerge import (
+        _mask_literals,
+    )
+
+    if re.search(r"(?i)\b(?:OR|NOT)\b", _mask_literals(predicate)):
+        return []
     masked = re.sub(
         r"(?i)\bBETWEEN\s+(" + _LIT + r")\s+AND\s+",
         lambda m: f"BETWEEN {m.group(1)} <BTWAND> ",
@@ -331,6 +352,32 @@ def _simple_conjuncts(predicate: str) -> list[tuple[str, str, object]]:
     return out
 
 
+def _literal_matches_family(payload: object, dtype) -> bool:
+    """True when pruning a conjunct with this literal payload against a
+    manifest column of ``dtype`` is SOUND (ADVICE r11 #4): the stored
+    min/max were computed in the COLUMN's order, but Spark evaluates
+    ``string_col = 5`` by casting the COLUMN to numeric per row — a
+    lexicographic [min, max] says nothing about the numeric range
+    ('40' < '5' lexicographically), so a numeric literal may only
+    prune NUMERIC manifest columns and a string literal only STRING
+    columns (same-order comparisons on both sides). Skipping a
+    mismatched conjunct just widens the candidate set."""
+    from pyspark.sql.types import NumericType, StringType
+
+    if dtype is None:
+        return False
+    vals = (
+        list(payload)
+        if isinstance(payload, (list, tuple))
+        else [payload]
+    )
+    if isinstance(dtype, NumericType):
+        return all(isinstance(x, (int, float)) for x in vals)
+    if isinstance(dtype, StringType):
+        return all(isinstance(x, str) for x in vals)
+    return False
+
+
 def _manifest_candidates(
     spark: SparkSession, vdir: str, predicate: str
 ) -> list[str] | None:
@@ -360,10 +407,15 @@ def _manifest_candidates(
         return None
     mdf = spark.read.parquet(mdir)
     covered = set(manifest_key_cols(mdf))
+    min_types = {
+        f.name[: -len("_min")]: f.dataType
+        for f in mdf.schema.fields
+        if f.name.endswith("_min")
+    }
     conjs = [
         (c, op, v)
         for c, op, v in _simple_conjuncts(predicate)
-        if c in covered
+        if c in covered and _literal_matches_family(v, min_types.get(c))
     ]
     if not conjs:
         return None
@@ -787,6 +839,20 @@ def commit_file_rewrite(
             writer = writer.partitionBy(*layout)
         writer.parquet(new_dir)
         has_rewritten_files = any(True for _ in iter_data_parquet_files(new_dir))
+        if not has_rewritten_files and not carried:
+            # ADVICE r11 #2: every file touched AND the rewrite is
+            # empty (e.g. DELETE ... WHERE <matches everything>) — a
+            # partitionBy of zero rows writes NO files and there is
+            # nothing to carry, so the version would commit with zero
+            # data files and the next read of it would fail with
+            # UNABLE_TO_INFER_SCHEMA. Mirror purge_rows' guard: one
+            # empty FLAT parquet file (partition columns become data
+            # columns of an empty frame — same schema a full read
+            # produces) keeps the version servable.
+            rewritten.limit(0).coalesce(1).write.mode("append").parquet(
+                new_dir
+            )
+            has_rewritten_files = True
         base_schema = spark.read.parquet(vdir_base).schema
         # Validation BEFORE the carry: the directory holds exactly the
         # rewritten files at this point (an all-rows-deleted partitioned

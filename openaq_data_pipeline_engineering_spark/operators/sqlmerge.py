@@ -899,9 +899,24 @@ def execute_merge_statement(
                         )
                         try:
                             if schema_preserved(base_df, partial):
-                                new_v = commit_file_rewrite(
-                                    spark, root, cow_base, partial, touched
-                                )
+                                if not touched and partial.isEmpty():
+                                    # VERDICT r11 #5: the ON condition
+                                    # matched NO target file and the
+                                    # NOT-MATCHED clauses insert zero
+                                    # rows (all filtered by their AND
+                                    # conditions, or an empty source) —
+                                    # Delta's no-op MERGE commits no
+                                    # version; match it instead of
+                                    # publishing a do-nothing commit
+                                    # (version churn + an empty CDF
+                                    # sidecar). isEmpty() is a limit(1)
+                                    # probe over the insert set only —
+                                    # the target side is already empty.
+                                    new_v = cow_base
+                                else:
+                                    new_v = commit_file_rewrite(
+                                        spark, root, cow_base, partial, touched
+                                    )
                         finally:
                             release_merge_cache(partial)
             if new_v is None:

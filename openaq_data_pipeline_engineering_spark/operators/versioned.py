@@ -571,12 +571,10 @@ def append_rows(
     partition_by: list[str] | None = None
     if doc["versions"]:
         latest = doc["versions"][-1]
+        chain_paths = _resolve_version_paths(root, doc, latest)
         layouts = {
             tuple(lo)
-            for lo in (
-                _dir_layout_cheap(p)
-                for p in _resolve_version_paths(root, doc, latest)
-            )
+            for lo in (_dir_layout_cheap(p) for p in chain_paths)
             if lo is not None
         }
         if len(layouts) > 1:
@@ -603,6 +601,57 @@ def append_rows(
                     "(checkpoint_appends(compact=True)), or mutate it "
                     "with partition-aware DML (UPDATE/DELETE/MERGE)."
                 )
+            # Matching NAMES is not enough (ADVICE r11 #5): the chain
+            # read resolves each directory with its OWN partition-value
+            # inference and unions BY NAME, so a STRING-typed batch
+            # partition column appended onto an int-inferred base would
+            # commit fine and then silently widen the whole table's
+            # partition column to string ('01' stops comparing equal to
+            # 1) — a data-dependent schema flip Delta rejects at write
+            # time. Compare the batch's types against the base chain's
+            # INFERRED types (one lazy schema probe of the newest
+            # partitioned chain directory — metadata-only, no job) and
+            # reject mismatches loudly. Integral widths (int vs bigint)
+            # are interchangeable: their canonical spellings are
+            # identical, so inference re-converges.
+            base_types = None
+            for p in reversed(chain_paths):
+                if _dir_layout_cheap(p) == layout:
+                    base_types = {
+                        f.name: f.dataType
+                        for f in df.sparkSession.read.parquet(p).schema.fields
+                    }
+                    break
+            if base_types is not None:
+                from pyspark.sql.types import IntegralType
+
+                def _family(dt) -> str:
+                    return (
+                        "integral"
+                        if isinstance(dt, IntegralType)
+                        else dt.simpleString()
+                    )
+
+                batch_types = {f.name: f.dataType for f in df.schema.fields}
+                mismatched = {
+                    c: (base_types[c], batch_types[c])
+                    for c in layout
+                    if c in base_types
+                    and _family(base_types[c]) != _family(batch_types[c])
+                }
+                if mismatched:
+                    detail = "; ".join(
+                        f"{c}: base infers {b.simpleString()}, batch has "
+                        f"{g.simpleString()}"
+                        for c, (b, g) in mismatched.items()
+                    )
+                    raise PartitionedAppendError(
+                        f"cannot append to {root!r}: partition column "
+                        f"type mismatch ({detail}) — the chain read "
+                        "would silently widen the partition column for "
+                        "the whole table. Cast the batch column(s) to "
+                        "the base's inferred type(s) before appending."
+                    )
             partition_by = layout
     for attempt in range(_max_retries):
         version = _allocate_and_write(
@@ -2424,8 +2473,18 @@ def purge_rows(
             )
 
             layout = partition_layout(path)
-            if layout is not None:
-                touched = touched_files_by_predicate(spark, path, predicate)
+            # touched is None when the predicate is unsafe to evaluate
+            # twice (non-deterministic / per-query-constant time
+            # functions — exactly the retention-by-current_date() shape
+            # purges use); the whole-version rewrite below evaluates it
+            # ONCE, so that path is the correct fallback, not a crash
+            # (ADVICE r11 #3).
+            touched = (
+                touched_files_by_predicate(spark, path, predicate)
+                if layout is not None
+                else None
+            )
+            if layout is not None and touched is not None:
                 untouched = sorted(
                     {
                         os.path.realpath(p)

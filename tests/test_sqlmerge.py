@@ -725,9 +725,17 @@ class TestPathTargetMerge:
 
         def racing(spark_, sql_, **kw):
             out = real(spark_, sql_, **kw)
-            # a racer commits between the merge's read and its publish
+            # a racer commits between the merge's read and its publish;
+            # the racer's content keeps a merge_src-matching key (k=2)
+            # so every retried attempt still touches a file and must
+            # conflict — a non-matching racer would legitimately turn
+            # the retry into the r12 no-op MERGE (version == base, no
+            # commit), which is the correct serializable outcome, not a
+            # lost update
             write_snapshot(
-                spark.createDataFrame([(9, "z")], "k int, v string"),
+                spark.createDataFrame(
+                    [(2, "z"), (9, "z")], "k int, v string"
+                ),
                 root,
             )
             return out
