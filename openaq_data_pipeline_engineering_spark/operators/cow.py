@@ -124,13 +124,29 @@ def base_version_dir(root: str, base: int) -> str:
     return os.path.join(root, f"v={base}")
 
 
+def recorded_layout(root: str, base: int) -> list[str] | None:
+    """The partition layout the commit manifest RECORDED for ``base``
+    (VERDICT r11 #2: the layout is immutable per version, so one
+    manifest read replaces the per-statement recursive walk of every
+    data file — at 100k files on an object store that walk is a full
+    LIST per DML). None when the version predates layout recording;
+    callers fall back to :func:`partition_layout`'s exact walk."""
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        _read_manifest_doc,
+    )
+
+    return _read_manifest_doc(root)["layouts"].get(base)
+
+
 def cow_eligible_base(root: str, base: int) -> bool:
     """True when ``base`` is a full, local snapshot directory with a
     CONSISTENT layout — flat, or Hive-partitioned with one partition
     column sequence (VERDICT r10 #1) — i.e. a layout the relative-path
     hardlink carry reproduces losslessly. Delta chains, restores,
     clone-referenced versions, and mixed flat/partitioned directories
-    fall back to the full-rewrite publish."""
+    fall back to the full-rewrite publish. Uses the manifest-recorded
+    layout when present (one read, no file walk); only unrecorded
+    (pre-r12) versions pay the verification walk."""
     from openaq_data_pipeline_engineering_spark.operators.versioned import (
         _read_manifest_doc,
     )
@@ -143,6 +159,25 @@ def cow_eligible_base(root: str, base: int) -> bool:
     vdir = base_version_dir(root, base)
     if not os.path.isdir(vdir):
         return False  # clone-referenced: data lives under the source
+    recorded = doc["layouts"].get(base)
+    if recorded is not None:
+        # verify-on-mismatch, cheaply: ONE top-level scandir (no file
+        # walk) catches the only out-of-band mutation a recorded
+        # layout could mask — data files spliced flat next to
+        # partition directories (or vice versa). Deeper consistency is
+        # the immutable-version contract's job.
+        try:
+            with os.scandir(vdir) as it:
+                for e in it:
+                    if e.name.startswith(("_", ".")):
+                        continue
+                    if recorded and e.is_file():
+                        return False  # flat data beside key=value dirs
+                    if not recorded and e.is_dir() and "=" in e.name:
+                        return False  # partition dirs on a flat record
+        except OSError:
+            return False
+        return True
     return partition_layout(vdir) is not None
 
 
@@ -688,6 +723,98 @@ def partition_layout(vdir: str) -> list[str] | None:
     return layout if layout is not None else []
 
 
+def _part_value_key(raw: str) -> object:
+    """Inference-equivalent key of a Hive partition directory
+    segment's raw value text: ``month=01`` and ``month=1`` must map to
+    the SAME key (both infer to int 1), while genuinely string-typed
+    values key as themselves. int/float unify through Python equality
+    (1 == 1.0, same hash), matching Spark's unified numeric partition
+    inference; anything non-numeric keys as its unquoted text."""
+    v = unquote(raw)
+    if v == "__HIVE_DEFAULT_PARTITION__":
+        return ("\0hive-null",)
+    try:
+        return int(v)
+    except ValueError:
+        pass
+    try:
+        return float(v)
+    except ValueError:
+        return v
+
+
+def _rel_dir_key(rel: str) -> tuple:
+    """Normalized (column, value-key) tuple of a partition-relative
+    directory path like ``year=2024/month=01``."""
+    return tuple(
+        (s.split("=", 1)[0], _part_value_key(s.split("=", 1)[1]))
+        for s in rel.split(os.sep)
+    )
+
+
+def preserve_partition_spelling(
+    new_dir: str, base_rel_dirs: set[str]
+) -> int:
+    """Move files a ``partitionBy`` rewrite emitted under INFERRED
+    partition spellings into the BASE version's literal directory
+    names (VERDICT r11 #3): a zero-padded base layout (``month=01``)
+    re-emerges from partitionBy as ``month=1`` — logically identical
+    (both infer to 1) but a SECOND directory spelling of the same
+    logical partition, accumulating under repeated DML. For every
+    emitted leaf partition directory whose normalized value tuple
+    matches a base directory with a DIFFERENT spelling, the emitted
+    data files move into the base-spelled path (collision-renamed;
+    stale .crc sidecars of the moved names are dropped — a missing
+    checksum disables verification, a renamed file's old checksum
+    would be wrong anyway) and the emptied inferred-spelling
+    directories are removed. Genuinely NEW partition values (a
+    partition-moving UPDATE) keep their inferred spelling — there is
+    no base spelling to preserve. Returns the number of files moved.
+    Pure driver-side renames, O(emitted files) — never data I/O."""
+    spell: dict[tuple, str] = {}
+    for rel in base_rel_dirs:
+        spell.setdefault(_rel_dir_key(rel), rel)
+    moved = 0
+    for dirpath, _dn, files in os.walk(new_dir, topdown=False):
+        rel = os.path.relpath(dirpath, new_dir)
+        if rel == "." or rel.split(os.sep)[0].startswith(("_", ".")):
+            continue
+        if not all("=" in s for s in rel.split(os.sep)):
+            continue
+        want = spell.get(_rel_dir_key(rel))
+        if want is None or want == rel:
+            continue
+        dst_dir = os.path.join(new_dir, want)
+        os.makedirs(dst_dir, exist_ok=True)
+        for f in files:
+            src = os.path.join(dirpath, f)
+            if f.startswith(("_", ".")):
+                os.remove(src)  # stale checksum/marker sidecar
+                continue
+            dst = os.path.join(dst_dir, f)
+            n = 0
+            while os.path.exists(dst):
+                n += 1
+                dst = os.path.join(dst_dir, f"respell-{n}-{f}")
+            os.rename(src, dst)
+            moved += 1
+    # second bottom-up pass: drop directories the moves emptied (a
+    # value-only spelling change leaves the whole inferred subtree
+    # empty; parents empty out as children are removed — rmdir itself
+    # is the emptiness test, and the walk's pre-captured listings
+    # would be stale here)
+    for dirpath, _dn, _fn in os.walk(new_dir, topdown=False):
+        if dirpath == new_dir:
+            continue
+        rel = os.path.relpath(dirpath, new_dir)
+        if all("=" in s for s in rel.split(os.sep)):
+            try:
+                os.rmdir(dirpath)
+            except OSError:
+                pass  # non-empty: kept partitions stay
+    return moved
+
+
 def read_touched_subset(
     spark: SparkSession, vdir: str, touched: list[str], schema
 ) -> DataFrame:
@@ -804,7 +931,9 @@ def commit_file_rewrite(
             return txns[txn_id]
     store = get_metadata_store()
     vdir_base = base_version_dir(root, base)
-    layout = partition_layout(vdir_base)
+    layout = recorded_layout(root, base)
+    if layout is None:  # pre-r12 version: pay the verification walk
+        layout = partition_layout(vdir_base)
     if layout is None:
         raise ValueError(
             f"v={base} of {root!r} has an inconsistent (mixed flat/"
@@ -838,6 +967,21 @@ def commit_file_rewrite(
         if layout:
             writer = writer.partitionBy(*layout)
         writer.parquet(new_dir)
+        if layout:
+            # VERDICT r11 #3: route rewritten rows into the BASE's
+            # literal key=value directory spellings (partitionBy just
+            # re-emitted them in inferred spelling), so repeated DML
+            # cannot accumulate two spellings of one logical partition
+            real_base = os.path.realpath(vdir_base)
+            preserve_partition_spelling(
+                new_dir,
+                {
+                    os.path.dirname(os.path.relpath(p, real_base))
+                    for p in all_files
+                }
+                - {""},
+            )
+        effective_layout = layout
         has_rewritten_files = any(True for _ in iter_data_parquet_files(new_dir))
         if not has_rewritten_files and not carried:
             # ADVICE r11 #2: every file touched AND the rewrite is
@@ -853,6 +997,12 @@ def commit_file_rewrite(
                 new_dir
             )
             has_rewritten_files = True
+            # the placeholder is FLAT: the committed version's physical
+            # layout is now [] and must be RECORDED as such — recording
+            # the base's partitioned layout would make the next DML
+            # carry this flat file next to partitioned rewrites (a
+            # mixed, unreadable directory)
+            effective_layout = []
         base_schema = spark.read.parquet(vdir_base).schema
         # Validation BEFORE the carry: the directory holds exactly the
         # rewritten files at this point (an all-rows-deleted partitioned
@@ -907,6 +1057,7 @@ def commit_file_rewrite(
             txn_id,
             expected_latest=base,
             validated_constraints=validated,
+            layout=list(effective_layout),
         )
     except BaseException:
         # Content is derivable from the statement — nothing is lost by

@@ -129,11 +129,24 @@ def write_manifest(
     invisible to every data read). Returns the number of files
     described. One aggregation keyed by ``_metadata.file_path``
     (shuffle ∝ |files|, map-side combined); the path is relativized
-    DISTRIBUTEDLY (no driver-side file loop)."""
+    DISTRIBUTEDLY (no driver-side file loop).
+
+    PARTITION columns are included automatically (VERDICT r11 #6):
+    they surface as ordinary columns of the directory read, so their
+    per-file min/max (min == max — one value per file, from its
+    ``key=value/`` path) record for free, and a DML predicate on a
+    partition column then prunes from the SAME single manifest read as
+    a data-column predicate instead of falling through to the footer
+    scan."""
     import os
 
     df = spark.read.parquet(vdir)
-    stats = file_stats(df, key_cols, use_path=True)
+    part_cols = [
+        c
+        for c in _dir_partition_cols(vdir)
+        if c in df.columns and c not in key_cols
+    ]
+    stats = file_stats(df, list(key_cols) + part_cols, use_path=True)
     # Spark renders local file paths as "file:<abs>"; strip the vdir
     # prefix to the rel path. Both spellings guarded (file: / file://).
     out = relativize_stats(stats, vdir)
@@ -143,6 +156,23 @@ def write_manifest(
     return int(
         spark.read.parquet(os.path.join(vdir, SKIPSTATS_DIR)).count()
     )
+
+
+def _dir_partition_cols(vdir: str) -> list[str]:
+    """Hive partition-column sequence of ``vdir`` from one data file's
+    relative path ([] for flat/empty) — one walk step, driver-side."""
+    import os
+
+    for dirpath, _dn, files in os.walk(vdir):
+        rel = os.path.relpath(dirpath, vdir)
+        if rel != "." and rel.split(os.sep)[0].startswith(("_", ".")):
+            continue
+        for f in files:
+            if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                continue
+            segs = [] if rel == "." else rel.split(os.sep)
+            return [s.split("=", 1)[0] for s in segs if "=" in s]
+    return []
 
 
 def manifest_key_cols(mdf: DataFrame) -> list[str]:

@@ -45,6 +45,7 @@ def _dump_manifest(
     base_root: str | None = None,
     clones: list[str] | None = None,
     cdf_keys: list[str] | None = None,
+    layouts: dict[int, list[str]] | None = None,
 ) -> bytes:
     doc = {
         "versions": sorted(versions),
@@ -67,6 +68,14 @@ def _dump_manifest(
         doc["clones"] = sorted(set(clones))
     if cdf_keys:
         doc["cdf_keys"] = list(cdf_keys)
+    # Per-version partition layout (VERDICT r11 #2): the Hive
+    # partition-column sequence each version was committed with
+    # ([] = flat) — immutable per version, so eligibility checks read
+    # it here instead of re-walking every data file per DML statement
+    # (a full recursive LIST on an object store). Absent for versions
+    # committed by older writers (callers fall back to the walk).
+    if layouts:
+        doc["layouts"] = {str(v): list(lo) for v, lo in layouts.items()}
     return json.dumps(doc).encode("utf-8")
 
 
@@ -81,6 +90,7 @@ def _dump_doc(doc: dict) -> bytes:
         base_root=doc["base_root"],
         clones=doc["clones"],
         cdf_keys=doc["cdf_keys"],
+        layouts=doc["layouts"],
     )
 
 
@@ -131,6 +141,7 @@ def _parse_manifest(raw: bytes | None) -> dict:
         "base_root": None,
         "clones": [],
         "cdf_keys": [],
+        "layouts": {},
     }
     if raw is None:
         return empty
@@ -150,6 +161,10 @@ def _parse_manifest(raw: bytes | None) -> dict:
             "base_root": doc.get("base_root"),
             "clones": [str(c) for c in (doc.get("clones") or [])],
             "cdf_keys": [str(k) for k in (doc.get("cdf_keys") or [])],
+            "layouts": {
+                int(k): [str(c) for c in v]
+                for k, v in (doc.get("layouts") or {}).items()
+            },
         }
     except (ValueError, KeyError, TypeError):
         return empty
@@ -396,6 +411,7 @@ def write_snapshot(
                 txn_id,
                 expected_latest=effective_expected,
                 validated_constraints=validated,
+                layout=list(partition_by) if partition_by else [],
             )
         except _OutOfOrderCommitRejected:
             # Only the NUMBER was stale (a racer committed above it);
@@ -665,6 +681,7 @@ def append_rows(
                 txn_id,
                 mode="delta",
                 validated_constraints=validated,
+                layout=list(partition_by) if partition_by else [],
             )
             break
         except _OutOfOrderCommitRejected:
@@ -881,6 +898,7 @@ def _checkpoint_zero_copy(
             txn_id,
             expected_latest=base,
             validated_constraints=frozenset(doc["constraints"]),
+            layout=list(layouts[0]),
         )
     except BaseException:
         shutil.rmtree(new_dir, ignore_errors=True)
@@ -936,6 +954,7 @@ def _commit_version(
     mode: str = "full",
     expected_latest: int | None = None,
     validated_constraints: frozenset[str] | None = None,
+    layout: list[str] | None = None,
 ) -> int:
     """Phase 2: publish ``version`` in the manifest (a conditional-
     write transaction — :func:`_manifest_txn` re-reads and re-decides
@@ -1046,6 +1065,11 @@ def _commit_version(
         )
         if mode != "full":
             modes[version] = mode
+        if layout is not None:
+            # record the committed partition layout (VERDICT r11 #2):
+            # immutable per version, read back by cow_eligible_base /
+            # commit_file_rewrite instead of a per-statement file walk
+            doc["layouts"][version] = list(layout)
         doc["versions"] = versions + [version]
         return doc, version
 
@@ -1482,6 +1506,9 @@ def vacuum_snapshots(
         doc["txns"] = kept_txns
         doc["ts"] = {v: t for v, t in ts.items() if v in keep}
         doc["modes"] = {v: m for v, m in modes.items() if v in keep}
+        doc["layouts"] = {
+            v: lo for v, lo in doc["layouts"].items() if v in keep
+        }
         doc["clones"] = live_clones
         return doc, (drop, orphans)
 
@@ -2042,6 +2069,11 @@ def clone_snapshot(
                 {v: t for v, t in src_doc["ts"].items() if v in referenced},
                 {v: m for v, m in src_doc["modes"].items() if v in referenced},
                 constraints=src_doc["constraints"],
+                layouts={
+                    v: lo
+                    for v, lo in src_doc["layouts"].items()
+                    if v in referenced
+                },
                 base_root=os.path.abspath(src_root),
                 cdf_keys=src_doc["cdf_keys"],  # CDF property inherited
             ),
@@ -2202,7 +2234,14 @@ def versionize_table(root: str) -> int:
             f.write("versionize_table in progress")
     for e in _movable():
         os.rename(os.path.join(root, e), os.path.join(vdir, e))
-    _commit_version(root, 1)
+    from openaq_data_pipeline_engineering_spark.operators.cow import (
+        partition_layout as _pl,
+    )
+
+    # record the adopted layout when it is consistent (None — a mixed
+    # adopted directory — stays unrecorded: DML falls back to the walk
+    # and then the full rewrite, exactly as before)
+    _commit_version(root, 1, layout=_pl(vdir))
     os.remove(marker)
     _heal_root_marker()
     return 1
@@ -2499,16 +2538,54 @@ def purge_rows(
                 if layout:
                     w = w.partitionBy(*layout)
                 w.parquet(tmp)
-                link_files_relative(untouched, os.path.realpath(path), tmp)
-                if not any(True for _ in iter_data_parquet_files(tmp)):
-                    # every row of every file purged: a partitionBy of
-                    # zero rows writes NO files — leave one readable
-                    # empty flat file so the version stays servable
-                    df.filter(F.lit(False)).write.mode("overwrite").parquet(
-                        tmp
+                if layout:
+                    # keep the base's literal partition spellings
+                    # (VERDICT r11 #3) — same respell as the COW commit
+                    from openaq_data_pipeline_engineering_spark.operators.cow import (
+                        preserve_partition_spelling,
                     )
+
+                    preserve_partition_spelling(
+                        tmp,
+                        {
+                            os.path.dirname(os.path.relpath(p, path))
+                            for p in iter_data_parquet_files(path)
+                        }
+                        - {""},
+                    )
+                link_files_relative(untouched, os.path.realpath(path), tmp)
             else:
-                df.filter(~matches).write.mode("overwrite").parquet(tmp)
+                # Whole-version rewrite (mixed layout, or a predicate
+                # unsafe to evaluate twice). A CONSISTENTLY partitioned
+                # version must rewrite THROUGH its layout: flattening
+                # it would leave a flat directory inside a partitioned
+                # chain, and every later chain read would fail with
+                # CONFLICTING_DIRECTORY_STRUCTURES. Mixed layouts keep
+                # the documented flatten (partition columns become data
+                # columns — content-preserving; such versions are
+                # already unreadable as one chain).
+                w = df.filter(~matches).write.mode("overwrite")
+                if layout:
+                    w = w.partitionBy(*layout)
+                w.parquet(tmp)
+            if not any(True for _ in iter_data_parquet_files(tmp)):
+                # every row of every file purged: a partitionBy of
+                # zero rows writes NO files — leave one readable
+                # empty flat file so the version stays servable
+                df.filter(F.lit(False)).write.mode("overwrite").parquet(
+                    tmp
+                )
+                if layout:
+                    # the placeholder is FLAT — keep the manifest's
+                    # recorded layout truthful or the next DML would
+                    # carry this flat file next to partitioned rewrites
+                    def _flatten_layout(d, _v=v):
+                        if d["layouts"].get(_v):
+                            d["layouts"][_v] = []
+                            return d, None
+                        return None, None
+
+                    _manifest_txn(root, _flatten_layout)
         else:
             # only the CHANGE files match (a purged row's pre-image in
             # the version that deleted it); the data itself is

@@ -162,6 +162,206 @@ class TestManifestTypeFamilyGuard:
         assert got == {("5", -1), ("40", 2), ("7", 3), ("9", 4)}
 
 
+class TestRecordedLayout:
+    """VERDICT r11 #2: the commit manifest records each version's
+    partition layout, so DML eligibility reads it instead of walking
+    every data file per statement."""
+
+    def test_layout_recorded_and_trusted_without_walk(
+        self, spark, tmp_path
+    ):
+        from openaq_data_pipeline_engineering_spark.operators import cow
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            _read_manifest_doc,
+        )
+
+        root = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, i % 3, float(i)) for i in range(30)],
+            "k long, g int, score double",
+        )
+        write_snapshot(df.repartition(3, "k"), root, partition_by=["g"])
+        assert _read_manifest_doc(root)["layouts"] == {1: ["g"]}
+        real = cow.iter_data_parquet_files
+        calls = {"n": 0}
+
+        def counting(d):
+            calls["n"] += 1
+            return real(d)
+
+        cow.iter_data_parquet_files = counting
+        try:
+            assert cow.cow_eligible_base(root, 1)
+        finally:
+            cow.iter_data_parquet_files = real
+        assert calls["n"] == 0
+
+    def test_flat_append_and_cow_record_layouts(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.engine import Engine
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            _read_manifest_doc,
+        )
+
+        root = str(tmp_path / "t")
+        df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
+        write_snapshot(df, root)
+        append_rows(spark.createDataFrame([(3, 3.0)], "k long, v double"), root)
+        Engine(spark).sql(f"UPDATE '{root}' SET v = 0.0 WHERE k = 1").first()
+        layouts = _read_manifest_doc(root)["layouts"]
+        assert layouts.get(1) == [] and layouts.get(2) == []
+        # the DML's commit (possibly after a zero-copy rebase) records
+        # a flat layout for every version it published
+        assert all(lo == [] for lo in layouts.values())
+
+
+class TestPartitionSpellingPreserved:
+    """VERDICT r11 #3: a COW rewrite on a zero-padded layout must
+    republish touched rows under the base's LITERAL directory
+    spelling — one directory per logical partition, not month=01 and
+    month=1 side by side."""
+
+    def _zero_padded_table(self, spark, root):
+        # adopt a layout written with lpad-style month spellings
+        df = spark.createDataFrame(
+            [(i, "%02d" % ((i % 3) + 1), float(i)) for i in range(30)],
+            "k long, month string, score double",
+        )
+        df.repartition(3, "k").write.partitionBy("month").parquet(root)
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            versionize_table,
+        )
+
+        versionize_table(root)
+
+    def test_update_keeps_one_directory_per_partition(
+        self, spark, tmp_path
+    ):
+        from openaq_data_pipeline_engineering_spark.engine import Engine
+
+        root = str(tmp_path / "t")
+        self._zero_padded_table(spark, root)
+        Engine(spark).sql(
+            f"UPDATE '{root}' SET score = -1.0 WHERE k = 4"
+        ).first()
+        v2 = os.path.join(root, "v=2")
+        dirs = sorted(
+            d
+            for d in os.listdir(v2)
+            if d.startswith("month=") and os.path.isdir(os.path.join(v2, d))
+        )
+        # base spelling preserved, no month=1/month=2/month=3 twins
+        assert dirs == ["month=01", "month=02", "month=03"], dirs
+        got = {
+            (r["k"], r["month"], r["score"])
+            for r in read_snapshot(spark, root).collect()
+        }
+        # reads use Spark's ordinary partition-value inference ('02'
+        # infers to int 2 — the same value every read of the base
+        # produced); the preserved spelling is a DIRECTORY property
+        assert (4, 2, -1.0) in got
+        assert len(got) == 30
+
+    def test_repeated_dml_never_accumulates_spellings(
+        self, spark, tmp_path
+    ):
+        from openaq_data_pipeline_engineering_spark.engine import Engine
+
+        root = str(tmp_path / "t")
+        self._zero_padded_table(spark, root)
+        eng = Engine(spark)
+        for k in (1, 2, 5):
+            eng.sql(
+                f"UPDATE '{root}' SET score = {float(k)} WHERE k = {k}"
+            ).first()
+        latest = max(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(root)
+            if d.startswith("v=")
+        )
+        vdir = os.path.join(root, f"v={latest}")
+        dirs = sorted(
+            d for d in os.listdir(vdir) if d.startswith("month=")
+        )
+        assert dirs == ["month=01", "month=02", "month=03"], dirs
+        assert read_snapshot(spark, root).count() == 30
+
+    def test_int_layouts_unchanged(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.engine import Engine
+
+        root = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, (i % 3) + 1, float(i)) for i in range(30)],
+            "k long, g int, score double",
+        )
+        write_snapshot(df.repartition(3, "k"), root, partition_by=["g"])
+        Engine(spark).sql(
+            f"UPDATE '{root}' SET score = -1.0 WHERE k = 4"
+        ).first()
+        v2 = os.path.join(root, "v=2")
+        dirs = sorted(d for d in os.listdir(v2) if d.startswith("g="))
+        assert dirs == ["g=1", "g=2", "g=3"]
+        assert read_snapshot(spark, root).count() == 30
+
+
+class TestPartitionValueManifestPruning:
+    """VERDICT r11 #6: the skipstats manifest records partition values
+    as columns, so a partition-key predicate prunes from the same
+    single manifest read as a data-column predicate."""
+
+    def test_partition_predicate_prunes_to_one_partition(
+        self, spark, tmp_path
+    ):
+        from openaq_data_pipeline_engineering_spark.operators import compact
+        from openaq_data_pipeline_engineering_spark.operators.cow import (
+            _manifest_candidates,
+        )
+        from openaq_data_pipeline_engineering_spark.operators.skipstats import (
+            write_manifest,
+        )
+
+        root = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, i % 4, float(i)) for i in range(80)],
+            "k long, g int, score double",
+        )
+        write_snapshot(df.repartition(4, "k"), root, partition_by=["g"])
+        vdir = os.path.join(root, "v=1")
+        write_manifest(spark, vdir, ["k"])  # g auto-included
+        cands = _manifest_candidates(spark, vdir, "g = 2")
+        expect = sorted(
+            p
+            for p in compact.iter_data_parquet_files(vdir)
+            if f"{os.sep}g=2{os.sep}" in p
+        )
+        assert cands == expect and len(expect) > 0
+
+    def test_dml_on_partition_key_stays_exact(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.engine import Engine
+        from openaq_data_pipeline_engineering_spark.operators.cow import (
+            last_cow_stats,
+        )
+        from openaq_data_pipeline_engineering_spark.operators.skipstats import (
+            write_manifest,
+        )
+
+        root = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, i % 4, float(i)) for i in range(80)],
+            "k long, g int, score double",
+        )
+        write_snapshot(df.repartition(4, "k"), root, partition_by=["g"])
+        write_manifest(spark, os.path.join(root, "v=1"), ["k"])
+        Engine(spark).sql(
+            f"DELETE FROM '{root}' WHERE g = 2"
+        ).first()
+        stats = last_cow_stats(root)
+        # only g=2's files were rewritten; the other partitions carried
+        assert stats is not None and stats["files_carried"] > 0
+        got = read_snapshot(spark, root)
+        assert got.filter("g = 2").count() == 0
+        assert got.count() == 60
+
+
 class TestMergeNoopParity:
     """VERDICT r11 #5: a MERGE whose ON matches nothing and whose
     NOT-MATCHED clauses insert zero rows must not publish a version

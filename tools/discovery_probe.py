@@ -116,7 +116,79 @@ def main() -> int:
         }
     )
     shutil.rmtree(base, ignore_errors=True)
+    partitioned_probe(spark)
     return 0
+
+
+def partitioned_probe(spark, n_groups: int = 8, rows: int = 4000) -> None:
+    """Round-12 additions, pinned A/B-style:
+
+    1. PARTITION-VALUE manifest pruning (VERDICT r11 #6): on a
+       Hive-partitioned table with a skipstats manifest, a predicate
+       on the PARTITION column must resolve its candidate set to
+       exactly ONE partition's files from the manifest alone.
+    2. NO-WALK eligibility (VERDICT r11 #2): cow_eligible_base on a
+       version whose layout is RECORDED in the commit manifest must
+       not walk a single data file (counted by wrapping the walker).
+    """
+    from openaq_data_pipeline_engineering_spark.operators import compact, cow
+    from openaq_data_pipeline_engineering_spark.operators.cow import (
+        _manifest_candidates,
+        cow_eligible_base,
+    )
+
+    base = tempfile.mkdtemp(prefix="discovery_probe_part_")
+    root = os.path.join(base, "t")
+    df = spark.range(0, rows).select(
+        F.col("id").alias("k"),
+        (F.col("id") % n_groups).cast("int").alias("g"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    write_snapshot(
+        df.repartition(4, "k"), root, partition_by=["g"]
+    )
+    vdir = os.path.join(root, "v=1")
+    write_manifest(spark, vdir, ["k"])  # g auto-included (partition col)
+    cands = _manifest_candidates(spark, vdir, "g = 3")
+    one_partition = sorted(
+        p
+        for p in compact.iter_data_parquet_files(vdir)
+        if f"{os.sep}g=3{os.sep}" in p
+    )
+    assert cands == one_partition, (
+        f"partition-key pruning mismatch: {len(cands or [])} candidates "
+        f"vs {len(one_partition)} files in g=3"
+    )
+
+    real_walk = cow.iter_data_parquet_files
+    walk_calls = {"n": 0}
+
+    def counting_walk(d):
+        walk_calls["n"] += 1
+        return real_walk(d)
+
+    cow.iter_data_parquet_files = counting_walk
+    try:
+        eligible = cow_eligible_base(root, 1)
+    finally:
+        cow.iter_data_parquet_files = real_walk
+    assert eligible, "partitioned base must be COW-eligible"
+    print(
+        {
+            "partition_probe": {
+                "n_partitions": n_groups,
+                "candidates_for_g3": len(cands),
+                "files_in_g3": len(one_partition),
+                "pruned_to_one_partition": cands == one_partition,
+                "eligibility_file_walks": walk_calls["n"],
+            }
+        }
+    )
+    assert walk_calls["n"] == 0, (
+        "recorded-layout eligibility must not walk data files, "
+        f"walked {walk_calls['n']}x"
+    )
+    shutil.rmtree(base, ignore_errors=True)
 
 
 if __name__ == "__main__":
