@@ -22,14 +22,18 @@ the new version untouched. This module is that write path:
    touched files (rows in untouched files by construction match
    nothing, so the lowering's output over the subset union the carried
    files equals the full-table result).
-3. **Hardlink carry** — every untouched data file of the base version
-   is carried into the new version directory by same-filesystem
-   ``os.link`` (both names reference the same immutable bytes; the
-   machinery :func:`versioned.purge_rows` already uses). Bytes written
-   ∝ touched files; bytes carried cost one inode link each. On an
-   object store the equivalent carry is a manifest entry referencing
-   the same object key (Delta never copies carried files either); the
-   fallback is ``shutil.copy2`` across devices.
+3. **Fileset carry** (r12, VERDICT r11 #1) — every untouched data file
+   of the base version is carried as ONE ENTRY in the new version's
+   ``_fileset.json`` sidecar (operators/filesets.py), naming the
+   file's ORIGINAL owner version and its rel path there: zero
+   link/copy syscalls, zero data I/O, on EVERY store — exactly Delta's
+   add/remove-manifest shape, which never copies carried files either
+   (the pre-r12 ``os.link`` carry was local-filesystem-only and
+   degenerated to a full physical copy on object stores). Readers
+   resolve a fileset version to its entry set
+   (:func:`filesets.read_version_dir`); vacuum keeps referenced owner
+   versions alive until a MATERIALIZING commit (OPTIMIZE, rebase,
+   full overwrite) breaks the reference chain.
 4. **Derived change feed** (VERDICT r9 #2) — on a CDF-enabled table
    the change rows are computed by diffing the touched files'
    PRE-image against the rewritten content: O(touched), never a
@@ -47,25 +51,22 @@ the base version must be a FULL, locally-materialized snapshot with a
 CONSISTENT layout — flat, or Hive-partitioned with one partition-column
 sequence shared by every data file (VERDICT r10 #1: a carried file's
 partition values live in its ``key=value/`` directory names, so the
-carry links each untouched file under the SAME relative subpath and the
-rewrite republishes the touched rows through ``partitionBy``; a mixed
-flat/partitioned directory stays ineligible). No delta chain (carried
+carry references each untouched file at the SAME relative subpath and
+the rewrite republishes the touched rows through ``partitionBy``; a
+mixed flat/partitioned directory stays ineligible). No delta chain (carried
 files from multiple schema-evolved directories could not be read back
 as one directory — chains are first zero-copy-rebased), the statement
 must carry a predicate (an unfiltered UPDATE/DELETE touches
 everything), and the lowering must preserve the schema (a type-changing
 SET would leave the new directory with mixed footers).
 
-Partition-spelling note: the rewrite writes touched rows' partition
-values in their INFERRED spelling (``month=01`` re-emerges as
-``month=1`` when the column infers int), while carried directories keep
-the original spelling. Both spellings infer to the SAME value — the one
-every read of the table (versioned reads use plain partition
-inference) already produces — so the logical content is exactly the
-full-rewrite result; only directory-name cosmetics of touched
-partitions can change. Genuinely string-typed partition values
-round-trip verbatim (inference keeps them strings; ``partitionBy``
-writes the string back).
+Partition-spelling note (VERDICT r11 #3): ``partitionBy`` re-emits
+touched partitions in INFERRED spelling (``month=01`` would re-emerge
+as ``month=1``), so the commit routes the rewritten files back into
+the BASE's literal directory names (:func:`preserve_partition_spelling`)
+— one spelling per logical partition, however many DML statements run.
+Genuinely NEW partition values (a partition-moving UPDATE) keep their
+inferred spelling; string-typed partition values round-trip verbatim.
 
 Determinism caveat (same as Delta's): discovery and lowering evaluate
 the predicate / ON condition twice against the immutable base files —
@@ -99,8 +100,10 @@ from openaq_data_pipeline_engineering_spark.operators.compact import (
 
 # Diagnostics only: last commit's rewrite stats per root (abspath ->
 # {"files_rewritten", "files_carried", "bytes_rewritten",
-# "bytes_carried", "version"}). Tests and PLANS.md A/B read it; no
-# protocol decision ever does.
+# "bytes_carried", "carry_mode", "copy_syscalls", "version"}).
+# copy_syscalls counts physical copies the fileset carry had to make
+# (rel collisions only — structurally 0). Tests and PLANS.md A/B read
+# it; no protocol decision ever does.
 LAST_COW_STATS: dict[str, dict] = {}
 
 # Per-commit write-amplification sidecar (VERDICT r10 #8): every
@@ -138,15 +141,31 @@ def recorded_layout(root: str, base: int) -> list[str] | None:
     return _read_manifest_doc(root)["layouts"].get(base)
 
 
+def resolve_base_dir(root: str, base: int) -> str:
+    """The data directory holding ``base``'s files — the local
+    ``<root>/v=N`` or, for a shallow clone, the source directory the
+    clone's ``base_root`` chain resolves to. COW against a
+    clone-referenced base carries those files by FILESET REFERENCE
+    (r12): the sidecar entry's owner resolves through the same chain
+    at read time, so a clone's first DML is zero-copy on every store
+    (pre-r12 it hardlink-materialized the whole base first)."""
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        _version_dir,
+    )
+
+    return _version_dir(root, base)
+
+
 def cow_eligible_base(root: str, base: int) -> bool:
-    """True when ``base`` is a full, local snapshot directory with a
-    CONSISTENT layout — flat, or Hive-partitioned with one partition
-    column sequence (VERDICT r10 #1) — i.e. a layout the relative-path
-    hardlink carry reproduces losslessly. Delta chains, restores,
-    clone-referenced versions, and mixed flat/partitioned directories
-    fall back to the full-rewrite publish. Uses the manifest-recorded
-    layout when present (one read, no file walk); only unrecorded
-    (pre-r12) versions pay the verification walk."""
+    """True when ``base`` is a full snapshot directory (local, or
+    clone-referenced through the ``base_root`` chain — r12: the fileset
+    carry references either) with a CONSISTENT layout — flat, or
+    Hive-partitioned with one partition column sequence (VERDICT r10
+    #1) — i.e. a layout the relative-path carry reproduces losslessly.
+    Delta chains, restores, and mixed flat/partitioned directories
+    fall back. Uses the manifest-recorded layout when present (one
+    read, no file walk); only unrecorded (pre-r12) versions pay the
+    verification walk."""
     from openaq_data_pipeline_engineering_spark.operators.versioned import (
         _read_manifest_doc,
     )
@@ -156,9 +175,10 @@ def cow_eligible_base(root: str, base: int) -> bool:
         return False
     if doc["modes"].get(base, "full") != "full":
         return False
-    vdir = base_version_dir(root, base)
-    if not os.path.isdir(vdir):
-        return False  # clone-referenced: data lives under the source
+    try:
+        vdir = resolve_base_dir(root, base)
+    except FileNotFoundError:
+        return False  # referenced source version vacuumed away
     recorded = doc["layouts"].get(base)
     if recorded is not None:
         # verify-on-mismatch, cheaply: ONE top-level scandir (no file
@@ -190,10 +210,11 @@ def ensure_cow_base(spark: SparkSession, root: str) -> int | None:
     bytes) and return the rebased version. This closes the gap where a
     one-key UPDATE on a table whose latest commit happened to be an
     append fell back to rewriting the WHOLE table: now it costs one
-    link-merge commit plus the touched-file rewrite. A clone-referenced
-    or restore base materializes locally the same way (links on the
-    same filesystem, real copies across devices) and is file-granular
-    from then on. Hive-partitioned FULL bases are eligible directly
+    link-merge commit plus the touched-file rewrite. A CLONE-REFERENCED
+    full base needs no materialization at all (r12): the fileset carry
+    references the source's files directly through the base_root
+    chain. A restore base still rebases first (its content spans its
+    target's chain). Hive-partitioned FULL bases are eligible directly
     (VERDICT r10 #1 — the carry/rewrite are partition-aware); the
     zero-copy rebase also merges consistently-partitioned chains at
     their relative subpaths. Returns None — caller takes the
@@ -215,9 +236,7 @@ def ensure_cow_base(spark: SparkSession, root: str) -> int | None:
     if cow_eligible_base(root, base):
         return base
     mode = _read_manifest_doc(root)["modes"].get(base, "full")
-    if mode == "delta" or mode.startswith("restore:") or not os.path.isdir(
-        base_version_dir(root, base)
-    ):
+    if mode == "delta" or mode.startswith("restore:"):
         try:
             rebased = _checkpoint_zero_copy(spark, root, base, None)
         except ConcurrentWriteError:
@@ -454,11 +473,13 @@ def _manifest_candidates(
     ]
     if not conjs:
         return None
-    on_disk = {
-        os.path.relpath(p, vdir) for p in iter_data_parquet_files(vdir)
-    }
+    from openaq_data_pipeline_engineering_spark.operators.filesets import (
+        version_files_with_rels,
+    )
+
+    rel_to_abs = {r: p for p, r in version_files_with_rels(vdir)}
     rels = [r["rel_path"] for r in mdf.select("rel_path").collect()]
-    if set(rels) != on_disk or len(rels) != len(on_disk):
+    if set(rels) != set(rel_to_abs) or len(rels) != len(rel_to_abs):
         return None  # stale/incomplete manifest: fall back, stay exact
     cond = None
     for c, op, v in conjs:
@@ -481,7 +502,7 @@ def _manifest_candidates(
             }[op]
         cond = this if cond is None else cond & this
     cands = [r["rel_path"] for r in mdf.filter(cond).select("rel_path").collect()]
-    return sorted(os.path.join(vdir, r) for r in cands)
+    return sorted(rel_to_abs[r] for r in cands)
 
 
 def touched_files_by_predicate(
@@ -516,27 +537,28 @@ def touched_files_by_predicate(
     2,000+ files per version the footer pass dominates; see PLANS.md
     round-11 A/B). The restricted scan still evaluates the EXACT
     predicate, so the touched set is identical to the full scan's."""
-    df = spark.read.parquet(vdir)
-    base_schema = df.schema
+    from openaq_data_pipeline_engineering_spark.operators.filesets import (
+        read_version_dir,
+        read_version_subset,
+    )
+
+    df = read_version_dir(spark, vdir, file_col="__cow_file")
+    base_schema = df.drop("__cow_file").schema
     if alias:
         df = df.alias(alias)
-    filtered = df.withColumn(
-        "__cow_file", F.col("_metadata.file_path")
-    ).filter(F.expr(predicate))
+    filtered = df.filter(F.expr(predicate))
     if not plan_is_cow_safe(filtered):
         return None
     cands = _manifest_candidates(spark, vdir, predicate)
     if cands is not None:
         if not cands:
             return []
-        sub = spark.read.schema(base_schema).option(
-            "basePath", vdir
-        ).parquet(*cands)
+        sub = read_version_subset(
+            spark, vdir, cands, base_schema, file_col="__cow_file"
+        )
         if alias:
             sub = sub.alias(alias)
-        filtered = sub.withColumn(
-            "__cow_file", F.col("_metadata.file_path")
-        ).filter(F.expr(predicate))
+        filtered = sub.filter(F.expr(predicate))
     rows = filtered.select("__cow_file").distinct().collect()
     return sorted(local_path(r["__cow_file"]) for r in rows)
 
@@ -557,11 +579,11 @@ def touched_files_by_join(
     evaluate twice (:func:`plan_is_cow_safe`): a non-deterministic
     source subquery could match rows discovery left in carried
     files."""
-    t = (
-        spark.read.parquet(vdir)
-        .withColumn("__cow_file", F.col("_metadata.file_path"))
-        .alias(t_alias)
+    from openaq_data_pipeline_engineering_spark.operators.filesets import (
+        read_version_dir,
     )
+
+    t = read_version_dir(spark, vdir, file_col="__cow_file").alias(t_alias)
     joined = t.join(source_df.alias(s_alias), F.expr(on), "left_semi")
     if not plan_is_cow_safe(joined):
         return None
@@ -593,11 +615,13 @@ def _manifest_box_candidates(
     mdf = spark.read.parquet(mdir)
     if not set(keys) <= set(manifest_key_cols(mdf)):
         return None
-    on_disk = {
-        os.path.relpath(p, vdir) for p in iter_data_parquet_files(vdir)
-    }
+    from openaq_data_pipeline_engineering_spark.operators.filesets import (
+        version_files_with_rels,
+    )
+
+    rel_to_abs = {r: p for p, r in version_files_with_rels(vdir)}
     rels = [r["rel_path"] for r in mdf.select("rel_path").collect()]
-    if set(rels) != on_disk or len(rels) != len(on_disk):
+    if set(rels) != set(rel_to_abs) or len(rels) != len(rel_to_abs):
         return None  # stale/incomplete manifest
     aggs = []
     for k in keys:
@@ -620,7 +644,7 @@ def _manifest_box_candidates(
     cands = [
         r["rel_path"] for r in mdf.filter(cond).select("rel_path").collect()
     ]
-    return sorted(os.path.join(vdir, r) for r in cands)
+    return sorted(rel_to_abs[r] for r in cands)
 
 
 def touched_files_by_keys(
@@ -636,14 +660,19 @@ def touched_files_by_keys(
     discovery then opens only the candidate files' footers. Returns
     None — full-rewrite fallback — when the delta's plan is unsafe to
     evaluate twice (:func:`plan_is_cow_safe`)."""
-    base_schema = spark.read.parquet(vdir).schema
-    t = spark.read.parquet(vdir)
+    from openaq_data_pipeline_engineering_spark.operators.filesets import (
+        read_version_dir,
+        read_version_subset,
+    )
+
+    t = read_version_dir(spark, vdir, file_col="__cow_file")
+    base_schema = t.drop("__cow_file").schema
     d = F.broadcast(delta.select(*keys).distinct()).alias("__cow_d")
 
     def _discover(frame: DataFrame) -> list[str]:
-        tt = frame.withColumn(
-            "__cow_file", F.col("_metadata.file_path")
-        ).alias("__cow_t")
+        # frame already carries __cow_file (materialized per scan
+        # group — the _metadata pseudo-column doesn't survive a union)
+        tt = frame.alias("__cow_t")
         cond = None
         for k in keys:
             this = F.col(f"__cow_t.{k}").eqNullSafe(F.col(f"__cow_d.{k}"))
@@ -661,9 +690,9 @@ def touched_files_by_keys(
         if not cands:
             return []
         return _discover(
-            spark.read.schema(base_schema)
-            .option("basePath", vdir)
-            .parquet(*cands)
+            read_version_subset(
+                spark, vdir, cands, base_schema, file_col="__cow_file"
+            )
         )
     return _discover(t)
 
@@ -693,11 +722,16 @@ def link_files(srcs: list[str], dst_dir: str, prefix: str = "carried") -> int:
 
 def is_flat_dir(vdir: str) -> bool:
     """True when every data file sits directly under ``vdir`` (no Hive
-    partition subdirectories — the layout a flat carry preserves)."""
-    for p in iter_data_parquet_files(vdir):
-        if os.path.dirname(p) != vdir:
-            return False
-    return True
+    partition subdirectories — the layout a flat carry preserves).
+    Fileset versions judge their ENTRY rel paths, not the (possibly
+    empty) local directory."""
+    from openaq_data_pipeline_engineering_spark.operators.filesets import (
+        version_files_with_rels,
+    )
+
+    return all(
+        os.sep not in rel for _p, rel in version_files_with_rels(vdir)
+    )
 
 
 def partition_layout(vdir: str) -> list[str] | None:
@@ -706,11 +740,20 @@ def partition_layout(vdir: str) -> list[str] | None:
     a mix of flat and partitioned files, differing column sequences, or
     data under non-``key=value`` subdirectories. A non-None layout is
     exactly what the relative-path carry + ``partitionBy`` rewrite can
-    reproduce losslessly; None means full-rewrite fallback."""
+    reproduce losslessly; None means full-rewrite fallback. A FILESET
+    version's layout is judged over its entries' rel-within-owner
+    paths (its local directory holds only the files it wrote)."""
+    from openaq_data_pipeline_engineering_spark.operators.filesets import (
+        version_files_with_rels,
+    )
+
     layout: list[str] | None = None
-    for p in iter_data_parquet_files(vdir):
-        rel = os.path.relpath(os.path.dirname(p), vdir)
-        segs = [] if rel == "." else rel.split(os.sep)
+    for _p, rel in version_files_with_rels(vdir):
+        segs = (
+            []
+            if os.sep not in rel
+            else rel.split(os.sep)[:-1]
+        )
         cols: list[str] = []
         for s in segs:
             if "=" not in s:
@@ -826,10 +869,15 @@ def read_touched_subset(
     types — inference over the touched subset alone could narrow
     differently (e.g. the one touched directory is all-numeric while a
     sibling holds a non-numeric value) and a type mismatch would
-    spuriously fail the schema-preservation gate."""
-    return (
-        spark.read.schema(schema).option("basePath", vdir).parquet(*touched)
+    spuriously fail the schema-preservation gate. On a FILESET version
+    the touched files live under their OWNER versions' directories, so
+    the read groups per owner ``basePath`` (filesets.read_version_subset)
+    instead of assuming one common root."""
+    from openaq_data_pipeline_engineering_spark.operators.filesets import (
+        read_version_subset,
     )
+
+    return read_version_subset(spark, vdir, touched, schema)
 
 
 def link_files_relative(
@@ -930,7 +978,7 @@ def commit_file_rewrite(
         if txn_id in txns:
             return txns[txn_id]
     store = get_metadata_store()
-    vdir_base = base_version_dir(root, base)
+    vdir_base = resolve_base_dir(root, base)
     layout = recorded_layout(root, base)
     if layout is None:  # pre-r12 version: pay the verification walk
         layout = partition_layout(vdir_base)
@@ -940,7 +988,22 @@ def commit_file_rewrite(
             "partitioned) layout; cow_eligible_base should have "
             "rejected it"
         )
-    all_files = {os.path.realpath(p) for p in iter_data_parquet_files(vdir_base)}
+    from openaq_data_pipeline_engineering_spark.operators.filesets import (
+        read_version_dir,
+        version_entry_map,
+        write_fileset,
+    )
+
+    # abs path -> (ORIGINAL owner version, rel-within-owner, size): for
+    # a plain base every file is owned by `base`; for a fileset base
+    # the original owners propagate, so a chain of K DML commits
+    # references each stable file once, directly (filesets.py
+    # invariant 1).
+    entry_map = {
+        os.path.realpath(p): info
+        for p, info in version_entry_map(vdir_base, base).items()
+    }
+    all_files = set(entry_map)
     touched_set = {os.path.realpath(p) for p in touched}
     unknown = sorted(touched_set - all_files)
     if unknown:
@@ -971,14 +1034,13 @@ def commit_file_rewrite(
             # VERDICT r11 #3: route rewritten rows into the BASE's
             # literal key=value directory spellings (partitionBy just
             # re-emitted them in inferred spelling), so repeated DML
-            # cannot accumulate two spellings of one logical partition
-            real_base = os.path.realpath(vdir_base)
+            # cannot accumulate two spellings of one logical partition.
+            # The base's directory spellings come from its ENTRY rel
+            # paths (owner-relative), which for a plain base are just
+            # its own relative paths.
             preserve_partition_spelling(
                 new_dir,
-                {
-                    os.path.dirname(os.path.relpath(p, real_base))
-                    for p in all_files
-                }
+                {os.path.dirname(rel) for _v, rel, _s in entry_map.values()}
                 - {""},
             )
         effective_layout = layout
@@ -1003,7 +1065,7 @@ def commit_file_rewrite(
             # carry this flat file next to partitioned rewrites (a
             # mixed, unreadable directory)
             effective_layout = []
-        base_schema = spark.read.parquet(vdir_base).schema
+        base_schema = read_version_dir(spark, vdir_base).schema
         # Validation BEFORE the carry: the directory holds exactly the
         # rewritten files at this point (an all-rows-deleted partitioned
         # rewrite holds NO files — vacuously valid; carried files
@@ -1021,7 +1083,7 @@ def commit_file_rewrite(
                     spark, vdir_base, sorted(touched_set), base_schema
                 )
             else:
-                pre = spark.read.schema(base_schema).parquet(vdir_base).limit(0)
+                pre = read_version_dir(spark, vdir_base).limit(0)
             post = (
                 spark.read.schema(base_schema).parquet(new_dir)
                 if has_rewritten_files
@@ -1030,13 +1092,55 @@ def commit_file_rewrite(
             _change_rows(pre, post, keys).write.mode("overwrite").parquet(
                 os.path.join(new_dir, "_changes")
             )
-        bytes_rewritten = sum(
-            os.path.getsize(p) for p in iter_data_parquet_files(new_dir)
-        )
-        files_rewritten = sum(1 for _ in iter_data_parquet_files(new_dir))
-        bytes_carried = link_files_relative(
-            carried, os.path.realpath(vdir_base), new_dir
-        )
+        local_files = sorted(iter_data_parquet_files(new_dir))
+        bytes_rewritten = sum(os.path.getsize(p) for p in local_files)
+        files_rewritten = len(local_files)
+        # FILESET carry (VERDICT r11 #1): an untouched file is carried
+        # as ONE sidecar entry naming its original owner version —
+        # zero link/copy syscalls, zero data I/O, on every store
+        # (object stores have no hardlinks; the pre-r12 os.link carry
+        # silently degenerated to a full physical copy there). A rel
+        # collision between a carried entry and a local rewrite is
+        # structurally absent (fresh part-file UUIDs) but handled by a
+        # physical copy under a fresh name, counted in copy_syscalls
+        # so tests can pin the zero.
+        copy_syscalls = 0
+        bytes_carried = 0
+        if carried:
+            entries = [
+                {
+                    "v": candidate,
+                    "rel": os.path.relpath(p, new_dir),
+                    "size": os.path.getsize(p),
+                }
+                for p in local_files
+            ]
+            seen_rels = {e["rel"] for e in entries}
+            for p in carried:
+                owner, rel, size = entry_map[p]
+                if rel in seen_rels:
+                    d, name = os.path.split(rel)
+                    n = 0
+                    while rel in seen_rels:
+                        n += 1
+                        rel = os.path.join(d, f"carried-{n}-{name}")
+                    dst = os.path.join(new_dir, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    shutil.copy2(p, dst)
+                    copy_syscalls += 1
+                    entries.append(
+                        {"v": candidate, "rel": rel, "size": size}
+                    )
+                else:
+                    entries.append({"v": owner, "rel": rel, "size": size})
+                seen_rels.add(rel)
+                bytes_carried += size
+            write_fileset(
+                new_dir,
+                list(effective_layout),
+                base_schema.jsonValue(),
+                entries,
+            )
         _carry_manifest(spark, vdir_base, new_dir)
         import json
 
@@ -1048,6 +1152,8 @@ def commit_file_rewrite(
                     "files_carried": len(carried),
                     "bytes_rewritten": bytes_rewritten,
                     "bytes_carried": bytes_carried,
+                    "carry_mode": "fileset" if carried else "local",
+                    "copy_syscalls": copy_syscalls,
                 },
                 f,
             )
@@ -1071,6 +1177,8 @@ def commit_file_rewrite(
         "files_carried": len(carried),
         "bytes_rewritten": bytes_rewritten,
         "bytes_carried": bytes_carried,
+        "carry_mode": "fileset" if carried else "local",
+        "copy_syscalls": copy_syscalls,
     }
     return version
 
@@ -1100,17 +1208,21 @@ def _carry_manifest(spark: SparkSession, vdir_base: str, new_dir: str) -> None:
     mdir = os.path.join(vdir_base, SKIPSTATS_DIR)
     if not os.path.isdir(mdir):
         return
+    from openaq_data_pipeline_engineering_spark.operators.filesets import (
+        read_version_dir,
+        version_files_with_rels,
+    )
+
     try:
         mdf = spark.read.parquet(mdir)
         cols = manifest_key_cols(mdf)
-        new_rels = {
-            os.path.relpath(p, new_dir)
-            for p in iter_data_parquet_files(new_dir)
-        }
-        base_rels = {
-            os.path.relpath(p, vdir_base)
-            for p in iter_data_parquet_files(vdir_base)
-        }
+        # Fileset-aware rel sets: a carried entry keeps its
+        # rel-within-owner, so its stats row inherits verbatim; only
+        # rels NEW to this version (the rewritten local files, plus any
+        # collision-copied carry) get fresh stats — and those are
+        # always physically inside new_dir.
+        new_rels = {r for _p, r in version_files_with_rels(new_dir)}
+        base_rels = {r for _p, r in version_files_with_rels(vdir_base)}
         inherited = sorted(new_rels & base_rels)
         fresh = sorted(new_rels - base_rels)
         parts = []
@@ -1118,7 +1230,7 @@ def _carry_manifest(spark: SparkSession, vdir_base: str, new_dir: str) -> None:
             parts.append(mdf.filter(F.col("rel_path").isin(inherited)))
         if fresh:
             fdf = spark.read.schema(
-                spark.read.parquet(new_dir).schema
+                read_version_dir(spark, new_dir).schema
             ).option("basePath", new_dir).parquet(
                 *[os.path.join(new_dir, r) for r in fresh]
             )

@@ -238,8 +238,17 @@ def _execute_dml_on_root(spark: SparkSession, sql: str, pm, lowering, where_re):
                 )
                 if cow_base is not None:
                     base = cow_base
-                    vdir = os.path.join(root, f"v={cow_base}")
-                    base_df = spark.read.parquet(vdir)
+                    from openaq_data_pipeline_engineering_spark.operators.cow import (
+                        resolve_base_dir,
+                    )
+                    from openaq_data_pipeline_engineering_spark.operators.filesets import (
+                        read_version_dir,
+                    )
+
+                    # local v=N, or the clone-referenced source dir —
+                    # the fileset carry references either (r12)
+                    vdir = resolve_base_dir(root, cow_base)
+                    base_df = read_version_dir(spark, vdir)
                     # None = predicate unsafe to evaluate twice
                     # (non-deterministic / per-query time fns, ADVICE
                     # r10 #1) -> single-evaluation full rewrite below
@@ -280,19 +289,19 @@ def _execute_dml_on_root(spark: SparkSession, sql: str, pm, lowering, where_re):
     assert new_v is not None
     import pyarrow.parquet as pq
 
-    from openaq_data_pipeline_engineering_spark.operators.compact import (
-        iter_data_parquet_files,
+    from openaq_data_pipeline_engineering_spark.operators.filesets import (
+        version_data_files,
     )
 
     def _rows(version: int) -> int:
         # DATA files only: on a CDF-enabled root the new version also
         # holds a _changes sidecar, whose rows must not count into the
         # statement's n_rows (Spark reads of the directory ignore it).
+        # Fileset-aware: a COW commit's carried rows live in its owner
+        # versions' files, resolved through the sidecar.
         return sum(
             pq.ParquetFile(p).metadata.num_rows
-            for p in iter_data_parquet_files(
-                os.path.join(root, f"v={version}")
-            )
+            for p in version_data_files(os.path.join(root, f"v={version}"))
         )
 
     return spark.createDataFrame(

@@ -785,9 +785,6 @@ def execute_merge_statement(
 
     import pyarrow.parquet as pq
 
-    from openaq_data_pipeline_engineering_spark.operators.compact import (
-        iter_data_parquet_files,
-    )
     from openaq_data_pipeline_engineering_spark.operators.versioned import (
         read_snapshot,
         snapshot_versions,
@@ -860,7 +857,13 @@ def execute_merge_statement(
                 cow_base = ensure_cow_base(spark, root)
                 if cow_base is not None:
                     base = cow_base
-                    vdir = os.path.join(root, f"v={cow_base}")
+                    from openaq_data_pipeline_engineering_spark.operators.cow import (
+                        resolve_base_dir,
+                    )
+
+                    # local v=N, or the clone-referenced source dir —
+                    # the fileset carry references either (r12)
+                    vdir = resolve_base_dir(root, cow_base)
                     source_df = (
                         spark.sql(st.source[1:-1])
                         if st.source.startswith("(")
@@ -884,7 +887,11 @@ def execute_merge_statement(
                             else None
                         )
                     if touched is not None:
-                        base_df = spark.read.parquet(vdir)
+                        from openaq_data_pipeline_engineering_spark.operators.filesets import (
+                            read_version_dir,
+                        )
+
+                        base_df = read_version_dir(spark, vdir)
                         subset = (
                             # schema-pinned basePath read: partitioned
                             # bases keep their key=value partition cols
@@ -937,9 +944,13 @@ def execute_merge_statement(
         except ConcurrentWriteError:
             if attempt == 2:
                 raise
+    from openaq_data_pipeline_engineering_spark.operators.filesets import (
+        version_data_files,
+    )
+
     n_rows = sum(
         pq.ParquetFile(p).metadata.num_rows
-        for p in iter_data_parquet_files(os.path.join(root, f"v={new_v}"))
+        for p in version_data_files(os.path.join(root, f"v={new_v}"))
     )
     return spark.createDataFrame(
         [(int(new_v), int(n_rows), int(base))],

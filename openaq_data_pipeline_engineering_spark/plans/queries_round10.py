@@ -51,18 +51,22 @@ def _data_inodes(root: str, version: int) -> dict[str, int]:
 # File-granular UPDATE: the witness seeds a 25-row nation projection
 # hash-spread over 5 part files, updates ONE key, and proves inside the
 # query that (a) the statement took the COW path, (b) every carried
-# file is the SAME inode as v1's (zero bytes copied for untouched
-# content), (c) at least one file was carried and (d) the rewritten
-# bytes are a strict subset of the table. Data values (latest + time
-# travel) are exact at every SF (nation is fixed at 25 rows).
+# file is a FILESET SIDECAR REFERENCE to v1's file (r12: zero link/copy
+# syscalls — the object-store-safe carry, operators/filesets.py),
+# (c) at least one file was carried and (d) the rewritten bytes are a
+# strict subset of the table. Data values (latest + time travel) are
+# exact at every SF (nation is fixed at 25 rows).
 # Scale: touched-file discovery is one predicate-pushed scan; the write
-# is O(touched files) — the 100 TB one-key UPDATE writes one file.
+# is O(touched files) — the 100 TB one-key UPDATE writes one file, and
+# the carry is one manifest entry per untouched file on EVERY store
+# (no hardlink dependence).
 # --------------------------------------------------------------------------
 @query(
     "sql_cow_update_filegranular",
     "UPDATE '<versioned root>' with file-granular copy-on-write: only "
-    "files containing matched rows are rewritten; untouched files are "
-    "hardlink-carried (inode-equality pinned in-query)",
+    "files containing matched rows are rewritten; untouched files "
+    "carry as fileset sidecar references (zero copy syscalls, "
+    "pinned in-query)",
     oracle="""
     WITH base AS (
         SELECT n_nationkey AS k, CAST(n_regionkey AS DOUBLE) AS score
@@ -107,12 +111,26 @@ def sql_cow_update_filegranular(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"UPDATE '{root}' SET score = score + 10.0 WHERE k = 7"
     ).first()
     stats = last_cow_stats(root) or {}
-    v2 = _data_inodes(root, int(m["version"]))
-    shared = sum(1 for n, ino in v2.items() if v1.get(n) == ino)
+    from openaq_data_pipeline_engineering_spark.operators.filesets import (
+        read_fileset,
+    )
+
+    fs = read_fileset(os.path.join(root, f"v={m['version']}")) or {
+        "entries": []
+    }
+    carried = {
+        e["rel"]
+        for e in fs["entries"]
+        if int(e["v"]) != int(m["version"])
+    }
     checks = (
         int(bool(stats) and m["version"] == 2)
         + int(1 <= stats.get("files_carried", 0) <= len(v1) - 1)
-        + int(shared == stats.get("files_carried", -1))
+        + int(
+            carried <= set(v1)
+            and len(carried) == stats.get("files_carried", -1)
+            and stats.get("copy_syscalls") == 0
+        )
         + int(0 < stats.get("bytes_rewritten", 0) < v1_bytes)
     )
 

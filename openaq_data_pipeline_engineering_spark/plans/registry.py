@@ -85,6 +85,7 @@ def _load_all() -> None:
     from openaq_data_pipeline_engineering_spark.plans import queries_round9  # noqa: F401
     from openaq_data_pipeline_engineering_spark.plans import queries_round10  # noqa: F401
     from openaq_data_pipeline_engineering_spark.plans import queries_round11  # noqa: F401
+    from openaq_data_pipeline_engineering_spark.plans import queries_round12  # noqa: F401
 
 
 def _latest_correctness() -> dict:

@@ -492,8 +492,27 @@ class VersionedFeedDataSource(DataSource):
         from openaq_data_pipeline_engineering_spark.operators.compact import (
             iter_data_parquet_files,
         )
+        from openaq_data_pipeline_engineering_spark.operators.filesets import (
+            read_fileset,
+        )
 
         for d in reversed(resolve_version_paths(root)):
+            fs = read_fileset(d)
+            if fs is not None:
+                # FILESET commit (a COW DML version): its sidecar pins
+                # the full read schema, partition columns typed — no
+                # footer or directory inference needed (the local dir
+                # may hold no files at all).
+                from pyspark.sql.types import StructType
+
+                st = StructType.fromJson(fs["schema"])
+                return (
+                    ", ".join(
+                        f"`{f.name}` {f.dataType.simpleString()}"
+                        for f in st.fields
+                    )
+                    + suffix
+                )
             first = next(iter_data_parquet_files(d), None)
             if first is None:
                 continue

@@ -156,11 +156,16 @@ def upsert_batch(
             expected = versions[-1]
             cow_base = ensure_cow_base(spark, target_dir)
             if cow_base is not None:
-                import os as _os
+                from openaq_data_pipeline_engineering_spark.operators.cow import (
+                    resolve_base_dir,
+                )
+                from openaq_data_pipeline_engineering_spark.operators.filesets import (
+                    read_version_dir,
+                )
 
                 expected = cow_base
-                vdir = _os.path.join(target_dir, f"v={expected}")
-                base_df = spark.read.parquet(vdir)
+                vdir = resolve_base_dir(target_dir, expected)
+                base_df = read_version_dir(spark, vdir)
                 # None = delta plan unsafe to evaluate twice (ADVICE
                 # r10 #1) -> single-evaluation full publish below
                 touched = touched_files_by_keys(spark, vdir, delta, keys)

@@ -2,9 +2,10 @@
 
 Pins the write-amplification contract: a path-target UPDATE/DELETE/MERGE
 rewrites ONLY the files containing matched rows, carries every other
-base file by hardlink (inode-equality — the same proof shape as the
-purge-carry test), and on a CDF table derives the change rows from the
-touched files' restricted diff instead of a full-table diff. Fallback
+base file as a FILESET SIDECAR REFERENCE to its owner version (r12 —
+zero link/copy syscalls, object-store-safe; operators/filesets.py), and
+on a CDF table derives the change rows from the touched files'
+restricted diff instead of a full-table diff. Fallback
 paths (no WHERE, delta-chain base, type-changing SET, BY SOURCE merges)
 must produce the identical result through the full-snapshot publish.
 """
@@ -59,6 +60,20 @@ def _inodes(root: str, version: int) -> dict[str, int]:
     }
 
 
+def _carried_rels(root: str, version: int) -> set[str]:
+    """rel paths ``version`` carries by sidecar REFERENCE to an owner
+    version — the r12 object-store-safe carry (operators/filesets.py):
+    zero link/copy syscalls; the entry names the file's original
+    owner, so 'same rel carried' is a strictly stronger witness than
+    the old hardlink inode equality."""
+    from openaq_data_pipeline_engineering_spark.operators.filesets import (
+        read_fileset,
+    )
+
+    fs = read_fileset(os.path.join(root, f"v={version}")) or {"entries": []}
+    return {e["rel"] for e in fs["entries"] if int(e["v"]) != version}
+
+
 class TestCowUpdateDelete:
     def test_one_key_update_rewrites_only_its_file(self, spark, tmp_path):
         """The directive's metrics-pinned shape: an UPDATE matching one
@@ -77,9 +92,9 @@ class TestCowUpdateDelete:
             os.path.getsize(p)
             for p in glob.glob(os.path.join(root, "v=1", "*.parquet"))
         )
-        v2 = _inodes(root, 2)
-        shared = {n for n, ino in v2.items() if v1.get(n) == ino}
-        assert len(shared) == stats["files_carried"]
+        carried = _carried_rels(root, 2)
+        assert carried <= set(v1) and len(carried) == stats["files_carried"]
+        assert stats["copy_syscalls"] == 0  # reference-only carry
         # values: exactly one row changed; history intact
         latest = read_snapshot(spark, root)
         assert latest.count() == 400
@@ -236,11 +251,8 @@ class TestCowMerge:
         assert (m["version"], m["n_rows"]) == (2, 401)
         stats = last_cow_stats(root)
         assert stats["files_carried"] == len(v1) - 1
-        v2 = _inodes(root, 2)
-        assert (
-            sum(1 for n, ino in v2.items() if v1.get(n) == ino)
-            == stats["files_carried"]
-        )
+        carried = _carried_rels(root, 2)
+        assert carried <= set(v1) and len(carried) == stats["files_carried"]
         latest = read_snapshot(spark, root)
         assert latest.filter("k = 5").first()["score"] == 500.0
         assert latest.filter("k = 9999").first()["score"] == 1.5
@@ -300,9 +312,9 @@ class TestCowMerge:
         # at most 2 files touched (k=5's and k=9's), at least 6 carried
         assert stats["files_rewritten"] <= 2
         assert stats["files_carried"] >= len(v1) - 2
-        v2 = _inodes(root, stats["version"])
-        shared = sum(1 for n, ino in v2.items() if v1.get(n) == ino)
-        assert shared == stats["files_carried"]
+        carried = _carried_rels(root, stats["version"])
+        assert carried <= set(v1)
+        assert len(carried) == stats["files_carried"]
         latest = read_snapshot(spark, root)
         assert latest.count() == 399
         assert latest.filter("k = 9").count() == 0
@@ -609,7 +621,23 @@ class TestCowCommitProtocol:
         # purge must rewrite that shared file in BOTH versions and
         # carry the rest in both
         Engine(spark).sql(f"UPDATE '{root}' SET score = 0.0 WHERE k = 6")
-        v1_before, v2_before = _inodes(root, 1), _inodes(root, 2)
+
+        # RESOLVED per-version file->inode view (v2 is a fileset: its
+        # carried files physically live in v=1 until purge_rows
+        # materializes it)
+        def _resolved_inodes(version: int) -> dict[str, int]:
+            from openaq_data_pipeline_engineering_spark.operators.filesets import (
+                version_data_files,
+            )
+
+            return {
+                os.path.basename(p): os.stat(p).st_ino
+                for p in version_data_files(
+                    os.path.join(root, f"v={version}")
+                )
+            }
+
+        v1_before, v2_before = _resolved_inodes(1), _resolved_inodes(2)
         results = purge_rows(
             spark, root, "k = 5", orphan_min_age_seconds=0
         )
@@ -625,9 +653,11 @@ class TestCowCommitProtocol:
             assert df.count() == 399
 
     def test_vacuum_after_cow_keeps_shared_bytes_alive(self, spark, tmp_path):
-        """Hardlink carry means vacuuming the BASE version must not
-        corrupt the new version: dropping v1's directory only drops one
-        name per shared inode."""
+        """The fileset carry means v2 READS files v1's directory
+        physically owns: vacuum must refuse to reclaim the referenced
+        owner while the fileset is live, and reclaim it normally after
+        a MATERIALIZING commit (OPTIMIZE) breaks the reference chain —
+        Delta's OPTIMIZE-then-VACUUM reclamation shape."""
         from openaq_data_pipeline_engineering_spark.operators.versioned import (
             vacuum_snapshots,
         )
@@ -636,7 +666,13 @@ class TestCowCommitProtocol:
         Engine(spark).sql(f"UPDATE '{root}' SET score = 0.0 WHERE k = 5")
         total_before = read_snapshot(spark, root).agg(F.sum("score")).first()[0]
         dropped = vacuum_snapshots(root, keep_last=1)
-        assert dropped == [1]
+        assert dropped == []  # v1 owner-protected by v2's live fileset
+        assert read_snapshot(spark, root).agg(F.sum("score")).first()[
+            0
+        ] == total_before
+        Engine(spark).sql(f"OPTIMIZE '{root}'")  # materializes v3
+        dropped = vacuum_snapshots(root, keep_last=1)
+        assert dropped == [1, 2]
         assert read_snapshot(spark, root).agg(F.sum("score")).first()[
             0
         ] == total_before

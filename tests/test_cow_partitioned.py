@@ -71,6 +71,19 @@ def _rel_inodes(root: str, version: int) -> dict[str, int]:
     return out
 
 
+def _carried_rels(root: str, version: int) -> set[str]:
+    """rel paths ``version`` carries by sidecar REFERENCE (r12
+    object-store-safe carry, operators/filesets.py): zero link/copy
+    syscalls, the entry naming the original owner — a strictly
+    stronger witness than the old hardlink inode equality."""
+    from openaq_data_pipeline_engineering_spark.operators.filesets import (
+        read_fileset,
+    )
+
+    fs = read_fileset(os.path.join(root, f"v={version}")) or {"entries": []}
+    return {e["rel"] for e in fs["entries"] if int(e["v"]) != version}
+
+
 class TestPartitionedCowUpdateDelete:
     def test_one_key_update_rewrites_only_its_partition_file(
         self, spark, tmp_path
@@ -83,15 +96,17 @@ class TestPartitionedCowUpdateDelete:
         ).first()
         stats = last_cow_stats(root)
         assert m["version"] == 2 and stats is not None
-        # exactly one file rewritten; every carried file is the SAME
-        # inode at the SAME relative key=value/ subpath
+        # exactly one file rewritten; every carried file is a sidecar
+        # REFERENCE at the SAME relative key=value/ subpath (zero
+        # copy syscalls — r12 fileset carry)
         assert stats["files_rewritten"] == 1
         assert stats["files_carried"] == len(v1) - 1
-        v2 = _rel_inodes(root, 2)
-        shared = {r for r, ino in v2.items() if v1.get(r) == ino}
-        assert len(shared) == stats["files_carried"]
+        assert stats["copy_syscalls"] == 0
+        carried = _carried_rels(root, 2)
+        assert carried <= set(v1)
+        assert len(carried) == stats["files_carried"]
         # carried files keep their partition DIRECTORY (values intact)
-        assert all(os.sep in r and r.startswith("m=") for r in shared)
+        assert all(os.sep in r and r.startswith("m=") for r in carried)
         out = read_snapshot(spark, root)
         assert out.count() == 30
         assert out.filter("k = 7").first()["score"] == 107.0
@@ -117,10 +132,10 @@ class TestPartitionedCowUpdateDelete:
         in_m2 = {r for r in v1 if r.startswith("m=2" + os.sep)}
         assert stats["files_rewritten"] >= 1
         assert stats["files_carried"] == len(v1) - len(in_m2)
-        v2 = _rel_inodes(root, 2)
+        carried = _carried_rels(root, 2)
         for r in v1:
             if not r.startswith("m=2" + os.sep):
-                assert v2.get(r) == v1[r]  # carried in place
+                assert r in carried  # referenced in place, not copied
         out = read_snapshot(spark, root)
         assert out.filter("m = 2").agg(F.sum("score")).first()[0] == 0.0
         assert out.count() == 30
@@ -140,10 +155,11 @@ class TestPartitionedCowUpdateDelete:
         assert sorted(
             r["k"] for r in out.filter("m = 9").collect()
         ) == [7, 8]
-        v2 = _rel_inodes(root, 2)
-        assert any(r.startswith("m=9" + os.sep) for r in v2)
-        shared = sum(1 for r, ino in v2.items() if v1.get(r) == ino)
-        assert shared == stats["files_carried"]
+        v2_local = _rel_inodes(root, 2)  # files v2 physically wrote
+        assert any(r.startswith("m=9" + os.sep) for r in v2_local)
+        carried = _carried_rels(root, 2)
+        assert carried <= set(v1)
+        assert len(carried) == stats["files_carried"]
 
     def test_partitioned_delete(self, spark, tmp_path):
         root = _seed_partitioned(spark, tmp_path)
@@ -167,8 +183,16 @@ class TestPartitionedCowUpdateDelete:
             f"UPDATE '{root}' SET score = -1.0 WHERE m = 'm2'"
         ).first()
         assert last_cow_stats(root) is not None
-        v2 = _rel_inodes(root, 2)
-        dirs = {r.split(os.sep)[0] for r in v2}
+        from openaq_data_pipeline_engineering_spark.operators.filesets import (
+            version_files_with_rels,
+        )
+
+        dirs = {
+            r.split(os.sep)[0]
+            for _p, r in version_files_with_rels(
+                os.path.join(root, "v=2")
+            )
+        }
         assert dirs == {"m=m1", "m=m2", "m=m3"}
         out = read_snapshot(spark, root)
         assert out.filter("m = 'm2'").agg(F.sum("score")).first()[0] == -10.0

@@ -57,10 +57,11 @@ class TestHardlinkSpaceAccounting:
 
         root = self._seed_and_update(spark, tmp_path)
         row = Engine(spark).sql(f"DESCRIBE DETAIL '{root}'").first()
-        # two versions share 7 of 8 files: physical is well below
-        # logical, and 14 names (7 inodes x 2 versions) are shared
+        # v2 carries 7 of v1's 8 files by fileset reference (r12):
+        # logical counts them in both versions, physical counts each
+        # file once at its owner — 7 shared (referenced) names
         assert row["total_logical_bytes"] > row["total_physical_bytes"]
-        assert row["n_shared_inode_files"] == 14
+        assert row["n_shared_inode_files"] == 7
         # physical = v1's 8 files + v2's 1 rewritten file
         assert (
             row["total_physical_bytes"]
@@ -74,18 +75,20 @@ class TestHardlinkSpaceAccounting:
         )
 
         root = self._seed_and_update(spark, tmp_path)
-        detail = Engine(spark).sql(f"DESCRIBE DETAIL '{root}'").first()
-        v1_bytes = (
-            detail["total_logical_bytes"] - detail["size_bytes"]
-        )  # v1's directory footprint
+        # r12 fileset carry: v2 READS 7 files v1's directory owns, so
+        # RETAIN 1 must reclaim nothing while that reference is live
         rows = Engine(spark).sql(
             f"VACUUM '{root}' RETAIN 1 VERSIONS"
         ).collect()
-        assert [r["dropped_version"] for r in rows] == [1]
-        freed = rows[0]["freed_bytes"]
-        # only the pre-image of the ONE rewritten file actually frees;
-        # the 7 carried files' inodes survive in v=2
-        assert 0 < freed < v1_bytes
+        assert rows == []  # owner-protected
+        # a materializing OPTIMIZE (v3) breaks the reference chain;
+        # the same VACUUM then reclaims v1+v2 with real bytes freed
+        Engine(spark).sql(f"OPTIMIZE '{root}'")
+        rows = Engine(spark).sql(
+            f"VACUUM '{root}' RETAIN 1 VERSIONS"
+        ).collect()
+        assert sorted(r["dropped_version"] for r in rows) == [1, 2]
+        assert sum(r["freed_bytes"] for r in rows) > 0
         latest = read_snapshot(spark, root)
         assert latest.count() == 400
         assert latest.filter("k = 5").first()["score"] == 0.0

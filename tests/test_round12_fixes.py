@@ -244,10 +244,18 @@ class TestPartitionSpellingPreserved:
             f"UPDATE '{root}' SET score = -1.0 WHERE k = 4"
         ).first()
         v2 = os.path.join(root, "v=2")
+        # the version's LOGICAL layout: local rewritten files plus
+        # fileset-carried entries, one spelling per logical partition
+        from openaq_data_pipeline_engineering_spark.operators.filesets import (
+            version_files_with_rels,
+        )
+
         dirs = sorted(
-            d
-            for d in os.listdir(v2)
-            if d.startswith("month=") and os.path.isdir(os.path.join(v2, d))
+            {
+                r.split(os.sep)[0]
+                for _p, r in version_files_with_rels(v2)
+                if r.startswith("month=")
+            }
         )
         # base spelling preserved, no month=1/month=2/month=3 twins
         assert dirs == ["month=01", "month=02", "month=03"], dirs
@@ -279,8 +287,16 @@ class TestPartitionSpellingPreserved:
             if d.startswith("v=")
         )
         vdir = os.path.join(root, f"v={latest}")
+        from openaq_data_pipeline_engineering_spark.operators.filesets import (
+            version_files_with_rels,
+        )
+
         dirs = sorted(
-            d for d in os.listdir(vdir) if d.startswith("month=")
+            {
+                r.split(os.sep)[0]
+                for _p, r in version_files_with_rels(vdir)
+                if r.startswith("month=")
+            }
         )
         assert dirs == ["month=01", "month=02", "month=03"], dirs
         assert read_snapshot(spark, root).count() == 30
@@ -298,7 +314,17 @@ class TestPartitionSpellingPreserved:
             f"UPDATE '{root}' SET score = -1.0 WHERE k = 4"
         ).first()
         v2 = os.path.join(root, "v=2")
-        dirs = sorted(d for d in os.listdir(v2) if d.startswith("g="))
+        from openaq_data_pipeline_engineering_spark.operators.filesets import (
+            version_files_with_rels,
+        )
+
+        dirs = sorted(
+            {
+                r.split(os.sep)[0]
+                for _p, r in version_files_with_rels(v2)
+                if r.startswith("g=")
+            }
+        )
         assert dirs == ["g=1", "g=2", "g=3"]
         assert read_snapshot(spark, root).count() == 30
 
