@@ -277,7 +277,9 @@ def main() -> None:
     print(f"facade: latest holds {load_versioned(spark, facade).count()} rows")
 
     # A one-key UPDATE rewrites only the file containing the key; the
-    # other files carry into the new version by hardlink (zero copy).
+    # other files carry into the new version as fileset sidecar
+    # references to their owner version (r12: zero copy syscalls,
+    # object-store-safe — operators/filesets.py).
     from openaq_data_pipeline_engineering_spark.operators.cow import last_cow_stats
     from openaq_data_pipeline_engineering_spark.operators.versioned import (
         checkpoint_appends,
@@ -289,8 +291,9 @@ def main() -> None:
     print(
         "file-granular UPDATE: rewrote "
         f"{s['files_rewritten']} file(s) ({s['bytes_rewritten']} B), "
-        f"hardlink-carried {s['files_carried']} "
-        f"({s['bytes_carried']} B untouched)"
+        f"reference-carried {s['files_carried']} "
+        f"({s['bytes_carried']} B untouched, "
+        f"{s['copy_syscalls']} copy syscalls)"
     )
     spark.stop()
 

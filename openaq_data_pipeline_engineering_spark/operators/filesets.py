@@ -233,7 +233,18 @@ def read_version_subset(
     own ``basePath`` so partition-value path segments survive, and the
     explicit schema keeps partition-column types identical across
     owner groups. ``file_col`` materializes ``_metadata.file_path``
-    per group (the pseudo-column does not survive a union)."""
+    per group (the pseudo-column does not survive a union). A FLAT
+    fileset version reads its subset as one scan relation — no
+    basePath or union needed when no partition values live in the
+    paths."""
+    from pyspark.sql import functions as F
+
+    fs = read_fileset(vdir)
+    if fs is not None and not fs["layout"] and files:
+        out = spark.read.schema(schema).parquet(*sorted(files))
+        if file_col is not None:
+            out = out.withColumn(file_col, F.col("_metadata.file_path"))
+        return out
     return read_grouped_files(
         spark, group_files_by_base(vdir, files), schema, file_col=file_col
     )
@@ -289,10 +300,28 @@ def read_fileset_df(
     """The content of a fileset version as one DataFrame (empty frame
     with the recorded schema when the version has zero entries — an
     all-rows-deleted table stays servable with its schema)."""
+    from pyspark.sql import functions as F
+
     fs = read_fileset(vdir)
     if fs is None:
         raise ValueError(f"{vdir!r} has no fileset sidecar")
     schema = fileset_schema(spark, fs)
+    if not fs["layout"]:
+        # FLAT fast path: no partition values live in the paths, so
+        # the whole entry set reads as ONE scan relation (no per-owner
+        # basePath, no union) — the plan a K-deep DML chain produces
+        # stays a single parquet scan over its file list, exactly
+        # Delta's shape.
+        files = [p for p, _e in resolve_entries(vdir, fs)]
+        if not files:
+            out = spark.createDataFrame([], schema)
+            if file_col is not None:
+                out = out.withColumn(file_col, F.lit(None).cast("string"))
+            return out
+        out = spark.read.schema(schema).parquet(*files)
+        if file_col is not None:
+            out = out.withColumn(file_col, F.col("_metadata.file_path"))
+        return out
     groups: dict[str, list[str]] = {}
     for p, e in resolve_entries(vdir, fs):
         d = _owner_dir(vdir, int(e["v"]))

@@ -111,8 +111,9 @@ def candidate_files_box(
 # PERSISTED manifest (VERDICT r10 #4): the DataFrame manifest above,
 # materialized as a `_skipstats/` parquet sidecar INSIDE a versioned
 # table's immutable version directory, keyed by the data file's path
-# RELATIVE to the directory (stable under hardlink carry — a carried
-# file keeps its rel path, so COW commits carry its stats row forward
+# RELATIVE to its OWNING directory (stable under BOTH carry models —
+# a fileset-referenced file keeps its rel-within-owner, a hardlinked
+# file its rel path — so COW commits carry stats rows forward
 # verbatim). DML touched-file discovery consults it before the footer
 # scan: at ~2,000+ files per version the discovery job stops opening
 # every footer and reads one tiny manifest instead.
@@ -137,19 +138,56 @@ def write_manifest(
     ``key=value/`` path) record for free, and a DML predicate on a
     partition column then prunes from the SAME single manifest read as
     a data-column predicate instead of falling through to the footer
-    scan."""
+    scan.
+
+    FILESET versions (the r12 COW carry, operators/filesets.py) are
+    supported: stats compute per owner group and relativize to each
+    OWNER's directory, so the manifest's ``rel_path`` values equal the
+    sidecar's entry rels — exactly what the discovery routes'
+    completeness check compares against."""
     import os
 
-    df = spark.read.parquet(vdir)
-    part_cols = [
-        c
-        for c in _dir_partition_cols(vdir)
-        if c in df.columns and c not in key_cols
-    ]
-    stats = file_stats(df, list(key_cols) + part_cols, use_path=True)
-    # Spark renders local file paths as "file:<abs>"; strip the vdir
-    # prefix to the rel path. Both spellings guarded (file: / file://).
-    out = relativize_stats(stats, vdir)
+    from openaq_data_pipeline_engineering_spark.operators.filesets import (
+        fileset_schema,
+        group_files_by_base,
+        read_fileset,
+        version_data_files,
+    )
+
+    fs = read_fileset(vdir)
+    if fs is None:
+        df = spark.read.parquet(vdir)
+        part_cols = [
+            c
+            for c in _dir_partition_cols(vdir)
+            if c in df.columns and c not in key_cols
+        ]
+        cols = list(key_cols) + part_cols
+        # Spark renders local file paths as "file:<abs>"; strip the
+        # vdir prefix to the rel path (file: / file:// both guarded).
+        out = relativize_stats(file_stats(df, cols, use_path=True), vdir)
+    else:
+        schema = fileset_schema(spark, fs)
+        names = {f.name for f in schema.fields}
+        part_cols = [
+            c for c in fs["layout"] if c in names and c not in key_cols
+        ]
+        cols = list(key_cols) + part_cols
+        parts = []
+        for d, files in group_files_by_base(
+            vdir, version_data_files(vdir)
+        ):
+            g = spark.read.schema(schema).option("basePath", d).parquet(
+                *files
+            )
+            parts.append(
+                relativize_stats(file_stats(g, cols, use_path=True), d)
+            )
+        if not parts:
+            return 0
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
     out.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(vdir, SKIPSTATS_DIR)
     )

@@ -350,6 +350,29 @@ class TestFilesetDiscoveryIntegration:
         assert out.filter("k = 5").first()["score"] == 1.0
         assert out.count() == 400
 
+    def test_write_manifest_directly_on_fileset_version(
+        self, spark, tmp_path
+    ):
+        """write_manifest on a fileset version computes stats per
+        OWNER group, keyed by the entry rels — the same rel space the
+        completeness check compares against."""
+        from openaq_data_pipeline_engineering_spark.operators.cow import (
+            _manifest_candidates,
+        )
+        from openaq_data_pipeline_engineering_spark.operators.skipstats import (
+            write_manifest,
+        )
+
+        root = _seed_partitioned(spark, tmp_path)
+        Engine(spark).sql(f"UPDATE '{root}' SET score = 0.0 WHERE g = 1")
+        v2 = os.path.join(root, "v=2")
+        assert is_fileset_dir(v2)
+        n = write_manifest(spark, v2, ["k"])
+        assert n == len(version_data_files(v2))
+        cands = _manifest_candidates(spark, v2, "g = 2")
+        assert cands is not None
+        assert cands and all(f"{os.sep}g=2{os.sep}" in p for p in cands)
+
     def test_version_files_with_rels_is_owner_relative(
         self, spark, tmp_path
     ):

@@ -117,6 +117,7 @@ def main() -> int:
     )
     shutil.rmtree(base, ignore_errors=True)
     partitioned_probe(spark)
+    fileset_probe(spark)
     return 0
 
 
@@ -188,6 +189,96 @@ def partitioned_probe(spark, n_groups: int = 8, rows: int = 4000) -> None:
         "recorded-layout eligibility must not walk data files, "
         f"walked {walk_calls['n']}x"
     )
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def fileset_probe(
+    spark, n_files: int = 200, rows_per_file: int = 100, depth: int = 10
+) -> None:
+    """Round-12 carry-model A/B (VERDICT r11 #1): ``depth`` sequential
+    one-key UPDATEs on an ``n_files`` table. Under the fileset carry,
+    each commit PHYSICALLY writes only its rewritten file(s) plus one
+    small sidecar — zero link/copy syscalls for the other n_files-1 —
+    so cumulative on-disk data bytes grow ∝ touched files, not
+    ∝ depth × table size (the hardlink carry matched that locally but
+    copied the whole table per statement on an object store). The
+    deepest version must still read in one grouped scan."""
+    from openaq_data_pipeline_engineering_spark.operators import compact
+    from openaq_data_pipeline_engineering_spark.operators.filesets import (
+        FILESET_SIDECAR,
+        read_fileset,
+    )
+
+    base = tempfile.mkdtemp(prefix="fileset_probe_")
+    root = os.path.join(base, "t")
+    n = n_files * rows_per_file
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    write_snapshot(df.repartitionByRange(n_files, "k"), root)
+    base_bytes = sum(
+        os.path.getsize(p)
+        for p in compact.iter_data_parquet_files(os.path.join(root, "v=1"))
+    )
+    eng = Engine(spark)
+    total_rewritten = 0
+    total_copies = 0
+    t0 = time.time()
+    for i in range(depth):
+        eng.sql(
+            f"UPDATE '{root}' SET v = {float(i)} "
+            f"WHERE k = {(i + 1) * (n // (depth + 1))}"
+        ).first()
+        s = last_cow_stats(root)
+        total_rewritten += s["files_rewritten"]
+        total_copies += s["copy_syscalls"]
+    t_dml = time.time() - t0
+    # physical bytes across ALL version dirs (each file counted once —
+    # fileset carries add no names, so a plain walk is exact)
+    phys = 0
+    sidecar_bytes = 0
+    for d in os.listdir(root):
+        if not d.startswith("v="):
+            continue
+        vdir = os.path.join(root, d)
+        phys += sum(
+            os.path.getsize(p)
+            for p in compact.iter_data_parquet_files(vdir)
+        )
+        sc = os.path.join(vdir, FILESET_SIDECAR)
+        if os.path.isfile(sc):
+            sidecar_bytes += os.path.getsize(sc)
+    deepest = os.path.join(root, f"v={depth + 1}")
+    from openaq_data_pipeline_engineering_spark.operators.filesets import (
+        read_version_dir,
+    )
+
+    t0 = time.time()
+    n_read = read_version_dir(spark, deepest).count()
+    t_read = time.time() - t0
+    fs = read_fileset(deepest)
+    print(
+        {
+            "fileset_probe": {
+                "n_files": n_files,
+                "dml_depth": depth,
+                "files_rewritten_total": total_rewritten,
+                "copy_syscalls_total": total_copies,
+                "physical_growth_x": round(phys / base_bytes, 3),
+                "sidecar_bytes_total": sidecar_bytes,
+                "deepest_entries": len(fs["entries"]),
+                "deepest_read_rows": n_read,
+                "deepest_read_s": round(t_read, 3),
+                "dml_total_s": round(t_dml, 3),
+            }
+        }
+    )
+    assert total_copies == 0, "carry must be reference-only"
+    assert n_read == n
+    # hardlink carry grew names ∝ depth×files; the object-store
+    # equivalent grew BYTES the same way — fileset growth is bounded
+    # by rewritten files + sidecars
+    assert phys < base_bytes * 2, f"physical grew {phys / base_bytes:.2f}x"
     shutil.rmtree(base, ignore_errors=True)
 
 
