@@ -55,6 +55,8 @@ class UtilStatementError(ValueError):
 
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+'(?P<path>[^']+)'"
+    r"(?:\s+(?P<incr>INCREMENTAL)"
+    r"(?:\s+TARGET\s+(?P<target>\d+)\s+BYTES)?)?"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+ZORDER\s+BY\s*\((?P<cols>[^)]+)\))?"
     r"\s*;?\s*$",
@@ -208,7 +210,25 @@ def execute_optimize(spark: SparkSession, sql: str) -> DataFrame:
                 "OPTIMIZE WHERE is a partitioned-table form; a "
                 "versioned root rewrites its latest snapshot whole"
             )
+        if m.group("incr"):
+            if cols:
+                raise UtilStatementError(
+                    "OPTIMIZE INCREMENTAL bin-packs small files; "
+                    "ZORDER BY needs the full rewrite (clustering is "
+                    "a global property)"
+                )
+            return _optimize_incremental(
+                spark,
+                path,
+                int(m.group("target")) if m.group("target") else 32 << 20,
+            )
         return _optimize_versioned(spark, path, cols)
+    if m.group("incr"):
+        raise UtilStatementError(
+            "OPTIMIZE INCREMENTAL needs a versioned root (the "
+            "file-granular commit protocol); plain tables compact "
+            "with the bare OPTIMIZE form"
+        )
     _recover_interrupted_rewrite(path)  # heal a crashed prior rewrite
     _recover_interrupted_partition_rewrite(path)  # per-partition form
     before = file_stats(path)["n_files"]
@@ -585,6 +605,115 @@ def _optimize_versioned(
         [(int(before_files), int(after_files), int(n_rows))],
         "n_files_before int, n_files_after int, n_rows bigint",
     )
+
+
+def _optimize_incremental(
+    spark: SparkSession, root: str, target_bytes: int
+) -> DataFrame:
+    """``OPTIMIZE '<root>' INCREMENTAL [TARGET <n> BYTES]`` — Delta's
+    actual OPTIMIZE shape: bin-pack only the files SMALLER than the
+    target into fewer target-sized files and carry every
+    already-large file by fileset reference (operators/filesets.py).
+    Write amplification is ∝ small-file bytes, not table bytes — on a
+    100 TB table where a streaming sink dribbled ten thousand 1 MB
+    files into one day's partition, the compaction writes ~10 GB and
+    references the rest, on any store.
+
+    Contrast with the bare ``OPTIMIZE '<root>'`` (full rewrite):
+    that form is the MATERIALIZING commit that breaks the fileset
+    reference chain and re-opens version-level VACUUM reclamation;
+    the incremental form deliberately keeps references (its commit is
+    itself a fileset), so run the full form when the goal is
+    retention, the incremental form when the goal is scan efficiency.
+
+    No-op shape: when no partition has two or more small files there
+    is nothing to pack — returns the current version's metrics row
+    WITHOUT committing (no version churn), like the zero-match DML
+    no-op. The rewrite reuses the COW commit protocol end-to-end
+    (constraints, skipstats carry, CDF empty-diff, CAS publish), so a
+    concurrent writer conflicts exactly like any DML."""
+    import math
+
+    from openaq_data_pipeline_engineering_spark.operators.cow import (
+        commit_file_rewrite,
+        ensure_cow_base,
+        read_touched_subset,
+        recorded_layout,
+        resolve_base_dir,
+    )
+    from openaq_data_pipeline_engineering_spark.operators.cow import (
+        partition_layout as _playout,
+    )
+    from openaq_data_pipeline_engineering_spark.operators.filesets import (
+        read_version_dir,
+        version_files_with_rels,
+    )
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        ConcurrentWriteError,
+    )
+
+    last_err = None
+    for _ in range(3):
+        base = ensure_cow_base(spark, root)
+        if base is None:
+            raise UtilStatementError(
+                "OPTIMIZE INCREMENTAL needs a COW-eligible base "
+                "(consistent flat or one-layout partitioned latest "
+                "version); run the full OPTIMIZE to normalize first"
+            )
+        vdir = resolve_base_dir(root, base)
+        layout = recorded_layout(root, base)
+        if layout is None:
+            layout = _playout(vdir)
+        pairs = version_files_with_rels(vdir)
+        n_before = len(pairs)
+        # group small files by their partition directory: packing is
+        # within-partition (the rewrite republishes through
+        # partitionBy, so cross-partition grouping would not reduce
+        # per-directory file counts anyway)
+        by_dir: dict[str, list[str]] = {}
+        small_bytes = 0
+        for p, rel in pairs:
+            size = os.path.getsize(p)
+            if size < target_bytes:
+                by_dir.setdefault(os.path.dirname(rel), []).append(p)
+                small_bytes += size
+        touched = sorted(
+            p
+            for files in by_dir.values()
+            if len(files) >= 2  # a lone small file gains nothing
+            for p in files
+        )
+        if not touched:
+            n_rows = _footer_row_count(vdir)
+            return spark.createDataFrame(
+                [(int(n_before), int(n_before), int(n_rows))],
+                "n_files_before int, n_files_after int, n_rows bigint",
+            )
+        schema = read_version_dir(spark, vdir).schema
+        packed = read_touched_subset(spark, vdir, touched, schema)
+        n_out = max(1, math.ceil(small_bytes / target_bytes))
+        if layout:
+            packed = packed.repartition(
+                n_out, *[F.col(c) for c in layout]
+            )
+        else:
+            packed = packed.repartition(n_out)
+        try:
+            new_v = commit_file_rewrite(
+                spark, root, base, packed, touched
+            )
+        except ConcurrentWriteError as e:
+            last_err = e
+            continue
+        new_dir = os.path.join(root, f"v={new_v}")
+        n_after = len(version_files_with_rels(new_dir))
+        n_rows = _footer_row_count(new_dir)
+        return spark.createDataFrame(
+            [(int(n_before), int(n_after), int(n_rows))],
+            "n_files_before int, n_files_after int, n_rows bigint",
+        )
+    raise last_err
 
 
 def _recover_interrupted_rewrite(path: str) -> None:

@@ -336,6 +336,116 @@ def sql_fileset_chain_lifecycle(
 
 
 # --------------------------------------------------------------------------
+# OPTIMIZE INCREMENTAL — Delta's actual OPTIMIZE shape: bin-pack only
+# the files SMALLER than the target and carry every already-large
+# file by fileset reference. The witness builds a 5-partition table
+# whose g=0 files are fat (incompressible md5 padding) and the rest
+# small; TARGET between the two sizes must pack the small files into
+# fewer outputs, reference-carry the fat ones (zero copy syscalls),
+# and leave the content bit-identical. A re-run at the same target is
+# a convergent no-op. Scale: compacting a day's dribble of 1 MB
+# streaming files on a 100 TB table writes the dribble, not the day.
+# --------------------------------------------------------------------------
+@query(
+    "sql_optimize_incremental",
+    "OPTIMIZE INCREMENTAL TARGET n BYTES: bin-packs only sub-target "
+    "files into target-sized outputs, carries large files by fileset "
+    "reference; content preserved, convergent no-op on re-run",
+    oracle="""
+    SELECT 'content' AS slice,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_nationkey) AS DOUBLE) AS k_sum
+    FROM nation
+    UNION ALL
+    SELECT 'compaction_proof', CAST(4 AS BIGINT), CAST(2 AS DOUBLE)
+    """,
+)
+def sql_optimize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.engine import Engine
+    from openaq_data_pipeline_engineering_spark.operators.cow import (
+        last_cow_stats,
+    )
+    from openaq_data_pipeline_engineering_spark.operators.filesets import (
+        is_fileset_dir,
+        version_files_with_rels,
+    )
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    root = fresh_scratch_dir("opt_incremental")
+    df = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_regionkey").cast("int").alias("g"),
+        F.when(
+            F.col("n_regionkey") == 0,
+            F.concat_ws(
+                "",
+                *[
+                    F.md5(
+                        F.concat(
+                            F.col("n_nationkey").cast("string"),
+                            F.lit(str(i)),
+                        )
+                    )
+                    for i in range(100)
+                ],
+            ),
+        )
+        .otherwise(F.lit("s"))
+        .alias("pad"),
+    )
+    write_snapshot(df.repartition(2, "k"), root, partition_by=["g"])
+    sizes = [
+        os.path.getsize(p)
+        for p, _r in version_files_with_rels(os.path.join(root, "v=1"))
+    ]
+    n_big = sum(1 for s in sizes if s >= 4000)
+    eng = Engine(spark)
+    row = eng.sql(
+        f"OPTIMIZE '{root}' INCREMENTAL TARGET 4000 BYTES"
+    ).first()
+    stats = last_cow_stats(root) or {}
+    packed_ok = (
+        row["n_files_after"] < row["n_files_before"]
+        and is_fileset_dir(os.path.join(root, "v=2"))
+        and stats.get("carry_mode") == "fileset"
+        and stats.get("copy_syscalls") == 0
+    )
+    carry_ok = n_big >= 1 and stats.get("files_carried") == n_big
+    # convergence: run until no version is published, bounded
+    for _ in range(3):
+        before = snapshot_versions(root)[-1]
+        eng.sql(f"OPTIMIZE '{root}' INCREMENTAL TARGET 4000 BYTES")
+        if snapshot_versions(root)[-1] == before:
+            break
+    settled = snapshot_versions(root)[-1]
+    eng.sql(f"OPTIMIZE '{root}' INCREMENTAL TARGET 4000 BYTES")
+    noop_ok = snapshot_versions(root)[-1] == settled
+    out = read_snapshot(spark, root)
+    content_ok = (
+        out.count() == 25
+        and out.filter("g = 0").filter(F.length("pad") == 3200).count()
+        == 5
+    )
+    checks = (
+        int(packed_ok) + int(carry_ok) + int(noop_ok) + int(content_ok)
+    )
+    proof = spark.createDataFrame(
+        [("compaction_proof", checks, 2.0)],
+        "slice string, n_rows bigint, k_sum double",
+    )
+    content = out.agg(
+        F.lit("content").alias("slice"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("k").cast("double").alias("k_sum"),
+    )
+    return content.unionByName(proof)
+
+
+# --------------------------------------------------------------------------
 # Derived CDF across fileset versions: the second UPDATE's pre-image
 # comes from files its FILESET base references in v1/v2 (the grouped
 # owner-relative read), and table_changes serves both commits' change
