@@ -250,6 +250,51 @@ class TestFilesetRetention:
             assert got.filter("k = 9").count() == 0
 
 
+class TestFilesetConcurrency:
+    def test_racing_updates_serialize_through_cas(self, spark, tmp_path):
+        """Two threads UPDATE disjoint keys concurrently: the CAS
+        commit serializes them (the loser's statement-level retry
+        re-discovers against the winner's fileset version), and the
+        final content holds BOTH updates with full history."""
+        import threading
+
+        root = _seed_flat(spark, tmp_path, n=100, files=4)
+        errs: list[Exception] = []
+
+        def run(k: int, val: float) -> None:
+            try:
+                Engine(spark).sql(
+                    f"UPDATE '{root}' SET score = {val} WHERE k = {k}"
+                ).first()
+            except Exception as e:  # pragma: no cover - failure detail
+                errs.append(e)
+
+        ts = [
+            threading.Thread(target=run, args=(5, 111.0)),
+            threading.Thread(target=run, args=(50, 222.0)),
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs, errs
+        versions = snapshot_versions(root)
+        # three commits; numbers need not be contiguous (the race
+        # loser's first CLAIM is rolled back and re-allocated)
+        assert len(versions) == 3 and versions[0] == 1
+        out = read_snapshot(spark, root)
+        assert out.count() == 100
+        assert out.filter("k = 5").first()["score"] == 111.0
+        assert out.filter("k = 50").first()["score"] == 222.0
+        # the final commit (whoever lost the race) is a fileset
+        # referencing ORIGINAL owners — files untouched by both
+        # updates still point at v1
+        latest_dir = os.path.join(root, f"v={versions[-1]}")
+        owners = fileset_owner_versions(latest_dir)
+        assert is_fileset_dir(latest_dir)
+        assert 1 in owners and owners <= set(versions)
+
+
 class TestFilesetCloneRestore:
     def test_restore_to_fileset_version_reads_through_references(
         self, spark, tmp_path
