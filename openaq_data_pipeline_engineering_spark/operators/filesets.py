@@ -66,12 +66,30 @@ from pyspark.sql import DataFrame, SparkSession
 
 FILESET_SIDECAR = "_fileset.json"
 
+# Parsed-sidecar memo keyed by absolute path, validated by
+# (mtime_ns, size): version directories are immutable once committed,
+# and one DML statement resolves the same sidecar several times
+# (layout probe, discovery, carry, accounting). Bounded; entries are
+# treated as READ-ONLY by every consumer.
+_FILESET_CACHE: dict[str, tuple[tuple[int, int], dict]] = {}
+_FILESET_CACHE_MAX = 256
+
 
 def read_fileset(vdir: str) -> dict | None:
     """Parsed fileset sidecar of ``vdir``, or None for a plain
     directory-backed version (every version before round 12, every
-    full write, every delta)."""
+    full write, every delta). The returned doc is SHARED via a
+    stat-validated memo — callers must not mutate it."""
     p = os.path.join(vdir, FILESET_SIDECAR)
+    try:
+        st = os.stat(p)
+    except OSError:
+        return None
+    key = os.path.abspath(p)
+    tok = (st.st_mtime_ns, st.st_size)
+    hit = _FILESET_CACHE.get(key)
+    if hit is not None and hit[0] == tok:
+        return hit[1]
     try:
         with open(p, "rb") as f:
             doc = json.loads(f.read())
@@ -79,6 +97,9 @@ def read_fileset(vdir: str) -> dict | None:
         return None
     if not isinstance(doc, dict) or "entries" not in doc:
         return None
+    if len(_FILESET_CACHE) >= _FILESET_CACHE_MAX:
+        _FILESET_CACHE.pop(next(iter(_FILESET_CACHE)))
+    _FILESET_CACHE[key] = (tok, doc)
     return doc
 
 

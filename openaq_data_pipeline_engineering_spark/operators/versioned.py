@@ -2446,6 +2446,12 @@ def purge_rows(
       reads. Purge the source root (every clone sees the rewrite), or
       fully materialize the clone first (OPTIMIZE commits a local full
       version — earlier cloned versions still reference the source).
+      Caveat: a clone that committed its OWN fileset versions over
+      source-owned files (operators/filesets.py) resolves entries by
+      rel path; purging the source rewrites those files under NEW
+      names, so such clones must materialize (OPTIMIZE) before the
+      source is purged — the same coordination Delta requires between
+      a source's REORG/VACUUM and its shallow clones.
     - **Crash safety**: each directory swaps via write-tmp → rename-old
       → rename-tmp-in → reclaim-old; :func:`_recover_interrupted_purge`
       (run automatically on entry) heals any interrupted state to a

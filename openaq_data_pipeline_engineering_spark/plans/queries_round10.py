@@ -4,9 +4,10 @@ save/load facade, and the S3-shaped metadata store — each with a
 DuckDB oracle.
 
 - ``sql_cow_update_filegranular``: UPDATE '<root>' rewrites ONLY the
-  files containing matched rows and hardlink-carries the rest
-  (operators/cow.py — VERDICT r9 #1); the witness pins the carry by
-  INODE equality and byte accounting inside the query.
+  files containing matched rows and carries the rest — since r12 as
+  fileset sidecar references (operators/cow.py, filesets.py — VERDICT
+  r9 #1 / r11 #1); the witness pins the carry by entry-reference
+  equality and byte accounting inside the query.
 - ``sql_cow_merge_cdf_derived``: MERGE on a CDF table derives its
   change rows from the touched files' restricted diff (r9 #2) — the
   table_changes output is exact.

@@ -5,8 +5,9 @@ a DuckDB oracle.
 
 - ``sql_update_partitioned_cow``: UPDATE on a Hive-PARTITIONED
   versioned root (VERDICT r10 #1) rewrites only the touched partition
-  file; untouched files hardlink-carry at their key=value subpaths
-  (relative-inode equality pinned in-query).
+  file; untouched files carry at their key=value subpaths — since r12
+  as fileset sidecar references (zero copy syscalls, pinned in-query;
+  operators/filesets.py).
 - ``sql_update_partition_move``: a SET on the partition column routes
   the updated rows into their NEW key=value directory — the
   partition-moving shape of the same write path.
@@ -19,9 +20,9 @@ a DuckDB oracle.
   over a fixture dir DERIVED from the nation table, then aggregated;
   the oracle recomputes the same numbers from nation directly.
 - ``sql_dml_noop_vacuum_accounting``: zero-match UPDATE is a no-op
-  commit (ADVICE r10 #4) and VACUUM's freed_bytes is refcount-aware
-  (VERDICT r10 #5) — hardlink-carried files free nothing while a later
-  version still links them.
+  commit (ADVICE r10 #4); since r12, VACUUM refuses to reclaim an
+  owner version a live fileset still references and reclaims (bytes
+  actually freed) after a materializing OPTIMIZE breaks the chain.
 - ``versioned_partitioned_append``: native ``partition_by`` versioned
   writes + auto-partitioned delta appends + the per-directory
   partitioned chain read + DML over the rebased chain.
@@ -183,7 +184,7 @@ def sql_update_partitioned_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Partition-moving UPDATE: SET on the partition column. The rewrite's
 # partitionBy routes the two updated rows into the brand-new g=9
-# directory; every other partition's files carry by inode. The output
+# directory; every other partition's files carry by reference. The output
 # is the post-move per-partition profile — pure data, so the oracle is
 # the same CASE over nation.
 # --------------------------------------------------------------------------
