@@ -920,6 +920,100 @@ def schema_preserved(base: DataFrame, rewritten: DataFrame) -> bool:
     return b == r
 
 
+def _try_conflict_merge(
+    spark: SparkSession,
+    root: str,
+    eff_base: int,
+    base_ids: set,
+    touched_ids: set,
+    effective_layout: list,
+    base_schema,
+    conflict_rescan,
+):
+    """Delta's conflict-resolution rules on the fileset model: after a
+    ConcurrentWriteError from the conditional commit, decide whether
+    this writer's ALREADY-MATERIALIZED rewrite is still valid against
+    the new head without re-running the statement. Mergeable iff:
+
+    1. the head is a SELF-CONTAINED full version (not a delta chain /
+       restore span) with the same recorded partition layout;
+    2. no intervening commit rewrote or removed any file this
+       statement touched — every touched ``(owner, rel)`` identity is
+       still live at the head (file identities are immutable: a COW
+       rewrite of a file produces a NEW identity, so same-identity
+       means bit-identical content);
+    3. none of the rows the winners ADDED since ``eff_base`` match the
+       statement's read predicate — an EXACT rescan of just the delta
+       files via ``conflict_rescan`` (stricter than Delta's
+       partition-level ConcurrentAppendException heuristic).
+
+    Under 1–3 a re-execution against the head would discover exactly
+    the same touched set (discovery is exact over immutable files:
+    untouched base files hold no matching rows, winner files hold no
+    matching rows by the rescan) and rewrite it from identical inputs
+    to identical outputs — so committing the existing rewrite ON TOP
+    of the head's file set preserves full SERIALIZABILITY, not just
+    write-serializability. Returns ``(head, head_vdir,
+    carried_entries, bytes_carried, rescanned_files)`` or ``None`` to
+    decline (caller re-raises; the statement-level retry re-executes,
+    which is always correct)."""
+    from openaq_data_pipeline_engineering_spark.operators.filesets import (
+        read_version_subset,
+        version_entry_map,
+    )
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        _read_manifest_doc,
+    )
+
+    doc = _read_manifest_doc(root)
+    versions = doc.get("versions") or []
+    if not versions:
+        return None
+    head = versions[-1]
+    if head <= eff_base:
+        # constraint race or idempotent replay — nothing to rebase onto
+        return None
+    if doc.get("modes", {}).get(head, "full") != "full":
+        return None  # delta/restore head: content spans a chain
+    if recorded_layout(root, head) != list(effective_layout):
+        return None  # layout changed, or a pre-r12 head without one
+    head_vdir = resolve_base_dir(root, head)
+    try:
+        head_map = version_entry_map(head_vdir, head)
+    except (OSError, ValueError):
+        return None
+    head_ids = {
+        (owner, rel): (p, size)
+        for p, (owner, rel, size) in head_map.items()
+    }
+    if not touched_ids <= set(head_ids):
+        return None  # a winner rewrote/removed a file we rewrote
+    added = sorted(
+        p
+        for (owner, rel), (p, _s) in head_ids.items()
+        if (owner, rel) not in base_ids
+    )
+    if added:
+        try:
+            delta_df = read_version_subset(
+                spark, head_vdir, added, base_schema
+            )
+            if conflict_rescan(delta_df):
+                return None  # winners' new rows match the read set
+        except Exception:
+            return None
+    carried_entries = []
+    bytes_carried = 0
+    for (owner, rel), (_p, size) in sorted(head_ids.items()):
+        if (owner, rel) in touched_ids:
+            continue
+        carried_entries.append(
+            {"v": int(owner), "rel": rel, "size": int(size)}
+        )
+        bytes_carried += int(size)
+    return head, head_vdir, carried_entries, bytes_carried, len(added)
+
+
 def commit_file_rewrite(
     spark: SparkSession,
     root: str,
@@ -928,6 +1022,7 @@ def commit_file_rewrite(
     touched: list[str],
     txn_id: str | None = None,
     _max_claim_retries: int = 16,
+    conflict_rescan=None,
 ) -> int:
     """Publish a new version whose content is ``rewritten`` (the
     statement's lowering over the touched files) plus every OTHER data
@@ -957,11 +1052,25 @@ def commit_file_rewrite(
     files' pre-image against ``rewritten`` (O(touched)), not a
     full-table diff — see the module docstring for why carried keys
     cannot appear in the diff.
+
+    ``conflict_rescan`` (r12, Delta's conflict-resolution parity):
+    when supplied, a lost CAS race tries a LOGICAL REBASE onto the new
+    head instead of surfacing :class:`ConcurrentWriteError` — see
+    :func:`_try_conflict_merge` for the exact safety conditions. The
+    callable receives a DataFrame of the rows the winners ADDED since
+    ``base`` and returns True when any of them is in the statement's
+    read set (→ decline, the statement must re-execute). Callers whose
+    read set is join-shaped (MERGE) or who want today's
+    serialize-and-retry behavior simply omit it. The loser's
+    already-written rewrite commits on top of the head's file set —
+    both writers' changes land, with ONE rewrite each, the shape that
+    keeps many concurrent single-partition writers linear at 100 TB.
     """
     from openaq_data_pipeline_engineering_spark.operators.metastore import (
         get_metadata_store,
     )
     from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        ConcurrentWriteError,
         _change_rows,
         _commit_version,
         _enforce_constraints,
@@ -1157,14 +1266,133 @@ def commit_file_rewrite(
                 },
                 f,
             )
-        version = _commit_version(
-            root,
-            candidate,
-            txn_id,
-            expected_latest=base,
-            validated_constraints=validated,
-            layout=list(effective_layout),
-        )
+        eff_base = base
+        base_ids = {(o, r) for (o, r, _s) in entry_map.values()}
+        touched_ids = {
+            (entry_map[p][0], entry_map[p][1]) for p in touched_set
+        }
+        files_carried_n = len(carried)
+        conflict_merges = 0
+        while True:
+            try:
+                version = _commit_version(
+                    root,
+                    candidate,
+                    txn_id,
+                    expected_latest=eff_base,
+                    validated_constraints=validated,
+                    layout=list(effective_layout),
+                )
+                break
+            except ConcurrentWriteError:
+                # Constraint races and out-of-order rejections already
+                # deleted our directory — only a plain lost CAS race
+                # (dir intact) with an opted-in caller can merge.
+                if conflict_rescan is None or not os.path.isdir(new_dir):
+                    raise
+                m = _try_conflict_merge(
+                    spark,
+                    root,
+                    eff_base,
+                    base_ids,
+                    touched_ids,
+                    list(effective_layout),
+                    base_schema,
+                    conflict_rescan,
+                )
+                if m is None:
+                    raise
+                head, head_vdir, carried_entries, bytes_carried, _n = m
+                if candidate <= head:
+                    # A full commit numbered below the head would be
+                    # history-only (no latest reader ever resolves it)
+                    # or rejected by the out-of-order guard: re-claim a
+                    # number above the head and move OUR files there —
+                    # driver-side renames ∝ rewritten files only.
+                    for _ in range(_max_claim_retries):
+                        cand2 = (
+                            max(
+                                _read_manifest(root)
+                                + _existing_version_dirs(root),
+                                default=0,
+                            )
+                            + 1
+                        )
+                        if store.claim_version_dir(root, cand2):
+                            break
+                    else:
+                        raise
+                    new_dir2 = os.path.join(root, f"v={cand2}")
+                    for name in os.listdir(new_dir):
+                        os.rename(
+                            os.path.join(new_dir, name),
+                            os.path.join(new_dir2, name),
+                        )
+                    shutil.rmtree(new_dir, ignore_errors=True)
+                    new_dir, candidate = new_dir2, cand2
+                local_files = sorted(iter_data_parquet_files(new_dir))
+                entries = [
+                    {
+                        "v": candidate,
+                        "rel": os.path.relpath(p, new_dir),
+                        "size": os.path.getsize(p),
+                    }
+                    for p in local_files
+                ]
+                local_rels = {e["rel"] for e in entries}
+                if any(e["rel"] in local_rels for e in carried_entries):
+                    raise  # fresh-UUID rel collision: decline, re-run
+                from openaq_data_pipeline_engineering_spark.operators.filesets import (
+                    FILESET_SIDECAR,
+                )
+                from openaq_data_pipeline_engineering_spark.operators.skipstats import (
+                    SKIPSTATS_DIR,
+                )
+
+                if carried_entries:
+                    write_fileset(
+                        new_dir,
+                        list(effective_layout),
+                        base_schema.jsonValue(),
+                        entries + carried_entries,
+                    )
+                else:
+                    try:
+                        os.remove(os.path.join(new_dir, FILESET_SIDECAR))
+                    except FileNotFoundError:
+                        pass
+                # Refresh the skipstats carry against the NEW base (the
+                # first attempt's manifest inherited rows from the OLD
+                # base's carried set; best-effort as always).
+                shutil.rmtree(
+                    os.path.join(new_dir, SKIPSTATS_DIR),
+                    ignore_errors=True,
+                )
+                _carry_manifest(spark, head_vdir, new_dir)
+                conflict_merges += 1
+                files_carried_n = len(carried_entries)
+                with open(
+                    os.path.join(new_dir, COW_STATS_SIDECAR), "w"
+                ) as f:
+                    json.dump(
+                        {
+                            "base_version": head,
+                            "files_rewritten": files_rewritten,
+                            "files_carried": files_carried_n,
+                            "bytes_rewritten": bytes_rewritten,
+                            "bytes_carried": bytes_carried,
+                            "carry_mode": (
+                                "fileset" if carried_entries else "local"
+                            ),
+                            "copy_syscalls": copy_syscalls,
+                            "conflict_merges": conflict_merges,
+                        },
+                        f,
+                    )
+                eff_base = head
+                base_ids = {
+                    (int(e["v"]), e["rel"]) for e in carried_entries
+                } | touched_ids
     except BaseException:
         # Content is derivable from the statement — nothing is lost by
         # reclaiming the claim immediately instead of leaving an
@@ -1173,12 +1401,16 @@ def commit_file_rewrite(
         raise
     LAST_COW_STATS[os.path.abspath(root)] = {
         "version": version,
+        "base_version": eff_base,
         "files_rewritten": files_rewritten,
-        "files_carried": len(carried),
+        "files_carried": files_carried_n,
         "bytes_rewritten": bytes_rewritten,
         "bytes_carried": bytes_carried,
-        "carry_mode": "fileset" if carried else "local",
+        "carry_mode": (
+            "fileset" if files_carried_n else "local"
+        ),
         "copy_syscalls": copy_syscalls,
+        "conflict_merges": conflict_merges,
     }
     return version
 

@@ -273,8 +273,28 @@ def _execute_dml_on_root(spark: SparkSession, sql: str, pm, lowering, where_re):
                             spark, rewritten, target_df=subset
                         )
                         if schema_preserved(base_df, partial):
+                            # Conflict-resolution probe (r12): on a
+                            # lost CAS race the commit may logically
+                            # rebase onto the winner iff none of the
+                            # winner's ADDED rows match this WHERE —
+                            # exact, deterministic (plan_is_cow_safe
+                            # already gated discovery), NULL = no
+                            # match like the lowering itself.
+                            def _rescan(
+                                df, _w=where, _a=alias
+                            ) -> bool:
+                                d = df.alias(_a) if _a else df
+                                return bool(
+                                    d.filter(F.expr(_w)).take(1)
+                                )
+
                             new_v = commit_file_rewrite(
-                                spark, root, cow_base, partial, touched
+                                spark,
+                                root,
+                                cow_base,
+                                partial,
+                                touched,
+                                conflict_rescan=_rescan,
                             )
             if new_v is None:
                 df = read_snapshot(spark, root, version=base)

@@ -700,8 +700,19 @@ def _optimize_incremental(
         else:
             packed = packed.repartition(n_out)
         try:
+            # Compaction is content-preserving, so a lost CAS race can
+            # ALWAYS logically rebase onto the winner (r12): files the
+            # winner added stay uncompacted in the merged commit —
+            # exactly what re-running against a moving table converges
+            # to — hence a constant-False rescan (no added row affects
+            # a pack's read set).
             new_v = commit_file_rewrite(
-                spark, root, base, packed, touched
+                spark,
+                root,
+                base,
+                packed,
+                touched,
+                conflict_rescan=lambda _df: False,
             )
         except ConcurrentWriteError as e:
             last_err = e
