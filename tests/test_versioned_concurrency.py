@@ -231,22 +231,32 @@ def test_mixed_appends_and_fulls_under_contention(spark, tmp_path):
     root = str(tmp_path / "t")
     write_snapshot(_df(spark, 0), root)  # v1 seed
     appended: dict[int, int] = {}  # writer id -> committed version
-    errors: list[BaseException] = []
+    errors: list[str] = []
+    transients: list[str] = []
     lock = threading.Lock()
 
+    # Same classified-retry shape as
+    # test_interleaved_writers_and_restores_lose_nothing (VERDICT r11
+    # #4): under co-run machine load a thread can surface a bare
+    # Py4JJavaError from .parquet(); only classified ENVIRONMENT
+    # transients retry — protocol errors or anything unrecognized
+    # fail the test with the full Java exception chain.
     def appender(wid: int):
-        try:
-            v = append_rows(_df(spark, wid), root)
+        v = _run_classified(
+            lambda: append_rows(_df(spark, wid), root),
+            errors,
+            transients,
+        )
+        if v is not None:
             with lock:
                 appended[wid] = v
-        except BaseException as e:  # pragma: no cover
-            errors.append(e)
 
     def publisher(wid: int):
-        try:
-            write_snapshot(_df(spark, wid), root)
-        except BaseException as e:  # pragma: no cover
-            errors.append(e)
+        _run_classified(
+            lambda: write_snapshot(_df(spark, wid), root),
+            errors,
+            transients,
+        )
 
     threads = [
         threading.Thread(target=appender, args=(wid,))
