@@ -1059,9 +1059,11 @@ def commit_file_rewrite(
     :func:`_try_conflict_merge` for the exact safety conditions. The
     callable receives a DataFrame of the rows the winners ADDED since
     ``base`` and returns True when any of them is in the statement's
-    read set (→ decline, the statement must re-execute). Callers whose
-    read set is join-shaped (MERGE) or who want today's
-    serialize-and-retry behavior simply omit it. The loser's
+    read set (→ decline, the statement must re-execute). UPDATE/DELETE
+    pass a WHERE-filter probe, MERGE an ON-join (plus by-source
+    condition) probe, OPTIMIZE INCREMENTAL a constant False
+    (content-preserving); callers wanting serialize-and-retry (the
+    streaming upsert's keyed batches) simply omit it. The loser's
     already-written rewrite commits on top of the head's file set —
     both writers' changes land, with ONE rewrite each, the shape that
     keeps many concurrent single-partition writers linear at 100 TB.

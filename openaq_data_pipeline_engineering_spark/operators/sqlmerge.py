@@ -831,9 +831,13 @@ def execute_merge_statement(
     # referencing SOURCE columns (not evaluable on a target-only
     # scan), schema evolution (carried files would lack the new
     # columns), mixed flat/partitioned bases, or a lowering that
-    # changes a column type. On a commit CONFLICT the statement
-    # re-reads the new latest and re-executes (3 attempts — Delta's
-    # MERGE retry shape), then surfaces ConcurrentWriteError.
+    # changes a column type. On a commit CONFLICT the statement first
+    # tries a LOGICAL REBASE (r12, cow._try_conflict_merge — valid
+    # when the winners touched none of this MERGE's files and added
+    # no row in its read set, checked by an exact ON-join rescan of
+    # just the winners' delta files), else re-reads the new latest
+    # and re-executes (3 attempts — Delta's MERGE retry shape), then
+    # surfaces ConcurrentWriteError.
     from openaq_data_pipeline_engineering_spark.operators.cow import (
         commit_file_rewrite,
         ensure_cow_base,
@@ -921,8 +925,53 @@ def execute_merge_statement(
                                     # the target side is already empty.
                                     new_v = cow_base
                                 else:
+                                    # Conflict-resolution probe (r12):
+                                    # a lost CAS race may logically
+                                    # rebase iff the winners' ADDED
+                                    # rows are outside this MERGE's
+                                    # read set — no added row matches
+                                    # the source on ON (it would join
+                                    # into the matched set AND shrink
+                                    # the not-matched insert set), and
+                                    # for by-source clauses no added
+                                    # UNMATCHED row satisfies a clause
+                                    # condition (target-only conds —
+                                    # cow_capable guarantees it).
+                                    def _rescan(
+                                        df, _src=source_df, _st=st
+                                    ) -> bool:
+                                        d = df.alias(_st.t_alias)
+                                        s = _src.alias(_st.s_alias)
+                                        if bool(
+                                            d.join(
+                                                s,
+                                                F.expr(_st.on),
+                                                "left_semi",
+                                            ).take(1)
+                                        ):
+                                            return True
+                                        if _st.by_source:
+                                            un = d.join(
+                                                s,
+                                                F.expr(_st.on),
+                                                "left_anti",
+                                            )
+                                            for _, c in _st.by_source:
+                                                if bool(
+                                                    un.filter(
+                                                        F.expr(c.cond)
+                                                    ).take(1)
+                                                ):
+                                                    return True
+                                        return False
+
                                     new_v = commit_file_rewrite(
-                                        spark, root, cow_base, partial, touched
+                                        spark,
+                                        root,
+                                        cow_base,
+                                        partial,
+                                        touched,
+                                        conflict_rescan=_rescan,
                                     )
                         finally:
                             release_merge_cache(partial)

@@ -283,3 +283,94 @@ class TestPartitionedAndCompaction:
         assert sidecar["conflict_merges"] >= 1
         assert sidecar["base_version"] == versions[-2]
         assert sidecar["copy_syscalls"] == 0
+
+
+class TestMergeStatementRaces:
+    def test_merge_update_race_merges_when_disjoint(
+        self, spark, tmp_path, mem_store
+    ):
+        """A MERGE whose matched-update touches file 0 races an UPDATE
+        that rewrote file 3: the ON-join rescan finds no winner-added
+        row matching the source, so the MERGE merges — one rewrite
+        each."""
+        root = _seed_ranged(spark, tmp_path)
+        spark.createDataFrame(
+            [(5, 555.0)], "k long, s_score double"
+        ).createOrReplaceTempView("cm_src_a")
+        eng = Engine(spark)
+
+        def compete(_root, _data):
+            eng.sql(f"UPDATE '{root}' SET score = 222.0 WHERE k = 350")
+
+        mem_store.before_write = compete
+        eng.sql(
+            f"MERGE INTO '{root}' AS t USING cm_src_a AS s "
+            "ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET score = s.s_score"
+        ).first()
+        out = read_snapshot(spark, root)
+        assert out.count() == 400
+        assert out.filter("k = 5").first()["score"] == 555.0
+        assert out.filter("k = 350").first()["score"] == 222.0
+        stats = last_cow_stats(root)
+        assert stats["conflict_merges"] == 1
+        assert stats["copy_syscalls"] == 0
+
+    def test_merge_declines_when_winner_moves_row_into_source_keys(
+        self, spark, tmp_path, mem_store
+    ):
+        """SERIALIZABILITY pin for MERGE: the winner's UPDATE moves a
+        key INTO the source's key set (k=5 -> k=351, rewritten into a
+        file the MERGE did not touch). The ON-join rescan sees the
+        added row match the source and declines; re-execution updates
+        BOTH k=351 rows."""
+        root = _seed_ranged(spark, tmp_path)
+        spark.createDataFrame(
+            [(351, 1000.0)], "k long, s_score double"
+        ).createOrReplaceTempView("cm_src_b")
+        eng = Engine(spark)
+
+        def compete(_root, _data):
+            eng.sql(f"UPDATE '{root}' SET k = 351 WHERE k = 5")
+
+        mem_store.before_write = compete
+        eng.sql(
+            f"MERGE INTO '{root}' AS t USING cm_src_b AS s "
+            "ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET score = s.s_score"
+        ).first()
+        out = read_snapshot(spark, root)
+        assert out.count() == 400
+        rows = out.filter("k = 351").collect()
+        assert len(rows) == 2
+        assert {r["score"] for r in rows} == {1000.0}
+        assert last_cow_stats(root)["conflict_merges"] == 0
+
+    def test_insert_only_merge_race_merges(
+        self, spark, tmp_path, mem_store
+    ):
+        """An insert-only MERGE (touched = no files) races an UPDATE:
+        the winner's rewrite holds no source key, so the inserts
+        commit by logical rebase on top of the winner's file set."""
+        root = _seed_ranged(spark, tmp_path)
+        spark.createDataFrame(
+            [(1000, -1.0), (1001, -2.0)], "k long, s_score double"
+        ).createOrReplaceTempView("cm_src_c")
+        eng = Engine(spark)
+
+        def compete(_root, _data):
+            eng.sql(f"UPDATE '{root}' SET score = 222.0 WHERE k = 350")
+
+        mem_store.before_write = compete
+        eng.sql(
+            f"MERGE INTO '{root}' AS t USING cm_src_c AS s "
+            "ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (k, score) "
+            "VALUES (s.k, s.s_score)"
+        ).first()
+        out = read_snapshot(spark, root)
+        assert out.count() == 402
+        assert out.filter("k = 1000").first()["score"] == -1.0
+        assert out.filter("k = 350").first()["score"] == 222.0
+        stats = last_cow_stats(root)
+        assert stats["conflict_merges"] == 1

@@ -548,6 +548,7 @@ class TestCowCommitProtocol:
 
         root = _seed(spark, tmp_path, n=100, files=4)
         outcomes: dict[int, str] = {}
+        unexpected: list[str] = []
         barrier = threading.Barrier(2)
 
         def run(i: int):
@@ -560,12 +561,31 @@ class TestCowCommitProtocol:
                 outcomes[i] = "ok"
             except ConcurrentWriteError:
                 outcomes[i] = "conflict"
+            except BaseException as e:  # noqa: BLE001 - capture detail
+                # VERDICT r11 #4 shape: a thread dying on anything else
+                # (e.g. a Py4J transient under co-run load) must fail
+                # the test WITH its exception chain, not silently skip
+                # its outcome assertions.
+                parts = [f"{type(e).__name__}: {e}"]
+                jexc = getattr(e, "java_exception", None)
+                while jexc is not None:
+                    try:
+                        parts.append(
+                            f"{jexc.getClass().getName()}: "
+                            f"{jexc.getMessage()}"
+                        )
+                        jexc = jexc.getCause()
+                    except Exception:
+                        parts.append("<java detail unavailable>")
+                        break
+                unexpected.append(" <- ".join(parts))
 
         ts = [threading.Thread(target=run, args=(i,)) for i in range(2)]
         for t in ts:
             t.start()
         for t in ts:
             t.join()
+        assert not unexpected, unexpected
         assert "ok" in outcomes.values()  # at least one landed
         latest = read_snapshot(spark, root)
         assert latest.count() == 100
