@@ -206,11 +206,12 @@ def ensure_cow_base(spark: SparkSession, root: str) -> int | None:
 
     The latest version when it is already COW-eligible; when it is an
     append-chain DELTA or a RESTORE commit, try a ZERO-COPY rebase
-    first (versioned._checkpoint_zero_copy — hardlink merge, no data
-    bytes) and return the rebased version. This closes the gap where a
-    one-key UPDATE on a table whose latest commit happened to be an
-    append fell back to rewriting the WHOLE table: now it costs one
-    link-merge commit plus the touched-file rewrite. A CLONE-REFERENCED
+    first (versioned._checkpoint_zero_copy — a FILESET commit
+    referencing the chain's files at their owners, zero data I/O on
+    any store) and return the rebased version. This closes the gap
+    where a one-key UPDATE on a table whose latest commit happened to
+    be an append fell back to rewriting the WHOLE table: now it costs
+    one sidecar PUT plus the touched-file rewrite. A CLONE-REFERENCED
     full base needs no materialization at all (r12): the fileset carry
     references the source's files directly through the base_root
     chain. A restore base still rebases first (its content spans its

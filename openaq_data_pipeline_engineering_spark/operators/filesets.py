@@ -379,6 +379,36 @@ def fileset_owner_versions(vdir: str) -> set[int]:
     return {int(e["v"]) for e in fs["entries"]}
 
 
+def referenced_rels_by_owner(
+    root: str, versions: list[int]
+) -> dict[int, set[str]]:
+    """``owner version -> rel paths`` that the fileset sidecars of
+    ``versions`` reference OUTSIDE themselves — the file-granular
+    vacuum's live set (r12): a version can leave the manifest while
+    exactly these files of its directory survive in place. Entries a
+    version owns itself are excluded (its own files live or die with
+    its directory). Versions without a sidecar contribute nothing;
+    unresolvable directories (a vacuumed clone source) are skipped."""
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        _version_dir,
+    )
+
+    out: dict[int, set[str]] = {}
+    for v in versions:
+        try:
+            d = _version_dir(root, v)
+        except FileNotFoundError:
+            continue
+        fs = read_fileset(d)
+        if fs is None:
+            continue
+        for e in fs["entries"]:
+            owner = int(e["v"])
+            if owner != v:
+                out.setdefault(owner, set()).add(e["rel"])
+    return out
+
+
 def materialize_fileset(vdir: str) -> int:
     """Compatibility view: make ``vdir`` a self-contained directory by
     hard-linking (copy across devices) every NON-local entry to its

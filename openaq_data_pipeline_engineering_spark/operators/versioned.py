@@ -46,6 +46,7 @@ def _dump_manifest(
     clones: list[str] | None = None,
     cdf_keys: list[str] | None = None,
     layouts: dict[int, list[str]] | None = None,
+    retained_dirs: list[int] | None = None,
 ) -> bytes:
     doc = {
         "versions": sorted(versions),
@@ -76,6 +77,12 @@ def _dump_manifest(
     # committed by older writers (callers fall back to the walk).
     if layouts:
         doc["layouts"] = {str(v): list(lo) for v, lo in layouts.items()}
+    # Version dirs RETAINED past their manifest lifetime because a
+    # live fileset still references SOME of their files (file-granular
+    # vacuum, r12): tracked here so later vacuums re-clean them as
+    # references age out (never mistaken for crashed-writer orphans).
+    if retained_dirs:
+        doc["retained_dirs"] = sorted(set(int(v) for v in retained_dirs))
     return json.dumps(doc).encode("utf-8")
 
 
@@ -91,6 +98,7 @@ def _dump_doc(doc: dict) -> bytes:
         clones=doc["clones"],
         cdf_keys=doc["cdf_keys"],
         layouts=doc["layouts"],
+        retained_dirs=doc.get("retained_dirs") or [],
     )
 
 
@@ -142,6 +150,7 @@ def _parse_manifest(raw: bytes | None) -> dict:
         "clones": [],
         "cdf_keys": [],
         "layouts": {},
+        "retained_dirs": [],
     }
     if raw is None:
         return empty
@@ -165,6 +174,9 @@ def _parse_manifest(raw: bytes | None) -> dict:
                 int(k): [str(c) for c in v]
                 for k, v in (doc.get("layouts") or {}).items()
             },
+            "retained_dirs": sorted(
+                int(v) for v in (doc.get("retained_dirs") or [])
+            ),
         }
     except (ValueError, KeyError, TypeError):
         return empty
@@ -748,16 +760,17 @@ def checkpoint_appends(
 
     ZERO-COPY by default: when every directory in the chain carries the
     SAME parquet schema (one footer read per directory), the new full
-    version is built by HARDLINKING every chain file into the claimed
-    directory — zero data bytes written, O(files) metadata ops, exactly
-    Delta's checkpoint cost model (a Delta checkpoint compacts the LOG;
-    data files are shared between versions by reference). The rebase's
-    contract is bounding READ amplification (directories per read),
-    which the link merge satisfies; pass ``compact=True`` (or use
-    ``OPTIMIZE '<root>'``) when small-file compaction is ALSO wanted —
-    that path rewrites through Spark. Schema-evolved chains
+    version is a ``_fileset.json`` sidecar referencing every chain
+    file at its original owner (r12) — zero data bytes written, one
+    small PUT, on EVERY store, exactly Delta's checkpoint cost model
+    (a Delta checkpoint compacts the LOG; data files are shared
+    between versions by reference). The rebase's contract is bounding
+    READ amplification (one version resolution instead of a K-deep
+    chain walk), which the sidecar satisfies; pass ``compact=True``
+    (or use ``OPTIMIZE '<root>'``) when small-file compaction is ALSO
+    wanted — that path rewrites through Spark. Schema-evolved chains
     (mergeSchema reads) fall back to the rewrite automatically: their
-    files cannot share one directory.
+    files cannot serve one pinned schema.
 
     This is a read-modify-write: the checkpoint's content is whatever
     the table held at read time, so the commit is CONDITIONAL on the
@@ -814,11 +827,14 @@ def _dir_footer_schema(d: str):
 def _checkpoint_zero_copy(
     spark: SparkSession, root: str, base: int, txn_id: str | None
 ) -> int | None:
-    """Hardlink-merge rebase: returns the committed version, or None
-    when ineligible (schema-evolved chain, clone-referenced
-    directories on another filesystem are still fine — link falls back
-    to copy2 per file). Raises ConcurrentWriteError on a commit
-    conflict exactly like the rewrite path."""
+    """Fileset rebase (r12): publish the chain's resolved content as
+    one FULL version whose ``_fileset.json`` entries reference every
+    chain file at its original owner — zero data I/O on every store.
+    Returns the committed version, or None when ineligible
+    (schema-evolved chain, mixed layouts, or an entry-identity
+    collision) — the caller's rewrite fallback materializes instead.
+    Raises ConcurrentWriteError on a commit conflict exactly like the
+    rewrite path."""
     import shutil
 
     from pyspark.sql import functions as F
@@ -869,32 +885,43 @@ def _checkpoint_zero_copy(
         raise RuntimeError(f"could not allocate a version under {root}")
     new_dir = os.path.join(root, f"v={candidate}")
     from openaq_data_pipeline_engineering_spark.operators.filesets import (
-        version_files_with_rels,
+        version_entry_map,
+        write_fileset,
     )
 
     try:
-        for src_dir in paths:
-            for src, rel in version_files_with_rels(src_dir):
-                # relative-path carry: a partitioned chain's key=value/
-                # segments survive the merge (flat chains degenerate to
-                # the basename link). A FILESET chain member carries
-                # its REFERENCED files (resolved to their owners'
-                # physical paths) — the rebase is a MATERIALIZING
-                # commit by design, breaking the reference chain so
-                # old owner versions can age out of retention.
-                d = os.path.join(new_dir, os.path.dirname(rel))
-                os.makedirs(d, exist_ok=True)
-                dst = os.path.join(d, os.path.basename(src))
-                n = 0
-                while os.path.exists(dst):
-                    n += 1
-                    dst = os.path.join(
-                        d, f"rebase-{n}-{os.path.basename(src)}"
-                    )
-                try:
-                    os.link(src, dst)
-                except OSError:
-                    shutil.copy2(src, dst)
+        # FILESET rebase (r12): the new full version is a sidecar whose
+        # entries reference every chain file AT ITS ORIGINAL OWNER —
+        # zero link/copy syscalls, zero data I/O, on every store. (The
+        # pre-r12 hardlink merge was local-filesystem-only: on an
+        # object store a DML landing on an append chain paid a FULL
+        # physical table copy here before the file-granular rewrite
+        # could even run.) Chain members that are themselves fileset
+        # versions propagate their ORIGINAL owners, so a rebase never
+        # references an intermediate carrier. Reclamation: vacuum
+        # deletes a dropped owner version's UNREFERENCED files and
+        # retains only the referenced ones in place — Delta's
+        # per-file VACUUM shape — so the reference chain no longer
+        # blocks retention the way a directory-granular drop would.
+        entries: list[dict] = []
+        seen: set[tuple[int, str]] = set()
+        for v, p in _resolve_version_pairs(root, doc, base):
+            for abs_p, (owner, rel, size) in sorted(
+                version_entry_map(p, v).items()
+            ):
+                if (owner, rel) in seen:
+                    # structurally absent (fresh part-file UUIDs);
+                    # decline rather than alias two files in one set
+                    shutil.rmtree(new_dir, ignore_errors=True)
+                    return None
+                seen.add((owner, rel))
+                entries.append(
+                    {"v": int(owner), "rel": rel, "size": int(size)}
+                )
+        schema_json = (
+            read_snapshot(spark, root, version=base).schema.jsonValue()
+        )
+        write_fileset(new_dir, list(layouts[0]), schema_json, entries)
         if doc["cdf_keys"]:
             # A rebase is content-preserving: its change set is EMPTY
             # by construction — written as typed empty change files so
@@ -1286,6 +1313,27 @@ def _version_dir(root: str, version: int) -> str:
         r = base
 
 
+def _resolve_version_pairs(
+    root: str, doc: dict, version: int
+) -> list[tuple[int, str]]:
+    """``(version, data directory)`` pairs whose union is ``version``'s
+    content — :func:`_resolve_version_paths` with the owning version
+    numbers kept (the fileset rebase needs them to attribute entries
+    to their original owners)."""
+    pairs: list[tuple[int, str]] = []
+    for v in _chain_versions(doc["versions"], doc["modes"], version):
+        mode = doc["modes"].get(v, "full")
+        if mode.startswith("restore:"):
+            pairs.extend(
+                _resolve_version_pairs(
+                    root, doc, int(mode.split(":", 1)[1])
+                )
+            )
+        else:
+            pairs.append((v, _version_dir(root, v)))
+    return pairs
+
+
 def _resolve_version_paths(
     root: str, doc: dict, version: int
 ) -> list[str]:
@@ -1509,25 +1557,55 @@ def vacuum_snapshots(
             v for v in versions[:-keep_last] if _old_enough(v, min_age_seconds)
         ]
         keep = [v for v in versions if v not in drop]
+        ref_map: dict[int, set[str]] = {}
         if keep:
             # Chain-aware retention: a kept DELTA version still reads
-            # its base full snapshot and every intermediate delta, a
-            # kept RESTORE commit reads its target's chain, and a kept
-            # FILESET version (a COW DML commit) reads data files its
-            # OWNER versions' directories physically hold — reclaiming
-            # any of those would corrupt the kept version. Keep the
-            # transitive referenced set of every kept version; on an
-            # append-only table (no full base yet) this makes vacuum a
-            # no-op until a checkpoint_appends re-bases the chain, and
-            # on a DML-heavy table old owners age out after the next
-            # MATERIALIZING commit (OPTIMIZE / full overwrite) — the
-            # same reclamation shape as Delta's OPTIMIZE-then-VACUUM.
+            # its base full snapshot and every intermediate delta, and
+            # a kept RESTORE commit reads its target's chain — chain
+            # resolution walks the MANIFEST, so those versions must
+            # stay in it. A kept FILESET version references individual
+            # FILES in owner directories BY PATH: the owner may leave
+            # the manifest (time travel to it expires with retention)
+            # while exactly the referenced files survive in place —
+            # Delta's per-file VACUUM shape (r12: versions expire by
+            # retention, files expire when unreferenced), so a
+            # DML-heavy history reclaims its overwritten files
+            # incrementally instead of waiting for a full-table
+            # OPTIMIZE to break the reference chain.
             needed: set[int] = set()
             for k in keep:
                 _collect_referenced(versions, modes, k, needed)
-            _fileset_owner_closure(root, needed)
             drop = [v for v in drop if v not in needed]
             keep = [v for v in versions if v not in drop]
+            from openaq_data_pipeline_engineering_spark.operators.filesets import (
+                referenced_rels_by_owner,
+            )
+
+            ref_map = referenced_rels_by_owner(root, keep)
+
+            # Live clones (and clones-of-clones) read files of THIS
+            # root's directories through their own fileset sidecars —
+            # fold their references in so a retained dir's files that
+            # only a clone still needs are never pruned. (Version-
+            # level clone protection below still refuses MANIFEST
+            # drops a clone reads through; this guards the
+            # file-granular reclaim of already-retained dirs.)
+            def _fold_clone_refs(r: str, seen_roots: set[str]) -> None:
+                for c in _read_manifest_doc(r)["clones"]:
+                    if c in seen_roots:
+                        continue
+                    seen_roots.add(c)
+                    cdoc = _read_manifest_doc(c)
+                    if cdoc["base_root"] is None or not cdoc["versions"]:
+                        continue
+                    for o, rels in referenced_rels_by_owner(
+                        c, cdoc["versions"]
+                    ).items():
+                        ref_map.setdefault(o, set()).update(rels)
+                    _fold_clone_refs(c, seen_roots)
+
+            if doc["clones"]:
+                _fold_clone_refs(root, set())
         live_clones = doc["clones"]
         if drop and doc["clones"]:
             # Clone protection (recorded back-references): refuse to
@@ -1561,10 +1639,28 @@ def vacuum_snapshots(
                         + " — drop or materialize the clones, or pass "
                         "force_break_clones=True to break them loudly"
                     )
+        # Retained-dir lifecycle (file-granular vacuum, r12):
+        #  - a dropped version whose files a surviving fileset still
+        #    references moves to ``retained_dirs`` — its directory
+        #    keeps exactly the referenced files;
+        #  - a previously-retained dir nobody references anymore
+        #    retires (full rmtree);
+        #  - still-referenced retained dirs re-clean on every vacuum
+        #    (newly-unreferenced files age out incrementally).
+        prior_retained = [
+            v for v in doc["retained_dirs"] if v not in versions
+        ]
+        retained_new = [v for v in drop if ref_map.get(v)]
+        retire = [v for v in prior_retained if not ref_map.get(v)]
+        still_retained = sorted(
+            (set(prior_retained) - set(retire)) | set(retained_new)
+        )
         orphans = [
             v
             for v in _existing_version_dirs(root)
             if v not in versions
+            and v not in still_retained
+            and v not in retire
             and _old_enough(v, orphan_grace)
             # NEVER an orphan: a directory mid-CONVERSION holds the
             # adopted table's ONLY copy (entries were MOVED in, the
@@ -1583,10 +1679,23 @@ def vacuum_snapshots(
             kept_txns = {t: v for t, v in txns.items() if v > txn_floor}
         else:
             kept_txns = txns
-        if not drop and not orphans and kept_txns == txns:
-            return None, ([], [])
-        if not drop and kept_txns == txns:
-            return None, (drop, orphans)  # orphan cleanup only
+        retained_changed = set(still_retained) != set(doc["retained_dirs"])
+        result = (drop, orphans, retire, still_retained, ref_map)
+        if (
+            not drop
+            and not orphans
+            and not retire
+            and not retained_changed
+            and kept_txns == txns
+        ):
+            return None, ([], [], [], still_retained, ref_map)
+        if (
+            not drop
+            and not retire
+            and not retained_changed
+            and kept_txns == txns
+        ):
+            return None, result  # orphan cleanup only
         doc["versions"] = keep
         doc["txns"] = kept_txns
         doc["ts"] = {v: t for v, t in ts.items() if v in keep}
@@ -1595,13 +1704,48 @@ def vacuum_snapshots(
             v: lo for v, lo in doc["layouts"].items() if v in keep
         }
         doc["clones"] = live_clones
-        return doc, (drop, orphans)
+        doc["retained_dirs"] = still_retained
+        return doc, result
 
-    drop, orphans = _manifest_txn(root, decide)
-    _record_vacuum_freed(root, drop, orphans)
-    for v in drop + orphans:
-        shutil.rmtree(os.path.join(root, f"v={v}"), ignore_errors=True)
+    drop, orphans, retire, retained, ref_map = _manifest_txn(root, decide)
+    _record_vacuum_freed(root, drop, orphans, retire, retained, ref_map)
+    # Deletion targets: dropped versions, orphan dirs and retired
+    # retained-dirs reclaim wholesale; dirs with still-referenced
+    # files keep EXACTLY those files in place (their paths are what
+    # surviving fileset entries resolve to).
+    targets: dict[int, set[str]] = {}
+    for v in [*drop, *orphans, *retire, *retained]:
+        targets[v] = set(ref_map.get(v) or set())
+    for v, keep_rels in targets.items():
+        d = os.path.join(root, f"v={v}")
+        if keep_rels:
+            _prune_unreferenced_files(d, keep_rels)
+        else:
+            shutil.rmtree(d, ignore_errors=True)
     return drop
+
+
+def _prune_unreferenced_files(d: str, keep_rels: set[str]) -> None:
+    """Delete every file of ``d`` whose rel path is not in
+    ``keep_rels`` (sidecars and stale manifests included — the
+    directory is no longer a readable version, only file storage),
+    then drop emptied subdirectories bottom-up. Referenced files stay
+    at their exact rel paths so fileset entries keep resolving."""
+    if not os.path.isdir(d):
+        return
+    for dirpath, _dn, files in os.walk(d, topdown=False):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            if os.path.relpath(p, d) not in keep_rels:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+        if dirpath != d:
+            try:
+                os.rmdir(dirpath)
+            except OSError:
+                pass  # still holds referenced files
 
 
 # Diagnostics: last vacuum's REFCOUNT-AWARE freed-bytes per dropped
@@ -1616,30 +1760,45 @@ LAST_VACUUM_STATS: dict[str, dict] = {}
 
 
 def _record_vacuum_freed(
-    root: str, drop: list[int], orphans: list[int]
+    root: str,
+    drop: list[int],
+    orphans: list[int],
+    retire: list[int] | None = None,
+    retained: list[int] | None = None,
+    ref_map: dict[int, set[str]] | None = None,
 ) -> None:
-    """Compute, BEFORE deletion, which bytes the rmtree of the dropped
-    directories will actually free: an inode is freed iff every one of
-    its ``st_nlink`` names lives inside the dropped set (names in kept
+    """Compute, BEFORE deletion, which bytes this vacuum will actually
+    free. A file whose rel path a surviving fileset references
+    (``ref_map``) stays in place — counted as still-referenced, not
+    freed. For the rest the accounting stays refcount-aware for
+    hardlink-era carriers: an inode is freed iff every one of its
+    ``st_nlink`` names lives inside the deleted set (names in kept
     versions, other roots, or clones keep it alive). Bytes are
-    attributed to the LOWEST dropped version holding the inode. Pure
-    os.stat over the dropped dirs — O(dropped files), no data read."""
+    attributed to the LOWEST deleted version holding the inode. Pure
+    os.stat over the affected dirs — O(their files), no data read."""
     from openaq_data_pipeline_engineering_spark.operators.compact import (
         iter_data_parquet_files,
     )
 
+    retire = retire or []
+    retained = retained or []
+    ref_map = ref_map or {}
     names_in_drop: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
-    for v in sorted(drop + orphans):
+    still_referenced = 0
+    for v in sorted(set(drop + orphans + retire + retained)):
         d = os.path.join(root, f"v={v}")
         if not os.path.isdir(d):
             continue
+        keep_rels = ref_map.get(v) or set()
         for p in iter_data_parquet_files(d):
             st = os.stat(p)
+            if os.path.relpath(p, d) in keep_rels:
+                still_referenced += st.st_size
+                continue
             names_in_drop.setdefault((st.st_dev, st.st_ino), []).append(
                 (v, st.st_size, st.st_nlink)
             )
     freed: dict[int, int] = {v: 0 for v in drop}
-    still_referenced = 0
     for _ino, names in names_in_drop.items():
         v0, size, nlink = min(names)
         if len(names) >= nlink:  # every remaining name is being dropped

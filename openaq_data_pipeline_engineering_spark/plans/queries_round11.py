@@ -398,22 +398,24 @@ def api_datasource_paginated_ingest(
 
 # --------------------------------------------------------------------------
 # No-op DML + reference-aware space accounting (ADVICE r10 #4, VERDICT
-# r10 #5, carry model r11 #1). One COW update then a zero-match
-# update: the second commits NOTHING (version stays 2). Under the r12
-# FILESET carry, v2 references v1's untouched files, so VACUUM RETAIN
-# 1 is a protected NO-OP while the reference is live (reclaiming v1
-# would tear files out from under v2 — Delta's VACUUM retention has
-# the same shape); after OPTIMIZE (a MATERIALIZING commit that breaks
-# the reference chain) the same VACUUM reclaims both old versions with
-# freed_bytes > 0. DESCRIBE DETAIL's physical bytes stay below logical
-# while the reference is live (each shared file counted once).
+# r10 #5, carry model r11 #1, file-granular vacuum r12). One COW
+# update then a zero-match update: the second commits NOTHING
+# (version stays 2). Under the r12 FILESET carry, v2 references v1's
+# untouched files; VACUUM RETAIN 1 expires v1 from the manifest while
+# RETAINING exactly the referenced files in place (Delta's per-file
+# VACUUM: versions expire by retention, files expire when
+# unreferenced) — reads stay green and only the rewritten-away file's
+# bytes free. After OPTIMIZE (a MATERIALIZING commit that ends the
+# references) the next VACUUM drops v2 and retires v1's retained
+# directory entirely. DESCRIBE DETAIL's physical bytes stay below
+# logical while the reference is live (each shared file counted once).
 # --------------------------------------------------------------------------
 @query(
     "sql_dml_noop_vacuum_accounting",
-    "zero-match UPDATE commits nothing (Delta no-op parity); VACUUM "
-    "refuses to reclaim fileset-referenced owner versions, then "
-    "reclaims after a materializing OPTIMIZE; DESCRIBE DETAIL reports "
-    "logical vs physical bytes",
+    "zero-match UPDATE commits nothing (Delta no-op parity); "
+    "file-granular VACUUM expires versions but retains referenced "
+    "files in place, retiring them after a materializing OPTIMIZE; "
+    "DESCRIBE DETAIL reports logical vs physical bytes",
     oracle="""
     WITH base AS (
         SELECT n_nationkey AS k, CAST(n_nationkey AS DOUBLE) AS score
@@ -446,12 +448,21 @@ def sql_dml_noop_vacuum_accounting(
         f"UPDATE '{root}' SET score = 0.0 WHERE k = -1"
     ).first()
     detail = eng.sql(f"DESCRIBE DETAIL '{root}'").first()
-    # live fileset reference: v2 reads files v1 physically owns, so
-    # RETAIN 1 must reclaim NOTHING (owner protection)
+    # file-granular vacuum (r12): v2 reads files v1 physically owns —
+    # RETAIN 1 expires v1 from the manifest, retains exactly the
+    # referenced files in place (latest stays green), and the v1
+    # directory survives as manifest-tracked retained storage
+    import os as _os
+
     vac0 = eng.sql(f"VACUUM '{root}' RETAIN 1 VERSIONS").collect()
-    protected = not vac0 and snapshot_versions(root) == [1, 2]
-    # OPTIMIZE materializes v3 (breaks the reference chain) — the same
-    # VACUUM now reclaims both old versions, bytes actually freed
+    retained = (
+        [r["dropped_version"] for r in vac0] == [1]
+        and snapshot_versions(root) == [2]
+        and _os.path.isdir(_os.path.join(root, "v=1"))
+        and read_snapshot(spark, root).count() == 25
+    )
+    # OPTIMIZE materializes v3 (ends the references) — the next
+    # VACUUM drops v2 and retires v1's retained directory
     eng.sql(f"OPTIMIZE '{root}'")
     vac = eng.sql(f"VACUUM '{root}' RETAIN 1 VERSIONS").collect()
     checks = (
@@ -459,10 +470,11 @@ def sql_dml_noop_vacuum_accounting(
         + int(
             detail["total_physical_bytes"] < detail["total_logical_bytes"]
         )
-        + int(protected)
+        + int(retained)
         + int(
-            sorted(r["dropped_version"] for r in vac) == [1, 2]
+            sorted(r["dropped_version"] for r in vac) == [2]
             and snapshot_versions(root) == [3]
+            and not _os.path.isdir(_os.path.join(root, "v=1"))
         )
         + int(sum(r["freed_bytes"] for r in vac) > 0)
     )

@@ -315,12 +315,16 @@ def sql_fileset_chain_lifecycle(
     )
     eng.sql(f"DELETE FROM '{root}' WHERE k = 3")  # v4 rebase + v5 COW
     modes = snapshot_modes(root)
+    # the rebase is itself a FILESET commit (zero data I/O on any
+    # store): v4 references the chain's files at their owners
     rebase_ok = (
         snapshot_versions(root) == [1, 2, 3, 4, 5]
         and modes.get(4, "full") == "full"
-        and not is_fileset_dir(os.path.join(root, "v=4"))
+        and is_fileset_dir(os.path.join(root, "v=4"))
         and is_fileset_dir(os.path.join(root, "v=5"))
     )
+    # file-granular vacuum: v1-v3 EXPIRE from the manifest while the
+    # files v4/v5 still reference are retained in place
     dropped = vacuum_snapshots(root, keep_last=2)
     vac_ok = dropped == [1, 2, 3] and snapshot_versions(root) == [4, 5]
     latest = read_snapshot(spark, root)

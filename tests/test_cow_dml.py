@@ -674,10 +674,11 @@ class TestCowCommitProtocol:
 
     def test_vacuum_after_cow_keeps_shared_bytes_alive(self, spark, tmp_path):
         """The fileset carry means v2 READS files v1's directory
-        physically owns: vacuum must refuse to reclaim the referenced
-        owner while the fileset is live, and reclaim it normally after
-        a MATERIALIZING commit (OPTIMIZE) breaks the reference chain —
-        Delta's OPTIMIZE-then-VACUUM reclamation shape."""
+        physically owns: the file-granular vacuum (r12) expires v1
+        from the manifest while retaining exactly the referenced files
+        in place — the live version keeps reading byte-identical
+        content — and retires the directory entirely once a
+        MATERIALIZING commit (OPTIMIZE) ends the references."""
         from openaq_data_pipeline_engineering_spark.operators.versioned import (
             vacuum_snapshots,
         )
@@ -686,13 +687,15 @@ class TestCowCommitProtocol:
         Engine(spark).sql(f"UPDATE '{root}' SET score = 0.0 WHERE k = 5")
         total_before = read_snapshot(spark, root).agg(F.sum("score")).first()[0]
         dropped = vacuum_snapshots(root, keep_last=1)
-        assert dropped == []  # v1 owner-protected by v2's live fileset
+        assert dropped == [1]  # expired; referenced files retained
+        assert os.path.isdir(os.path.join(root, "v=1"))
         assert read_snapshot(spark, root).agg(F.sum("score")).first()[
             0
         ] == total_before
         Engine(spark).sql(f"OPTIMIZE '{root}'")  # materializes v3
         dropped = vacuum_snapshots(root, keep_last=1)
-        assert dropped == [1, 2]
+        assert dropped == [2]
+        assert not os.path.isdir(os.path.join(root, "v=1"))  # retired
         assert read_snapshot(spark, root).agg(F.sum("score")).first()[
             0
         ] == total_before

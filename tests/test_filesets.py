@@ -189,30 +189,99 @@ class TestFilesetCommitShape:
 
 
 class TestFilesetRetention:
-    def test_vacuum_protects_owners_until_materializing_commit(
+    def test_repeated_dml_vacuum_reclaims_incrementally(
         self, spark, tmp_path
     ):
+        """The 100 TB retention story: every UPDATE+vacuum cycle frees
+        exactly the newly-overwritten file from the retained v1
+        directory — reclamation proportional to churn, never waiting
+        for a full-table OPTIMIZE."""
+        import os
+
+        from openaq_data_pipeline_engineering_spark.operators.compact import (
+            iter_data_parquet_files,
+        )
+
+        root = _seed_flat(spark, tmp_path, n=400, files=4)
+        eng = Engine(spark)
+        v1 = os.path.join(root, "v=1")
+        assert len(list(iter_data_parquet_files(v1))) == 4
+
+        def files_left() -> int:
+            return len(list(iter_data_parquet_files(v1)))
+
+        # keys 5 / 150 / 250 / 350 land in the 4 distinct range files
+        # only after repartitionByRange; with hash layout just pick
+        # keys observed to hit different files via the stats sidecar
+        eng.sql(f"UPDATE '{root}' SET score = 777.0 WHERE k = 5")
+        vacuum_snapshots(root, keep_last=1)
+        left1 = files_left()
+        eng.sql(f"UPDATE '{root}' SET score = 777.0 WHERE k = 150")
+        vacuum_snapshots(root, keep_last=1)
+        left2 = files_left()
+        eng.sql(f"UPDATE '{root}' SET score = 777.0 WHERE k = 250")
+        vacuum_snapshots(root, keep_last=1)
+        left3 = files_left()
+        # each cycle monotonically sheds the newly-overwritten files
+        assert left1 <= 3 and left2 <= left1 and left3 <= left2
+        out = read_snapshot(spark, root)
+        assert out.count() == 400
+        assert out.filter("score = 777.0").count() == 3
+        # a materializing OPTIMIZE retires everything retained
+        eng.sql(f"OPTIMIZE '{root}'")
+        vacuum_snapshots(root, keep_last=1)
+        assert not os.path.isdir(v1)
+        assert read_snapshot(spark, root).count() == 400
+
+    def test_vacuum_expires_versions_but_retains_referenced_files(
+        self, spark, tmp_path
+    ):
+        """File-granular vacuum (r12): versions expire by retention,
+        files expire when unreferenced — Delta's shape. Dropping v1/v2
+        from the manifest retains exactly the files the live fileset
+        still references (reads stay green), frees the overwritten
+        ones, and a later materializing OPTIMIZE retires the retained
+        directories entirely."""
+        import os
+
         root = _seed_flat(spark, tmp_path, n=100, files=4)
         eng = Engine(spark)
         eng.sql(f"UPDATE '{root}' SET score = 0.0 WHERE k = 5")   # v2
         eng.sql(f"UPDATE '{root}' SET score = 0.0 WHERE k = 50")  # v3
-        # v3 references v1 + v2 — RETAIN 1 reclaims nothing
-        assert vacuum_snapshots(root, keep_last=1) == []
-        assert snapshot_versions(root) == [1, 2, 3]
-        assert read_snapshot(spark, root).count() == 100
-        # OPTIMIZE materializes v4; the references age out
+        # v3 references files of v1 + v2: RETAIN 1 expires both from
+        # the manifest, retaining only the referenced files in place
+        assert vacuum_snapshots(root, keep_last=1) == [1, 2]
+        assert snapshot_versions(root) == [3]
+        out = read_snapshot(spark, root)
+        assert out.count() == 100
+        assert out.filter("k = 5").first()["score"] == 0.0
+        assert out.filter("k = 50").first()["score"] == 0.0
+        # the retained dirs are manifest-tracked, partially pruned
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            _read_manifest_doc,
+        )
+
+        assert _read_manifest_doc(root)["retained_dirs"] == [1, 2]
+        assert os.path.isdir(os.path.join(root, "v=1"))
+        # OPTIMIZE materializes v4 — nothing references the retained
+        # dirs anymore; the next vacuum retires them and drops v3
         eng.sql(f"OPTIMIZE '{root}'")
-        assert vacuum_snapshots(root, keep_last=1) == [1, 2, 3]
+        assert vacuum_snapshots(root, keep_last=1) == [3]
         assert snapshot_versions(root) == [4]
+        assert _read_manifest_doc(root)["retained_dirs"] == []
+        assert not os.path.isdir(os.path.join(root, "v=1"))
+        assert not os.path.isdir(os.path.join(root, "v=2"))
         assert read_snapshot(spark, root).count() == 100
 
-    def test_checkpoint_rebase_materializes_fileset_chain(
+    def test_checkpoint_rebase_references_fileset_chain(
         self, spark, tmp_path
     ):
         """A delta append on a fileset base reads as a chain; the
-        zero-copy rebase the NEXT DML triggers must materialize the
-        fileset's referenced files (by link) so the rebased version is
-        self-contained and old owners can age out."""
+        zero-copy rebase the NEXT DML triggers publishes a FILESET
+        version referencing the chain's files at their original owners
+        (r12 — zero data I/O on any store); vacuum then expires the
+        old versions from the manifest while retaining exactly the
+        still-referenced files."""
         root = _seed_flat(spark, tmp_path, n=100, files=4)
         eng = Engine(spark)
         eng.sql(f"UPDATE '{root}' SET score = 0.0 WHERE k = 5")  # v2 fileset
@@ -226,15 +295,17 @@ class TestFilesetRetention:
         eng.sql(f"DELETE FROM '{root}' WHERE k = 7")  # rebase v4 + COW v5
         assert snapshot_versions(root) == [1, 2, 3, 4, 5]
         v4 = os.path.join(root, "v=4")
-        assert not is_fileset_dir(v4)  # the rebase is MATERIALIZING
-        assert len(version_data_files(v4)) >= 4
+        assert is_fileset_dir(v4)  # the rebase is a REFERENCE commit
+        assert len(version_data_files(v4)) >= 4  # resolves the chain
         out = read_snapshot(spark, root)
         assert out.count() == 100
         assert out.filter("k = 7").count() == 0
         assert out.filter("k = 1000").count() == 1
-        # after the materializing rebase, everything below v4 reclaims
+        # vacuum expires the old versions; their referenced files are
+        # retained in place so v4/v5 keep reading
         assert vacuum_snapshots(root, keep_last=2) == [1, 2, 3]
         assert read_snapshot(spark, root).count() == 100
+        assert read_snapshot(spark, root, version=4).count() == 101
 
     def test_purge_materializes_then_erases_everywhere(self, spark, tmp_path):
         root = _seed_flat(spark, tmp_path, n=100, files=4)
@@ -307,10 +378,12 @@ class TestFilesetCloneRestore:
         out = read_snapshot(spark, root)
         assert out.count() == 100
         assert out.filter("k = 5").first()["score"] == 0.0
-        # vacuum keeps the restore target (v2) AND its owner (v1);
-        # only v3 — referenced by nothing once the restore rewound
-        # past it — reclaims
-        assert vacuum_snapshots(root, keep_last=1) == [3]
+        # vacuum keeps the restore target (v2) in the MANIFEST (chain
+        # resolution walks it); v1 expires from the manifest but its
+        # referenced files are retained in place (file-granular
+        # vacuum), and v3 — referenced by nothing once the restore
+        # rewound past it — reclaims wholesale
+        assert vacuum_snapshots(root, keep_last=1) == [1, 3]
         out = read_snapshot(spark, root)
         assert out.count() == 100
         assert out.filter("k = 5").first()["score"] == 0.0
@@ -390,7 +463,7 @@ class TestFilesetDiscoveryIntegration:
         on_disk = set(version_data_files(v2))
         assert set(cands) <= on_disk
         # second DML uses the pruned discovery end-to-end
-        eng.sql(f"UPDATE '{root}' SET score = 1.0 WHERE k = 5")
+        eng.sql(f"UPDATE '{root}' SET score = 777.0 WHERE k = 5")
         out = read_snapshot(spark, root)
         assert out.filter("k = 5").first()["score"] == 1.0
         assert out.count() == 400

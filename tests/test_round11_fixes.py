@@ -75,20 +75,31 @@ class TestHardlinkSpaceAccounting:
         )
 
         root = self._seed_and_update(spark, tmp_path)
-        # r12 fileset carry: v2 READS 7 files v1's directory owns, so
-        # RETAIN 1 must reclaim nothing while that reference is live
+        # File-granular vacuum (r12): v2 reads 7 files v1's directory
+        # owns. RETAIN 1 expires v1 from the manifest, retains the 7
+        # referenced files in place, and frees ONLY the rewritten-away
+        # file's bytes — still-referenced bytes stay accounted.
         rows = Engine(spark).sql(
             f"VACUUM '{root}' RETAIN 1 VERSIONS"
         ).collect()
-        assert rows == []  # owner-protected
-        # a materializing OPTIMIZE (v3) breaks the reference chain;
-        # the same VACUUM then reclaims v1+v2 with real bytes freed
+        assert [r["dropped_version"] for r in rows] == [1]
+        from openaq_data_pipeline_engineering_spark.operators.versioned import (
+            LAST_VACUUM_STATS,
+        )
+
+        stats = LAST_VACUUM_STATS[os.path.abspath(root)]
+        assert 0 < stats["total_freed"] < stats["still_referenced_bytes"]
+        latest = read_snapshot(spark, root)
+        assert latest.count() == 400
+        assert latest.filter("k = 5").first()["score"] == 0.0
+        # a materializing OPTIMIZE (v3) ends the references; the next
+        # VACUUM drops v2 and retires v1's retained directory
         Engine(spark).sql(f"OPTIMIZE '{root}'")
         rows = Engine(spark).sql(
             f"VACUUM '{root}' RETAIN 1 VERSIONS"
         ).collect()
-        assert sorted(r["dropped_version"] for r in rows) == [1, 2]
-        assert sum(r["freed_bytes"] for r in rows) > 0
+        assert sorted(r["dropped_version"] for r in rows) == [2]
+        assert not os.path.isdir(os.path.join(root, "v=1"))
         latest = read_snapshot(spark, root)
         assert latest.count() == 400
         assert latest.filter("k = 5").first()["score"] == 0.0

@@ -1,8 +1,10 @@
-"""Zero-copy append-chain rebase: checkpoint_appends hardlink-merges
-the chain into the new full version when every directory shares one
-parquet schema — zero data bytes written (Delta's checkpoint cost
-model: data files shared by reference). Schema-evolved chains fall
-back to the Spark rewrite; ``compact=True`` forces the rewrite."""
+"""Zero-copy append-chain rebase: checkpoint_appends publishes the
+chain's resolved content as one FULL version whose ``_fileset.json``
+entries reference every chain file at its original owner (r12) — zero
+data bytes written, on every store (Delta's checkpoint cost model: a
+checkpoint compacts the log; data files are shared by reference).
+Schema-evolved chains fall back to the Spark rewrite; ``compact=True``
+forces the rewrite."""
 
 from __future__ import annotations
 
@@ -42,18 +44,32 @@ def _inodes(root: str, version: int) -> set[int]:
 
 
 class TestZeroCopyRebase:
-    def test_rebase_links_instead_of_rewriting(self, spark, tmp_path):
+    def test_rebase_references_instead_of_rewriting(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.filesets import (
+            is_fileset_dir,
+            read_fileset,
+            version_data_files,
+        )
+
         root = str(tmp_path / "t")
         write_snapshot(_df(spark, [(1, "a")]), root)
         append_rows(_df(spark, [(2, "b")]), root)
         append_rows(_df(spark, [(3, "c")]), root)
-        chain_inodes = _inodes(root, 1) | _inodes(root, 2) | _inodes(root, 3)
+        chain_files = {
+            p
+            for v in (1, 2, 3)
+            for p in version_data_files(os.path.join(root, f"v={v}"))
+        }
         v = checkpoint_appends(spark, root)
         assert snapshot_modes(root).get(v, "full") == "full"
-        new = _inodes(root, v)
-        # every data file of the rebase IS a chain file (same inode) —
-        # zero data bytes written
-        assert new and new <= chain_inodes
+        vdir = os.path.join(root, f"v={v}")
+        # the rebase writes NO data files of its own — one sidecar
+        # whose entries reference every chain file at its owner
+        assert is_fileset_dir(vdir)
+        assert _inodes(root, v) == set()
+        owners = {int(e["v"]) for e in read_fileset(vdir)["entries"]}
+        assert owners == {1, 2, 3}
+        assert set(version_data_files(vdir)) == chain_files
         assert _rows(read_snapshot(spark, root)) == {
             (1, "a"),
             (2, "b"),
@@ -141,14 +157,18 @@ class TestZeroCopyRebase:
             append_rows(
                 _df(spark, [(i + 1, "d")]), root, max_chain_deltas=2
             )
-        # the policy checkpointed; the rebase version's files are links
+        # the policy checkpointed; the rebase version is a fileset
+        # reference (no data files of its own)
+        from openaq_data_pipeline_engineering_spark.operators.filesets import (
+            is_fileset_dir,
+        )
+
         versions = snapshot_versions(root)
         modes = snapshot_modes(root)
         fulls = [v for v in versions[1:] if v not in modes]
         assert fulls, (versions, modes)
-        for v in versions:
-            pre_inodes |= _inodes(root, v)
-        assert _inodes(root, fulls[-1]) <= pre_inodes
+        assert is_fileset_dir(os.path.join(root, f"v={fulls[-1]}"))
+        assert _inodes(root, fulls[-1]) == set()
         assert read_snapshot(spark, root).count() == 4
 
     def test_conflict_retries_against_racer(self, spark, tmp_path):
@@ -244,10 +264,21 @@ class TestAdoptedPartitionedChains:
         assert os.path.isdir(os.path.join(root, "v=2", "month=3"))
         got = _rows(read_snapshot(spark, root))
         assert got == {(1, 1), (2, 2), (3, 3), (4, 1)}
-        # zero-copy rebase merges the same-layout chain by subpath
+        # zero-copy rebase references the same-layout chain's files at
+        # their key=value subpaths — partition values preserved
+        from openaq_data_pipeline_engineering_spark.operators.filesets import (
+            is_fileset_dir,
+            read_fileset,
+        )
+
         v = checkpoint_appends(spark, root)
         assert _rows(read_snapshot(spark, root, version=v)) == got
-        assert os.path.isdir(os.path.join(root, f"v={v}", "month=3"))
+        vdir = os.path.join(root, f"v={v}")
+        assert is_fileset_dir(vdir)
+        assert any(
+            e["rel"].startswith("month=3/")
+            for e in read_fileset(vdir)["entries"]
+        )
 
     def test_rebase_never_flattens_partitioned_chain(self, spark, tmp_path):
         """An adopted Hive-partitioned v1 keeps partition VALUES in
