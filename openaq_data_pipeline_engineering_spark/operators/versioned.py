@@ -2293,9 +2293,15 @@ def clone_snapshot(
         src_doc["versions"], src_doc["modes"], pinned, referenced
     )
     # a pinned FILESET version reads files its owner versions' source
-    # directories hold — the clone must reference (and the source-side
-    # vacuum guard must protect) those owners too
-    _fileset_owner_closure(src_root, referenced)
+    # directories hold — the source-side vacuum guard must protect
+    # those too. Owners are tracked SEPARATELY from the manifest
+    # references (r12 file-granular vacuum): an owner may already have
+    # expired from the source manifest with its referenced files
+    # retained in place (retained_dirs), which is fine for the clone —
+    # its sidecar entries resolve by path, and the source's vacuum
+    # folds live clones' file references into the retained set.
+    with_owners = set(referenced)
+    _fileset_owner_closure(src_root, with_owners)
     from openaq_data_pipeline_engineering_spark.operators.metastore import (
         MetadataConflictError,
         get_metadata_store,
@@ -2306,8 +2312,10 @@ def clone_snapshot(
         raise FileExistsError(f"clone destination {dst_root!r} is not empty")
     # Create-only publish of the clone's manifest (etag=None = the
     # manifest must not exist): two racing clones to one destination
-    # linearize on this conditional write.
-    kept = sorted(referenced)
+    # linearize on this conditional write. Only MANIFEST-resolvable
+    # versions (the pinned chain) are inherited as clone versions —
+    # expired owners are file storage, not readable versions.
+    kept = sorted(referenced & set(src_doc["versions"]))
     try:
         get_metadata_store().write_if_match(
             dst_root,
@@ -2353,7 +2361,14 @@ def clone_snapshot(
     # authority — and after this check passes, every later vacuum sees
     # the back-reference and refuses.
     post = _read_manifest_doc(src_root)
-    missing = sorted(referenced - set(post["versions"]))
+    # Chain references must still be manifest versions; fileset OWNERS
+    # may instead live on as retained directories (file-granular
+    # vacuum) — their referenced files are preserved in place.
+    alive = set(post["versions"]) | set(post["retained_dirs"])
+    missing = sorted(
+        (referenced - set(post["versions"]))
+        | ((with_owners - referenced) - alive)
+    )
     if missing:
         get_metadata_store().delete(dst_root)  # undo the half-born clone
 

@@ -254,8 +254,14 @@ class TestPartitionedRebaseAndFallback:
         self, spark, tmp_path
     ):
         """RESTORE onto an adopted partitioned v1: ensure_cow_base
-        zero-copy-rebases (links at relative subpaths, no data bytes)
-        and the subsequent UPDATE is file-granular."""
+        zero-copy-rebases (a fileset commit referencing v1's files at
+        their key=value subpaths — no data bytes, r12) and the
+        subsequent UPDATE is file-granular."""
+        from openaq_data_pipeline_engineering_spark.operators.filesets import (
+            is_fileset_dir,
+            read_fileset,
+        )
+
         root = _seed_partitioned(spark, tmp_path)
         Engine(spark).sql(
             f"UPDATE '{root}' SET score = 0.0 WHERE k = 1"
@@ -267,9 +273,14 @@ class TestPartitionedRebaseAndFallback:
         ).first()
         stats = last_cow_stats(root)
         assert stats is not None, "expected rebase + file-granular DML"
-        # the rebase version (v4) linked v1's files at the same subpaths
-        v4 = _rel_inodes(root, 4)
-        assert v4 == v1
+        # the rebase version (v4) references v1's files at the same
+        # subpaths — no local data files of its own
+        v4dir = os.path.join(root, "v=4")
+        assert is_fileset_dir(v4dir)
+        assert _rel_inodes(root, 4) == {}
+        assert {
+            e["rel"] for e in read_fileset(v4dir)["entries"]
+        } == set(v1)
         assert stats["version"] == 5 and stats["files_rewritten"] == 1
         out = read_snapshot(spark, root)
         assert out.filter("k = 1").first()["score"] == 1.0  # restored
@@ -293,8 +304,13 @@ class TestPartitionedRebaseAndFallback:
     def test_consistent_partitioned_chain_links_by_subpath(
         self, spark, tmp_path
     ):
-        """_checkpoint_zero_copy merges a restore-of-partitioned chain
-        at relative subpaths instead of refusing."""
+        """_checkpoint_zero_copy rebases a restore-of-partitioned
+        chain by fileset reference at relative subpaths instead of
+        refusing."""
+        from openaq_data_pipeline_engineering_spark.operators.filesets import (
+            is_fileset_dir,
+            read_fileset,
+        )
         from openaq_data_pipeline_engineering_spark.operators.versioned import (
             _checkpoint_zero_copy,
         )
@@ -303,7 +319,11 @@ class TestPartitionedRebaseAndFallback:
         restore_snapshot(root, version=1)  # v2 restore commit
         v = _checkpoint_zero_copy(spark, root, 2, None)
         assert v == 3
-        assert _rel_inodes(root, 3) == _rel_inodes(root, 1)
+        v3dir = os.path.join(root, "v=3")
+        assert is_fileset_dir(v3dir)
+        assert {
+            e["rel"] for e in read_fileset(v3dir)["entries"]
+        } == set(_rel_inodes(root, 1))
         assert read_snapshot(spark, root, version=3).count() == 30
 
 

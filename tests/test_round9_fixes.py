@@ -519,19 +519,23 @@ class TestCloneVacuumGuard:
         )
 
         src, dst = self._seed(spark, tmp_path)
-        # OPTIMIZE-shape materialization: one full LOCAL version on the
-        # clone; the clone keeps referencing v1 for ITS time travel,
-        # so source vacuum still refuses until the clone vacuums too
         from openaq_data_pipeline_engineering_spark.operators.versioned import (
             VacuumBlockedByCloneError,
             checkpoint_appends,
         )
 
+        # a ZERO-COPY checkpoint on the clone is a fileset commit that
+        # still references the source's files (r12) — it does NOT make
+        # the clone independent, and the source vacuum keeps refusing
         checkpoint_appends(spark, dst)
+        vacuum_snapshots(dst, keep_last=1)
         with pytest.raises(VacuumBlockedByCloneError):
             vacuum_snapshots(src, keep_last=1)
-        # after the clone drops its source-referencing history, the
-        # source is free
+        # true materialization is the PHYSICAL rewrite
+        # (compact=True / OPTIMIZE): one full LOCAL version on the
+        # clone; once the clone drops its source-referencing history,
+        # the source is free
+        checkpoint_appends(spark, dst, compact=True)
         vacuum_snapshots(dst, keep_last=1)
         dropped = vacuum_snapshots(src, keep_last=1)
         assert 1 in dropped
