@@ -10,7 +10,7 @@ AT ITS ORIGINAL OWNER version. These queries prove, in-query and
 against DuckDB oracles, the protocol consequences the judge asked for:
 zero link/copy syscalls for the carry, chain/time-travel/CDF reads
 through the file-set resolver, zero-copy DML on shallow clones, and
-the OPTIMIZE-breaks-references retention shape.
+the file-granular expire-and-retain retention shape.
 
 All witnesses seed from ``nation`` (fixed at 25 rows at every SF), so
 the oracle constants hold across scale factors.
@@ -264,16 +264,17 @@ def sql_clone_dml_zero_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # The retention lifecycle across the whole commit-mode zoo: a fileset
 # COW (v2), a delta append chained on it (v3), a DML on the chain that
-# first MATERIALIZES via the zero-copy rebase (v4) then COWs against
-# it (v5). Vacuum with keep_last=2 keeps v5 and its owner v4 and
-# reclaims everything below — the rebase is the reference-chain break
-# that re-opens reclamation (Delta's OPTIMIZE-then-VACUUM shape).
+# first rebases ZERO-COPY by fileset reference (v4) then COWs against
+# it (v5). The file-granular vacuum with keep_last=2 EXPIRES v1-v3
+# from the manifest while retaining exactly the files v4/v5 still
+# reference in place — versions expire by retention, files expire
+# when unreferenced (Delta's per-file VACUUM shape).
 # --------------------------------------------------------------------------
 @query(
     "sql_fileset_chain_lifecycle",
     "fileset COW -> delta append (chain read through the resolver) -> "
-    "DML triggers a materializing rebase + fileset COW -> vacuum "
-    "reclaims below the rebase while keeping the owner",
+    "DML triggers a zero-copy fileset rebase + fileset COW -> vacuum "
+    "expires old versions while retaining referenced files in place",
     oracle="""
     SELECT 'latest' AS slice,
            CAST(count(*) + 1 AS BIGINT) AS n_rows,
