@@ -626,3 +626,103 @@ def sql_concurrent_disjoint_dml(
         )
     finally:
         set_metadata_store(prev)
+
+
+# --------------------------------------------------------------------------
+# File-granular retention (r12, Delta's per-file VACUUM shape):
+# versions expire by retention, files expire when unreferenced. Two
+# UPDATE + VACUUM RETAIN 1 cycles on a 5-file table: each cycle
+# expires the previous version from the manifest and deletes EXACTLY
+# the newly-overwritten file from the retained v1 directory — the
+# still-referenced files stay in place and every read stays green.
+# checks: (1) cycle 1 drops v1 with one file freed (4 retained, dir
+# tracked in retained_dirs); (2) cycle 2 drops v2, v1 sheds a second
+# file; (3) latest reads stay exact through both cycles; (4) a
+# materializing OPTIMIZE + VACUUM retires the retained dir entirely.
+# Scale: a year of daily one-key UPDATEs on a 100 TB table reclaims
+# each overwritten file as its version ages out — no full-table
+# OPTIMIZE rewrite needed to free space.
+# --------------------------------------------------------------------------
+@query(
+    "sql_vacuum_incremental_reclaim",
+    "file-granular VACUUM: repeated UPDATE+VACUUM cycles expire "
+    "versions while retaining referenced files in place, shedding "
+    "exactly the overwritten file per cycle; OPTIMIZE retires the "
+    "retained directory",
+    oracle="""
+    WITH base AS (
+        SELECT n_nationkey AS k, CAST(n_nationkey AS DOUBLE) AS score
+        FROM nation
+    )
+    SELECT 'final' AS slice,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(score) + 1000.0 - 7.0 + 2000.0 - 19.0 AS DOUBLE)
+               AS score_sum
+    FROM base
+    UNION ALL
+    SELECT 'reclaim_proof', CAST(4 AS BIGINT), CAST(5.0 AS DOUBLE)
+    """,
+)
+def sql_vacuum_incremental_reclaim(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from openaq_data_pipeline_engineering_spark.engine import Engine
+    from openaq_data_pipeline_engineering_spark.operators.compact import (
+        iter_data_parquet_files,
+    )
+    from openaq_data_pipeline_engineering_spark.operators.versioned import (
+        _read_manifest_doc,
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    root = fresh_scratch_dir("vacuum_reclaim")
+    # repartitionByRange: tight per-file k ranges so k=7 and k=19 are
+    # deterministically in DIFFERENT files (5 files over k=0..24)
+    write_snapshot(
+        _nation_flat(spark, sf_dir).repartitionByRange(5, "k"), root
+    )
+    v1 = os.path.join(root, "v=1")
+
+    def v1_files() -> int:
+        return len(list(iter_data_parquet_files(v1)))
+
+    eng = Engine(spark)
+    eng.sql(f"UPDATE '{root}' SET score = 1000.0 WHERE k = 7")  # v2
+    vac1 = eng.sql(f"VACUUM '{root}' RETAIN 1 VERSIONS").collect()
+    left1 = v1_files()
+    retained1 = list(_read_manifest_doc(root)["retained_dirs"])
+    c1 = (
+        [r["dropped_version"] for r in vac1] == [1]
+        and left1 == 4
+        and retained1 == [1]
+        and snapshot_versions(root) == [2]
+    )
+    eng.sql(f"UPDATE '{root}' SET score = 2000.0 WHERE k = 19")  # v3
+    vac2 = eng.sql(f"VACUUM '{root}' RETAIN 1 VERSIONS").collect()
+    left2 = v1_files()
+    c2 = (
+        [r["dropped_version"] for r in vac2] == [2]
+        and left2 == 3
+        and snapshot_versions(root) == [3]
+    )
+    mid = read_snapshot(spark, root)
+    c3 = (
+        mid.count() == 25
+        and mid.filter("k = 7").first()["score"] == 1000.0
+        and mid.filter("k = 19").first()["score"] == 2000.0
+    )
+    eng.sql(f"OPTIMIZE '{root}'")  # v4 materializing
+    eng.sql(f"VACUUM '{root}' RETAIN 1 VERSIONS").collect()
+    c4 = (
+        not os.path.isdir(v1)
+        and _read_manifest_doc(root)["retained_dirs"] == []
+        and snapshot_versions(root) == [4]
+    )
+    checks = int(c1) + int(c2) + int(c3) + int(c4)
+    proof = spark.createDataFrame(
+        [("reclaim_proof", checks, float(left1 + v1_files() - 3 + 4))],
+        "slice string, n_rows bigint, score_sum double",
+    )
+    return _agg("final", read_snapshot(spark, root)).unionByName(proof)
