@@ -465,7 +465,7 @@ class TestFilesetDiscoveryIntegration:
         # second DML uses the pruned discovery end-to-end
         eng.sql(f"UPDATE '{root}' SET score = 777.0 WHERE k = 5")
         out = read_snapshot(spark, root)
-        assert out.filter("k = 5").first()["score"] == 1.0
+        assert out.filter("k = 5").first()["score"] == 777.0
         assert out.count() == 400
 
     def test_write_manifest_directly_on_fileset_version(
