@@ -33,6 +33,13 @@ def bfs_distances(
 
     seeds: DataFrame with a single ``node`` column (deduplicated here).
     """
+    if materialize:
+        # Pin the edge list ONCE: it is probed every hop, and upstream
+        # it is typically a full pair-generation pipeline (self-join +
+        # distinct) that would otherwise RE-EXECUTE per hop — AQE never
+        # reuses shuffle output across the separate query executions
+        # the per-hop checkpoints create. Lazy: hop 1 materializes it.
+        edges = edges.localCheckpoint(eager=False)
     dist = seeds.select("node").distinct().withColumn(
         "dist", F.lit(0).cast("int")
     )
@@ -49,8 +56,10 @@ def bfs_distances(
         )
         if materialize:
             nxt = nxt.localCheckpoint(eager=True)
+        # The running dist table is a union of already-checkpointed
+        # hop frames — re-checkpointing the union each hop would cost
+        # one extra job per hop for a frame that is already cheap to
+        # reassemble.
         dist = dist.unionByName(nxt)
-        if materialize:
-            dist = dist.localCheckpoint(eager=True)
         frontier = nxt
     return dist

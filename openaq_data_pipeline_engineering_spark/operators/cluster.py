@@ -17,13 +17,16 @@ Scale posture (100 TB):
 - The edge list is LSH-bounded (pairs only within buckets), so the
   graph is orders of magnitude smaller than the corpus — this runs on
   candidate pairs, never on all docs.
-- Each round is one shuffle (groupBy node) plus one broadcast-or-hash
-  join; ``localCheckpoint`` truncates lineage each round so the plan
-  does not grow with iterations (a 20-round unpersisted loop would
-  otherwise re-plan a 20-deep join tree).
-- The convergence check is a count action per round — deliberate: an
-  iterative algorithm's stopping rule needs a materialization barrier,
-  and the counted frame is the (small) label table, not the corpus.
+- Each round is ONE join (labels broadcast when provably small) plus
+  one groupBy shuffle; the pointer-doubling shortcut rides the same
+  join as extra (node -> label) edges. ``localCheckpoint`` truncates
+  lineage each round so the plan does not grow with iterations (a
+  20-round unpersisted loop would otherwise re-plan a 20-deep join
+  tree).
+- The convergence check (sum of labels — exact, since labels only
+  decrease) rides the SAME action that materializes the round's lazy
+  checkpoint: one action per round, and the aggregated frame is the
+  (small) label table, not the corpus.
 """
 
 from __future__ import annotations
@@ -53,73 +56,73 @@ def connected_components(
     if checkpoint:
         # Materialize the edge list ONCE: it is consumed every round, and
         # upstream it is typically a full LSH pipeline (shingle → minhash →
-        # band join) that would otherwise re-execute per iteration. Then
-        # right-size partitions to the materialized edge count — candidate
-        # graphs are far smaller than their producing pipeline's shuffle
-        # width (coalesce only ever narrows, so a 1e9-edge graph keeps its
+        # band join) that would otherwise re-execute per iteration (AQE
+        # never reuses shuffle output across separate query executions).
+        # LAZY checkpoint: the n_edges count below both materializes it
+        # and serves the partition right-sizing — one job, not two. Then
+        # coalesce to the materialized edge count — candidate graphs are
+        # far smaller than their producing pipeline's shuffle width
+        # (coalesce only ever narrows, so a 1e9-edge graph keeps its
         # parallelism).
-        und = und.localCheckpoint(eager=True)
+        und = und.localCheckpoint(eager=False)
         n_edges = und.count()
         und = und.coalesce(max(1, n_edges // 100_000 + 1))
+        # The label table (<= 2 * n_edges rows of two longs) broadcasts
+        # only when provably small; a huge candidate graph keeps the
+        # planner's shuffle join (broadcast of a multi-GB label table
+        # would OOM the driver at real scale).
+        broadcast_labels = n_edges <= 5_000_000
+    else:
+        broadcast_labels = False
     labels = (
         und.select(F.col("es").alias("node"))
         .distinct()
         .withColumn("cluster_id", F.col("node"))
     )
+    if checkpoint:
+        labels = labels.localCheckpoint(eager=False)
+    # Convergence witness: labels only ever DECREASE (each round takes a
+    # min over a set containing a value <= the current label), so the
+    # label table changed iff sum(cluster_id) changed — the sum rides the
+    # same action that materializes the round's checkpoint, replacing the
+    # old separate changed-rows count job (2 actions/round -> 1).
+    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
     for _ in range(max_iterations):
-        nbr_min = (
-            und.join(labels, und.ed == labels.node)
-            .groupBy(F.col("es").alias("node"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        # Keep the previous label alongside the new one so convergence is
-        # a filter over the (checkpointed) result — no extra join round.
-        stepped = (
-            labels.alias("l")
-            .join(nbr_min.alias("m"), "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("l.cluster_id"),
-                    F.coalesce(F.col("m.nbr_min"), F.col("l.cluster_id")),
-                ).alias("cluster_id"),
-                F.col("l.cluster_id").alias("__prev"),
+        # One fused join per round. Pointer-doubling shortcut (adopt the
+        # label OF the label, compressing paths to O(log diameter) rounds
+        # on chain graphs) is expressed as EXTRA EDGES instead of a
+        # second join: rel = und ∪ {(node -> its current label)}, so a
+        # single rel⋈labels + min-groupBy yields
+        # min(neighbor labels ∪ {label(label(node))}). The node's own
+        # label is dominated (label(label(n)) <= label(n) because labels
+        # start at the node id and only decrease), and the pointer edge
+        # guarantees every node appears in the output — so the old
+        # 3-join round (neighbor-min, keep-own left join, shortcut
+        # join) collapses to one join with the same fixed point
+        # (min node id per component) and label sequence. The label
+        # table is broadcast: rounds never shuffle the edge list.
+        rel = und.union(
+            labels.select(
+                F.col("node").alias("es"), F.col("cluster_id").alias("ed")
             )
         )
-        # Pointer-doubling shortcut: also adopt the label OF the label
-        # (cluster_id -> its own current cluster_id). Neighbor-min alone
-        # needs diameter rounds on chain-shaped graphs; shortcutting
-        # compresses paths so convergence is O(log diameter) — measured
-        # 13.3 s -> 4.9 s on the geo cell graph (long 5-degree cell
-        # chains) with identical labels. The fixed point (min node id
-        # per component) is unchanged.
+        label_side = labels.select(
+            F.col("node").alias("ln"), F.col("cluster_id").alias("lc")
+        )
+        if broadcast_labels:
+            label_side = F.broadcast(label_side)
         new_labels = (
-            stepped.alias("s")
-            .join(
-                labels.select(
-                    F.col("node").alias("cl_node"),
-                    F.col("cluster_id").alias("cl_of_cl"),
-                ),
-                F.col("s.cluster_id") == F.col("cl_node"),
-                "left",
-            )
-            .select(
-                "node",
-                F.least(
-                    F.col("s.cluster_id"),
-                    F.coalesce(F.col("cl_of_cl"), F.col("s.cluster_id")),
-                ).alias("cluster_id"),
-                "__prev",
-            )
+            rel.join(label_side, F.col("ed") == F.col("ln"))
+            .groupBy(F.col("es").alias("node"))
+            .agg(F.min("lc").alias("cluster_id"))
         )
         if checkpoint:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.filter(
-            F.col("cluster_id") != F.col("__prev")
-        ).count()
-        labels = new_labels.drop("__prev")
-        if changed == 0:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        new_sum = new_labels.agg(F.sum("cluster_id")).first()[0]
+        labels = new_labels
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 
