@@ -59,6 +59,8 @@ Delta's OPTIMIZE-then-VACUUM reclamation shape.
 
 from __future__ import annotations
 
+from openaq_data_pipeline_engineering_spark.localrel import local_rows
+
 import json
 import os
 
@@ -305,7 +307,7 @@ def read_grouped_files(
             p = p.withColumn(file_col, F.col("_metadata.file_path"))
         parts.append(p)
     if not parts:
-        out = spark.createDataFrame([], schema)
+        out = local_rows(spark, [], schema)
         if file_col is not None:
             out = out.withColumn(file_col, F.lit(None).cast("string"))
         return out
@@ -335,7 +337,7 @@ def read_fileset_df(
         # Delta's shape.
         files = [p for p, _e in resolve_entries(vdir, fs)]
         if not files:
-            out = spark.createDataFrame([], schema)
+            out = local_rows(spark, [], schema)
             if file_col is not None:
                 out = out.withColumn(file_col, F.lit(None).cast("string"))
             return out

@@ -23,6 +23,8 @@ row mutation needs.
 
 from __future__ import annotations
 
+from openaq_data_pipeline_engineering_spark.localrel import local_rows
+
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -324,7 +326,7 @@ def _execute_dml_on_root(spark: SparkSession, sql: str, pm, lowering, where_re):
             for p in version_data_files(os.path.join(root, f"v={version}"))
         )
 
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [(int(new_v), int(_rows(new_v)), int(base))],
         "version int, n_rows bigint, base_version int",
     )

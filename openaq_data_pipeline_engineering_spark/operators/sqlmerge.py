@@ -65,6 +65,8 @@ snapshots for atomic publication (see plans/queries_round6.py
 
 from __future__ import annotations
 
+from openaq_data_pipeline_engineering_spark.localrel import local_rows
+
 import re
 from dataclasses import dataclass
 
@@ -1001,7 +1003,7 @@ def execute_merge_statement(
         pq.ParquetFile(p).metadata.num_rows
         for p in version_data_files(os.path.join(root, f"v={new_v}"))
     )
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [(int(new_v), int(n_rows), int(base))],
         "version int, n_rows bigint, base_version int",
     )

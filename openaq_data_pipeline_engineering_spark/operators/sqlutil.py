@@ -42,6 +42,8 @@ command output.
 
 from __future__ import annotations
 
+from openaq_data_pipeline_engineering_spark.localrel import local_rows
+
 import os
 import re
 
@@ -142,7 +144,7 @@ def execute_describe_history(spark: SparkSession, sql: str) -> DataFrame:
                 c.get("conflict_merges"),
             )
         )
-    return spark.createDataFrame(
+    return local_rows(spark, 
         rows,
         "version int, mode string, commit_ts double, "
         "txn_id string, is_latest boolean, files_rewritten int, "
@@ -272,7 +274,7 @@ def execute_optimize(spark: SparkSession, sql: str) -> DataFrame:
             partition_filter=m.group("where"),
         )
     after = file_stats(path)
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [(int(before), int(after["n_files"]), _footer_row_count(path))],
         "n_files_before int, n_files_after int, n_rows bigint",
     )
@@ -605,7 +607,7 @@ def _optimize_versioned(
     # a .count() here would re-scan the table the rewrite just wrote
     # (a second full pass at 100 TB) for a metrics row.
     n_rows = _footer_row_count(os.path.join(root, f"v={new_v}"))
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [(int(before_files), int(after_files), int(n_rows))],
         "n_files_before int, n_files_after int, n_rows bigint",
     )
@@ -690,7 +692,7 @@ def _optimize_incremental(
         )
         if not touched:
             n_rows = _footer_row_count(vdir)
-            return spark.createDataFrame(
+            return local_rows(spark, 
                 [(int(n_before), int(n_before), int(n_rows))],
                 "n_files_before int, n_files_after int, n_rows bigint",
             )
@@ -724,7 +726,7 @@ def _optimize_incremental(
         new_dir = os.path.join(root, f"v={new_v}")
         n_after = len(version_files_with_rels(new_dir))
         n_rows = _footer_row_count(new_dir)
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [(int(n_before), int(n_after), int(n_rows))],
             "n_files_before int, n_files_after int, n_rows bigint",
         )
@@ -775,7 +777,7 @@ def execute_vacuum(spark: SparkSession, sql: str) -> DataFrame:
     freed = LAST_VACUUM_STATS.get(os.path.abspath(root), {}).get(
         "freed_bytes", {}
     )
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [(int(v), int(freed.get(v, 0))) for v in dropped],
         "dropped_version int, freed_bytes bigint",
     )
@@ -882,7 +884,7 @@ def execute_restore(spark: SparkSession, sql: str) -> DataFrame:
     doc = _read_manifest_doc(root)
     target = int(doc["modes"][new_v].split(":", 1)[1])
     n_rows = _footer_rows_dirs(_resolve_version_paths(root, doc, new_v))
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [(int(target), int(new_v), int(n_rows))],
         "restored_to_version int, new_version int, n_rows bigint",
     )
@@ -914,7 +916,7 @@ def execute_clone(spark: SparkSession, sql: str) -> DataFrame:
     )
 
     n_local = sum(1 for _ in iter_data_parquet_files(dst))
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [(m.group("src"), int(pinned), len(snapshot_versions(dst)), n_local)],
         "src string, cloned_version int, n_versions_referenced int, "
         "n_local_data_files int",
@@ -1002,7 +1004,7 @@ def execute_insert(spark: SparkSession, sql: str) -> DataFrame:
         version = write_snapshot(df, root, partition_by=part_by)
         vmode = "full"
     n_rows = _footer_row_count(os.path.join(root, f"v={version}"))
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [(int(version), vmode, int(n_rows))],
         "version int, mode string, n_rows_inserted bigint",
     )
@@ -1024,7 +1026,7 @@ def execute_alter(spark: SparkSession, sql: str) -> DataFrame:
     if m:
         expr = m.group("expr").strip()
         add_constraint(spark, m.group("path"), m.group("name"), expr)
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [(m.group("name"), "added", expr)],
             "constraint string, action string, expr string",
         )
@@ -1033,7 +1035,7 @@ def execute_alter(spark: SparkSession, sql: str) -> DataFrame:
         existed = drop_constraint(
             m.group("path"), m.group("name"), if_exists=bool(m.group("ife"))
         )
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [(m.group("name"), "dropped" if existed else "absent", None)],
             "constraint string, action string, expr string",
         )
@@ -1058,7 +1060,7 @@ def execute_alter(spark: SparkSession, sql: str) -> DataFrame:
                 f"identifiers: {bad}"
             )
         enable_change_feed(spark, m.group("path"), keys)
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [("change_feed", "enabled", ", ".join(keys))],
             "constraint string, action string, expr string",
         )
@@ -1092,7 +1094,7 @@ def execute_purge(spark: SparkSession, sql: str) -> DataFrame:
             "unparseable PURGE; expected PURGE FROM '<root>' WHERE <pred>"
         )
     rows = purge_rows(spark, m.group("path"), m.group("pred"))
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [(int(v), int(p), int(k)) for v, p, k in rows],
         "version int, n_purged bigint, n_kept bigint",
     )
@@ -1127,7 +1129,7 @@ def execute_convert(spark: SparkSession, sql: str) -> DataFrame:
     version = versionize_table(root)
     vdir = os.path.join(root, f"v={version}")
     n_files = sum(1 for _ in iter_data_parquet_files(vdir))
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [(int(version), int(n_files), int(_footer_row_count(vdir)))],
         "version int, n_files int, n_rows bigint",
     )
@@ -1216,7 +1218,7 @@ def execute_describe_detail(spark: SparkSession, sql: str) -> DataFrame:
                 seen.add(key)
                 physical += st.st_size
     constraints = sorted(doc["constraints"])
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [
             (
                 int(latest),

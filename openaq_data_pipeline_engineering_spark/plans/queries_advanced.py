@@ -11,6 +11,8 @@ window is row_number, §2.5).
 
 from __future__ import annotations
 
+from openaq_data_pipeline_engineering_spark.localrel import local_rows
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -436,7 +438,7 @@ def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events")
-    bands = spark.createDataFrame(_BANDS_ROWS, "lo double, hi double, band string")
+    bands = local_rows(spark, _BANDS_ROWS, "lo double, hi double, band string")
     joined = broadcast_range_join(ev, bands, value_col="value")
     return joined.groupBy("band").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
@@ -1479,7 +1481,7 @@ def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events")
-    bands = spark.createDataFrame(
+    bands = local_rows(spark, 
         [(0.0, 10.0, "low"), (10.0, 25.0, "mid"),
          (25.0, 50.0, "high"), (50.0, 1000.0, "extreme")],
         "lo double, hi double, band string",

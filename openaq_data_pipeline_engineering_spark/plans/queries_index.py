@@ -12,6 +12,8 @@ paths).
 
 from __future__ import annotations
 
+from openaq_data_pipeline_engineering_spark.localrel import local_rows
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -100,7 +102,7 @@ def bloom_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "doc_id"
     )
     bloom = bloom_build(docs, "source", "doc_id")
-    probes = spark.createDataFrame(
+    probes = local_rows(spark, 
         [(k,) for k in _PROBES], "doc_id bigint"
     )
     hits = bloom_probe(bloom, probes, "doc_id")

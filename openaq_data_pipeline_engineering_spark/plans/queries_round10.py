@@ -29,6 +29,8 @@ it entirely).
 
 from __future__ import annotations
 
+from openaq_data_pipeline_engineering_spark.localrel import local_rows
+
 import glob
 import os
 
@@ -142,7 +144,7 @@ def sql_cow_update_filegranular(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("score").cast("double").alias("score_sum"),
         )
 
-    proof = spark.createDataFrame(
+    proof = local_rows(spark, 
         [("cow_proof", checks, float(m["version"]))],
         "slice string, n_rows bigint, score_sum double",
     )
@@ -336,7 +338,7 @@ def versioned_save_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = supplier.select(F.col("s_suppkey").cast("bigint").alias("k"))
     root = fresh_scratch_dir("save_facade")
     v1 = save_versioned(df, root)  # overwrite (default) -> v1
-    extra = spark.createDataFrame([(901,), (902,)], "k bigint")
+    extra = local_rows(spark, [(901,), (902,)], "k bigint")
     v2 = save_versioned(extra, root, mode="append")
     try:
         save_versioned(df, root, mode="errorifexists")
@@ -357,7 +359,7 @@ def versioned_save_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("bigint").alias("key_sum"),
         )
 
-    proof = spark.createDataFrame(
+    proof = local_rows(spark, 
         [("facade_checks", checks, v2)],
         "side string, n_rows bigint, key_sum bigint",
     )
@@ -422,7 +424,7 @@ def s3_store_commit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         write_snapshot(nation.filter(F.col("r") < 4).select("k"), root)
         append_rows(
-            spark.createDataFrame([(777,), (778,)], "k bigint"), root
+            local_rows(spark, [(777,), (778,)], "k bigint"), root
         )
         # Materialize while the bucket is the active store — the
         # returned frame must not depend on it.
@@ -444,7 +446,7 @@ def s3_store_commit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_versions = len(snapshot_versions(root))
     finally:
         set_metadata_store(prev)
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [pinned, latest, ("s3_protocol_checks", checks, n_versions)],
         "side string, n_rows bigint, key_sum bigint",
     )

@@ -34,6 +34,8 @@ stalest evidence pool (VERDICT r10 #7 rotation).
 
 from __future__ import annotations
 
+from openaq_data_pipeline_engineering_spark.localrel import local_rows
+
 import glob
 import json
 import os
@@ -168,7 +170,7 @@ def sql_update_partitioned_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("score").cast("double").alias("score_sum"),
         )
 
-    proof = spark.createDataFrame(
+    proof = local_rows(spark, 
         [("cow_proof", checks, float(m["version"]))],
         "slice string, n_rows bigint, score_sum double",
     )
@@ -270,7 +272,7 @@ def sql_merge_by_source_conditioned(
     base = _nation_base(spark, sf_dir).select("k", "score")
     root = fresh_scratch_dir("merge_bys_cond")
     write_snapshot(base.repartition(5, "k"), root)
-    spark.createDataFrame(
+    local_rows(spark, 
         [(3, 99.5), (30, 0.5)], "k long, score double"
     ).createOrReplaceTempView("r11_bys_src")
     m = Engine(spark).sql(
@@ -285,7 +287,7 @@ def sql_merge_by_source_conditioned(
     checks = int(bool(stats) and m["version"] == 2) + int(
         stats.get("files_carried", 0) >= 1
     )
-    proof = spark.createDataFrame(
+    proof = local_rows(spark, 
         [("cow_proof", checks, float(m["version"]))],
         "slice string, n_rows bigint, score_sum double",
     )
@@ -478,7 +480,7 @@ def sql_dml_noop_vacuum_accounting(
         )
         + int(sum(r["freed_bytes"] for r in vac) > 0)
     )
-    proof = spark.createDataFrame(
+    proof = local_rows(spark, 
         [("accounting_proof", checks, 2.0)],
         "slice string, n_rows bigint, score_sum double",
     )
@@ -540,7 +542,7 @@ def versioned_partitioned_append(
         partition_by=["g"],
     )
     append_rows(
-        spark.createDataFrame(
+        local_rows(spark, 
             [(100, 7, 1.5), (101, 0, 2.5)], "k long, g int, score double"
         ),
         root,

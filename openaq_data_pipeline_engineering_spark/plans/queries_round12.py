@@ -22,6 +22,8 @@ etls/openaq_transform_etl.py); this layer is the engine's own.
 
 from __future__ import annotations
 
+from openaq_data_pipeline_engineering_spark.localrel import local_rows
+
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -148,7 +150,7 @@ def sql_update_fileset_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + int(0 < stats.get("bytes_rewritten", 0) < v1_bytes)
     )
-    proof = spark.createDataFrame(
+    proof = local_rows(spark, 
         [("fileset_proof", checks, float(m["version"]))],
         "slice string, n_rows bigint, score_sum double",
     )
@@ -250,7 +252,7 @@ def sql_clone_dml_zero_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
         + int(n_local == stats.get("files_rewritten") and n_local >= 1)
         + int(len(resolved) == 5 + stats.get("files_rewritten", 0) - 1)
     )
-    proof = spark.createDataFrame(
+    proof = local_rows(spark, 
         [("zero_copy_proof", checks, float(m["version"]))],
         "slice string, n_rows bigint, score_sum double",
     )
@@ -305,7 +307,7 @@ def sql_fileset_chain_lifecycle(
     eng = Engine(spark)
     eng.sql(f"UPDATE '{root}' SET score = score + 10.0 WHERE k = 7")  # v2
     append_rows(
-        spark.createDataFrame(
+        local_rows(spark, 
             [(100, 1.0), (101, 2.0)], "k long, score double"
         ),
         root,
@@ -333,7 +335,7 @@ def sql_fileset_chain_lifecycle(
         latest.count() == 26 and latest.filter("k = 3").count() == 0
     )
     checks = int(chain_ok) + int(rebase_ok) + int(vac_ok) + int(read_ok)
-    proof = spark.createDataFrame(
+    proof = local_rows(spark, 
         [("chain_proof", checks, 5.0)],
         "slice string, n_rows bigint, score_sum double",
     )
@@ -438,7 +440,7 @@ def sql_optimize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks = (
         int(packed_ok) + int(carry_ok) + int(noop_ok) + int(content_ok)
     )
-    proof = spark.createDataFrame(
+    proof = local_rows(spark, 
         [("compaction_proof", checks, 2.0)],
         "slice string, n_rows bigint, k_sum double",
     )
@@ -615,7 +617,7 @@ def sql_concurrent_disjoint_dml(
                 and head.filter("k = 20").first()["score"] == 222.0
             )
         )
-        proof = spark.createDataFrame(
+        proof = local_rows(spark, 
             [("merge_proof", checks, float(len(versions)))],
             "slice string, n_rows bigint, score_sum double",
         )
@@ -721,7 +723,7 @@ def sql_vacuum_incremental_reclaim(
         and snapshot_versions(root) == [4]
     )
     checks = int(c1) + int(c2) + int(c3) + int(c4)
-    proof = spark.createDataFrame(
+    proof = local_rows(spark, 
         [("reclaim_proof", checks, float(left1 + v1_files() - 3 + 4))],
         "slice string, n_rows bigint, score_sum double",
     )

@@ -21,6 +21,8 @@ write→read-back→aggregate shape as queries_sinks.py, different format).
 
 from __future__ import annotations
 
+from openaq_data_pipeline_engineering_spark.localrel import local_rows
+
 from openaq_data_pipeline_engineering_spark.scratch import fresh_scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1291,7 +1293,7 @@ def benford_first_digit(spark, sf_dir):
         .alias("digit")
     )
     obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
-    bench = spark.createDataFrame(
+    bench = local_rows(spark, 
         sorted(_BENFORD_PPM.items()), "digit long, ppm long"
     )
     joined = bench.join(obs, on="digit", how="left").select(

@@ -61,6 +61,8 @@ driver's ~50-query prefix ahead of the stalest-evidence greens.
 
 from __future__ import annotations
 
+from openaq_data_pipeline_engineering_spark.localrel import local_rows
+
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -879,7 +881,7 @@ def sql_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("constraints_active", len(table_constraints(root))),
         ("versions_committed", len(snapshot_versions(root))),
     ]
-    return spark.createDataFrame(rows, "metric string, value long")
+    return local_rows(spark, rows, "metric string, value long")
 
 
 # --------------------------------------------------------------------------
@@ -1110,7 +1112,7 @@ def sql_update_delete_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("score").cast("double").alias("score_sum"),
         )
 
-    meta = spark.createDataFrame(
+    meta = local_rows(spark, 
         [
             (
                 "statement_versions",

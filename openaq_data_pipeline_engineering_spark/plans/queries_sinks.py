@@ -42,6 +42,8 @@ DECIMAL-grid money sums, or dates — nothing hash-fragile.
 
 from __future__ import annotations
 
+from openaq_data_pipeline_engineering_spark.localrel import local_rows
+
 import os
 
 from openaq_data_pipeline_engineering_spark.scratch import fresh_scratch_dir
@@ -293,7 +295,7 @@ def observe_stage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One action drives both observations (metrics ride the same job).
     gated.write.format("noop").mode("overwrite").save()
     m_in, m_gate = obs_ingest.get, obs_gate.get
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [
             (
                 int(m_in["row_count"]),

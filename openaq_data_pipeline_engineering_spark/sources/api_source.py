@@ -16,6 +16,8 @@ unchanged either way.
 
 from __future__ import annotations
 
+from openaq_data_pipeline_engineering_spark.localrel import local_rows
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -49,12 +51,12 @@ LOCATION_CITY_MAP: dict[int, str] = {
 
 def locations_to_df(spark: SparkSession, records: list[dict]) -> DataFrame:
     """Nested location JSON records → typed DataFrame (S4)."""
-    return spark.createDataFrame(records, LOCATION_SCHEMA)
+    return local_rows(spark, records, LOCATION_SCHEMA)
 
 
 def api_measurements_to_df(spark: SparkSession, records: list[dict]) -> DataFrame:
     """Nested sensor-measurement records → typed DataFrame (S5)."""
-    return spark.createDataFrame(records, API_MEASUREMENT_SCHEMA)
+    return local_rows(spark, records, API_MEASUREMENT_SCHEMA)
 
 
 def normalize_measurements(df: DataFrame) -> DataFrame:
