@@ -19,21 +19,34 @@ here is fully declarative:
    starting left — identical in both engines, slightly different from
    tokenizers that rescan; determinism is the contract here.
 
-The winning pair is joined back as a BROADCAST 1-row table — no
-driver collect; the per-round `localCheckpoint` bounds lineage exactly
-as in operators/kmeans.py (state is |vocab| rows — always tiny
-relative to the corpus the words came from).
+Orchestration shape (optimization round 12): the per-round argmax is a
+ONE-ROW bounded driver action (`limit(1).collect()` — the same class
+as the connected-components convergence probe), and the winning pair
+is substituted back as string LITERALS in the merge expression. The
+previous shape broadcast the 1-row argmax as a join relation and
+eagerly `localCheckpoint`ed the state table every round; that cost
+3-4 Spark jobs per round (broadcast build + checkpoint materialize)
+purely in orchestration. With literal substitution the state table is
+a lazy chain of `replace` projections over the ONE materialized
+word-frequency table, so each round costs exactly one job (the argmax
+aggregation) and nothing else. Identical merge sequence, bit-equal
+output.
 
 At 100 TB: the word-frequency table (step 0) is the only corpus-sized
-aggregation; every round after that runs on the distinct-word
-vocabulary, which is why real BPE trainers run on frequency tables,
-not raw text — this operator has the same cost shape.
+aggregation — it is materialized once (localCheckpoint) and every
+round after that runs on the distinct-word vocabulary, which is why
+real BPE trainers run on frequency tables, not raw text — this
+operator has the same cost shape. The per-round driver transfer is
+one (s1, s2, n) row, strictly less than the prior broadcast of the
+same row.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from openaq_data_pipeline_engineering_spark.localrel import local_rows
 
 
 def char_state(word_col: str) -> F.Column:
@@ -60,18 +73,40 @@ def _pair_counts(states: DataFrame) -> DataFrame:
     )
 
 
-def bpe_train(
-    word_freqs: DataFrame, rounds: int, materialize: bool = True
-) -> DataFrame:
-    """Learn ``rounds`` merge rules from a (w, wfreq) frequency table.
-
-    Returns (round, s1, s2, n): the merged pair and its weighted count
-    per round, in training order.
-    """
-    states = word_freqs.select(
-        "w", "wfreq", char_state("w").alias("state")
+def _apply_rule(states: DataFrame, s1: str, s2: str) -> DataFrame:
+    """One literal merge applied to the state column (no join)."""
+    return states.withColumn(
+        "state",
+        F.call_function(
+            "replace",
+            F.col("state"),
+            F.lit(f" {s1} {s2} "),
+            F.lit(f" {s1}{s2} "),
+        ),
     )
-    merges: DataFrame | None = None
+
+
+MERGES_SCHEMA = "round int, s1 string, s2 string, n bigint"
+
+
+def bpe_train_rules(
+    word_freqs: DataFrame, rounds: int, materialize: bool = True
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``rounds`` merge rules; returns [(round, s1, s2, n), ...].
+
+    The per-round argmax is a 1-row bounded action; the state table
+    stays a lazy literal-replace chain over the materialized frequency
+    table (see module docstring). If some round has no adjacent pair
+    left (degenerate vocab), training stops early — matching the prior
+    broadcast implementation, where an empty argmax emptied the state
+    table and every later round produced no rule row.
+    """
+    wf = word_freqs
+    if materialize:
+        # The only corpus-derived input; one job, |vocab| rows.
+        wf = wf.localCheckpoint(eager=True)
+    states = wf.select("w", "wfreq", char_state("w").alias("state"))
+    rules: list[tuple[int, str, str, int]] = []
     for r in range(1, rounds + 1):
         with_syms = states.withColumn(
             "syms", F.split(F.trim(F.col("state")), " ")
@@ -80,29 +115,26 @@ def bpe_train(
             _pair_counts(with_syms)
             .orderBy(F.desc("n"), "s1", "s2")
             .limit(1)
+            .collect()
         )
-        row = best.select(
-            F.lit(r).cast("int").alias("round"), "s1", "s2", "n"
-        )
-        merges = row if merges is None else merges.unionByName(row)
-        states = (
-            states.crossJoin(F.broadcast(best))
-            .withColumn(
-                "state",
-                F.expr(
-                    "replace(state, concat(' ', s1, ' ', s2, ' '), "
-                    "concat(' ', s1, s2, ' '))"
-                ),
-            )
-            .select("w", "wfreq", "state")
-        )
-        if materialize:
-            # |vocab| rows — always driver-safe; bounds lineage so round
-            # k+1 does not replay rounds 1..k (same rationale as
-            # kmeans_fit's per-Lloyd-round checkpoint).
-            states = states.localCheckpoint(eager=True)
-    assert merges is not None
-    return merges
+        if not best:
+            break
+        s1, s2, n = best[0]["s1"], best[0]["s2"], int(best[0]["n"])
+        rules.append((r, s1, s2, n))
+        states = _apply_rule(states, s1, s2)
+    return rules
+
+
+def bpe_train(
+    word_freqs: DataFrame, rounds: int, materialize: bool = True
+) -> DataFrame:
+    """Learn ``rounds`` merge rules from a (w, wfreq) frequency table.
+
+    Returns (round, s1, s2, n): the merged pair and its weighted count
+    per round, in training order.
+    """
+    rules = bpe_train_rules(word_freqs, rounds, materialize=materialize)
+    return local_rows(word_freqs.sparkSession, rules, MERGES_SCHEMA)
 
 
 def bpe_oracle_sql(word_freq_sql: str, rounds: int) -> str:
@@ -146,25 +178,24 @@ def bpe_apply(
     """Apply learned merge rules (in training order) to the vocabulary:
     returns (w, wfreq, n_syms) — symbols per word AFTER the merges.
 
-    Each rule is a broadcast 1-row join + the same boundary-guarded
-    string replace as training; no collect, no Python. ``rounds`` must
-    equal the merge count (rules are joined by their round number so
-    application order matches training order).
+    The rule table is bounded by ``rounds`` rows, so it is collected
+    once and applied as a chain of literal boundary-guarded string
+    replaces in a single projection — no per-rule joins, no Python.
+    Application order matches training order (sorted by round).
     """
-    states = word_freqs.select("w", "wfreq", char_state("w").alias("state"))
-    for r in range(1, rounds + 1):
-        rule = merges.filter(F.col("round") == r).select("s1", "s2")
-        states = (
-            states.crossJoin(F.broadcast(rule))
-            .withColumn(
-                "state",
-                F.expr(
-                    "replace(state, concat(' ', s1, ' ', s2, ' '), "
-                    "concat(' ', s1, s2, ' '))"
-                ),
-            )
-            .select("w", "wfreq", "state")
+    rules = sorted(
+        (
+            (int(row["round"]), row["s1"], row["s2"])
+            for row in merges.select("round", "s1", "s2").collect()
         )
+    )
+    if len(rules) > max(rounds, 0):
+        raise ValueError(
+            f"merge table has {len(rules)} rules but rounds={rounds}"
+        )
+    states = word_freqs.select("w", "wfreq", char_state("w").alias("state"))
+    for _r, s1, s2 in rules:
+        states = _apply_rule(states, s1, s2)
     return states.select(
         "w",
         "wfreq",

@@ -714,8 +714,12 @@ def bpe_encode_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("wfreq"))
+        # One corpus pass shared by the train AND encode sides (the
+        # train side would otherwise materialize its own copy and the
+        # encode side would re-scan the corpus).
+        .localCheckpoint(eager=True)
     )
-    merges = bpe_train(word_freqs, rounds=_BPE_ROUNDS)
+    merges = bpe_train(word_freqs, rounds=_BPE_ROUNDS, materialize=False)
     encoded = bpe_apply(word_freqs, merges, rounds=_BPE_ROUNDS)
     return encoded.agg(
         F.sum(F.col("wfreq") * F.length("w"))
