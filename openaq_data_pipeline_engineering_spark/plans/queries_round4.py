@@ -1397,14 +1397,21 @@ def streaming_stateful_running_counts(spark, sf_dir):
         F.floor(F.col("value") * 100).cast("double").alias("cents"),
     )
     drop = fresh_scratch_dir("stateful_drop")
-    for i in range(3):
-        (
-            ev.filter(F.col("event_id") % 3 == i)
-            .select("event_type", "cents")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(drop, f"slice_{i}"))
-        )
+    # One scan+write for all 3 slices (was: 3 filtered re-scans); the
+    # final max-n emission per key is batch-order-independent, so no
+    # mtime pinning is needed.
+    from openaq_data_pipeline_engineering_spark.streaming.ingest import (
+        write_slice_files,
+    )
+
+    write_slice_files(
+        ev.select(
+            "event_type", "cents", (F.col("event_id") % 3).alias("slice")
+        ),
+        "slice",
+        drop,
+        pin_order=False,
+    )
     stream = (
         spark.readStream.format("parquet")
         .schema("event_type string, cents double")

@@ -105,32 +105,50 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
 
     drop = fresh_scratch_dir("sessionize_drop")
-    slices = [
-        ev.filter(F.col("us") <= t1),
-        ev.filter((F.col("us") > t1) & (F.col("us") <= t2)),
-        ev.filter(F.col("us") > t2),
-    ]
+    # One scan+write for the 3 tercile slices (was: 3 filtered
+    # re-scans), mtime-pinned in slice order so each key's events still
+    # arrive across micro-batches in nondecreasing event-time order.
+    from openaq_data_pipeline_engineering_spark.streaming.ingest import (
+        slice_mtime,
+        write_slice_files,
+    )
+
+    write_slice_files(
+        ev.withColumn(
+            "slice",
+            F.when(F.col("us") <= t1, 0)
+            .when(F.col("us") <= t2, 1)
+            .otherwise(2),
+        ).select("skey", "ts", "slice"),
+        "slice",
+        drop,
+        pin_order=True,
+    )
     # Two sentinel batches: the first advances the watermark past every
     # real last_event + gap (so timers become eligible); the second
-    # gives the engine a batch in which to FIRE them.
+    # gives the engine a batch in which to FIRE them. 1-row files —
+    # written driver-side (pyarrow, UTC-instant micros), no Spark jobs.
+    import pyarrow as pa
+    import pyarrow.parquet as pa_pq
+
     margin_us = (gap_s + 7200) * 1_000_000
-    for s_us in (max_us + margin_us, max_us + margin_us + 600_000_000):
-        slices.append(
-            spark.range(1).select(
-                F.lit("__flush__").alias("skey"),
-                F.timestamp_micros(F.lit(s_us)).alias("ts"),
-                F.lit(s_us).alias("us"),
-            )
+    for j, s_us in enumerate(
+        (max_us + margin_us, max_us + margin_us + 600_000_000)
+    ):
+        sdir = os.path.join(drop, f"sentinel_{j}")
+        os.makedirs(sdir, exist_ok=True)
+        fp = os.path.join(sdir, "part-00000.parquet")
+        pa_pq.write_table(
+            pa.table(
+                {
+                    "skey": pa.array(["__flush__"], pa.string()),
+                    "ts": pa.array([int(s_us)], pa.timestamp("us", tz="UTC")),
+                }
+            ),
+            fp,
         )
-    base = time.time() - 3600
-    for i, sdf in enumerate(slices):
-        path = os.path.join(drop, f"slice_{i}")
-        sdf.select("skey", "ts").coalesce(1).write.mode("overwrite").parquet(
-            path
-        )
-        for f in os.listdir(path):  # pin micro-batch order via mtime
-            if not f.startswith("_"):
-                os.utime(os.path.join(path, f), (base + i * 30, base + i * 30))
+        t = slice_mtime(3 + j)  # after the 3 tercile slices
+        os.utime(fp, (t, t))
 
     stream = (
         spark.readStream.format("parquet")

@@ -385,16 +385,26 @@ def streaming_quality_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # micro-batches (routing must hold ACROSS batches, not just within)
     n_max = ev.agg(F.max("event_id")).first()[0]
     drop = fresh_scratch_dir("quality_drop")
-    for i in range(3):
-        lo, hi = i * (n_max + 1) // 3, (i + 1) * (n_max + 1) // 3
-        (
-            ev.filter(
-                (F.col("event_id") >= lo) & (F.col("event_id") < hi)
-            )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(drop, f"slice_{i}"))
-        )
+    # One scan+write for all 3 slices (was: 3 filtered re-scans) with
+    # the identical integer range boundaries; routing and the final
+    # aggregate are batch-order-independent (event_id is the upsert
+    # key and is unique), so no mtime pinning is needed.
+    from openaq_data_pipeline_engineering_spark.streaming.ingest import (
+        write_slice_files,
+    )
+
+    b1, b2 = (n_max + 1) // 3, (2 * (n_max + 1)) // 3
+    write_slice_files(
+        ev.withColumn(
+            "slice",
+            F.when(F.col("event_id") < b1, 0)
+            .when(F.col("event_id") < b2, 1)
+            .otherwise(2),
+        ),
+        "slice",
+        drop,
+        pin_order=False,
+    )
     stream = (
         spark.readStream.format("parquet")
         .schema(

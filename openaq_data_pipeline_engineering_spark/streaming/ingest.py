@@ -114,6 +114,63 @@ def scoped_shuffle_partitions(spark: SparkSession, n: int):
             spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def write_slice_files(
+    df: DataFrame, slice_col: str, drop_dir: str, pin_order: bool = True
+) -> None:
+    """One-pass micro-batch slice prep (optimization round 12).
+
+    The forced-micro-batch witnesses drop N parquet files and replay
+    them with ``maxFilesPerTrigger=1``. Writing each slice as its own
+    filtered ``coalesce(1)`` job re-scans the source N times; this
+    writes every slice in ONE scan+shuffle via ``partitionBy`` —
+    ``repartition(slice_col)`` guarantees each slice value lives in
+    exactly one task, so each ``<slice_col>=<v>/`` directory holds
+    exactly one data file and the file count (= micro-batch count) is
+    unchanged. The partition column is dropped from the data files,
+    matching the previous per-slice writes. An EMPTY slice produces no
+    directory (previously: one empty file) — one fewer no-op
+    micro-batch, identical results.
+
+    ``pin_order=True`` stamps ascending mtimes in slice-value order so
+    the file-source replays slices in that order (the sessionization
+    witness needs nondecreasing event time across batches); callers
+    appending sentinel files after the slices should stamp them with
+    ``slice_mtime(i)`` for later indices.
+    """
+    (
+        df.repartition(slice_col)
+        .write.mode("overwrite")
+        .partitionBy(slice_col)
+        .parquet(drop_dir)
+    )
+    if pin_order:
+        vals = sorted(
+            (e for e in os.listdir(drop_dir) if e.startswith(f"{slice_col}=")),
+            key=lambda e: float(e.split("=", 1)[1]),
+        )
+        for i, ent in enumerate(vals):
+            d = os.path.join(drop_dir, ent)
+            for f in os.listdir(d):
+                if not f.startswith("_"):
+                    t = slice_mtime(i)
+                    os.utime(os.path.join(d, f), (t, t))
+
+
+_SLICE_MTIME_BASE: float | None = None
+
+
+def slice_mtime(index: int) -> float:
+    """Deterministic-within-process ascending mtime for slice ``index``
+    (30 s apart, anchored an hour in the past like the prior inline
+    pinning)."""
+    global _SLICE_MTIME_BASE
+    if _SLICE_MTIME_BASE is None:
+        import time as _time
+
+        _SLICE_MTIME_BASE = _time.time() - 3600
+    return _SLICE_MTIME_BASE + index * 30
+
+
 def stream_dedup(
     stream: DataFrame,
     keys: list[str],
