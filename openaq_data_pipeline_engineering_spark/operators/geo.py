@@ -191,13 +191,25 @@ def nearest_in_neighborhood(
             wrap_lon=wrap_lon,
         ),
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(probe_key).orderBy("dist_sq", station_key)
+    # Argmin as ONE aggregation (partial+final SortAggregate): min of the (dist_sq, station_key,
+    # <row>) struct is lexicographically "dist_sq asc, station_key asc"
+    # — the identical row to the previous row_number window's rank 1 —
+    # and the 3×3-cell equi-join keeps each probe's ≤9-cell candidate
+    # set co-located, so map-side partial aggregation collapses it
+    # before the exchange instead of shuffling and sorting every
+    # candidate pair.
+    keep = [
+        c for c in cand.columns if c not in ("join_cell_lat", "join_cell_lon")
+    ]
+    row = F.struct(*[F.col(c) for c in keep]).alias("_row")
     return (
-        cand.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "join_cell_lat", "join_cell_lon")
+        cand.groupBy(probe_key)
+        .agg(
+            F.min(
+                F.struct(F.col("dist_sq"), F.col(station_key), row)
+            ).alias("_best")
+        )
+        .select("_best._row.*")
     )
 
 

@@ -28,7 +28,7 @@ and only ASSIGN the full corpus; both steps are the same code.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from openaq_data_pipeline_engineering_spark.functions.vectors import cosine
@@ -49,11 +49,22 @@ def assign_cells(
     scored = vectors.join(F.broadcast(centroids)).withColumn(
         "ccos", F.round(cosine(vec_col, "cvec"), round_decimals)
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), "cid")
+    # Argmax as ONE aggregation (partial+final SortAggregate): max of the (ccos, -cid) struct is
+    # lexicographically "ccos desc, cid asc" — identical row to the
+    # previous row_number window's rank 1. The broadcast join leaves
+    # all k scored copies of a vector inside its map partition, so
+    # partial aggregation collapses them BEFORE the exchange: the
+    # shuffle carries N unsorted rows instead of N·k rows through a
+    # window sort (k× fewer bytes, no sort).
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, F.col("cid").alias("cell"))
+        scored.groupBy(id_col)
+        .agg(
+            F.any_value(vec_col).alias(vec_col),
+            F.max(
+                F.struct(F.col("ccos"), (-F.col("cid")).alias("ncid"))
+            ).alias("_best"),
+        )
+        .select(id_col, vec_col, (-F.col("_best.ncid")).alias("cell"))
     )
 
 

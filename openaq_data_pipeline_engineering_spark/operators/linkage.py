@@ -23,7 +23,7 @@ bit-exactly — edit distance has no floating point.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -56,14 +56,27 @@ def best_match(
     pairs: DataFrame, left_id: str, tiebreak: str
 ) -> DataFrame:
     """One row per left record: the minimum-distance match, ties broken
-    by ascending ``tiebreak`` (deterministic across layouts)."""
-    w = Window.partitionBy(left_id).orderBy(
-        F.col("edit_distance").asc(), F.col(tiebreak).asc()
-    )
+    by ascending ``tiebreak`` (deterministic across layouts).
+
+    Argmin as ONE aggregation (partial+final SortAggregate): min of the (edit_distance,
+    tiebreak, <row>) struct is lexicographically "edit_distance asc,
+    tiebreak asc" — the identical row to the previous row_number
+    window's rank 1 — and the blocked equi-join leaves each left
+    record's candidates co-located, so map-side partial aggregation
+    collapses them before the exchange instead of shuffling and
+    sorting every candidate pair.
+    """
+    row = F.struct(*[F.col(c) for c in pairs.columns]).alias("_row")
     return (
-        pairs.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        pairs.groupBy(left_id)
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("edit_distance"), F.col(tiebreak), row
+                )
+            ).alias("_best")
+        )
+        .select("_best._row.*")
     )
 
 

@@ -72,11 +72,14 @@ def pq_encode(flat: DataFrame, codebook: DataFrame, id_col: str = "vec_id") -> D
         .groupBy(id_col, "m", "code")
         .agg(F.sum("dd").alias("d2"))
     )
-    w = Window.partitionBy(id_col, "m").orderBy("d2", "code")
+    # Argmin as ONE aggregation (partial+final SortAggregate): min of the (d2, code) struct is
+    # lexicographically "d2 asc, code asc" — identical row to the
+    # previous row_number window's rank 1, but with map-side partial
+    # aggregation instead of a second shuffle + sort per (id, m).
     return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "m", "code")
+        d.groupBy(id_col, "m")
+        .agg(F.min(F.struct("d2", "code")).alias("_best"))
+        .select(id_col, "m", F.col("_best.code").alias("code"))
     )
 
 

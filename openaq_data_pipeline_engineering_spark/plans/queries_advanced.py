@@ -243,11 +243,21 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = vecs.join(F.broadcast(cent)).withColumn(
         "ccos", F.round(cosine("embedding", "cvec"), 6)
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cid")
+    # Argmax as one aggregation (partial+final SortAggregate): max of (ccos, -cid) is
+    # lexicographically "ccos desc, cid asc" — identical row to the
+    # previous row_number window's rank 1, but the broadcast join keeps
+    # all centroid copies of a vector map-local, so partial aggregation
+    # collapses them before the exchange (k× fewer shuffled rows, no
+    # sort).
     assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cid").alias("cell"))
+        scored.groupBy("vec_id")
+        .agg(
+            F.any_value("embedding").alias("embedding"),
+            F.max(
+                F.struct(F.col("ccos"), (-F.col("cid")).alias("ncid"))
+            ).alias("_best"),
+        )
+        .select("vec_id", "embedding", (-F.col("_best.ncid")).alias("cell"))
         # The built IVF index, materialized once (it feeds the probe
         # lookup AND the in-cell scan; re-deriving it re-scans the
         # corpus — exchange reuse does not fire across aliased

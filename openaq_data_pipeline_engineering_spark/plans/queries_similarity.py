@@ -183,7 +183,11 @@ def ann_lsh_bucketed_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("qbucket"),
     )
     cos = cosine("embedding", "qvec")
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), "neighbor_id")
+    # Argmax as one aggregation (partial+final SortAggregate): max of (cos_raw, -neighbor_id)
+    # is lexicographically "cos_raw desc, neighbor_id asc" — identical
+    # row to the previous row_number window's rank 1, with map-side
+    # partial aggregation instead of a shuffle + sort of every
+    # in-bucket pair.
     return (
         bucketed.join(
             F.broadcast(a),
@@ -192,11 +196,19 @@ def ann_lsh_bucketed_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_raw")
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .groupBy("query_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos_raw"), (-F.col("neighbor_id")).alias("nnid")
+                )
+            ).alias("_best")
+        )
         .select(
-            "query_id", "neighbor_id",
-            F.round(F.col("cos_raw"), 6).alias("cosine"), "rn",
+            "query_id",
+            (-F.col("_best.nnid")).alias("neighbor_id"),
+            F.round(F.col("_best.cos_raw"), 6).alias("cosine"),
+            F.lit(1).alias("rn"),
         )
     )
 
@@ -428,11 +440,12 @@ def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "cid")
         .agg(F.sum("dd").alias("d2"))
     )
-    wc = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    # Argmin as one aggregation (partial+final SortAggregate) (min struct == "d2 asc, cid asc",
+    # the previous window's rank 1) — map-side partial agg, no sort.
     cells = (
-        celld.withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("cell"))
+        celld.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("_best"))
+        .select("vec_id", F.col("_best.cid").alias("cell"))
     )
 
     # PQ layer (shared codebook with pq_adc_topk).
