@@ -244,16 +244,28 @@ def bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = probed.filter(_set("h1") & _set("h2")).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    matched = cand.join(
-        cust_b, cand["o_custkey"] == cust_b["c_custkey"], "left_semi"
+    # ONE pass computes candidate count, matched count and revenue:
+    # the exact membership test becomes a broadcast left join against
+    # the (unique-keyed) dim key set — equivalent to the semi join's
+    # row set, but it yields a match FLAG instead of a filtered frame,
+    # so the separate n_cand / matched aggregation branches (which
+    # re-ran the scan + Bloom screen twice) collapse into one
+    # conditional aggregate over a single scan of orders.
+    flagged = cand.join(
+        F.broadcast(cust_b),
+        cand["o_custkey"] == cust_b["c_custkey"],
+        "left",
+    ).select(
+        "o_totalprice", F.col("c_custkey").isNotNull().alias("m")
     )
-    n_cand = cand.agg(
-        F.count(F.lit(1)).alias("n_candidate_orders")
-    )
-    m_agg = matched.agg(
-        F.count(F.lit(1)).alias("n_matched_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_candidate_orders"),
+        F.sum(F.when(F.col("m"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_matched_orders"),
+        F.sum(
+            F.when(F.col("m"), F.col("o_totalprice").cast("decimal(18,2)"))
+        )
         .cast("double")
         .alias("revenue"),
     )
-    return n_cand.crossJoin(m_agg)

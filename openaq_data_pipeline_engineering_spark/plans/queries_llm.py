@@ -468,21 +468,14 @@ def pretraining_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The flag table feeds four aggregation branches; pin it once so the
     # LSH/minhash subtree isn't re-executed per branch.
     flags = flags.localCheckpoint(eager=True)
-    surv = flags.filter(
+    survcond = (
         F.col("lang_ok")
         & F.col("q_ok")
         & F.col("keep")
         & ~F.col("nd")
         & ~F.col("ct")
     )
-
-    def row(stage: int, name: str, col) -> DataFrame:
-        src = flags if stage <= 5 else surv
-        return src.agg(
-            F.lit(stage).cast("bigint").alias("stage"),
-            F.lit(name).alias("stage_name"),
-            F.coalesce(col, F.lit(0)).cast("bigint").alias("n"),
-        )
+    surv = flags.filter(survcond)
 
     ones = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
 
@@ -498,59 +491,59 @@ def pretraining_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("seq_id"),
     )
 
+    # The nine funnel rows were nine unionByName'd aggregation branches
+    # — nine passes over the checkpointed flag table, each with its own
+    # partial+final exchange pair. All stage counts except the packed
+    # one are conditional sums over the SAME rows (the stage-6..9
+    # branches filtered by survcond, which folds into a when()), so one
+    # aggregation computes stages 1-7 and 9, a second computes the
+    # window-dependent stage 8, and the 1-row results cross-join and
+    # explode into the identical 9-row funnel: 2 passes instead of 9.
+    flag_aggs = flags.agg(
+        F.count(F.lit(1)).alias("s1"),
+        ones(F.col("lang_ok")).alias("s2"),
+        ones(F.col("lang_ok") & F.col("q_ok")).alias("s3"),
+        ones(F.col("lang_ok") & F.col("q_ok") & F.col("keep")).alias("s4"),
+        ones(
+            F.col("lang_ok") & F.col("q_ok") & F.col("keep") & ~F.col("nd")
+        ).alias("s5"),
+        ones(survcond).alias("s6"),
+        F.sum(
+            F.when(
+                survcond,
+                F.lit(1)
+                + F.expr("CAST(greatest(wc - 9, 0) div 24 AS BIGINT)"),
+            )
+        ).alias("s7"),
+        ones(survcond & (split_column("doc_id") == "train")).alias("s9"),
+    )
+    pack_agg = packed.agg(
+        F.count_distinct(F.col("source"), F.col("seq_id")).alias("s8")
+    )
+
+    def stage_struct(stage: int, name: str, col: str):
+        return F.struct(
+            F.lit(stage).cast("bigint").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.coalesce(F.col(col), F.lit(0)).cast("bigint").alias("n"),
+        )
+
     return (
-        row(1, "raw", F.count(F.lit(1)))
-        .unionByName(row(2, "lang_en", ones(F.col("lang_ok"))))
-        .unionByName(
-            row(3, "quality", ones(F.col("lang_ok") & F.col("q_ok")))
-        )
-        .unionByName(
-            row(
-                4,
-                "exact_dedup",
-                ones(F.col("lang_ok") & F.col("q_ok") & F.col("keep")),
-            )
-        )
-        .unionByName(
-            row(
-                5,
-                "near_dedup",
-                ones(
-                    F.col("lang_ok")
-                    & F.col("q_ok")
-                    & F.col("keep")
-                    & ~F.col("nd")
-                ),
-            )
-        )
-        .unionByName(row(6, "decontaminated", F.count(F.lit(1))))
-        .unionByName(
-            row(
-                7,
-                "chunks",
-                F.sum(
-                    F.lit(1)
-                    + F.expr("CAST(greatest(wc - 9, 0) div 24 AS BIGINT)")
-                ),
-            )
-        )
-        .unionByName(
-            packed.agg(
-                F.lit(8).cast("bigint").alias("stage"),
-                F.lit("packed_sequences").alias("stage_name"),
-                F.coalesce(
-                    F.count_distinct(F.col("source"), F.col("seq_id")),
-                    F.lit(0),
+        flag_aggs.crossJoin(pack_agg)
+        .select(
+            F.explode(
+                F.array(
+                    stage_struct(1, "raw", "s1"),
+                    stage_struct(2, "lang_en", "s2"),
+                    stage_struct(3, "quality", "s3"),
+                    stage_struct(4, "exact_dedup", "s4"),
+                    stage_struct(5, "near_dedup", "s5"),
+                    stage_struct(6, "decontaminated", "s6"),
+                    stage_struct(7, "chunks", "s7"),
+                    stage_struct(8, "packed_sequences", "s8"),
+                    stage_struct(9, "train_docs", "s9"),
                 )
-                .cast("bigint")
-                .alias("n"),
-            )
+            ).alias("r")
         )
-        .unionByName(
-            row(
-                9,
-                "train_docs",
-                ones(split_column("doc_id") == "train"),
-            )
-        )
+        .select("r.*")
     )

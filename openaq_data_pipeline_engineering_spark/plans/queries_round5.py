@@ -370,8 +370,15 @@ def doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
     total = lm.agg(F.sum("c").alias("total"))
+    # The LM is vocab-sized (sublinear in the corpus — Heaps' law), and
+    # the checkpointed relation has no size stats, so the planner would
+    # default the scoring join to SortMergeJoin and shuffle the ENTIRE
+    # token stream by w. Broadcasting the LM (the CCNet design: the
+    # unigram model lives in memory on every worker) makes scoring one
+    # map-side pass: scan → explode → broadcast hash join → per-doc
+    # partial agg; only ≤|docs| partial rows reach the exchange.
     scored = (
-        tok.join(lm, "w")
+        tok.join(F.broadcast(lm), "w")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(

@@ -454,8 +454,19 @@ def _curation_oracle() -> str:
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
 
-    gated = docs.filter(lang_predict("text") == "en").filter(
-        quality_score("text") > 0.4
+    # Project before the exchange (guide §2.3): the gate joins shuffle
+    # by doc_id, and `text` is the fat column — computing the word
+    # count here and dropping the text keeps the semi/anti exchanges to
+    # three narrow columns instead of shipping every surviving
+    # document's body twice.
+    gated = (
+        docs.filter(lang_predict("text") == "en")
+        .filter(quality_score("text") > 0.4)
+        .select(
+            "doc_id",
+            "source",
+            whitespace_token_count("text").alias("wc"),
+        )
     )
 
     keepers = exact_dedup(docs, content_col="text", id_col="doc_id").select("doc_id")
@@ -484,7 +495,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return curated.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(whitespace_token_count("text")).alias("total_words"),
+        F.sum("wc").alias("total_words"),
     )
 
 

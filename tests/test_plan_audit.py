@@ -57,6 +57,10 @@ NLJ_ALLOWED = {
     "doc_perplexity_filter",
     # funnel summary: three 1-row stage counts combined into one row.
     "event_funnel",
+    # pretraining funnel: the 1-row stage-count aggregate crossed with
+    # the 1-row packed-sequence count before exploding into the 9-row
+    # funnel (was 9 separate aggregation branches).
+    "pretraining_funnel",
     # bloom probe: 20 probe keys crossed with the |sources| (5) group
     # list — a deliberate bounded broadcast expansion (100 rows).
     "bloom_index_probe",
