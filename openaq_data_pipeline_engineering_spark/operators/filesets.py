@@ -354,6 +354,35 @@ def read_fileset_df(
     )
 
 
+# Analyzed-read memo for PLAIN version directories: one DML statement
+# resolves the same immutable version dir 4-5 times (discovery, subset
+# schema pin, commit probes), and each ``spark.read.parquet(dir)``
+# pays driver-side listing + footer schema inference (~80 ms of the
+# statement's budget). A version directory only changes through the
+# commit/vacuum protocol, so the memo keys on a full content
+# fingerprint (relpath, size, mtime_ns of every file under the dir) —
+# any mutation produces a fresh read. Values hold the owning session
+# (DataFrames are session-bound and immutable); LRU-capped. This is
+# plan/schema reuse inside one process, never result caching: every
+# action still scans the parquet files.
+_DIR_READ_MEMO: dict = {}
+_DIR_READ_MEMO_CAP = 128
+
+
+def _plain_dir_fingerprint(vdir: str) -> tuple:
+    acc = []
+    for r, _dirs, files in os.walk(vdir):
+        rel = os.path.relpath(r, vdir)
+        for f in files:
+            try:
+                st = os.stat(os.path.join(r, f))
+            except OSError:
+                continue
+            acc.append((rel, f, st.st_size, st.st_mtime_ns))
+    acc.sort()
+    return tuple(acc)
+
+
 def read_version_dir(
     spark: SparkSession, vdir: str, file_col: str | None = None
 ) -> DataFrame:
@@ -365,9 +394,17 @@ def read_version_dir(
 
     if is_fileset_dir(vdir):
         return read_fileset_df(spark, vdir, file_col=file_col)
+    key = (id(spark), os.path.abspath(vdir), file_col,
+           _plain_dir_fingerprint(vdir))
+    hit = _DIR_READ_MEMO.get(key)
+    if hit is not None:
+        return hit[1]
     df = spark.read.parquet(vdir)
     if file_col is not None:
         df = df.withColumn(file_col, F.col("_metadata.file_path"))
+    while len(_DIR_READ_MEMO) >= _DIR_READ_MEMO_CAP:
+        _DIR_READ_MEMO.pop(next(iter(_DIR_READ_MEMO)))
+    _DIR_READ_MEMO[key] = (spark, df)
     return df
 
 

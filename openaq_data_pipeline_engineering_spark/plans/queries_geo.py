@@ -257,6 +257,13 @@ def geo_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
         .filter(F.col("n_points") >= _DBSCAN_MIN_PTS)
         .withColumn("node", F.col("cl") * _PACK + F.col("cn"))
+        # The core-cell table (|cells| rows, bounded by the grid — 2.4k
+        # at sf0.1) feeds THREE consumers: both sides of the adjacency
+        # join and the final label join. Materialize once or each
+        # consumer re-plans the full customer scan + cell aggregation
+        # (exchange reuse does not fire across aliased subtrees): 3
+        # corpus scans → 1.
+        .localCheckpoint(eager=True)
     )
     offsets = F.array(*[F.lit(d) for d in (-1, 0, 1)])
     nbr = (
