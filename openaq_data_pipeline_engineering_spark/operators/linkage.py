@@ -44,12 +44,15 @@ def blocked_fuzzy_join(
     """
     lb = left.withColumn("__block", block_of(F.col(left_name)))
     rb = right.withColumn("__block", block_of(F.col(right_name)))
+    # Thresholded levenshtein — see skew_safe_fuzzy_join.
     pairs = lb.join(rb, "__block").withColumn(
-        "edit_distance", F.levenshtein(F.col(left_name), F.col(right_name))
+        "edit_distance",
+        F.levenshtein(F.col(left_name), F.col(right_name), max_distance),
     )
-    return pairs.filter(F.col("edit_distance") <= max_distance).drop(
-        "__block"
-    )
+    return pairs.filter(
+        (F.col("edit_distance") >= 0)
+        & (F.col("edit_distance") <= max_distance)
+    ).drop("__block")
 
 
 def best_match(
@@ -264,9 +267,15 @@ def skew_safe_fuzzy_join(
                 "pass on_overflow='keep' to accept the quadratic cost"
             )
 
+    # Thresholded levenshtein (Spark 3.5+): the banded O(n·k) algorithm
+    # short-circuits to -1 past max_distance instead of filling the
+    # full O(n·m) matrix per pair — for kept pairs the value is the
+    # exact distance, so the filtered output is unchanged.
     pairs = lk.join(rk, "__block").withColumn(
-        "edit_distance", F.levenshtein(F.col(left_name), F.col(right_name))
+        "edit_distance",
+        F.levenshtein(F.col(left_name), F.col(right_name), max_distance),
     )
-    return pairs.filter(F.col("edit_distance") <= max_distance).drop(
-        "__block"
-    )
+    return pairs.filter(
+        (F.col("edit_distance") >= 0)
+        & (F.col("edit_distance") <= max_distance)
+    ).drop("__block")

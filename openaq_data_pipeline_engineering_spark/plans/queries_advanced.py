@@ -881,10 +881,12 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             & (F.col("name_a") < F.col("name_b")),
         )
+        # Thresholded levenshtein (banded O(n·k), -1 past the bound —
+        # exact for kept pairs; see operators/linkage.py).
         .withColumn(
-            "dist", F.levenshtein("name_a", "name_b").cast("bigint")
+            "dist", F.levenshtein("name_a", "name_b", 4).cast("bigint")
         )
-        .filter(F.col("dist") <= 4)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= 4))
         .select("name_a", "name_b", "dist")
     )
 

@@ -455,25 +455,33 @@ def sql_dynamic_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ewma_recursive_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "events")
-    return spark.sql(
+    # Materialize the weekly rollup ONCE before the recursion: a CTE
+    # referenced inside the recursive step is re-executed at EVERY
+    # level (the 5-level run planned 54 jobs — each level re-ran the
+    # events scan + aggregate + window). Checkpointing the tiny
+    # (|types| × |weeks|) rollup behind a temp view makes each level
+    # one join against a local relation; the WITH RECURSIVE surface
+    # and every output value are unchanged.
+    spark.sql(
         """
-        WITH RECURSIVE wk AS (
+        SELECT event_type, d, n,
+               row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
+        FROM (
           SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS d,
                  count(*) AS n
           FROM events GROUP BY 1, 2
-        ),
-        weekly AS (
-          SELECT event_type, d, n,
-                 row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
-          FROM wk
-        ),
-        ew(event_type, i, d, n, s_milli) AS (
+        )
+        """
+    ).localCheckpoint(eager=True).createOrReplaceTempView("ewma_weekly")
+    return spark.sql(
+        """
+        WITH RECURSIVE ew(event_type, i, d, n, s_milli) AS (
           SELECT event_type, i, d, n, n * 1000L
-          FROM weekly WHERE i = 1
+          FROM ewma_weekly WHERE i = 1
           UNION ALL
           SELECT x.event_type, x.i, x.d, x.n,
                  (7 * e.s_milli + 1000 * x.n) div 8
-          FROM weekly x JOIN ew e
+          FROM ewma_weekly x JOIN ew e
             ON x.event_type = e.event_type AND x.i = e.i + 1
         )
         SELECT event_type, d, n, s_milli AS ewma_milli
