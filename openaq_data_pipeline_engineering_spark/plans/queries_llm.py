@@ -398,7 +398,8 @@ def _funnel_oracle() -> str:
 )
 def pretraining_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openaq_data_pipeline_engineering_spark.functions.text import (
-        minhash_agg_exprs,
+        minhash_piece_agg_exprs,
+        minhash_piece_cols,
         quality_score,
         whitespace_token_count,
     )
@@ -418,7 +419,11 @@ def pretraining_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sh = docs.select("doc_id", F.explode(word_shingles("text", 3)).alias("sh"))
-    mh = sh.groupBy("doc_id").agg(*minhash_agg_exprs("sh", _NUM_HASHES))
+    mh = (
+        sh.select("doc_id", *minhash_piece_cols("sh", _NUM_HASHES))
+        .groupBy("doc_id")
+        .agg(*minhash_piece_agg_exprs(_NUM_HASHES))
+    )
     band_exprs = [
         F.md5(F.concat(F.col(f"h{a}"), F.col(f"h{b}"))) for a, b in _BANDS
     ]

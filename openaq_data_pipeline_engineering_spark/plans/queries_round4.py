@@ -354,7 +354,8 @@ def _mh_estimate_oracle() -> str:
 )
 def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openaq_data_pipeline_engineering_spark.functions.text import (
-        minhash_agg_exprs,
+        minhash_piece_agg_exprs,
+        minhash_piece_cols,
     )
 
     # Shared frames materialize ONCE (localCheckpoint): this witness
@@ -373,8 +374,9 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     mh = (
-        dsh.groupBy("doc_id")
-        .agg(*minhash_agg_exprs("sh", _NUM_HASHES))
+        dsh.select("doc_id", *minhash_piece_cols("sh", _NUM_HASHES))
+        .groupBy("doc_id")
+        .agg(*minhash_piece_agg_exprs(_NUM_HASHES))
         .localCheckpoint(eager=True)
     )
     band_exprs = [

@@ -28,7 +28,8 @@ from openaq_data_pipeline_engineering_spark.functions.text import (
     bpe_token_estimate,
     lang_predict,
     lang_scores,
-    minhash_agg_exprs,
+    minhash_piece_agg_exprs,
+    minhash_piece_cols,
     normalized_fingerprint,
     punct_ratio,
     quality_score,
@@ -308,11 +309,18 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured on this Spark build, exchange reuse does NOT fire
     # across the two aliased sides (0 ReusedExchange even for a
     # minimal identical-subtree self-join), so without it the scan +
-    # shingle explode + minhash agg would run twice.
+    # shingle explode + minhash agg would run twice. The md5 pieces
+    # are PROJECTED before the min-aggregation (split minhash form):
+    # min(string) forces a SortAggregate whose input expressions run
+    # interpreted per row with no CSE — see minhash_piece_cols.
     sh = docs.select(
         "doc_id", F.explode(word_shingles("text", k=3)).alias("sh")
     )
-    mh = sh.groupBy("doc_id").agg(*minhash_agg_exprs("sh", _NUM_HASHES))
+    mh = (
+        sh.select("doc_id", *minhash_piece_cols("sh", _NUM_HASHES))
+        .groupBy("doc_id")
+        .agg(*minhash_piece_agg_exprs(_NUM_HASHES))
+    )
     band_exprs = [F.md5(F.concat(F.col(f"h{a}"), F.col(f"h{b}"))) for a, b in _BANDS]
     bands = mh.select(
         "doc_id", F.explode(F.array(*band_exprs)).alias("band")
@@ -476,7 +484,11 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (see minhash_lsh_candidates), so without it the scan + shingle
     # explode + minhash agg runs on both sides.
     sh = docs.select("doc_id", F.explode(word_shingles("text", k=3)).alias("sh"))
-    mh = sh.groupBy("doc_id").agg(*minhash_agg_exprs("sh", _NUM_HASHES))
+    mh = (
+        sh.select("doc_id", *minhash_piece_cols("sh", _NUM_HASHES))
+        .groupBy("doc_id")
+        .agg(*minhash_piece_agg_exprs(_NUM_HASHES))
+    )
     band_exprs = [F.md5(F.concat(F.col(f"h{a}"), F.col(f"h{b}"))) for a, b in _BANDS]
     bandtab = mh.select(
         "doc_id", F.explode(F.array(*band_exprs)).alias("band")
@@ -687,7 +699,11 @@ def minhash_incremental_candidates(spark: SparkSession, sf_dir: str) -> DataFram
     sh = docs.select(
         "doc_id", F.explode(word_shingles("text", k=3)).alias("sh")
     )
-    mh = sh.groupBy("doc_id").agg(*minhash_agg_exprs("sh", _NUM_HASHES))
+    mh = (
+        sh.select("doc_id", *minhash_piece_cols("sh", _NUM_HASHES))
+        .groupBy("doc_id")
+        .agg(*minhash_piece_agg_exprs(_NUM_HASHES))
+    )
     band_exprs = [
         F.md5(F.concat(F.col(f"h{a}"), F.col(f"h{b}"))) for a, b in _BANDS
     ]
@@ -783,9 +799,10 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # reused: profile agg + both pair sides
     )
     prof = (
-        sh.groupBy("doc_id")
+        sh.select("doc_id", *minhash_piece_cols("sh", _NUM_HASHES))
+        .groupBy("doc_id")
         .agg(
-            *minhash_agg_exprs("sh", _NUM_HASHES),
+            *minhash_piece_agg_exprs(_NUM_HASHES),
             F.count(F.lit(1)).cast("bigint").alias("n_sh"),
         )
         .localCheckpoint(eager=True)  # tiny (1 row/doc); both band sides

@@ -232,3 +232,30 @@ class TestConnectedComponents:
 
         edges = spark.createDataFrame([], "src bigint, dst bigint")
         assert connected_components(edges).count() == 0
+
+
+def test_minhash_piece_split_equals_one_call_form(spark):
+    """The split form (project minhash_piece_cols, aggregate
+    minhash_piece_agg_exprs) must produce bit-identical signatures to
+    the reference one-call minhash_agg_exprs — the optimization only
+    moves the md5/substring evaluation into a codegen'd Project below
+    the SortAggregate (see functions/text.py)."""
+    from openaq_data_pipeline_engineering_spark.functions.text import (
+        minhash_piece_agg_exprs,
+        minhash_piece_cols,
+    )
+
+    docs = docs_fixture(spark)
+    sh = docs.select("doc_id", F.explode(word_shingles("text", 3)).alias("sh"))
+    ref = {
+        r["doc_id"]: tuple(r[f"h{i}"] for i in range(8))
+        for r in sh.groupBy("doc_id").agg(*minhash_agg_exprs("sh", 8)).collect()
+    }
+    split = {
+        r["doc_id"]: tuple(r[f"h{i}"] for i in range(8))
+        for r in sh.select("doc_id", *minhash_piece_cols("sh", 8))
+        .groupBy("doc_id")
+        .agg(*minhash_piece_agg_exprs(8))
+        .collect()
+    }
+    assert split == ref and len(ref) > 0
