@@ -37,6 +37,18 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow for pandas_udf / mapInPandas / toPandas exchange.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Scan-split sizing (r12 measure-first): Spark sizes splits as
+    # min(maxPartitionBytes, max(openCostInBytes, totalBytes/minPartitionNum))
+    # — the totalBytes/minPartitionNum term already adapts per scan to
+    # input size, but the 4 MiB openCostInBytes default FLOORS the split
+    # size, serializing every <=12 MiB table onto <=3 scan tasks and
+    # forcing call sites to re-spread rows with a round-robin repartition
+    # (fan_out), which pays a local sort + a full shuffle (measured 3x a
+    # bare scan+agg on the sf0.1 lineitem). 128 KiB keeps the small-file
+    # packing intent (a task still never opens thousands of files per
+    # 128 MiB split) while letting the bytes-per-core term govern; at
+    # production scale bytesPerCore >> 4 MiB so this conf is inert there.
+    "spark.sql.files.openCostInBytes": "131072",
 }
 
 # Local-mode-only shuffle sizing: the 200 default wastes task-launch

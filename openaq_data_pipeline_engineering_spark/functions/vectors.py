@@ -37,6 +37,19 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_pre(
+    a: Column | str, b: Column | str, na: Column | str, nb: Column | str
+) -> Column:
+    """:func:`cosine` with both norms PRECOMPUTED (``na``/``nb`` columns
+    holding exactly ``norm(a)``/``norm(b)``). Bit-identical to
+    :func:`cosine` — each norm is the same left-fold over the same
+    array, just evaluated once per row instead of once per PAIR — but
+    the pair stage runs ONE interpreted array fold instead of three
+    (the zip_with/aggregate HOFs evaluate per element outside codegen,
+    so loop-invariant norm hoisting is a 3x on scoring joins)."""
+    return dot(a, b) / (_col(na) * _col(nb))
+
+
 def auto_bits(
     n_rows: int,
     target_occupancy: int = 32,

@@ -31,7 +31,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from openaq_data_pipeline_engineering_spark.functions.vectors import cosine
+from openaq_data_pipeline_engineering_spark.functions.vectors import (
+    cosine_pre,
+    norm,
+)
 
 
 def assign_cells(
@@ -46,8 +49,16 @@ def assign_cells(
     Returns (id_col, vec_col, cell). Centroids (cid, cvec) are
     broadcast — the corpus side never shuffles.
     """
-    scored = vectors.join(F.broadcast(centroids)).withColumn(
-        "ccos", F.round(cosine(vec_col, "cvec"), round_decimals)
+    # Loop-invariant norm hoisting (r12, guide §1.2 per-task work): each
+    # vector's norm fold ran k times (once per centroid pair) and each
+    # centroid's N times; precomputing both sides is bit-identical (the
+    # same left-fold, evaluated once) and cuts the dominant pair stage
+    # from three interpreted array folds to one.
+    vn = vectors.withColumn("_vnorm", norm(vec_col))
+    cn = centroids.withColumn("_cnorm", norm("cvec"))
+    scored = vn.join(F.broadcast(cn)).withColumn(
+        "ccos",
+        F.round(cosine_pre(vec_col, "cvec", "_vnorm", "_cnorm"), round_decimals),
     )
     # Argmax as ONE aggregation (partial+final SortAggregate): max of the (ccos, -cid) struct is
     # lexicographically "ccos desc, cid asc" — identical row to the

@@ -240,8 +240,20 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
     vecs = emb.filter(F.col("vec_id") >= _N_CENT).select("vec_id", "embedding")
-    scored = vecs.join(F.broadcast(cent)).withColumn(
-        "ccos", F.round(cosine("embedding", "cvec"), 6)
+    # Loop-invariant norm hoisting (r12, guide §1.2): bit-identical to
+    # cosine() — each norm is the same left-fold, computed once per row
+    # instead of once per (vector, centroid) pair.
+    from openaq_data_pipeline_engineering_spark.functions.vectors import (
+        cosine_pre,
+        norm,
+    )
+
+    scored = (
+        vecs.withColumn("_vn", norm("embedding"))
+        .join(F.broadcast(cent.withColumn("_cn", norm("cvec"))))
+        .withColumn(
+            "ccos", F.round(cosine_pre("embedding", "cvec", "_vn", "_cn"), 6)
+        )
     )
     # Argmax as one aggregation (partial+final SortAggregate): max of (ccos, -cid) is
     # lexicographically "ccos desc, cid asc" — identical row to the

@@ -81,6 +81,58 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value ("134217728", "128m", "1g")."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("tb", 1024**4), ("gb", 1024**3), ("mb", 1024**2), ("kb", 1024),
+        ("t", 1024**4), ("g", 1024**3), ("m", 1024**2), ("k", 1024),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)]
+            mult = m
+            break
+    return int(float(s) * mult)
+
+
+def _est_scan_splits(df: DataFrame, files: list[str]) -> int:
+    """Estimate how many scan splits Spark will create for ``df``'s
+    file set, replaying FilePartition's sizing formula:
+
+        maxSplit = min(maxPartitionBytes, max(openCostInBytes,
+                                              totalBytes / minPartitionNum))
+
+    Local-filesystem sizes only (the sandbox target); any non-file URI
+    returns 0 ("unknown — assume under-split")."""
+    import urllib.parse
+
+    conf = df.sparkSession.conf
+    sizes = []
+    for f in files:
+        p = urllib.parse.urlparse(f)
+        if p.scheme not in ("file", ""):
+            return 0
+        try:
+            sizes.append(os.path.getsize(urllib.parse.unquote(p.path)))
+        except OSError:
+            return 0
+    open_cost = _parse_bytes(conf.get("spark.sql.files.openCostInBytes", "4194304"))
+    max_pb = _parse_bytes(conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    # No default arg: Spark 4 type-validates even the DEFAULT for typed
+    # confs, so an unset optional conf must be probed bare.
+    try:
+        min_pn = int(conf.get("spark.sql.files.minPartitionNum") or 0)
+    except Exception:
+        min_pn = 0
+    if min_pn <= 0:
+        min_pn = df.sparkSession.sparkContext.defaultParallelism
+    total = sum(sizes) + open_cost * len(sizes)
+    max_split = min(max_pb, max(open_cost, total // max(min_pn, 1) + 1))
+    return max(1, -(-total // max_split))
+
+
 def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Spread a small-file scan across the cluster before CPU-heavy
     per-row work (explode/hash/vector math).
@@ -88,24 +140,30 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     A tiny parquet file arrives as ONE input split, so everything up to
     the first shuffle runs on one core; this repartition recreates scan
     parallelism for a few ms of shuffle on small data. Guarded: when the
-    scan already yields >= the target splits (any real-scale input —
-    at 100 TB it's thousands), this is the identity and NO shuffle is
-    added to the plan.
+    scan itself already yields enough splits (>= 2/3 of the target —
+    the engine's openCostInBytes sizing makes bytesPerCore govern, so
+    any multi-MB input splits near the core count, and at 100 TB it's
+    thousands of splits), this is the identity and NO shuffle is added
+    to the plan. The round-robin repartition is a last resort for
+    sub-MB inputs feeding CPU-heavy work: it pays a local sort + full
+    shuffle (SPARK-23207), measured 3x a bare scan+agg even at sf0.1.
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     key = (id(df), n)
     cached = _FANOUT_CACHE.get(key)
     if cached is not None:
         return cached[1]
-    # Planning-free parallelism estimate: file count is a lower bound on
-    # scan splits (large files split further by maxPartitionBytes, never
-    # merge below one task per file). No RDD materialization, no physical
-    # plan. Non-file sources report no files → treated as needing fan-out.
+    # Planning-free parallelism estimate from the file set (no RDD
+    # materialization, no physical plan). Non-file sources report no
+    # files → treated as needing fan-out.
     try:
-        n_splits = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:
-        n_splits = 0
-    out = df if n_splits >= n else df.repartition(n)
+        files = []
+    n_splits = len(files) and _est_scan_splits(df, files)
+    # 2/3 tolerance: 22 scan tasks on 32 cores beats paying a sort +
+    # shuffle to reach exactly 32.
+    out = df if n_splits * 3 >= n * 2 else df.repartition(n)
     _FANOUT_CACHE[key] = (df, out)
     return out
 

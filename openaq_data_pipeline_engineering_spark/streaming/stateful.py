@@ -103,8 +103,11 @@ def sessionizer_stateful(
             return
         ts_us: list[int] = []
         for pdf in pdfs:
+            # Vectorized ns→µs conversion (guide §4.2): the per-row
+            # `Timestamp.value` loop paid ~2µs/row of boxed-scalar
+            # overhead per event per micro-batch.
             ts_us.extend(
-                int(t.value // 1000) for t in pd.to_datetime(pdf[ts_col])
+                (pd.to_datetime(pdf[ts_col]).astype("int64") // 1000).tolist()
             )
         if not ts_us:
             return
