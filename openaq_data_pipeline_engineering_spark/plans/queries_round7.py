@@ -170,7 +170,14 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         (
-            df.write.mode("overwrite")
+            # Cluster on the bucket key BEFORE the bucketed write (r12,
+            # guide §6 output layout): an unclustered bucketBy write
+            # emits all 8 bucket files from EVERY scan task (n_tasks x 8
+            # small files); the same-keyed repartition collapses that to
+            # exactly one file per bucket — the canonical
+            # repartition-then-bucketBy pattern for any scale.
+            df.repartition(8, F.col(key))
+            .write.mode("overwrite")
             .option("path", os.path.join(root, name))
             .bucketBy(8, key)
             .sortBy(key)
