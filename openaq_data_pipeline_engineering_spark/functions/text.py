@@ -91,9 +91,16 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
     return out
 
 
-def lang_predict(text: Column | str) -> Column:
-    """Argmax language with deterministic tie-break (LANG_ORDER priority)."""
-    scores = lang_scores(text)
+def lang_predict_from(scores: dict[str, Column]) -> Column:
+    """Argmax language over precomputed score columns (same CASE chain
+    as :func:`lang_predict`). Pass columns projected from
+    :func:`lang_scores` when the prediction sits in a FILTER: Filter
+    predicates get no subexpression elimination, so inlining the raw
+    scores there re-runs every marker's full-text replace once per
+    comparison (the en-arm alone evaluates 6 scores = 18 replaces);
+    from a Project each score computes once, and CollapseProject keeps
+    the projection because the aliases are non-cheap and referenced
+    more than once."""
     chain = None
     for i, lang in enumerate(LANG_ORDER):
         conds = [
@@ -104,6 +111,11 @@ def lang_predict(text: Column | str) -> Column:
             cond = cond & c
         chain = F.when(cond, lang) if chain is None else chain.when(cond, lang)
     return F.coalesce(chain, F.lit(LANG_ORDER[-1]))
+
+
+def lang_predict(text: Column | str) -> Column:
+    """Argmax language with deterministic tie-break (LANG_ORDER priority)."""
+    return lang_predict_from(lang_scores(text))
 
 
 def normalized_fingerprint(text: Column | str) -> Column:

@@ -27,6 +27,7 @@ from openaq_data_pipeline_engineering_spark.functions.text import (
     LANG_ORDER,
     bpe_token_estimate,
     lang_predict,
+    lang_predict_from,
     lang_scores,
     minhash_piece_agg_exprs,
     minhash_piece_cols,
@@ -467,14 +468,34 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count here and dropping the text keeps the semi/anti exchanges to
     # three narrow columns instead of shipping every surviving
     # document's body twice.
+    # Gate predicates built from PROJECTED score columns (r12, guide
+    # §1.2 per-task work): Filter predicates get no subexpression
+    # elimination, so `filter(lang_predict(text) == 'en')` re-ran every
+    # marker's full-text replace once per CASE comparison (~40 replaces
+    # per doc); projecting the 12 marker counts + wc + punct once and
+    # filtering on the columns is bit-identical (same exprs, evaluated
+    # once in a Project that CollapseProject keeps, since the aliases
+    # are non-cheap and multiply-referenced).
+    sc = lang_scores("text")
+    wc_d = F.col("_wc").cast("double")
     gated = (
-        docs.filter(lang_predict("text") == "en")
-        .filter(quality_score("text") > 0.4)
-        .select(
+        docs.select(
             "doc_id",
             "source",
-            whitespace_token_count("text").alias("wc"),
+            whitespace_token_count("text").alias("_wc"),
+            punct_ratio("text").alias("_pr"),
+            *[sc[lang].alias(f"_s_{lang}") for lang in LANG_ORDER],
         )
+        .filter(
+            lang_predict_from(
+                {lang: F.col(f"_s_{lang}") for lang in LANG_ORDER}
+            )
+            == "en"
+        )
+        .filter(
+            (wc_d / (wc_d + F.lit(50.0))) * (F.lit(1.0) - F.col("_pr")) > 0.4
+        )
+        .select("doc_id", "source", F.col("_wc").alias("wc"))
     )
 
     keepers = exact_dedup(docs, content_col="text", id_col="doc_id").select("doc_id")
