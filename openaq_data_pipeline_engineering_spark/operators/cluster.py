@@ -50,9 +50,18 @@ def connected_components(
     caller's concern — they are their own singleton clusters by
     definition and need no propagation.
     """
-    und = edges.select(F.col(src).alias("es"), F.col(dst).alias("ed")).union(
-        edges.select(F.col(dst).alias("es"), F.col(src).alias("ed"))
-    )
+    # Both directions in ONE pass (2-way explode) instead of a
+    # self-union whose two branches each re-execute the upstream
+    # candidate-pair pipeline before the checkpoint materializes it
+    # (r12, guide §1.2 redundant passes). Same rows, same multiset.
+    und = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
+                F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
+            )
+        ).alias("__e")
+    ).select(F.col("__e.s").alias("es"), F.col("__e.d").alias("ed"))
     if checkpoint:
         # Materialize the edge list ONCE: it is consumed every round, and
         # upstream it is typically a full LSH pipeline (shingle → minhash →

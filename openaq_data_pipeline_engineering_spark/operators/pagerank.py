@@ -41,10 +41,23 @@ ARRAY_CHUNK = 4096
 
 
 def undirect(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Both directions of each edge (PR over an undirected graph)."""
-    return edges.select(src, dst).unionByName(
-        edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
+    """Both directions of each edge (PR over an undirected graph).
+
+    Emitted as ONE pass with a 2-way explode instead of a self-union
+    (r12, guide §1.2 redundant passes): the union's two branches each
+    re-execute the upstream edge pipeline (a pair self-join + distinct
+    here — exchange reuse does not fire across the differing branch
+    projections; stage profile showed the downstream stage reading the
+    pair table's bytes twice). Same rows, same multiset."""
+    e = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
+                F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
+            )
+        ).alias("__e")
     )
+    return e.select(F.col("__e.s").alias(src), F.col("__e.d").alias(dst))
 
 
 def pagerank(
