@@ -126,17 +126,16 @@ def expectation_report(
     def q(n: str) -> str:
         return "'" + n.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
+    # __all_valid__ rides the SAME stack as the rule rows (r12, guide
+    # §1.2 redundant passes): the previous separate-select + union made
+    # the un-materialized single-row aggregate a child of BOTH branches,
+    # re-executing the full table scan twice. n_rows - f_any is bigint
+    # arithmetic on bigints — same value the dedicated branch computed.
     pairs = ", ".join(
         [f"{q(n)}, f_{i}" for i, n in enumerate(rules)]
-        + ["'__any_failed__', f_any"]
+        + ["'__any_failed__', f_any", "'__all_valid__', n_rows - f_any"]
     )
-    n = len(rules) + 1
-    out = one.selectExpr(
+    n = len(rules) + 2
+    return one.selectExpr(
         f"stack({n}, {pairs}) AS (rule, n_fail)", "n_rows"
     )
-    all_valid = one.select(
-        F.lit("__all_valid__").alias("rule"),
-        (F.col("n_rows") - F.col("f_any")).cast("bigint").alias("n_fail"),
-        F.col("n_rows"),
-    )
-    return out.unionByName(all_valid)
