@@ -123,7 +123,18 @@ def incremental_mart_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_a = _mart_batch(li, *_WIN_A, src_pri=1, qty_shift=0.0)
     batch_b = _mart_batch(li, *_WIN_B, src_pri=0, qty_shift=100.0)
     mart = fresh_scratch_dir("incremental_mart")
-    keys = ["l_orderkey", "l_linenumber"]
+    # Row identity INCLUDES the partition columns (r12 determinism fix):
+    # merge_into_mart only ever reads the batch's TOUCHED partitions, so
+    # a same-key row in an untouched partition always survived anyway —
+    # cross-partition key identity was never enforced by the operator.
+    # The sf0.1 testdata holds one (l_orderkey, l_linenumber) key with
+    # rows on TWO days; under partition-less keys the window tiebreak
+    # (src_pri alone) was non-total for that pair and the surviving day
+    # was partition-layout-dependent (the round-12 scan-split change
+    # flipped it, failing the sf0.1 differential by one row). With the
+    # partition in the key the dedup is total and the result equals the
+    # oracle at EVERY layout.
+    keys = ["l_orderkey", "l_linenumber", "year", "month", "day"]
     # src_pri ascending: the lower-priority value wins the window
     # dedup, i.e. batch B's corrections beat A's re-delivered originals
     merge_into_mart(spark, mart, batch_a, keys, tiebreaker=["src_pri"])

@@ -111,3 +111,35 @@ def test_expectation_report_single_branch(spark):
     # one scan: the __all_valid__ row no longer re-runs the aggregate
     plan = rep._jdf.queryExecution().optimizedPlan().toString()
     assert "Union" not in plan
+
+
+def test_mart_merge_duplicate_key_across_partitions(spark, tmp_path):
+    """A key with rows in TWO partitions must keep BOTH under the
+    partition-scoped identity (the operator only reads touched
+    partitions, so cross-partition dedup was never enforceable) — and
+    the surviving set must not depend on layout. Pins the r12 sf0.1
+    regression: partition-less keys made the window tiebreak non-total
+    for such a pair."""
+    from openaq_data_pipeline_engineering_spark.plans.incremental import (
+        merge_into_mart,
+    )
+
+    mart = str(tmp_path / "mart")
+    schema = "k bigint, qty double, src_pri int, year string, month string, day string"
+    batch_a = spark.createDataFrame(
+        [
+            (1, 10.0, 1, "1995", "03", "01"),
+            (1, 20.0, 1, "1995", "03", "02"),  # same key, other partition
+            (2, 30.0, 1, "1995", "03", "02"),
+        ],
+        schema,
+    )
+    keys = ["k", "year", "month", "day"]
+    merge_into_mart(spark, mart, batch_a, keys, tiebreaker=["src_pri"])
+    batch_b = spark.createDataFrame(
+        [(2, 99.0, 0, "1995", "03", "02")], schema
+    )
+    merge_into_mart(spark, mart, batch_b, keys, tiebreaker=["src_pri"])
+    back = spark.read.schema(batch_a.schema).parquet(mart)
+    got = sorted((r["k"], r["day"], r["qty"]) for r in back.collect())
+    assert got == [(1, "01", 10.0), (1, "02", 20.0), (2, "02", 99.0)]
