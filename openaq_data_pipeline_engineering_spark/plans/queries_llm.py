@@ -398,10 +398,11 @@ def _funnel_oracle() -> str:
 )
 def pretraining_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openaq_data_pipeline_engineering_spark.functions.text import (
-        minhash_piece_agg_exprs,
-        minhash_piece_cols,
         quality_score,
         whitespace_token_count,
+    )
+    from openaq_data_pipeline_engineering_spark.functions.text_arrow import (
+        minhash_signatures,
     )
     from openaq_data_pipeline_engineering_spark.operators.dedup import exact_dedup
     from openaq_data_pipeline_engineering_spark.operators.sampling import (
@@ -418,12 +419,13 @@ def pretraining_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id"
     )
 
+    # near-dup signatures from the Arrow kernel (r13, guide §4.2 —
+    # bit-identical to the explode → groupBy pipeline,
+    # tests/test_text_arrow.py); the decontamination branch below keeps
+    # its JVM shingle explode (it needs the shingle RELATION, and its
+    # consumers are duplicate-blind distinct/semi joins).
     sh = docs.select("doc_id", F.explode(word_shingles("text", 3)).alias("sh"))
-    mh = (
-        sh.select("doc_id", *minhash_piece_cols("sh", _NUM_HASHES))
-        .groupBy("doc_id")
-        .agg(*minhash_piece_agg_exprs(_NUM_HASHES))
-    )
+    mh = minhash_signatures(docs, num_hashes=_NUM_HASHES)
     band_exprs = [
         F.md5(F.concat(F.col(f"h{a}"), F.col(f"h{b}"))) for a, b in _BANDS
     ]

@@ -31,7 +31,6 @@ from pyspark.sql import types as T
 
 from openaq_data_pipeline_engineering_spark.functions.text import (
     minhash_sql_exprs,
-    word_shingles,
 )
 from openaq_data_pipeline_engineering_spark.functions.vectors import cosine, dot
 from openaq_data_pipeline_engineering_spark.plans.registry import query
@@ -353,9 +352,9 @@ def _mh_estimate_oracle() -> str:
     oracle=_mh_estimate_oracle(),
 )
 def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from openaq_data_pipeline_engineering_spark.functions.text import (
-        minhash_piece_agg_exprs,
-        minhash_piece_cols,
+    from openaq_data_pipeline_engineering_spark.functions.text_arrow import (
+        minhash_profile_with_shingles,
+        split_profile,
     )
 
     # Shared frames materialize ONCE (localCheckpoint): this witness
@@ -364,21 +363,20 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the candidates 2x — without materialization the multiplicative
     # re-derivation planned TEN scans of the corpus (exchange reuse
     # does not fire across aliased subtrees on this Spark build).
-    # MinHash over distinct shingles == over raw (min is dup-blind).
+    # r13 (guide §4.2/§2.4): ONE Arrow kernel pass emits the distinct
+    # shingles AND the per-doc signature profile — bit-identical to
+    # the explode→distinct→groupBy pipeline (tests/test_text_arrow.py)
+    # while removing the DISTINCT exchange of the exploded relation
+    # and the min(string) SortAggregate. MinHash over distinct
+    # shingles == over raw (min is dup-blind).
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    dsh = (
-        docs.select(
-            "doc_id", F.explode(word_shingles("text", k=3)).alias("sh")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    mh = (
-        dsh.select("doc_id", *minhash_piece_cols("sh", _NUM_HASHES))
-        .groupBy("doc_id")
-        .agg(*minhash_piece_agg_exprs(_NUM_HASHES))
-        .localCheckpoint(eager=True)
-    )
+    combined = minhash_profile_with_shingles(
+        docs, num_hashes=_NUM_HASHES
+    ).localCheckpoint(eager=True)
+    dsh, prof = split_profile(combined, num_hashes=_NUM_HASHES)
+    mh = prof.select(
+        "doc_id", *[f"h{i}" for i in range(_NUM_HASHES)]
+    ).localCheckpoint(eager=True)
     band_exprs = [
         F.md5(F.concat(F.col(f"h{a}"), F.col(f"h{b}"))) for a, b in _BANDS
     ]
@@ -396,7 +394,9 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    sz = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # set sizes ride the kernel's profile row (no groupBy over the
+    # shingle relation needed)
+    sz = prof.select("doc_id", F.col("n_sh").alias("n"))
     x = dsh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     y = dsh.select(F.col("doc_id").alias("yb"), F.col("sh").alias("sh_b"))
     inter = (

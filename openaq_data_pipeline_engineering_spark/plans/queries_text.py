@@ -29,13 +29,15 @@ from openaq_data_pipeline_engineering_spark.functions.text import (
     lang_predict,
     lang_predict_from,
     lang_scores,
-    minhash_piece_agg_exprs,
-    minhash_piece_cols,
     normalized_fingerprint,
     punct_ratio,
     quality_score,
     whitespace_token_count,
-    word_shingles,
+)
+from openaq_data_pipeline_engineering_spark.functions.text_arrow import (
+    minhash_profile_with_shingles,
+    minhash_signatures,
+    split_profile,
 )
 from openaq_data_pipeline_engineering_spark.operators.dedup import exact_dedup
 from openaq_data_pipeline_engineering_spark.plans.registry import query
@@ -301,27 +303,27 @@ def _minhash_oracle() -> str:
     oracle=_minhash_oracle(),
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fan_out stays in front of the kernel: the sf testdata is ONE
+    # parquet row group, so the scan is single-task however many byte
+    # splits it gets, and the repartition is what spreads the Python
+    # workers (A/B at sf0.1: 0.49 s vs 1.19 s noop for the signature+
+    # band pass). At 100 TB the corpus has thousands of row groups and
+    # fan_out's split guard makes this an identity.
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    # explode + groupBy, NOT a per-row array fold: 8 chained array-HOF
-    # expressions in one projection overflow whole-stage codegen into
-    # interpreted evaluation (measured 3.5x slower end-to-end). The
-    # tiny band frame (4 rows/doc of (doc_id, 32-hex band)) is
+    # Signatures come from the Arrow-native kernel (r13, guide §4.2):
+    # one mapInArrow pass shingles each doc locally and tracks the 8
+    # salted-md5 piece minima with C hashlib — bit-identical to the
+    # explode → groupBy(minhash pieces) pipeline it replaces (pinned by
+    # tests/test_text_arrow.py) while removing the shingle explode
+    # (~3x the corpus bytes), its exchange into groupBy(doc_id), and
+    # the min(string) SortAggregate — the suite's dominant remaining
+    # CPU after the r12 CSE split (VERDICT r12 top_next). The tiny
+    # band frame (4 rows/doc of (doc_id, 32-hex band)) is still
     # materialized once (localCheckpoint) before the self-join —
     # measured on this Spark build, exchange reuse does NOT fire
-    # across the two aliased sides (0 ReusedExchange even for a
-    # minimal identical-subtree self-join), so without it the scan +
-    # shingle explode + minhash agg would run twice. The md5 pieces
-    # are PROJECTED before the min-aggregation (split minhash form):
-    # min(string) forces a SortAggregate whose input expressions run
-    # interpreted per row with no CSE — see minhash_piece_cols.
-    sh = docs.select(
-        "doc_id", F.explode(word_shingles("text", k=3)).alias("sh")
-    )
-    mh = (
-        sh.select("doc_id", *minhash_piece_cols("sh", _NUM_HASHES))
-        .groupBy("doc_id")
-        .agg(*minhash_piece_agg_exprs(_NUM_HASHES))
-    )
+    # across the two aliased sides, so without it the scan + kernel
+    # would run twice.
+    mh = minhash_signatures(docs, num_hashes=_NUM_HASHES)
     band_exprs = [F.md5(F.concat(F.col(f"h{a}"), F.col(f"h{b}"))) for a, b in _BANDS]
     bands = mh.select(
         "doc_id", F.explode(F.array(*band_exprs)).alias("band")
@@ -502,14 +504,10 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # band table materialized once before the self-join — exchange
     # reuse does not fire across aliased subtrees on this Spark build
-    # (see minhash_lsh_candidates), so without it the scan + shingle
-    # explode + minhash agg runs on both sides.
-    sh = docs.select("doc_id", F.explode(word_shingles("text", k=3)).alias("sh"))
-    mh = (
-        sh.select("doc_id", *minhash_piece_cols("sh", _NUM_HASHES))
-        .groupBy("doc_id")
-        .agg(*minhash_piece_agg_exprs(_NUM_HASHES))
-    )
+    # (see minhash_lsh_candidates), so without it the scan + signature
+    # kernel runs on both sides. Signatures from the Arrow kernel
+    # (r13, guide §4.2 — bit-identical, tests/test_text_arrow.py).
+    mh = minhash_signatures(docs, num_hashes=_NUM_HASHES)
     band_exprs = [F.md5(F.concat(F.col(f"h{a}"), F.col(f"h{b}"))) for a, b in _BANDS]
     bandtab = mh.select(
         "doc_id", F.explode(F.array(*band_exprs)).alias("band")
@@ -717,14 +715,9 @@ def _minhash_incremental_oracle() -> str:
 )
 def minhash_incremental_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    sh = docs.select(
-        "doc_id", F.explode(word_shingles("text", k=3)).alias("sh")
-    )
-    mh = (
-        sh.select("doc_id", *minhash_piece_cols("sh", _NUM_HASHES))
-        .groupBy("doc_id")
-        .agg(*minhash_piece_agg_exprs(_NUM_HASHES))
-    )
+    # Arrow-native signature kernel (r13, guide §4.2) — bit-identical
+    # to the explode → groupBy pipeline (tests/test_text_arrow.py).
+    mh = minhash_signatures(docs, num_hashes=_NUM_HASHES)
     band_exprs = [
         F.md5(F.concat(F.col(f"h{a}"), F.col(f"h{b}"))) for a, b in _BANDS
     ]
@@ -812,22 +805,18 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join so no post-hoc size lookup joins are needed. At 100 TB this
     # is the difference between 1× and 6× corpus reads.
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    sh = (
-        docs.select(
-            "doc_id", F.explode(word_shingles("text", k=3)).alias("sh")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)  # reused: profile agg + both pair sides
-    )
-    prof = (
-        sh.select("doc_id", *minhash_piece_cols("sh", _NUM_HASHES))
-        .groupBy("doc_id")
-        .agg(
-            *minhash_piece_agg_exprs(_NUM_HASHES),
-            F.count(F.lit(1)).cast("bigint").alias("n_sh"),
-        )
-        .localCheckpoint(eager=True)  # tiny (1 row/doc); both band sides
-    )
+    # r13 (guide §4.2/§2.4): ONE Arrow kernel pass emits the distinct-
+    # shingle relation AND the per-doc (signature, n_sh) profile —
+    # bit-identical to the explode→distinct→groupBy pipeline it
+    # replaces (tests/test_text_arrow.py) while removing the DISTINCT
+    # exchange of the exploded relation and the signature
+    # SortAggregate; still ONE corpus scan, checkpointed once for the
+    # three consumers (profile + both intersection sides).
+    combined = minhash_profile_with_shingles(
+        docs, num_hashes=_NUM_HASHES
+    ).localCheckpoint(eager=True)
+    sh, prof0 = split_profile(combined, num_hashes=_NUM_HASHES)
+    prof = prof0.localCheckpoint(eager=True)  # tiny (1 row/doc); both band sides
     band_exprs = [
         F.md5(F.concat(F.col(f"h{a}"), F.col(f"h{b}"))) for a, b in _BANDS
     ]
