@@ -394,17 +394,25 @@ def read_version_dir(
 
     if is_fileset_dir(vdir):
         return read_fileset_df(spark, vdir, file_col=file_col)
-    key = (id(spark), os.path.abspath(vdir), file_col,
-           _plain_dir_fingerprint(vdir))
+    # ONE memo entry per (session, dir, content): the ``file_col``
+    # variant derives from the memoized base read with a lazy
+    # ``withColumn`` (plan-level _metadata resolution — no listing, no
+    # footer I/O), so a statement that reads the same version both
+    # plain (schema pin / lowering) and with the file column (COW
+    # discovery) pays the driver-side analysis once, not twice (r13;
+    # previously file_col was part of the key and each variant
+    # re-listed + re-inferred, ~80 ms per statement).
+    key = (id(spark), os.path.abspath(vdir), _plain_dir_fingerprint(vdir))
     hit = _DIR_READ_MEMO.get(key)
     if hit is not None:
-        return hit[1]
-    df = spark.read.parquet(vdir)
+        df = hit[1]
+    else:
+        df = spark.read.parquet(vdir)
+        while len(_DIR_READ_MEMO) >= _DIR_READ_MEMO_CAP:
+            _DIR_READ_MEMO.pop(next(iter(_DIR_READ_MEMO)))
+        _DIR_READ_MEMO[key] = (spark, df)
     if file_col is not None:
         df = df.withColumn(file_col, F.col("_metadata.file_path"))
-    while len(_DIR_READ_MEMO) >= _DIR_READ_MEMO_CAP:
-        _DIR_READ_MEMO.pop(next(iter(_DIR_READ_MEMO)))
-    _DIR_READ_MEMO[key] = (spark, df)
     return df
 
 

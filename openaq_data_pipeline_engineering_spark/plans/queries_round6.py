@@ -30,10 +30,7 @@ from pyspark.sql import functions as F
 
 from openaq_data_pipeline_engineering_spark.plans.registry import query
 from openaq_data_pipeline_engineering_spark.scratch import fresh_scratch_dir
-from openaq_data_pipeline_engineering_spark.sources.star import (
-    fan_out,
-    load_table,
-)
+from openaq_data_pipeline_engineering_spark.sources.star import load_table
 
 # Shared event-aggregate shape for the storage witnesses: exact-integer
 # cents (floor(value*100)) per the registry float policy.
@@ -94,7 +91,13 @@ def sql_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_snapshot,
     )
 
-    cust = fan_out(load_table(spark, sf_dir, "customer"))
+    # No fan_out: this frame's destiny is write_snapshot — the
+    # round-robin repartition only split the versioned base into 32
+    # near-empty files, and every later statement's discovery scan,
+    # rewrite job, carry and footer pass is O(files) (r13 A/B: a
+    # statement on a 32-file base 1.04 s vs 0.57 s on a 1-file base).
+    # At scale the scan's own splits carry the projection + write.
+    cust = load_table(spark, sf_dir, "customer")
     base = cust.filter(F.col("c_custkey") <= 1200).select(
         "c_custkey",
         "c_mktsegment",
@@ -150,7 +153,8 @@ def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_snapshot,
     )
 
-    ev = fan_out(load_table(spark, sf_dir, "events")).select(
+    # no fan_out: destiny is write_snapshot (see sql_merge_into)
+    ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
     half = ev.filter(
@@ -282,7 +286,13 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openaq_data_pipeline_engineering_spark.engine import Engine
 
-    cust = fan_out(load_table(spark, sf_dir, "customer"))
+    # No fan_out: this frame's destiny is write_snapshot — the
+    # round-robin repartition only split the versioned base into 32
+    # near-empty files, and every later statement's discovery scan,
+    # rewrite job, carry and footer pass is O(files) (r13 A/B: a
+    # statement on a 32-file base 1.04 s vs 0.57 s on a 1-file base).
+    # At scale the scan's own splits carry the projection + write.
+    cust = load_table(spark, sf_dir, "customer")
     base = cust.filter(F.col("c_custkey") <= 1200).select(
         "c_custkey",
         "c_mktsegment",
@@ -370,7 +380,8 @@ def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_snapshot,
     )
 
-    ev = fan_out(load_table(spark, sf_dir, "events")).select(
+    # no fan_out: destiny is write_snapshot (see sql_merge_into)
+    ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         "ts",
         "event_type",
@@ -434,7 +445,8 @@ def sql_update_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_snapshot,
     )
 
-    ev = fan_out(load_table(spark, sf_dir, "events")).select(
+    # no fan_out: destiny is write_snapshot (see sql_merge_into)
+    ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
         F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
