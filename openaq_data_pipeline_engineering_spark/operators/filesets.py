@@ -383,6 +383,28 @@ def _plain_dir_fingerprint(vdir: str) -> tuple:
     return tuple(acc)
 
 
+def _fileset_fingerprint(vdir: str) -> tuple:
+    """Content fingerprint of a FILESET version: the sidecar file's
+    (size, mtime_ns) plus (path, size, mtime_ns) of every RESOLVED
+    entry file — a vacuumed/purged owner file or a rewritten sidecar
+    invalidates the memo. Raises on a dangling entry exactly like the
+    read itself would."""
+    acc = []
+    try:
+        st = os.stat(os.path.join(vdir, FILESET_SIDECAR))
+        acc.append(("_sidecar", st.st_size, st.st_mtime_ns))
+    except OSError:
+        return ("no-sidecar",)
+    fs = read_fileset(vdir)
+    for p, _e in resolve_entries(vdir, fs):
+        try:
+            st = os.stat(p)
+            acc.append((p, st.st_size, st.st_mtime_ns))
+        except OSError:
+            acc.append((p, -1, -1))
+    return tuple(acc)
+
+
 def read_version_dir(
     spark: SparkSession, vdir: str, file_col: str | None = None
 ) -> DataFrame:
@@ -393,7 +415,29 @@ def read_version_dir(
     from pyspark.sql import functions as F
 
     if is_fileset_dir(vdir):
-        return read_fileset_df(spark, vdir, file_col=file_col)
+        # FILESET versions memoize too (r13): after a table's first COW
+        # commit every later statement resolves FILESET versions, and
+        # each read_fileset_df pays sidecar parse + entry resolution +
+        # plan building (~28 ms; a DML statement makes 4 such calls).
+        # The fingerprint covers the sidecar AND every resolved entry
+        # file (owner dirs are immutable, but vacuum/purge can remove
+        # them — any change misses the memo). file_col stays in the
+        # key here: a partitioned fileset materializes it per owner
+        # group BEFORE the union (no post-hoc derivation).
+        key = (
+            id(spark),
+            os.path.abspath(vdir),
+            file_col,
+            _fileset_fingerprint(vdir),
+        )
+        hit = _DIR_READ_MEMO.get(key)
+        if hit is not None:
+            return hit[1]
+        df = read_fileset_df(spark, vdir, file_col=file_col)
+        while len(_DIR_READ_MEMO) >= _DIR_READ_MEMO_CAP:
+            _DIR_READ_MEMO.pop(next(iter(_DIR_READ_MEMO)))
+        _DIR_READ_MEMO[key] = (spark, df)
+        return df
     # ONE memo entry per (session, dir, content): the ``file_col``
     # variant derives from the memoized base read with a lazy
     # ``withColumn`` (plan-level _metadata resolution — no listing, no

@@ -81,3 +81,77 @@ class TestReadVersionDirMemo:
             _write_dir(spark, os.path.join(base, f"v={i}"), [i])
             read_version_dir(spark, os.path.join(base, f"v={i}"))
         assert len(filesets._DIR_READ_MEMO) <= cap
+
+
+class TestFilesetReadMemo:
+    """r13: the memo extends to FILESET version directories (after a
+    table's first COW commit every later statement resolves fileset
+    versions 4x per statement)."""
+
+    def _fileset_version(self, spark, tmp_path):
+        """A v=2 fileset version referencing v=1's single data file."""
+        from openaq_data_pipeline_engineering_spark.operators.filesets import (
+            version_files_with_rels,
+            write_fileset,
+        )
+
+        root = str(tmp_path / "t")
+        v1 = os.path.join(root, "v=1")
+        _write_dir(spark, v1, [1, 2, 3])
+        v2 = os.path.join(root, "v=2")
+        os.makedirs(v2)
+        entries = [
+            {"v": 1, "rel": rel, "size": os.path.getsize(p)}
+            for p, rel in version_files_with_rels(v1)
+        ]
+        schema = spark.read.parquet(v1).schema.jsonValue()
+        write_fileset(v2, [], schema, entries)
+        return v2
+
+    def test_same_content_hits_memo(self, spark, tmp_path):
+        v2 = self._fileset_version(spark, tmp_path)
+        df1 = read_version_dir(spark, v2)
+        df2 = read_version_dir(spark, v2)
+        assert df1 is df2
+        assert df2.count() == 3
+        # file_col variant is its own entry (grouped builds need it
+        # materialized per owner group) but also memoizes
+        fc1 = read_version_dir(spark, v2, file_col="__f")
+        fc2 = read_version_dir(spark, v2, file_col="__f")
+        assert fc1 is fc2 and fc1 is not df1
+        assert fc1.filter(F.col("__f").isNotNull()).count() == 3
+
+    def test_sidecar_rewrite_invalidates(self, spark, tmp_path):
+        from openaq_data_pipeline_engineering_spark.operators.filesets import (
+            FILESET_SIDECAR,
+        )
+
+        v2 = self._fileset_version(spark, tmp_path)
+        df1 = read_version_dir(spark, v2)
+        assert df1.count() == 3
+        # rewrite the sidecar (same path, new mtime/content) -> miss
+        sc = os.path.join(v2, FILESET_SIDECAR)
+        body = open(sc).read()
+        time.sleep(0.01)
+        open(sc, "w").write(body)
+        df2 = read_version_dir(spark, v2)
+        assert df1 is not df2
+        assert df2.count() == 3
+
+    def test_referenced_owner_file_mutation_invalidates(
+        self, spark, tmp_path
+    ):
+        v2 = self._fileset_version(spark, tmp_path)
+        df1 = read_version_dir(spark, v2)
+        assert df1.count() == 3
+        # touch the REFERENCED owner file (vacuum/purge shape): the
+        # fingerprint covers resolved entries, so the memo must miss
+        v1 = os.path.join(os.path.dirname(v2), "v=1")
+        f = next(
+            os.path.join(v1, n)
+            for n in os.listdir(v1)
+            if n.endswith(".parquet")
+        )
+        os.utime(f, ns=(time.time_ns(), time.time_ns()))
+        df2 = read_version_dir(spark, v2)
+        assert df1 is not df2
