@@ -37,19 +37,36 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow for pandas_udf / mapInPandas / toPandas exchange.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Scan-split sizing (r12 measure-first): Spark sizes splits as
-    # min(maxPartitionBytes, max(openCostInBytes, totalBytes/minPartitionNum))
-    # — the totalBytes/minPartitionNum term already adapts per scan to
-    # input size, but the 4 MiB openCostInBytes default FLOORS the split
-    # size, serializing every <=12 MiB table onto <=3 scan tasks and
-    # forcing call sites to re-spread rows with a round-robin repartition
-    # (fan_out), which pays a local sort + a full shuffle (measured 3x a
-    # bare scan+agg on the sf0.1 lineitem). 128 KiB keeps the small-file
-    # packing intent (a task still never opens thousands of files per
-    # 128 MiB split) while letting the bytes-per-core term govern; at
-    # production scale bytesPerCore >> 4 MiB so this conf is inert there.
-    "spark.sql.files.openCostInBytes": "131072",
 }
+
+# Scan-split sizing (r12 measure-first): Spark sizes splits as
+# min(maxPartitionBytes, max(openCostInBytes, totalBytes/minPartitionNum))
+# — the totalBytes/minPartitionNum term already adapts per scan to
+# input size, but the 4 MiB openCostInBytes default FLOORS the split
+# size, serializing every <=12 MiB table onto <=3 scan tasks and
+# forcing call sites to re-spread rows with a round-robin repartition
+# (fan_out), which pays a local sort + a full shuffle (measured 3x a
+# bare scan+agg on the sf0.1 lineitem). 128 KiB keeps the small-file
+# packing intent (a task still never opens thousands of files per
+# 128 MiB split) while letting the bytes-per-core term govern. Applied
+# ONLY while the conf still holds Spark's own 4 MiB default (ADVICE r12
+# #2): a cluster session's — or any caller's — deliberately tuned
+# openCostInBytes is never overridden, and on small-file-heavy
+# production inputs the operator keeps control of file-packing density.
+_OPEN_COST_IN_BYTES = "131072"
+_OPEN_COST_DEFAULT = 4 * 1024 * 1024
+
+_SIZE_SUFFIX = {"": 1, "b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+
+
+def _size_to_bytes(raw: str) -> int | None:
+    """Parse a Spark byte-size conf string ('4194304', '4194304b',
+    '4m', '4MB') to bytes; None if unparseable."""
+    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]*)\s*", raw)
+    if not m:
+        return None
+    mult = _SIZE_SUFFIX.get(m.group(2).lower().rstrip("b") or "b")
+    return int(m.group(1)) * mult if mult else None
 
 # Local-mode-only shuffle sizing: the 200 default wastes task-launch
 # overhead at test scale (AQE coalesces further). Applied ONLY when the
@@ -83,6 +100,16 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
             # A conf may be unsupported on some Spark build; every consumer
             # of it has a fallback path.
             pass
+    try:
+        current_oc = spark.conf.get(
+            "spark.sql.files.openCostInBytes", str(_OPEN_COST_DEFAULT)
+        )
+        if _size_to_bytes(current_oc) == _OPEN_COST_DEFAULT:
+            spark.conf.set(
+                "spark.sql.files.openCostInBytes", _OPEN_COST_IN_BYTES
+            )
+    except Exception:
+        pass
     try:
         master = spark.conf.get("spark.master", "")
         current = spark.conf.get(

@@ -43,3 +43,47 @@ def test_runtime_confs_do_not_pin_shuffle_partitions():
     from openaq_data_pipeline_engineering_spark.engine import _RUNTIME_CONFS
 
     assert _KEY not in _RUNTIME_CONFS
+
+
+_OC_KEY = "spark.sql.files.openCostInBytes"
+
+
+def test_explicit_open_cost_survives(spark):
+    """ADVICE r12 #2: a caller's tuned openCostInBytes is never clobbered."""
+    original = spark.conf.get(_OC_KEY, "4194304")
+    try:
+        spark.conf.set(_OC_KEY, "2097152")
+        apply_runtime_confs(spark)
+        assert spark.conf.get(_OC_KEY) == "2097152"
+    finally:
+        spark.conf.set(_OC_KEY, original)
+
+
+def test_default_open_cost_resized(spark):
+    from openaq_data_pipeline_engineering_spark.engine import (
+        _OPEN_COST_IN_BYTES,
+    )
+
+    original = spark.conf.get(_OC_KEY, "4194304")
+    try:
+        spark.conf.set(_OC_KEY, "4194304")
+        apply_runtime_confs(spark)
+        assert spark.conf.get(_OC_KEY) == _OPEN_COST_IN_BYTES
+        # suffixed spelling of the same default also counts as untouched
+        spark.conf.set(_OC_KEY, "4m")
+        apply_runtime_confs(spark)
+        assert spark.conf.get(_OC_KEY) == _OPEN_COST_IN_BYTES
+    finally:
+        spark.conf.set(_OC_KEY, original)
+
+
+def test_size_to_bytes_parser():
+    from openaq_data_pipeline_engineering_spark.engine import _size_to_bytes
+
+    assert _size_to_bytes("4194304") == 4194304
+    assert _size_to_bytes("4194304b") == 4194304
+    assert _size_to_bytes("4m") == 4194304
+    assert _size_to_bytes("4MB") == 4194304
+    assert _size_to_bytes("131072") == 131072
+    assert _size_to_bytes("1g") == 1 << 30
+    assert _size_to_bytes("oops") is None
