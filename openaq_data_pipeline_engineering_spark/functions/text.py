@@ -93,14 +93,17 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
 
 def lang_predict_from(scores: dict[str, Column]) -> Column:
     """Argmax language over precomputed score columns (same CASE chain
-    as :func:`lang_predict`). Pass columns projected from
-    :func:`lang_scores` when the prediction sits in a FILTER: Filter
-    predicates get no subexpression elimination, so inlining the raw
-    scores there re-runs every marker's full-text replace once per
-    comparison (the en-arm alone evaluates 6 scores = 18 replaces);
-    from a Project each score computes once, and CollapseProject keeps
-    the projection because the aliases are non-cheap and referenced
-    more than once."""
+    as :func:`lang_predict`).
+
+    NOTE (r13): projecting scores does NOT pin one evaluation under a
+    FILTER — Catalyst's predicate pushdown re-inlines the aliases into
+    the Filter (r12's committed after-plan refuted the contrary claim),
+    and Filter predicates get no subexpression elimination. When a
+    prediction-equality test sits in a filter, rewrite it algebraically
+    instead: ``predicted == LANG_ORDER[0]`` is exactly the chain's
+    first arm, ``scores[first] >= greatest(*rest)``, which evaluates
+    each score once wherever the predicate lands (see
+    corpus_curation)."""
     chain = None
     for i, lang in enumerate(LANG_ORDER):
         conds = [

@@ -27,7 +27,6 @@ from openaq_data_pipeline_engineering_spark.functions.text import (
     LANG_ORDER,
     bpe_token_estimate,
     lang_predict,
-    lang_predict_from,
     lang_scores,
     normalized_fingerprint,
     punct_ratio,
@@ -470,34 +469,33 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count here and dropping the text keeps the semi/anti exchanges to
     # three narrow columns instead of shipping every surviving
     # document's body twice.
-    # Gate predicates built from PROJECTED score columns (r12, guide
-    # §1.2 per-task work): Filter predicates get no subexpression
-    # elimination, so `filter(lang_predict(text) == 'en')` re-ran every
-    # marker's full-text replace once per CASE comparison (~40 replaces
-    # per doc); projecting the 12 marker counts + wc + punct once and
-    # filtering on the columns is bit-identical (same exprs, evaluated
-    # once in a Project that CollapseProject keeps, since the aliases
-    # are non-cheap and multiply-referenced).
+    # Language gate rewritten ALGEBRAICALLY, not structurally (r13,
+    # guide §1.2 per-task work; closes VERDICT r12 #4): r12 projected
+    # the 12 marker scores hoping the Project would pin one evaluation
+    # each, but Catalyst's filter pushdown re-inlines the aliases into
+    # the Filter (the committed r12 after-plan refuted the claim), and
+    # Filter predicates get no subexpression elimination — the CASE
+    # chain's en-arm re-ran s_en per comparison. `predicted == 'en'` is
+    # exactly the chain's FIRST arm: s_en >= every later score, i.e.
+    # s_en >= greatest(s_es, s_de, s_fr) (NULL text: both forms yield
+    # NULL → row dropped). Each marker score now appears ONCE in the
+    # predicate, so inlining is harmless wherever the Filter lands.
+    # (first-arm equivalence requires 'en' to LEAD the tie-break order)
+    assert LANG_ORDER[0] == "en"
     sc = lang_scores("text")
-    wc_d = F.col("_wc").cast("double")
+    wc_d = whitespace_token_count("text").cast("double")
     gated = (
-        docs.select(
-            "doc_id",
-            "source",
-            whitespace_token_count("text").alias("_wc"),
-            punct_ratio("text").alias("_pr"),
-            *[sc[lang].alias(f"_s_{lang}") for lang in LANG_ORDER],
+        docs.filter(
+            sc["en"] >= F.greatest(*[sc[lang] for lang in LANG_ORDER[1:]])
         )
         .filter(
-            lang_predict_from(
-                {lang: F.col(f"_s_{lang}") for lang in LANG_ORDER}
-            )
-            == "en"
+            (wc_d / (wc_d + F.lit(50.0)))
+            * (F.lit(1.0) - punct_ratio("text"))
+            > 0.4
         )
-        .filter(
-            (wc_d / (wc_d + F.lit(50.0))) * (F.lit(1.0) - F.col("_pr")) > 0.4
+        .select(
+            "doc_id", "source", whitespace_token_count("text").alias("wc")
         )
-        .select("doc_id", "source", F.col("_wc").alias("wc"))
     )
 
     keepers = exact_dedup(docs, content_col="text", id_col="doc_id").select("doc_id")
