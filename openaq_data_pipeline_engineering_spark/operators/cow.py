@@ -1138,7 +1138,10 @@ def commit_file_rewrite(
         )
     new_dir = os.path.join(root, f"v={candidate}")
     try:
-        writer = rewritten.write.mode("overwrite")
+        # append, not overwrite: overwrite deletes the claimed dir (the
+        # mkdir claim itself) before writing, letting a racer re-claim
+        # the number mid-write — see versioned._allocate_and_write
+        writer = rewritten.write.mode("append")
         if layout:
             writer = writer.partitionBy(*layout)
         writer.parquet(new_dir)

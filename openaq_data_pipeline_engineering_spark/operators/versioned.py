@@ -981,8 +981,15 @@ def _allocate_and_write(
         )
         if not store.claim_version_dir(root, candidate):
             continue  # claimed by a concurrent writer
-        # Overwrite is safe: this writer owns the claimed (empty) dir.
-        w = df.write.mode("overwrite")
+        # APPEND, not overwrite, into the claimed (empty) dir: Spark's
+        # overwrite DELETES the target directory before writing — i.e.
+        # it deletes the claim itself, and in the delete→write window a
+        # concurrent writer re-claims the same number and both jobs
+        # collide in one _temporary/ (observed under load as a chmod
+        # ENOENT in the output committer). Append never removes the
+        # directory, so the mkdir claim stays exclusive end to end;
+        # the dir is freshly created and empty, so append == write.
+        w = df.write.mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(os.path.join(root, f"v={candidate}"))
