@@ -241,6 +241,7 @@ def streaming_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
     from openaq_data_pipeline_engineering_spark.streaming.ingest import (
         StreamingQueryStarter,
+        bounded_state_partitions,
         events_stream_spec,
         incremental_ingest,
         scoped_shuffle_partitions,
@@ -270,7 +271,9 @@ def streaming_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     # State partitioning sized to state volume, not scan parallelism
     # (see scoped_shuffle_partitions).
-    with scoped_shuffle_partitions(spark, 8):
+    with scoped_shuffle_partitions(
+        spark, bounded_state_partitions(spark, sf_dir, "events")
+    ):
         StreamingQueryStarter(counts, checkpoint).run_available_now_to_memory(
             "stream_ingest_result", output_mode="complete"
         )
@@ -366,6 +369,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
     from openaq_data_pipeline_engineering_spark.streaming.ingest import (
         events_stream_reader,
+        bounded_state_partitions,
         events_stream_spec,
         scoped_shuffle_partitions,
         windowed_counts,
@@ -379,7 +383,9 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = windowed_counts(stream, "ts", "1 hour", watermark="2 hours",
                           group_cols=["event_type"])
     checkpoint = fresh_scratch_dir("streamwin_ckpt")
-    with scoped_shuffle_partitions(spark, 8):
+    with scoped_shuffle_partitions(
+        spark, bounded_state_partitions(spark, sf_dir, "events")
+    ):
         q = (
             agg.writeStream.format("memory")
             .queryName("stream_windowed_result")
@@ -431,6 +437,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
     from openaq_data_pipeline_engineering_spark.streaming.ingest import (
         events_stream_reader,
+        bounded_state_partitions,
         events_stream_spec,
         scoped_shuffle_partitions,
         windowed_counts,
@@ -446,7 +453,9 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["event_type"], slide="30 minutes",
     )
     checkpoint = fresh_scratch_dir("streamslide_ckpt")
-    with scoped_shuffle_partitions(spark, 8):
+    with scoped_shuffle_partitions(
+        spark, bounded_state_partitions(spark, sf_dir, "events")
+    ):
         q = (
             agg.writeStream.format("memory")
             .queryName("stream_sliding_result")
@@ -492,6 +501,7 @@ def streaming_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
     from openaq_data_pipeline_engineering_spark.streaming.ingest import (
         events_stream_reader,
+        bounded_state_partitions,
         events_stream_spec,
         scoped_shuffle_partitions,
     )
@@ -534,7 +544,9 @@ def streaming_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A stream-stream join maintains 4 state stores PER partition; size
     # partitioning to join-state volume (see scoped_shuffle_partitions:
     # 32 partitions measured ~5× slower than 8 on the same input).
-    with scoped_shuffle_partitions(spark, 8):
+    with scoped_shuffle_partitions(
+        spark, bounded_state_partitions(spark, sf_dir, "events")
+    ):
         q = (
             joined.writeStream.format("memory")
             .queryName("stream_join_result")
@@ -594,6 +606,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
     from openaq_data_pipeline_engineering_spark.streaming.ingest import (
         events_stream_reader,
+        bounded_state_partitions,
         events_stream_spec,
         scoped_shuffle_partitions,
     )
@@ -610,7 +623,9 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     checkpoint = fresh_scratch_dir("streamsess_ckpt")
-    with scoped_shuffle_partitions(spark, 8):
+    with scoped_shuffle_partitions(
+        spark, bounded_state_partitions(spark, sf_dir, "events")
+    ):
         q = (
             sessions.writeStream.format("memory")
             .queryName("stream_session_result")
@@ -652,6 +667,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
     from openaq_data_pipeline_engineering_spark.streaming.ingest import (
         events_stream_reader,
+        bounded_state_partitions,
         events_stream_spec,
         scoped_shuffle_partitions,
     )
@@ -679,7 +695,9 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     checkpoint = fresh_scratch_dir("streamenrich_ckpt")
-    with scoped_shuffle_partitions(spark, 8):
+    with scoped_shuffle_partitions(
+        spark, bounded_state_partitions(spark, sf_dir, "events")
+    ):
         q = (
             rollup.writeStream.format("memory")
             .queryName("stream_enrich_result")
@@ -926,6 +944,7 @@ def streaming_topk_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
     from openaq_data_pipeline_engineering_spark.streaming.ingest import (
         events_stream_reader,
+        bounded_state_partitions,
         events_stream_spec,
         scoped_shuffle_partitions,
     )
@@ -937,7 +956,9 @@ def streaming_topk_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     checkpoint = fresh_scratch_dir("streamtopk_ckpt")
-    with scoped_shuffle_partitions(spark, 8):
+    with scoped_shuffle_partitions(
+        spark, bounded_state_partitions(spark, sf_dir, "events")
+    ):
         q = (
             agg.writeStream.format("memory")
             .queryName("stream_topk_result")
@@ -1135,6 +1156,7 @@ def streaming_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
     from openaq_data_pipeline_engineering_spark.streaming.ingest import (
         events_stream_reader,
+        bounded_state_partitions,
         events_stream_spec,
         scoped_shuffle_partitions,
     )
@@ -1172,7 +1194,9 @@ def streaming_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_id").isNotNull().alias("matched"),
     )
     checkpoint = fresh_scratch_dir("streamouter_ckpt")
-    with scoped_shuffle_partitions(spark, 8):
+    with scoped_shuffle_partitions(
+        spark, bounded_state_partitions(spark, sf_dir, "events")
+    ):
         q = (
             joined.writeStream.format("memory")
             .queryName("stream_outer_result")
@@ -1220,6 +1244,7 @@ def streaming_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openaq_data_pipeline_engineering_spark.engine import apply_runtime_confs
     from openaq_data_pipeline_engineering_spark.streaming.ingest import (
         events_stream_reader,
+        bounded_state_partitions,
         events_stream_spec,
         scoped_shuffle_partitions,
     )
@@ -1231,7 +1256,9 @@ def streaming_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     checkpoint = fresh_scratch_dir("streamupd_ckpt")
-    with scoped_shuffle_partitions(spark, 8):
+    with scoped_shuffle_partitions(
+        spark, bounded_state_partitions(spark, sf_dir, "events")
+    ):
         q = (
             agg.writeStream.format("memory")
             .queryName("stream_update_result")

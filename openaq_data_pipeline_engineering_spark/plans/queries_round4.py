@@ -1423,7 +1423,13 @@ def streaming_stateful_running_counts(spark, sf_dir):
     )
     stats = running_stats(stream, key_col="event_type", value_col="cents")
     checkpoint = fresh_scratch_dir("stateful_ckpt")
-    with scoped_shuffle_partitions(spark, 8):
+    from openaq_data_pipeline_engineering_spark.streaming.ingest import (
+        bounded_state_partitions,
+    )
+
+    with scoped_shuffle_partitions(
+        spark, bounded_state_partitions(spark, drop)
+    ):
         q = (
             stats.writeStream.format("memory")
             .queryName("stateful_running_result")

@@ -162,6 +162,12 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="10 minutes",
     )
     checkpoint = fresh_scratch_dir("sessionize_ckpt")
+    # Measured EXCEPTION to bounded_state_partitions (r13): this
+    # witness replays ~6 forced micro-batches through a pandas-stateful
+    # sessionizer; its cost is batch count x per-batch pandas exec, not
+    # state-store count, and byte-sized 2 partitions measured 8.2-9.2 s
+    # vs 6.4-7.3 s at 8 (A/B both orders) — fewer partitions serialize
+    # the per-batch Arrow round trips. Keep 8.
     with scoped_shuffle_partitions(spark, 8):
         q = (
             sessions.writeStream.format("memory")

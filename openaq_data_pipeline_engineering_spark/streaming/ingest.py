@@ -90,6 +90,52 @@ def events_stream_reader(
     return reader.option("pathGlobFilter", f"{table}.parquet").load(sf_dir)
 
 
+def bounded_state_partitions(
+    spark: SparkSession,
+    source: str,
+    table: str | None = None,
+    bytes_per_partition: int = 32 << 20,
+    floor: int = 2,
+) -> int:
+    """Scale-adaptive shuffle/state partition count for a BOUNDED
+    (``availableNow``) stateful run — guide §2: derive partitioning
+    from input size, never a constant tuned for one scale.
+
+    Stateful operators pay a per-partition FIXED cost per micro-batch
+    (a state-store instance plus its delta/commit files): on the
+    sf0.1 outer-attribution join, 8 fixed partitions measured 4.0 s
+    vs 2.6 s at 4 and 2.35 s at 2, identical results — while the same
+    fixed 8 would under-partition a real catch-up replay (a 1 TB drop
+    squeezed through 8 stores). Size to the bytes this bounded run
+    pushes through state: ``ceil(input_bytes / 32 MiB compressed)``
+    (state within the watermark is a bounded multiple of a bounded
+    input), floored at ``floor`` (keys hash across stores, so 2 keeps
+    tiny inputs skew-tolerant), capped at 4× ``defaultParallelism`` —
+    the cap, not the byte term, is what grows on a 1000-executor
+    cluster. UNBOUNDED production streams should size to steady-state
+    key cardinality within the watermark instead; every declared
+    streaming query here is the bounded-replay shape.
+
+    ``source``/``table`` mirror :func:`events_stream_reader`: pass the
+    sf_dir + table name for driver tables, or a drop directory alone.
+    """
+    path = (
+        source if table is None else os.path.join(source, f"{table}.parquet")
+    )
+    nbytes = 0
+    if os.path.isdir(path):
+        for dirpath, _dirs, files in os.walk(path):
+            nbytes += sum(
+                os.path.getsize(os.path.join(dirpath, f))
+                for f in files
+                if not f.startswith(("_", "."))
+            )
+    elif os.path.exists(path):
+        nbytes = os.path.getsize(path)
+    cap = max(floor, spark.sparkContext.defaultParallelism * 4)
+    return int(max(floor, min(cap, -(-nbytes // bytes_per_partition))))
+
+
 @contextmanager
 def scoped_shuffle_partitions(spark: SparkSession, n: int):
     """Temporarily pin ``spark.sql.shuffle.partitions`` for a bounded

@@ -490,6 +490,34 @@ def test_scoped_shuffle_partitions_restores(spark):
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
 
 
+def test_bounded_state_partitions_scales_with_input(spark, tmp_path):
+    """r13: state partitioning derives from input bytes — floor on tiny
+    inputs, grows with volume, capped at 4x defaultParallelism."""
+    from openaq_data_pipeline_engineering_spark.streaming.ingest import (
+        bounded_state_partitions,
+    )
+
+    # single-file table layout (sf_dir + table name)
+    f = tmp_path / "events.parquet"
+    f.write_bytes(b"x" * 1024)  # 1 KiB -> floor
+    assert bounded_state_partitions(spark, str(tmp_path), "events") == 2
+    # directory layout: sums data files, skips _SUCCESS/dot files
+    d = tmp_path / "drop"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"x" * (96 << 20))  # 96 MiB
+    (d / "_SUCCESS").write_bytes(b"")
+    assert bounded_state_partitions(spark, str(d)) == 3  # ceil(96/32)
+    # cap: never exceeds 4x defaultParallelism
+    cap = spark.sparkContext.defaultParallelism * 4
+    (d / "part-1.parquet").write_bytes(b"x" * (64 << 20))
+    big = bounded_state_partitions(
+        spark, str(d), bytes_per_partition=1 << 20
+    )
+    assert big == min(cap, 160)
+    # missing input -> floor, no crash
+    assert bounded_state_partitions(spark, str(tmp_path / "nope")) == 2
+
+
 class TestCsvSource:
     def test_roundtrip_types_preserved(self, spark, tmp_path):
         from pyspark.sql import types as T
