@@ -45,11 +45,20 @@ def merge_into_mart(
     """Idempotently merge ``batch`` (already in mart schema, partition
     columns included) into the partitioned mart at ``mart_path``.
 
-    ``keys``: logical row identity (e.g. location_id, datetime).
+    ``keys``: logical row identity (e.g. location_id, datetime) WITHIN
+    a partition — the operator appends :data:`PARTITION_COLS` to the
+    key set itself (ADVICE r12 #4): the merge only ever reads the
+    batch's touched partitions, so a same-key row in an untouched
+    partition always survived regardless of ``keys``; cross-partition
+    identity is unenforceable under the partition-pruned read, and a
+    partition-less key with a non-total tiebreaker would silently make
+    the surviving row partition-layout-dependent (the r12
+    ``incremental_mart_merge`` determinism bug).
     ``tiebreaker``: ordering; the FIRST row per key under this order
     survives — include a batch/extraction timestamp descending to make
     re-delivered corrections win.
     """
+    keys = list(keys) + [c for c in PARTITION_COLS if c not in keys]
     try:
         # Explicit schema (the batch's) on the read: without it Spark
         # type-INFERS partition values, turning the zero-padded string

@@ -105,7 +105,19 @@ def _est_scan_splits(df: DataFrame, files: list[str]) -> int:
                                               totalBytes / minPartitionNum))
 
     Local-filesystem sizes only (the sandbox target); any non-file URI
-    returns 0 ("unknown — assume under-split")."""
+    returns 0 ("unknown — assume under-split").
+
+    PRUNED-SCAN CAVEAT (ADVICE r12 #3): ``df.inputFiles()`` lists the
+    UNPRUNED relation's file set, so for a partition-/filter-pruned
+    scan this OVER-estimates the splits the scan will actually run —
+    and ``fan_out`` may then skip the repartition on a scan far
+    narrower than estimated. Accepted on purpose: every ``fan_out``
+    call site reads an unpartitioned single-file driver table (no
+    partition pruning exists in this layout, and row-group filter
+    pruning doesn't change the split count), and the failure mode is
+    the pre-r12 behaviour (an extra repartition would have been a
+    no-op win anyway). A partitioned-source caller should pass an
+    explicit ``partitions=`` or repartition itself."""
     import urllib.parse
 
     conf = df.sparkSession.conf
