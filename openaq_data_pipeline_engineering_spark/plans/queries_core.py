@@ -241,7 +241,16 @@ def distinct_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return dedup_first(ev, keys=["user_id", "ts"], tiebreaker=["event_id"]).select(
+    # total_tiebreaker: the oracle's own determinism already requires
+    # event_id to be unique within (user_id, ts) — struct-min picks the
+    # identical survivor with map-side partial agg instead of a
+    # reduce-side full sort (r13, guide §2.3).
+    return dedup_first(
+        ev,
+        keys=["user_id", "ts"],
+        tiebreaker=["event_id"],
+        total_tiebreaker=True,
+    ).select(
         "event_id", "user_id", "ts", "value"
     )
 

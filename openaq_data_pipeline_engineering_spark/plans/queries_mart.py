@@ -87,7 +87,14 @@ def mart_wide_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dim_extract_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    first = dedup_first(o, keys=["o_custkey"], tiebreaker=["o_orderdate", "o_orderkey"])
+    # o_orderkey is unique (orders PK) -> the tiebreak is total; the
+    # struct-min path replaces the window's reduce-side sort (r13).
+    first = dedup_first(
+        o,
+        keys=["o_custkey"],
+        tiebreaker=["o_orderdate", "o_orderkey"],
+        total_tiebreaker=True,
+    )
     return first.select(
         "o_custkey",
         F.col("o_orderkey").alias("first_orderkey"),
