@@ -6,8 +6,10 @@ from openaq_data_pipeline_engineering_spark.plans import registry
 
 
 def test_greens_ordered_by_evidence_age():
+    registry.get_queries()  # ensure the registry is loaded
     prior = registry._latest_correctness()
     names = registry._ordered_names()
+    assert names
 
     def green_round(n):
         row = prior.get(n)
@@ -20,9 +22,15 @@ def test_greens_ordered_by_evidence_age():
     k = 0
     while k < len(rounds) and rounds[k] is None:
         k += 1
-    tail = rounds[k:]
-    # ... and the green tail is non-decreasing in evidence round
-    assert all(r is not None for r in tail)
+    green_names = names[k:]
+    assert all(green_round(n) is not None for n in green_names)
+    # ... then this round's touched-family greens (declaration order) ...
+    touched = [
+        n for n in registry._TOUCHED_THIS_ROUND if green_round(n) is not None
+    ]
+    assert green_names[: len(touched)] == touched
+    # ... and the remaining green tail is non-decreasing in evidence round
+    tail = [green_round(n) for n in green_names[len(touched):]]
     assert tail == sorted(tail)
 
 
