@@ -101,16 +101,22 @@ def bloom_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents")).select(
         "source", "doc_id"
     )
-    bloom = bloom_build(docs, "source", "doc_id")
-    probes = local_rows(spark, 
+    # ONE documents pass serves both consumers (r13, guide §1.2): the
+    # distinct (source, doc_id) set is pinned once and feeds the bloom
+    # build AND the membership label join — bloom membership over the
+    # distinct set is identical to membership over the raw rows, and
+    # previously each consumer re-scanned documents.
+    keyset = docs.distinct().localCheckpoint(eager=True)
+    bloom = bloom_build(keyset, "source", "doc_id")
+    probes = local_rows(spark,
         [(k,) for k in _PROBES], "doc_id bigint"
     )
     hits = bloom_probe(bloom, probes, "doc_id")
-    members = docs.select(
+    members = keyset.select(
         F.col("source").alias("group"),
         "doc_id",
         F.lit(True).alias("is_member"),
-    ).distinct()
+    )
     labeled = hits.join(
         F.broadcast(members), on=["group", "doc_id"], how="left"
     ).withColumn("is_member", F.coalesce("is_member", F.lit(False)))

@@ -963,21 +963,21 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     a = cust.select("c_custkey", "c_acctbal")
-    # synthetic version B: deterministic drift off version A
-    b = (
-        cust.filter(F.col("c_custkey") > 100)
-        .select(
-            "c_custkey",
-            F.when(F.col("c_custkey") <= 130, F.col("c_acctbal") + 50.0)
-            .otherwise(F.col("c_acctbal"))
-            .alias("c_acctbal"),
-        )
-        .unionByName(
-            cust.filter(F.col("c_custkey") <= 50).select(
-                (F.col("c_custkey") + 1_000_000).alias("c_custkey"), "c_acctbal"
-            )
-        )
-    )
+    # synthetic version B: deterministic drift off version A. The two
+    # branches (keys > 100 kept, keys <= 50 shifted) are DISJOINT key
+    # ranges, so B is a single conditional projection + filter — ONE
+    # customer scan instead of the union's two (r13, guide §1.2; at
+    # scale the diff reads each version once, which is the operator's
+    # whole point).
+    k = F.col("c_custkey")
+    b = cust.select(
+        F.when(k > 100, k)
+        .when(k <= 50, k + 1_000_000)
+        .alias("c_custkey"),
+        F.when((k > 100) & (k <= 130), F.col("c_acctbal") + 50.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    ).filter(F.col("c_custkey").isNotNull())
     joined = a.alias("a").join(
         b.alias("b"), F.col("a.c_custkey") == F.col("b.c_custkey"), "full_outer"
     )
